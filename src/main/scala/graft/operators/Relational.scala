@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Named relational operators from the reference's inventory
+  * (SURVEY.md §2). Each is a lazy plan rewrite over built-in Catalyst
+  * expressions — no UDFs, so every op stays inside whole-stage
+  * codegen and survives predicate pushdown / column pruning.
+  * Reference sites cited per method (LAT: = Function_Latinad_API/
+  * function_app.py, SER: = New_Api_Sercom/function_app.py).
+  */
+object Relational {
+
+  /** A1 (LAT:241) — N-ary UNION ALL aligning by column name and
+    * null-filling missing columns, matching pandas `concat`'s
+    * align-by-name semantics. Linear plan: fine for the reference's
+    * dozens of frames; for thousands of inputs prefer reading them as
+    * one multi-path scan.
+    */
+  def unionByName(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** A2 (LAT:78) — ordered scan + limit. Catalyst plans this as
+    * TakeOrderedAndProject: per-partition top-k then a single-partition
+    * merge of k-sized heaps — no full sort, no full shuffle, scales to
+    * any input size for small k.
+    */
+  def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  /** F5 (LAT:116) — string length cap with null→"" default:
+    * null → "", len ≤ cap → value, else "". Pure `when` chain
+    * (codegen'd), replacing the reference's Python lambda.
+    */
+  def lengthCap(c: Column, cap: Int): Column =
+    when(c.isNull, lit("")).when(length(c) <= cap, c).otherwise(lit(""))
+
+  /** F7 (LAT:200-201, 251) — row-wise surrogate key from concatenated
+    * columns; the reference does this with `df.apply(axis=1)` (a
+    * Python-interpreted row loop); here it is a codegen'd `concat`.
+    */
+  def surrogateKey(cols: Column*): Column =
+    concat(cols.map(_.cast(StringType)): _*)
+
+  /** F15 (LAT:170-179) — split a frame into two disjoint column sets;
+    * both halves are projections over one parent plan, so the scan is
+    * shared when the parent is cached (or re-read cheaply via parquet
+    * column pruning when not).
+    */
+  def splitColumns(df: DataFrame, first: Seq[String]): (DataFrame, DataFrame) = {
+    val rest = df.columns.filterNot(first.contains).toSeq
+    (df.select(first.map(col): _*), df.select(rest.map(col): _*))
+  }
+
+  /** P9 (LAT:184) — drop rows where any of the listed key columns is
+    * null (pandas `dropna(subset, how='any')`).
+    */
+  def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.na.drop("any", keys)
+
+  /** F9 (SER:141,193-202) — parse ISO-8601 timestamps (with optional
+    * zone offset) into session-zone-naive timestamps across many
+    * columns in one projection. The reference does this per-cell via
+    * `dateutil`; `to_timestamp` under a UTC session zone gives the
+    * same tz-stripped instant, vectorized and codegen'd.
+    */
+  def parseTimestamps(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumns(cols.map(c => c -> to_timestamp(col(c))).toMap)
+
+  /** F12 analog of pandas frame-wide fillna(0) (SER:63): fill numeric
+    * columns with 0 and string columns with "0", per pandas' dtype
+    * behavior.
+    */
+  def fillAll(df: DataFrame): DataFrame = {
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }
+    val strings = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    df.na.fill(0, numeric.toSeq).na.fill("0", strings.toSeq)
+  }
+}

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.functions.Flatten
+import graft.operators.{Cdc, Relational}
+
+/** Reference-parity operators (SURVEY.md §2) as oracle-checked queries
+  * over the driver's TPC-H-ish tables. Reference sites cited per query
+  * (LAT:/SER: abbreviations as in SURVEY.md).
+  */
+object QueryHelpers {
+  /** CDC fixture shared by the j2/j3 queries: `incoming` = full orders,
+    * `snapshot` = orders minus every 3rd key, with the version column
+    * shifted −10d (stale → update) except every 5th key +10d (fresher
+    * → unchanged). Gives non-empty inserts/updates/unchanged splits.
+    */
+  def cdcIncoming(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"), col("o_orderstatus"))
+
+  def cdcSnapshot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0,
+          col("o_orderdate") + expr("INTERVAL 10 DAYS"))
+          .otherwise(col("o_orderdate") - expr("INTERVAL 10 DAYS"))
+          .as("o_orderdate"))
+
+  val cdcSnapshotSql: String =
+    """(SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 10 DAY
+      |             ELSE o_orderdate - INTERVAL 10 DAY END AS o_orderdate
+      | FROM orders WHERE o_orderkey % 3 <> 0)""".stripMargin
+}
+
+object ParityQueries {
+  import QueryHelpers._
+
+  val qs: Seq[Q] = Seq(
+
+    // P1 (LAT:51-66): wide fixed-list projection — prunes the parquet scan.
+    Q("p1_projection",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem ORDER BY ALL""".stripMargin)),
+
+    // P2 (LAT:107-113, SER:164): projection with existence guard —
+    // wanted ∩ present, drift-safe.
+    Q("p2_projection_guard",
+      (s, d) => Flatten.selectExisting(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber", "no_such_column", "l_returnflag", "l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag
+             |FROM lineitem ORDER BY ALL""".stripMargin)),
+
+    // P4+P5 (LAT:47,178; LAT:254-255): column drop incl. conditional
+    // drop of a column that may not exist.
+    Q("p4_drop_columns",
+      (s, d) => Flatten.dropIfExists(Tables.orders(s, d),
+          "o_orderpriority", "column_that_never_existed")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // P6 (LAT:253): drop all-null columns (data-dependent schema);
+    // injected all-null column must vanish, populated ones stay.
+    Q("p6_drop_allnull",
+      (s, d) => Flatten.dropAllNullColumns(
+          Tables.nation(s, d).withColumn("ghost", lit(null).cast(StringType)))
+        .orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // P7 (LAT:49): != literal tombstone filter.
+    Q("p7_filter_neq",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_custkey") =!= 42)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_custkey <> 42 ORDER BY c_custkey""".stripMargin)),
+
+    // P8+P9 (LAT:252, LAT:184): non-empty-string filter + null-key row drop.
+    Q("p8_p9_filters",
+      (s, d) => Relational.dropNullKeys(
+          Tables.lineitem(s, d).filter(col("l_returnflag") =!= ""),
+          Seq("l_orderkey", "l_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+             |WHERE l_returnflag <> '' AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+             |ORDER BY ALL""".stripMargin)),
+
+    // P10 (SER:221): theta filter comparing two columns.
+    Q("p10_filter_colcmp",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_discount") > col("l_tax"))
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber", "l_discount", "l_tax"),
+      Some("""SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+             |WHERE l_discount > l_tax ORDER BY ALL""".stripMargin)),
+
+    // P12 (SER:159): positional slice of an array column (first 4).
+    Q("p12_array_slice",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), slice(col("embedding"), 1, 4).as("emb4"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, embedding[1:4] AS emb4 FROM embeddings ORDER BY vec_id")),
+
+    // J1 (LAT:249): multi-key equi LEFT OUTER join; probe side keeps
+    // its key pair, build side is a keyed aggregate (min = exact on
+    // doubles). At scale both sides shuffle on the same 2-key hash.
+    Q("j1_multikey_left_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dims = li.groupBy("l_partkey", "l_suppkey")
+          .agg(min("l_extendedprice").as("min_price"))
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+          .join(dims, Seq("l_partkey", "l_suppkey"), "left")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "min_price")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "min_price")
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, d.min_price
+             |FROM lineitem l
+             |LEFT JOIN (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+             |           FROM lineitem GROUP BY 1, 2) d
+             |  ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
+             |ORDER BY ALL""".stripMargin)),
+
+    // J2 (SER:215): CDC probe — left join snapshot with suffixed version col.
+    Q("j2_cdc_probe",
+      (s, d) => Cdc.probe(cdcIncoming(s, d), cdcSnapshot(s, d),
+          "o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT i.o_orderkey, i.o_orderdate, i.o_totalprice, i.o_orderstatus,
+              |       s.o_orderdate AS o_orderdate_existing
+              |FROM orders i LEFT JOIN $cdcSnapshotSql s ON i.o_orderkey = s.o_orderkey
+              |ORDER BY i.o_orderkey""".stripMargin)),
+
+    // J3a (SER:218): CDC inserts — left anti join (keys absent from target).
+    Q("j3_cdc_inserts",
+      (s, d) => Cdc.mergeSplit(cdcIncoming(s, d), cdcSnapshot(s, d),
+          "o_orderkey", "o_orderdate").inserts
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT i.o_orderkey, i.o_orderdate, i.o_totalprice, i.o_orderstatus
+              |FROM orders i WHERE NOT EXISTS
+              |  (SELECT 1 FROM $cdcSnapshotSql s WHERE s.o_orderkey = i.o_orderkey)
+              |ORDER BY i.o_orderkey""".stripMargin)),
+
+    // J3b (SER:221): CDC updates — inner join + newer-version residual.
+    Q("j3_cdc_updates",
+      (s, d) => Cdc.mergeSplit(cdcIncoming(s, d), cdcSnapshot(s, d),
+          "o_orderkey", "o_orderdate").updates
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT i.o_orderkey, i.o_orderdate, i.o_totalprice, i.o_orderstatus
+              |FROM orders i JOIN $cdcSnapshotSql s ON i.o_orderkey = s.o_orderkey
+              |WHERE i.o_orderdate > s.o_orderdate
+              |ORDER BY i.o_orderkey""".stripMargin)),
+
+    // J3c: CDC unchanged — the third partition of the merge split.
+    Q("j3_cdc_unchanged",
+      (s, d) => Cdc.mergeSplit(cdcIncoming(s, d), cdcSnapshot(s, d),
+          "o_orderkey", "o_orderdate").unchanged
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT i.o_orderkey, i.o_orderdate, i.o_totalprice, i.o_orderstatus
+              |FROM orders i JOIN $cdcSnapshotSql s ON i.o_orderkey = s.o_orderkey
+              |WHERE i.o_orderdate <= s.o_orderdate
+              |ORDER BY i.o_orderkey""".stripMargin)),
+
+    // A1 (LAT:241): n-ary UNION ALL aligned by name with null fill for
+    // columns missing on one side (pandas concat semantics).
+    Q("a1_union_by_name",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Relational.unionByName(Seq(
+          o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_totalprice"),
+          o.filter(col("o_orderstatus") === "O").select("o_orderkey", "o_orderpriority")))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL BY NAME
+             |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // A2 (LAT:78): ordered scan + limit — planned as
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    Q("a2_topk",
+      (s, d) => Relational.topK(
+          Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice"),
+          25, col("o_orderdate").desc, col("o_orderkey").desc),
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+             |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 25""".stripMargin)),
+
+    // F5 (LAT:116): length-capped string with null→"" (URL cap 50;
+    // null injected on every 7th key to exercise the null arm).
+    Q("f5_length_cap",
+      (s, d) => Tables.part(s, d)
+        .withColumn("nm", when(col("p_partkey") % 7 === 0, lit(null))
+          .otherwise(col("p_name")))
+        .select(col("p_partkey"), Relational.lengthCap(col("nm"), 20).as("capped"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  CASE WHEN nm IS NULL THEN '' WHEN length(nm) <= 20 THEN nm ELSE '' END AS capped
+             |FROM (SELECT p_partkey,
+             |        CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END AS nm
+             |      FROM part) ORDER BY p_partkey""".stripMargin)),
+
+    // F6 (SER:171): ISO-timestamp string → date via split on 'T'.
+    Q("f6_split_date",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          split(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), "T")(0).as("day"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  split_part(strftime(ts, '%Y-%m-%dT%H:%M:%S'), 'T', 1) AS day
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F7 (LAT:200-201): surrogate key by string concat of key columns
+    // (codegen'd concat replaces the reference's Python row loop).
+    Q("f7_surrogate_key",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Relational.surrogateKey(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate"))).as("sk"))
+        .orderBy("l_orderkey", "l_linenumber", "sk"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
+             |    || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sk
+             |FROM lineitem ORDER BY ALL""".stripMargin)),
+
+    // F9 (SER:141,193-202): parse ISO-8601 with zone offset, strip to
+    // UTC-naive (session TZ = UTC).
+    Q("f9_ts_parse",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("iso",
+          concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"), lit("-04:00")))
+        .select(col("o_orderkey"),
+          to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ssxxx").as("parsed"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST((strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '-04:00')::TIMESTAMPTZ
+             |       AT TIME ZONE 'UTC' AS TIMESTAMP) AS parsed
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // F10+F11+F13 (LAT:256, LAT:176, SER:61-62): scalar scale, null
+    // fill, widening int cast. (x/100 on the same double is bit-exact
+    // IEEE754 on both engines; no order-dependent reduction here.)
+    Q("f10_f11_f13_scalars",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / 100).as("scaled"),
+          coalesce(col("l_discount"), lit(0.0)).as("disc_filled"),
+          col("l_linenumber").cast(LongType).as("ln_big"))
+        .orderBy("l_orderkey", "l_linenumber", "scaled", "disc_filled"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice / 100 AS scaled,
+             |  coalesce(l_discount, 0.0) AS disc_filled,
+             |  CAST(l_linenumber AS BIGINT) AS ln_big
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, scaled, disc_filled""".stripMargin)),
+
+    // F14 (LAT:145-147,204-206): date-window filter, anchor−25d …
+    // anchor+2d (anchor fixed for determinism; reference uses today).
+    Q("f14_date_window",
+      (s, d) => {
+        val anchor = to_date(lit("2000-06-01"))
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= date_sub(anchor, 25) &&
+                  col("o_orderdate") <= date_add(anchor, 2))
+          .select("o_orderkey", "o_orderdate")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate FROM orders
+             |WHERE o_orderdate >= DATE '2000-06-01' - 25
+             |  AND o_orderdate <= DATE '2000-06-01' + 2
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // F1 (LAT:45, SER:106): JSON payload → typed columns.
+    Q("f1_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F2 (SER:154-175): widen array to first-N scalar columns;
+    // out-of-range index → null on both engines (64-dim vectors ⇒
+    // non-null here; the <N case is unit-tested on fixtures).
+    Q("f2_widen_array",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding")(0).as("e1"), col("embedding")(1).as("e2"),
+          col("embedding")(2).as("e3"), col("embedding")(3).as("e4"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, embedding[1] AS e1, embedding[2] AS e2,
+             |       embedding[3] AS e3, embedding[4] AS e4
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
+  )
+}
