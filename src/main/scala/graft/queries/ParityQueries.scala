@@ -107,11 +107,19 @@ object ParityQueries {
              |WHERE l_discount > l_tax ORDER BY ALL""".stripMargin)),
 
     // P12 (SER:159): positional slice of an array column (first 4).
+    // Output is the slice joined to one string — the driver's pandas
+    // compare cannot hash array cells (round-1 red row), and a fixed
+    // 7-decimal format keeps float32→string rendering engine-agnostic.
     Q("p12_array_slice",
       (s, d) => Tables.embeddings(s, d)
-        .select(col("vec_id"), slice(col("embedding"), 1, 4).as("emb4"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(slice(col("embedding"), 1, 4),
+            e => format_number(e.cast(DoubleType), 7))).as("emb4"))
         .orderBy("vec_id"),
-      Some("SELECT vec_id, embedding[1:4] AS emb4 FROM embeddings ORDER BY vec_id")),
+      Some("""SELECT vec_id,
+             |  array_to_string(list_transform(embedding[1:4],
+             |    e -> format('{:,.7f}', CAST(e AS DOUBLE))), ',') AS emb4
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // J1 (LAT:249): multi-key equi LEFT OUTER join; probe side keeps
     // its key pair, build side is a keyed aggregate (min = exact on
