@@ -1,0 +1,29 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local-session factory for the repo's mains and tests.
+  *
+  * Centralizes the configs the engine depends on so no reader has to
+  * mutate session state as a side effect:
+  *  - UTC session zone (timestamp parity with the DuckDB oracle),
+  *  - `nanosAsLong` (events.parquet stores TIMESTAMP(NANOS), which
+  *    Spark's vectorized reader cannot load as TimestampType; reading
+  *    nanos as long + an explicit convert in [[Tables.events]] keeps
+  *    the read vectorized),
+  *  - shuffle partitions sized to the local core count rather than the
+  *    200 default (on a real cluster this would be AQE-advised).
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

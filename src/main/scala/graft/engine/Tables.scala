@@ -29,12 +29,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (TimestampType is µs). Read nanos as long
-    * (legacy conf) and convert — `ts div 1000` is exact because the
-    * generator writes µs-granularity instants.
+    * reader rejects (TimestampType is µs). The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (done centrally in
+    * [[Sessions.local]] — no conf mutation here, a reader must not
+    * change behavior of unrelated reads); the nanos arrive as long and
+    * `ts div 1000` converts exactly because the generator writes
+    * µs-granularity instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -24,17 +24,25 @@ object Cdc {
     * @param snapshot  target state; only `key` and `versionCol` are used
     * @param key       equality key (reference: `id`)
     * @param versionCol monotone change marker (reference: `updated_at`)
+    *
+    * Invariant (property-tested in CdcSpec): for key-unique inputs,
+    * inserts ∪ updates ∪ unchanged partitions `incoming` exactly.
+    * Null-version semantic: a matched row whose comparison cannot
+    * prove "newer" (incoming OR snapshot version null) routes to
+    * `unchanged` — an unversioned row must never overwrite target
+    * state. The reference silently drops such rows (SER:218-221's
+    * filters are both null-false); that is a bug we do not port.
     */
   def mergeSplit(incoming: DataFrame, snapshot: DataFrame,
                  key: String, versionCol: String): MergeSplit = {
-    val snap = snapshot.select(col(key), col(versionCol).as(s"${versionCol}_existing"))
-    val probed = incoming.join(snap, Seq(key), "left")
+    val existing = s"${versionCol}_existing"
+    val snap = snapshot.select(col(key), col(versionCol).as(existing))
+    val matched = incoming.join(snap, Seq(key), "inner")
+    val newer = (col(versionCol) > col(existing)) <=> lit(true)
     MergeSplit(
       inserts   = incoming.join(snap.select(key), Seq(key), "left_anti"),
-      updates   = probed.filter(col(versionCol) > col(s"${versionCol}_existing"))
-                        .drop(s"${versionCol}_existing"),
-      unchanged = probed.filter(col(versionCol) <= col(s"${versionCol}_existing"))
-                        .drop(s"${versionCol}_existing")
+      updates   = matched.filter(newer).drop(existing),
+      unchanged = matched.filter(!newer).drop(existing)
     )
   }
 

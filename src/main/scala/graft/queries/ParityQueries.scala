@@ -108,17 +108,20 @@ object ParityQueries {
 
     // P12 (SER:159): positional slice of an array column (first 4).
     // Output is the slice joined to one string — the driver's pandas
-    // compare cannot hash array cells (round-1 red row), and a fixed
-    // 7-decimal format keeps float32→string rendering engine-agnostic.
+    // compare cannot hash array cells (round-1 red row). Values are
+    // rendered as floor(e*1e7) integers: float→double cast, one IEEE
+    // multiply, and floor are all bit-identical across engines, so no
+    // decimal-formatting rounding-mode hazard exists (round-2 red row
+    // was DuckDB rejecting format()'s thousands separator).
     Q("p12_array_slice",
       (s, d) => Tables.embeddings(s, d)
         .select(col("vec_id"),
           concat_ws(",", transform(slice(col("embedding"), 1, 4),
-            e => format_number(e.cast(DoubleType), 7))).as("emb4"))
+            e => floor(e.cast(DoubleType) * 1e7).cast(StringType))).as("emb4"))
         .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  array_to_string(list_transform(embedding[1:4],
-             |    e -> format('{:,.7f}', CAST(e AS DOUBLE))), ',') AS emb4
+             |    e -> CAST(CAST(floor(CAST(e AS DOUBLE) * 10000000) AS BIGINT) AS VARCHAR)), ',') AS emb4
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // J1 (LAT:249): multi-key equi LEFT OUTER join; probe side keeps
