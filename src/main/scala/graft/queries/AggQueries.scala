@@ -1,5 +1,174 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+
+/** Aggregation / window surface (SURVEY.md §2.5 extension; the
+  * reference has no group-by at all, but BASELINE's north star and the
+  * brief require a general analytics surface).
+  *
+  * Determinism rules (Registry contract): double SUMs only over
+  * integral-valued columns (l_quantity ∈ 1..50 — exact in any
+  * accumulation order); true decimals are summed after a
+  * DECIMAL(18,x) cast (exact, order-independent) and the final value
+  * is cast back to DOUBLE so both engines emit the same type. Every
+  * window ordering carries a unique tiebreak key.
+  *
+  * Scale notes: g1/g4/g5/g6 are hash aggregates with map-side partial
+  * aggregation — one shuffle of the (tiny) partial-state, never of raw
+  * rows. The window queries partition by a key (no global window), so
+  * they shuffle once on the partition key and sort within partitions —
+  * the plan a 1000-executor cluster wants.
+  */
 object AggQueries {
-  val qs: Seq[Q] = Seq()
+
+  private def sumDec(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  val qs: Seq[Q] = Seq(
+
+    // G1 — TPC-H Q1-style pricing rollup over lineitem.
+    Q("g1_tpch_q1",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  sum(l_quantity) / count(*) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // G2 — ranking window functions over a keyed partition.
+    Q("g2_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"))
+          .orderBy("o_orderstatus", "rn")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  row_number() OVER w AS rn, rank() OVER w AS rnk
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_orderstatus, rn""".stripMargin)),
+
+    // G3 — grouped top-k (top-3 orders per customer): the scalable
+    // per-group limit — rank inside the partition, filter, never a
+    // driver-side loop over groups.
+    Q("g3_grouped_topk",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // G4 — ROLLUP grouping sets (subtotals + grand total). Grouping
+    // nulls are folded to '(all)' (base values are non-null) so the
+    // two engines' NULL-ordering defaults cannot diverge.
+    Q("g4_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sumDec(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("cnt"), col("revenue"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // G5 — exact distinct count per group (expand-then-aggregate in
+    // Spark; one extra shuffle, still no driver involvement).
+    Q("g5_count_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+             |  count(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // G6 — aggregate + HAVING residual (filter on the aggregated
+    // value, pushed after the partial/final agg).
+    Q("g6_having",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 120)
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 120
+             |ORDER BY 1""".stripMargin)),
+
+    // G7 — sliding-frame window aggregate (3-row moving revenue per
+    // customer; unique (o_orderdate, o_orderkey) ordering keeps the
+    // frame contents engine-independent).
+    Q("g7_window_movsum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType).as("mov3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // G8 — lag + date arithmetic: days since the customer's previous
+    // order (null for the first).
+    Q("g8_lag_gap",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lag(col("o_orderdate"), 1).over(w))).as("gap_days"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(date_diff('day',
+             |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+             |    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+  )
 }
