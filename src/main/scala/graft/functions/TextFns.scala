@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface
+  * (tokenize, shingle, deterministic hashing, MinHash, SimHash,
+  * rolling fingerprints). All are pure Catalyst `Column` expressions —
+  * no UDFs — so they stay inside whole-stage codegen, and every one is
+  * reproducible bit-for-bit in ANSI SQL (the DuckDB oracle), which is
+  * what makes the dedup/similarity operators oracle-checkable.
+  *
+  * Hashing design: the only hash both engines (and any other SQL
+  * engine) compute identically is MD5 of UTF-8 bytes. [[hash60]] takes
+  * the first 15 hex chars of md5 (60 bits, always positive in a signed
+  * 64-bit long) — wide enough that birthday collisions stay negligible
+  * at 100 TB shingle cardinalities. At scale you would swap in
+  * xxhash64 for speed; md5 is chosen for cross-engine verifiability,
+  * and the swap is a one-line change inside [[hash60]].
+  */
+object TextFns {
+
+  /** Modulus for polynomial rolling fingerprints (large prime, keeps
+    * the 31x fold inside 63 bits: acc < P ⇒ acc*31 + h < 3.2e10).
+    */
+  val FoldP = 1000000007L
+
+  /** 60-bit positive hash of a string column: first 15 hex chars of
+    * md5, base-16 → long. DuckDB equivalent:
+    * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Whitespace tokens of lowercased, trimmed text. */
+  def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Distinct word n-gram shingles (space-joined), empty array for
+    * texts with fewer than n tokens.
+    */
+  def shingles(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => array_join(slice(tk, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** MinHash signature: k salted min-hashes over the shingle set.
+    * Salting (hash of "j:shingle") replaces the textbook (a*x+b) mod p
+    * permutation family — same independence in practice, and exactly
+    * reproducible in SQL. Null signature entries for empty shingle
+    * sets.
+    */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(sh, s =>
+        hash60(concat(j.cast(StringType), lit(":"), s)))))
+
+  /** LSH band hash for a signature: md5 of the comma-joined band rows.
+    * Bands of `rows` signature entries starting at 1-based `start`.
+    */
+  def bandHash(sig: Column, start: Int, rows: Int): Column =
+    md5(concat_ws(",",
+      (0 until rows).map(r => element_at(sig, start + r).cast(StringType)): _*))
+
+  /** 60-bit SimHash over a token-hash array column (by NAME, because
+    * the nested fold is easiest stated in SQL): for each bit, sum +1/-1
+    * votes across tokens; positive majority sets the bit. Token
+    * multiplicity intentionally counts (classic SimHash is over the
+    * term multiset). charikar02similarity; cf. reference's absence of
+    * any dedup — this is BASELINE.json north-star surface.
+    */
+  def simhash60(hsCol: String): Column =
+    expr(s"""
+      aggregate(
+        transform(sequence(0, 59), b ->
+          CASE WHEN aggregate($hsCol, CAST(0 AS BIGINT),
+                      (acc, h) -> acc + CASE WHEN (shiftright(h, CAST(b AS INT)) & CAST(1 AS BIGINT)) = CAST(1 AS BIGINT)
+                                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+               ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (a, x) -> a + x)""")
+
+  /** Polynomial rolling fingerprint over the token stream:
+    * fold h = (h*31 + hash60(tok) mod P) mod P. Order-sensitive (a
+    * permuted document fingerprints differently), exact integer math —
+    * both engines fold left over the same token order.
+    */
+  def fingerprint(tk: Column): Column =
+    aggregate(
+      transform(tk, t => hash60(t) % FoldP),
+      lit(0L),
+      (acc, h) => (acc * 31 + h) % FoldP)
+
+  /** Count of tokens drawn from a fixed vocabulary (stopword votes). */
+  def vocabHits(tk: Column, vocab: Seq[String]): Column =
+    size(filter(tk, t => t.isInCollection(vocab))).cast(LongType)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+
+/** Document deduplication operators for the LLM-data-pipeline surface.
+  * The reference has no dedup at all (its CDC merge is keyed identity,
+  * not content identity) — this is BASELINE.json north-star surface,
+  * designed Spark-first for 100 TB:
+  *
+  *  - exact dedup is one hash-groupBy: a single shuffle of (hash, id),
+  *    never of document payloads;
+  *  - near-dup is MinHash + banded LSH: candidates meet only inside a
+  *    (band, bandhash) bucket — the join key is the bucket, so the
+  *    shuffle is linear in corpus size and there is NEVER an all-pairs
+  *    comparison (an O(n²) cross join at 1000-executor scale is the
+  *    design bug this module exists to avoid);
+  *  - SimHash gives a 60-bit content sketch whose Hamming distance
+  *    approximates cosine similarity of term vectors — near-dup
+  *    bucketing by signature prefix is a cheap first-pass filter.
+  */
+object Dedup {
+
+  /** Exact dedup on an arbitrary key expression (typically a content
+    * hash): every row is annotated with its group's canonical id (min
+    * id) and group size. One wide shuffle of (key, id) pairs + a
+    * narrow re-join; document bodies never shuffle.
+    */
+  def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keyed = df.select(col(idCol), key.as("dup_key"))
+    val groups = keyed.groupBy("dup_key").agg(
+      min(col(idCol)).as("canonical_id"),
+      count(lit(1)).as("group_size"))
+    keyed.join(groups, "dup_key")
+      .select(col(idCol), col("canonical_id"), col("group_size"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Per-document MinHash signature table: (id, shingles, sig). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    docs.select(col(idCol),
+        TextFns.shingles(TextFns.toks(col(textCol)), n).as("shingles"))
+      .withColumn("sig", TextFns.minhashSig(col("shingles"), k))
+
+  /** MinHash + banded-LSH near-duplicate pairs, verified by exact
+    * shingle Jaccard.
+    *
+    * Plan shape (the 100 TB story): signatures are computed in one
+    * narrow pass; each doc emits `nBands` (band, bandhash) keys; the
+    * self-join shuffles on the bucket key only (ids + band hashes, no
+    * text); candidate pairs are distinct-ed BEFORE shingle arrays are
+    * re-attached, so the expensive payload join touches only the few
+    * candidate ids. Band/row parameters trade recall vs bucket size as
+    * usual (threshold ≈ (1/b)^(1/r)).
+    *
+    * @param jaccardMin verification threshold on exact shingle Jaccard
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 8, nBands: Int = 4,
+                      jaccardMin: Double = 0.4): DataFrame = {
+    require(k % nBands == 0, s"k=$k must divide into nBands=$nBands")
+    val rows = k / nBands
+    val sh = minhashSignatures(docs, idCol, textCol, n, k)
+
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        TextFns.bandHash(col("sig"), b * rows + 1, rows).as("bh"))
+    }
+    val bands = sh.select(col(idCol),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band", "bh"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+
+    val shA = sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    val ni = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val nu = (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - ni
+    val jac = ni.cast(DoubleType) / nu.cast(DoubleType)
+
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), ni.as("ni"), nu.as("nu"),
+        floor(jac * 1e6).cast(LongType).as("jac_e6"))
+      .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
+  }
+
+  /** Exact n-gram Jaccard of every document against one probe document
+    * — the brute-force similarity scan (linear, probe broadcast; the
+    * scale path for many probes is [[minhashLshPairs]] bucketing).
+    */
+  def jaccardAgainstProbe(docs: DataFrame, idCol: String, textCol: String,
+                          probeId: Long, n: Int, topK: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextFns.shingles(TextFns.toks(col(textCol)), n).as("shingles"))
+    val probe = sh.filter(col(idCol) === probeId)
+      .select(col("shingles").as("p_sh"))
+    val ni = size(array_intersect(col("shingles"), col("p_sh"))).cast(LongType)
+    val nu = (size(col("shingles")) + size(col("p_sh"))).cast(LongType) - ni
+    val jac = ni.cast(DoubleType) / nu.cast(DoubleType)
+    sh.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), ni.as("ni"), nu.as("nu"),
+        floor(jac * 1e6).cast(LongType).as("jac_e6"),
+        jac.as("jac_raw"))
+      .orderBy(col("jac_raw").desc, col(idCol))
+      .limit(topK)
+      .drop("jac_raw")
+  }
+
+  /** Per-document 60-bit SimHash sketch over the token multiset. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFns.toks(col(textCol)).as("tk"))
+      .withColumn("hs", transform(col("tk"), t => TextFns.hash60(t)))
+      .select(col(idCol), TextFns.simhash60("hs").as("simhash"))
+}

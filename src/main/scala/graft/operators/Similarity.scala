@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search for the LLM-data-pipeline surface:
+  * brute-force cosine top-k as the exact baseline, and
+  * sign-random-projection (SRP) LSH bucketing as the scale path.
+  *
+  * Numeric determinism contract (what makes these oracle-checkable):
+  * every reduction over an embedding is a SEQUENTIAL LEFT FOLD in
+  * array order (`aggregate` in Spark ≡ `list_reduce` in DuckDB), so
+  * both engines execute the identical IEEE-754 double op sequence and
+  * produce bit-identical cosines. Floats are widened to double before
+  * any multiply.
+  *
+  * Scale notes: brute-force is a broadcast of the (small) probe set
+  * against a linear scan of the corpus — no shuffle of the corpus at
+  * all; per-probe top-k is a window over probe partitions. SRP-LSH
+  * replaces the linear scan with a bucket-equality join: each vector
+  * hashes to a `planes`-bit bucket, probes only meet their bucket
+  * (recall is tuned by plane count / multi-probe, not by scan size).
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns as an
+    * order-stable double fold.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbours for each probe vector.
+    * @param probes     (idCol, vecCol) — small; broadcast
+    * @param candidates (idCol, vecCol) — the corpus; scanned once
+    */
+  def cosineTopK(probes: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))
+    val cos = cosine(col("p_vec"), col(vecCol))
+    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col(idCol))
+    candidates.crossJoin(broadcast(p))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col(idCol),
+        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+  }
+
+  /** Deterministic SRP hyperplanes: integer weights in [-1000, 1000]
+    * derived from md5("p_j") — data-independent, identical in any
+    * engine, computed once on the driver and embedded as literals
+    * (never per-row hashing; at 100 TB the planes are a broadcast
+    * constant).
+    */
+  def srpPlanes(planes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dims) { (p, j) =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"${p}_$j".getBytes(StandardCharsets.UTF_8))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+
+  /** Bucket id column: bit p set iff plane_p · vec > 0. */
+  def srpBucket(vec: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wLit = typedlit(w.toSeq)
+      when(dot(wLit, vec) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: probes meet only candidates in their SRP
+    * bucket. Fewer planes → bigger buckets → higher recall and cost.
+    */
+  def srpAnnTopK(probes: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nPlanes: Int, dims: Int): DataFrame = {
+    val planes = srpPlanes(nPlanes, dims)
+    val p = probes
+      .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"),
+        srpBucket(col(vecCol), planes).as("bucket"))
+    val c = candidates
+      .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("bucket"))
+    val cos = cosine(col("p_vec"), col(vecCol))
+    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col(idCol))
+    c.join(broadcast(p), Seq("bucket"))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col(idCol),
+        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+  }
+}

@@ -1,5 +1,190 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search surface over `documents` and
+  * `embeddings` (LLM-data-pipeline north star; absent from the
+  * reference). See [[graft.operators.Dedup]] and
+  * [[graft.operators.Similarity]] for the 100 TB plan-shape notes —
+  * the invariant across all of these is: NO all-pairs comparison;
+  * candidates meet only inside an LSH bucket, and payloads join only
+  * after candidate ids are distinct.
+  *
+  * DuckDB oracles reproduce the exact same integer/md5/left-fold
+  * arithmetic (Registry determinism contract); list folds use
+  * `list_reduce(list_prepend(zero, ...))` ≡ Spark `aggregate(...,
+  * zero, ...)`.
+  */
 object SimilarityQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** DuckDB fragments mirroring TextFns/Similarity primitives. */
+  private val tkSql = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+  private def hash60Sql(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(0, greatest(len(tk) - 2, 0)),
+       |      i -> array_to_string(tk[i+1:i+3], ' ')))""".stripMargin
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (a, b) -> a + b)""".stripMargin
+  private def normSql(a: String) =
+    s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))""".stripMargin
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** Shared CTEs: shingles + minhash signature (k=8, salt j). */
+  private val sigCte =
+    s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+       |sig AS (SELECT doc_id, shingles,
+       |  list_transform(range(0, 8), j -> list_min(list_transform(shingles,
+       |    s -> ${hash60Sql("CAST(j AS VARCHAR) || ':' || s")}))) AS sig
+       |  FROM sh)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // D1 — exact dedup by content-hash groupBy: canonical id = min id
+    // per md5(normalized 40-char prefix) group. One shuffle of
+    // (hash, id) pairs; bodies never move.
+    Q("d1_exact_dedup",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id",
+          md5(substring(col("text"), 1, 40)))
+        .drop("dup_key")
+        .orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id, md5(substr(text, 1, 40)) AS dup_key FROM documents),
+             |g AS (SELECT dup_key, min(doc_id) AS canonical_id, count(*) AS group_size
+             |      FROM k GROUP BY 1)
+             |SELECT k.doc_id, g.canonical_id, g.group_size,
+             |       k.doc_id = g.canonical_id AS is_canonical
+             |FROM k JOIN g USING (dup_key) ORDER BY doc_id""".stripMargin)),
+
+    // D2 — MinHash signatures (k=8 salted min-hashes over distinct
+    // 3-gram shingles), widened to columns for the hash compare.
+    Q("d2_minhash_sig",
+      (s, d) => {
+        val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 8)
+        sig.select(col("doc_id") +:
+            (1 to 8).map(i => element_at(col("sig"), i).as(s"s$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""$sigCte
+             |SELECT doc_id, sig[1] AS s1, sig[2] AS s2, sig[3] AS s3, sig[4] AS s4,
+             |       sig[5] AS s5, sig[6] AS s6, sig[7] AS s7, sig[8] AS s8
+             |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // D3 — banded-LSH near-dup pairs (4 bands × 2 rows), verified by
+    // exact shingle Jaccard ≥ 0.4. Candidates meet only inside a
+    // (band, bandhash) bucket — never an all-pairs join.
+    Q("d3_minhash_lsh_pairs",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 8, nBands = 4, jaccardMin = 0.4)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$sigCte,
+             |bands AS (
+             |  SELECT doc_id, b,
+             |    md5(CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)) AS bh
+             |  FROM sig, unnest(range(0, 4)) AS t(b)),
+             |cand AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |j AS (
+             |  SELECT doc_a, doc_b,
+             |    len(list_intersect(sa.shingles, sb.shingles)) AS ni,
+             |    len(sa.shingles) + len(sb.shingles)
+             |      - len(list_intersect(sa.shingles, sb.shingles)) AS nu
+             |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, ni, nu,
+             |  CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) AS jac_e6
+             |FROM j
+             |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // D4 — SimHash sketch: 60-bit majority-vote signature over the
+    // token multiset; Hamming-close sketches ⇒ near-dup candidates.
+    Q("d4_simhash",
+      (s, d) => Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id,
+             |  list_transform($tkSql, t -> ${hash60Sql("t")}) AS hs FROM documents)
+             |SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN list_sum(list_transform(hs,
+             |           h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // D5 — brute-force n-gram Jaccard against one probe doc (top-20):
+    // the linear-scan baseline the LSH path replaces at scale.
+    Q("d5_jaccard_probe",
+      (s, d) => Dedup.jaccardAgainstProbe(Tables.documents(s, d), "doc_id", "text",
+          probeId = 0L, n = 3, topK = 20)
+        .orderBy(col("jac_e6").desc, col("doc_id")),
+      Some(s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+             |pr AS (SELECT shingles AS p_sh FROM sh WHERE doc_id = 0),
+             |j AS (
+             |  SELECT doc_id,
+             |    len(list_intersect(shingles, p_sh)) AS ni,
+             |    len(shingles) + len(p_sh) - len(list_intersect(shingles, p_sh)) AS nu
+             |  FROM sh, pr WHERE doc_id <> 0)
+             |SELECT * FROM (
+             |  SELECT doc_id, ni, nu,
+             |    CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) AS jac_e6
+             |  FROM j
+             |  ORDER BY CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) DESC, doc_id LIMIT 20)
+             |ORDER BY jac_e6 DESC, doc_id""".stripMargin)),
+
+    // V1 — exact cosine top-k: 10 broadcast probes × linear corpus
+    // scan, per-probe top-10 via probe-partitioned window.
+    Q("v1_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.cosineTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 10)
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH pr AS (SELECT vec_id AS p_id, embedding AS p_vec
+             |           FROM embeddings WHERE vec_id < 10),
+             |d AS (SELECT p_id, e.vec_id, ${cosSql("p_vec", "e.embedding")} AS cos_raw
+             |      FROM embeddings e, pr WHERE e.vec_id <> p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM d)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 10 ORDER BY p_id, rn""".stripMargin)),
+
+    // V2 — SRP-LSH approximate top-k: probes meet only candidates in
+    // their 4-bit sign-random-projection bucket (the scale path; plane
+    // count tunes recall vs bucket size).
+    Q("v2_srp_ann_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.srpAnnTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5, nPlanes = 4, dims = 64)
+          .orderBy("p_id", "rn")
+      },
+      {
+        val planes = Similarity.srpPlanes(4, 64)
+        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
+          val wLit = w.mkString("[", ", ", "]")
+          s"(CASE WHEN ${dotSql(wLit, "embedding")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, bucket FROM b WHERE vec_id < 10),
+               |d AS (SELECT p_id, c.vec_id, ${cosSql("p_vec", "c.embedding")} AS cos_raw
+               |      FROM b c JOIN pr USING (bucket) WHERE c.vec_id <> p_id),
+               |r AS (SELECT p_id, vec_id, cos_raw,
+               |        row_number() OVER (PARTITION BY p_id ORDER BY cos_raw DESC, vec_id) AS rn
+               |      FROM d)
+               |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
+      })
+  )
 }

@@ -1,5 +1,136 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.functions.TextFns
+
+/** Text-analysis surface over the `documents` table (LLM-data-pipeline
+  * north star; the reference has no text ops at all). Every query is a
+  * single narrow projection pass — no shuffle except the final
+  * determinism sort — so at 100 TB each is a pure map stage that
+  * pipelines with the parquet scan.
+  *
+  * All counters are exact integers and all heuristics compare
+  * integers, so the DuckDB oracle matches bit-for-bit (Registry
+  * determinism contract).
+  */
 object TextQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** Stopword vote lists for the language-ID heuristic. On the
+    * synthetic corpus (English-ish vocabulary) non-English lists score
+    * zero — the honest behavior of the heuristic; the operator is what
+    * is under test.
+    */
+  val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")
+  val stopEs = Seq("la", "el", "de", "y", "es", "en", "los")
+  val stopFr = Seq("le", "la", "de", "et", "est", "les", "un")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB fragment: whitespace tokens of trim(lower(text)). */
+  private val tkSql = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+  private def votesSql(ws: Seq[String]) =
+    s"len(list_filter($tkSql, t -> list_contains(${sqlList(ws)}, t)))"
+
+  val qs: Seq[Q] = Seq(
+
+    // T1 — token counting: whitespace tokens, BPE-ish subword regex
+    // tokens (letter runs | digit runs | single punctuation), trimmed
+    // char count, whitespace-free char count.
+    Q("t1_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFns.toks(col("text"))).cast(LongType).as("n_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("n_subtokens"),
+          length(trim(col("text"))).cast(LongType).as("n_chars_trim"),
+          length(regexp_replace(col("text"), "\\s", "")).cast(LongType).as("n_chars_nospace"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+             |  len($tkSql) AS n_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens,
+             |  length(trim(text)) AS n_chars_trim,
+             |  length(regexp_replace(text, '\s', '', 'g')) AS n_chars_nospace
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // T2 — quality scoring: stopword hits, punctuation count, and a
+    // keep/drop flag from integer cross-multiplied ratio thresholds
+    // (token count ≥ 20, ≥1 stopword, punct ratio ≤ 20%).
+    Q("t2_quality_score",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(tk).cast(LongType).as("n_tokens"),
+            TextFns.vocabHits(tk, stopEn).as("n_stop"),
+            size(regexp_extract_all(col("text"),
+              lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_punct"))
+          .withColumn("quality_ok",
+            col("n_tokens") >= 20 && col("n_stop") >= 1 &&
+              col("n_punct") * 5 <= col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""SELECT doc_id, n_tokens, n_stop, n_punct,
+             |  (n_tokens >= 20 AND n_stop >= 1 AND n_punct * 5 <= n_tokens) AS quality_ok
+             |FROM (SELECT doc_id,
+             |        len($tkSql) AS n_tokens,
+             |        ${votesSql(stopEn)} AS n_stop,
+             |        len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T3 — language-ID heuristic: stopword votes per language, argmax
+    // with fixed tiebreak order (en > es > fr > de), 'und' when no
+    // list scores.
+    Q("t3_langid",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        val df = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextFns.vocabHits(tk, stopEn).as("v_en"),
+            TextFns.vocabHits(tk, stopEs).as("v_es"),
+            TextFns.vocabHits(tk, stopFr).as("v_fr"),
+            TextFns.vocabHits(tk, stopDe).as("v_de"))
+        val g = greatest(col("v_en"), col("v_es"), col("v_fr"), col("v_de"))
+        df.withColumn("pred_lang",
+            when(g === 0, "und")
+              .when(col("v_en") === g, "en")
+              .when(col("v_es") === g, "es")
+              .when(col("v_fr") === g, "fr")
+              .otherwise("de"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, v_en, v_es, v_fr, v_de,
+             |  CASE WHEN greatest(v_en, v_es, v_fr, v_de) = 0 THEN 'und'
+             |       WHEN v_en = greatest(v_en, v_es, v_fr, v_de) THEN 'en'
+             |       WHEN v_es = greatest(v_en, v_es, v_fr, v_de) THEN 'es'
+             |       WHEN v_fr = greatest(v_en, v_es, v_fr, v_de) THEN 'fr'
+             |       ELSE 'de' END AS pred_lang
+             |FROM (SELECT doc_id, lang,
+             |        ${votesSql(stopEn)} AS v_en,
+             |        ${votesSql(stopEs)} AS v_es,
+             |        ${votesSql(stopFr)} AS v_fr,
+             |        ${votesSql(stopDe)} AS v_de
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T4 — document fingerprint: order-sensitive polynomial rolling
+    // hash over the token stream (exact integer fold, mod 1e9+7).
+    Q("t4_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.fingerprint(TextFns.toks(col("text"))).as("fp"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform($tkSql,
+             |        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)),
+             |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }
