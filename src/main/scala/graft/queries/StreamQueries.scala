@@ -1,5 +1,136 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.streaming.Streaming
+
+/** Structured Streaming surface over the `events` table (SURVEY.md
+  * §2.7 extension; the reference's cron-batch jobs are the degenerate
+  * case of this). Every query here executes a REAL streaming query —
+  * file source, micro-batch engine, state store — drained with
+  * `Trigger.AvailableNow` (see [[graft.streaming.Streaming]]), then
+  * hands the finished result to the driver's DuckDB oracle.
+  *
+  * Determinism: window starts are pure functions of event time (epoch
+  * arithmetic on both engines); per-group sums use integer cents
+  * (`floor(value*100 + 0.5)` — identical IEEE sequence in both
+  * engines, order-independent integer accumulation). st3 exercises the
+  * genuine watermark-driven append emission: only sessions whose end
+  * precedes the final watermark (max event time − 1 h) are emitted,
+  * and the oracle reproduces that cutoff.
+  *
+  * Scale notes: these plans are exactly what a 1000-executor cluster
+  * runs on a Kafka topic — keyed state partitioned by the grouping
+  * key, watermark bounding state size. The watermark is what makes
+  * 100 TB/day sustainable: without it session/window state grows
+  * unboundedly; with it, state is O(open windows).
+  */
 object StreamQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** Integer-cents rendering of the double `value` column — the only
+    * cross-engine-deterministic way to sum doubles.
+    */
+  private val centsSpark = floor(col("value") * 100 + 0.5).cast(LongType)
+  private val centsSql = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ST1 — tumbling 1-day event-time window per event type
+    // (readStream → groupBy(window) → complete-mode drain).
+    Q("st1_tumbling_day",
+      (s, d) => Streaming.eventsStream(s, d, "complete") { df =>
+        df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(centsSpark).as("sum_cents"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_cents"))
+      }.orderBy("w_start", "event_type"),
+      Some(s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 * 1000000 AS BIGINT)) AS w_start,
+             |  event_type, count(*) AS n, sum($centsSql) AS sum_cents
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ST2 — sliding window (1 day, 12 h slide): each event lands in 2
+    // overlapping windows; state is per-(window), shuffled once on the
+    // window key.
+    Q("st2_sliding_day",
+      (s, d) => Streaming.eventsStream(s, d, "complete") { df =>
+        df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+          .agg(count(lit(1)).as("n"), sum(centsSpark).as("sum_cents"))
+          .select(col("w.start").as("w_start"), col("n"), col("sum_cents"))
+      }.orderBy("w_start"),
+      Some(s"""SELECT make_timestamp(CAST((floor(epoch(ts) / 43200) - k) * 43200 * 1000000 AS BIGINT)) AS w_start,
+             |  count(*) AS n, sum($centsSql) AS sum_cents
+             |FROM events, unnest([0, 1]) AS t(k)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ST3 — per-user session windows (30 min gap) in APPEND mode with
+    // a 1 h watermark: the stream emits a session only once the
+    // watermark (max event time − 1 h, ms-truncated) passes its end —
+    // the real late-data semantics, reproduced exactly by the oracle's
+    // cutoff predicate.
+    Q("st3_session_windows",
+      (s, d) => Streaming.eventsStream(s, d, "append") { df =>
+        df.withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("sw.start").as("s_start"),
+            col("sw.end").as("s_end"), col("n_events"))
+      }.orderBy("user_id", "s_start"),
+      Some("""WITH l AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM l),
+             |g AS (
+             |  SELECT user_id, min(ts) AS s_start,
+             |         max(ts) + INTERVAL 30 MINUTE AS s_end,
+             |         count(*) AS n_events
+             |  FROM s GROUP BY user_id, sid)
+             |SELECT user_id, s_start, s_end, n_events FROM g
+             |WHERE s_end < date_trunc('milliseconds', (SELECT max(ts) FROM events))
+             |              - INTERVAL 1 HOUR
+             |ORDER BY user_id, s_start""".stripMargin)),
+
+    // ST4 — custom keyed state via flatMapGroupsWithState: per-user
+    // running (count, cents-sum, id range). The state fold is
+    // order-independent (integer adds, min/max), so the single
+    // AvailableNow batch emits the same totals any shard order would.
+    Q("st4_stateful_user_totals",
+      (s, d) => {
+        import s.implicits._
+        Streaming.eventsStream(s, d, "update") { df =>
+          val typed = df.select(col("user_id"), col("event_id"), centsSpark.as("cents"))
+            .as[(Long, Long, Long)]
+          typed.groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+              OutputMode.Update, GroupStateTimeout.NoTimeout) {
+              (user: Long, rows: Iterator[(Long, Long, Long)],
+               state: GroupState[(Long, Long, Long, Long)]) =>
+                val (n0, c0, lo0, hi0) =
+                  state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+                var (n, c, lo, hi) = (n0, c0, lo0, hi0)
+                rows.foreach { case (_, id, cents) =>
+                  n += 1; c += cents; lo = math.min(lo, id); hi = math.max(hi, id)
+                }
+                state.update((n, c, lo, hi))
+                Iterator((user, n, c, lo, hi))
+            }
+            .toDF("user_id", "n_events", "sum_cents", "min_event_id", "max_event_id")
+        }.orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events, sum($centsSql) AS sum_cents,
+             |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
 }
