@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Unit coverage for the relational operator library (SURVEY.md §2
+  * A1/A2, F5/F7/F9/F12/F15, P9) — fixtures pin the pandas-derived
+  * semantics the oracle queries can't isolate (per-dtype fill, split
+  * column sets, null arms).
+  */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unionByName aligns by name and null-fills missing columns (A1, LAT:241)") {
+    val a = Seq((1L, "x")).toDF("id", "only_a")
+    val b = Seq((2L, 9.5)).toDF("id", "only_b")
+    val u = Relational.unionByName(Seq(a, b)).orderBy("id")
+    assert(u.columns.toSeq == Seq("id", "only_a", "only_b"))
+    val rows = u.collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
+  }
+
+  test("topK returns the k smallest/largest under the given ordering (A2)") {
+    val df = (1L to 100L).toDF("n")
+    val top = Relational.topK(df, 3, col("n").desc).as[Long].collect().toSeq
+    assert(top == Seq(100L, 99L, 98L))
+  }
+
+  test("lengthCap: null→'', within-cap kept, over-cap→'' (F5, LAT:116)") {
+    val df = Seq(Option("short"), Option("x" * 51), None).toDF("s")
+    val out = df.select(Relational.lengthCap(col("s"), 50)).as[String].collect().toSeq
+    assert(out == Seq("short", "", ""))
+  }
+
+  test("surrogateKey concatenates stringified columns (F7, LAT:200-201)") {
+    val df = Seq((7L, 3L, "2024-01-01")).toDF("a", "b", "d")
+    val sk = df.select(Relational.surrogateKey(col("a"), col("b"), col("d")))
+      .as[String].head()
+    assert(sk == "732024-01-01")
+  }
+
+  test("dropNullKeys drops rows with any null key, keeps others (P9, LAT:184)") {
+    val df = Seq((Option(1L), Option("k"), "keep"),
+                 (Option.empty[Long], Option("k"), "dropA"),
+                 (Option(3L), Option.empty[String], "dropB"))
+      .toDF("k1", "k2", "v")
+    val kept = Relational.dropNullKeys(df, Seq("k1", "k2")).select("v").as[String].collect()
+    assert(kept.toSeq == Seq("keep"))
+  }
+
+  test("fillAll fills numerics with 0 and strings with \"0\", leaves others (F12, SER:63)") {
+    val df = Seq(
+      (Option(1.5), Option("a"), Option(true)),
+      (Option.empty[Double], Option.empty[String], Option.empty[Boolean]))
+      .toDF("num", "str", "flag")
+    val filled = Relational.fillAll(df).orderBy(desc("num")).collect()
+    assert(filled(1).getDouble(0) == 0.0)
+    assert(filled(1).getString(1) == "0")
+    assert(filled(1).isNullAt(2)) // booleans are not a pandas fillna(0) target we mimic
+  }
+
+  test("splitColumns projects two disjoint column sets covering the frame (F15, LAT:170-179)") {
+    val df = Seq((1L, "a", 2.0, true)).toDF("w", "x", "y", "z")
+    val (first, rest) = Relational.splitColumns(df, Seq("y", "w"))
+    assert(first.columns.toSeq == Seq("y", "w"))
+    assert(rest.columns.toSeq == Seq("x", "z"))
+  }
+
+  test("parseTimestamps converts ISO strings with offsets to UTC-naive instants (F9)") {
+    val df = Seq(("2024-03-01T12:00:00-04:00", "2024-03-01T00:00:00")).toDF("a", "b")
+    val out = Relational.parseTimestamps(df, Seq("a", "b"))
+    val r = out.select(date_format(col("a"), "yyyy-MM-dd HH:mm:ss"),
+      date_format(col("b"), "yyyy-MM-dd HH:mm:ss")).as[(String, String)].head()
+    assert(r == ("2024-03-01 16:00:00", "2024-03-01 00:00:00"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, Similarity}
+
+/** Unit coverage for the LLM-pipeline primitives: shingling edge
+  * cases, fingerprint order-sensitivity, exact/near dedup on planted
+  * duplicates, and cosine math on known vectors.
+  */
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles of a text shorter than n tokens is empty, not null") {
+    val df = Seq("one two", "one two three four").toDF("text")
+    val out = df.select(size(TextFns.shingles(TextFns.toks(col("text")), 3)))
+      .as[Int].collect().toSeq
+    assert(out == Seq(0, 2))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("text")
+    val fps = df.select(TextFns.fingerprint(TextFns.toks(col("text"))))
+      .as[Long].collect().toSeq
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+    assert(fps.forall(f => f >= 0 && f < TextFns.FoldP))
+  }
+
+  test("exactDedup groups identical keys and elects min id as canonical") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", md5(col("text")))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (3L, 3L, 2L, true),
+      (7L, 7L, 1L, true),
+      (10L, 3L, 2L, false)))
+  }
+
+  test("minhash signatures are equal for identical shingle sets, length k") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignatures(df, "id", "text", n = 3, k = 8)
+      .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L).length == 8)
+  }
+
+  test("LSH pairs surface a planted near-duplicate and skip unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup of 1
+      (3L, "completely different words about spark catalyst execution plans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 8, nBands = 4, jaccardMin = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val cos = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(math.abs(cos(1)) < 1e-12)
+  }
+
+  test("cosineTopK ranks the aligned vector first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1L)
+    val top = Similarity.cosineTopK(probes, corpus, "vec_id", "embedding", k = 2)
+      .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L))
+  }
+
+  test("srpBucket assigns equal vectors to equal buckets, deterministically") {
+    val planes = Similarity.srpPlanes(4, 3)
+    assert(planes.length == 4 && planes(0).length == 3)
+    assert(planes.flatten.forall(w => w >= -1000 && w <= 1000))
+    val df = Seq((1L, Seq(0.5f, -0.2f, 0.8f)), (2L, Seq(0.5f, -0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val buckets = df.select(Similarity.srpBucket(col("embedding"), planes))
+      .as[Long].collect().toSeq
+    assert(buckets(0) == buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < 16)
+  }
+}
