@@ -18,7 +18,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ParityQueries.qs ++ AggQueries.qs ++ TextQueries.qs ++
-      SimilarityQueries.qs ++ StreamQueries.qs
+      SimilarityQueries.qs ++ StreamQueries.qs ++ MultimodalQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

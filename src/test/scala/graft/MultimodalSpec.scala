@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{FakeCodec, Media}
+
+/** Unit coverage for the multimodal plumbing: binary schema, batch
+  * loop, frame fan-out arithmetic, resize math — the parts a real
+  * codec swap must not disturb.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media(items: (Long, String, String)*) =
+    spark.createDataset(items.map { case (id, kind, text) =>
+      Media(id, kind, text.getBytes(StandardCharsets.UTF_8))
+    })
+
+  test("decodeMeta derives typed metadata from the payload bytes") {
+    val meta = Multimodal.decodeMeta(media((1L, "image", "x" * 100)))
+      .collect().head
+    assert(meta.n_bytes == 100L)
+    assert(meta.width == 16 + 100 % 64 && meta.height == 16 + (100 / 64) % 64)
+    assert(meta.checksum == FakeCodec.md5Hex("x".repeat(100).getBytes))
+  }
+
+  test("decodeMeta batch loop covers partitions larger than one batch") {
+    val many = media((1L to (Multimodal.batchSize * 2L + 7L)).map(i =>
+      (i, "image", s"payload-$i")): _*).repartition(2)
+    val out = Multimodal.decodeMeta(many)
+    assert(out.count() == Multimodal.batchSize * 2 + 7)
+    assert(out.select(countDistinct(col("checksum"))).as[Long].head() ==
+      Multimodal.batchSize * 2 + 7)
+  }
+
+  test("sampleFrames fans out only video, one frame per interval inclusive") {
+    // 100 bytes * 40 ms = 4000 ms → frames at 0..4000 = 5 rows
+    val frames = Multimodal.sampleFrames(
+      media((1L, "video", "x" * 100), (2L, "image", "x" * 100)), intervalMs = 1000L)
+    val rows = frames.orderBy("frame_idx").collect()
+    assert(rows.map(_.media_id).distinct.toSeq == Seq(1L))
+    assert(rows.map(_.ts_ms).toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    // signatures chain off the payload digest + index
+    val base = FakeCodec.md5Hex("x".repeat(100).getBytes)
+    assert(rows(2).frame_sig == FakeCodec.md5Hex(s"$base:2".getBytes))
+  }
+
+  test("extractFeatures is deterministic and 16-bit bounded") {
+    val f1 = Multimodal.extractFeatures(media((1L, "audio", "same bytes"))).collect().head
+    val f2 = Multimodal.extractFeatures(media((9L, "audio", "same bytes"))).collect().head
+    assert(Seq(f1.f1, f1.f2, f1.f3, f1.f4) == Seq(f2.f1, f2.f2, f2.f3, f2.f4))
+    assert(Seq(f1.f1, f1.f5, f1.f8).forall(v => v >= 0 && v < 65536))
+  }
+
+  test("resizeMeta shrinks the long side to the box, never upscales") {
+    val meta = Multimodal.decodeMeta(media((1L, "image", "x" * 10)))
+    val out = Multimodal.resizeMeta(meta, maxSide = 13)
+      .select("width", "height", "out_width", "out_height")
+      .as[(Long, Long, Int, Int)].collect().head
+    // width 16+10=26, height 16 → scale 13/26=0.5 → 13 x 8
+    assert(out == ((26L, 16L, 13, 8)))
+    val noUp = Multimodal.resizeMeta(meta, maxSide = 1000)
+      .select("out_width", "out_height").as[(Int, Int)].collect().head
+    assert(noUp == ((26, 16)))
+  }
+}
