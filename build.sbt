@@ -13,7 +13,13 @@ Test / fork := true
 run / fork := true
 // Forked `run` output goes straight to stdout (no `[info]`/`[error]`
 // logger prefixes) so Bench's one-line JSON metric stays parseable.
+// Set in EVERY scope: `runMain` resolves its runner in its own task
+// scope, and the round-2 bench log shows the driver's invocation
+// still got `[info] {"metric"...}` with only the bare `run` scoping.
+outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,9 +38,11 @@ object Flatten {
   }
 
   /** Widen an array-of-struct column to first-`n` scalar columns
-    * (SER:154-175: `workers` → `worker_name_1..4`). Out-of-bounds
-    * array access yields null in Spark, which matches the reference's
-    * "fewer than 4 workers → missing" behavior with zero guards.
+    * (SER:154-175: `workers` → `worker_name_1..4`). Uses the
+    * null-safe `get()` accessor — under Spark 4's default ANSI mode a
+    * plain `col(i)` index THROWS past the array's end, whereas the
+    * reference's "fewer than 4 workers → missing" semantics want null
+    * (pinned by FlattenSpec).
     *
     * @param fields  (pathInsideElement, outputPrefix) pairs, e.g.
     *                Seq("worker.name" -> "worker_name")
@@ -49,7 +51,8 @@ object Flatten {
                          fields: Seq[(String, String)], n: Int): DataFrame = {
     val widened = (0 until n).flatMap { i =>
       fields.map { case (path, prefix) =>
-        val leaf = path.split('.').foldLeft(col(arrayCol)(i))((c, f) => c.getField(f))
+        val leaf = path.split('.')
+          .foldLeft(get(col(arrayCol), lit(i)))((c, f) => c.getField(f))
         leaf.as(s"${prefix}_${i + 1}")
       }
     }
@@ -74,19 +77,37 @@ object Flatten {
     df.drop(names: _*)
 
   /** Drop all-null columns (pandas `dropna(axis=1, how='all')`,
-    * LAT:253). Data-dependent schema requires one counting pass; the
-    * pass is a single map-side-combinable aggregate (no wide shuffle
-    * of the data itself — count(col) partials are tiny), after which
-    * the returned frame is a plain projection over `df`. At 100 TB
-    * prefer running this on a sample or on schema metadata; kept exact
-    * here for parity with the reference semantics.
+    * LAT:253). Data-dependent schema requires driver-side counting,
+    * which cannot be a lazy plan node — so make the counting cheap at
+    * scale with a two-phase EXACT check:
+    *
+    *  1. count every column over a bounded sample (`sampleRows`): any
+    *     column with a non-null there is definitively kept — for
+    *     real-world "mostly populated" frames this resolves nearly
+    *     every column from a few thousand rows;
+    *  2. only the still-suspect columns get the exact full count, and
+    *     that scan is COLUMN-PRUNED to just those columns — at 100 TB
+    *     the full pass reads the (typically tiny) suspicious subset
+    *     of the data, not the whole table.
+    *
+    * Result is identical to the single-pass exact version (same
+    * oracle row); only the plan shape changes.
     */
-  def dropAllNullColumns(df: DataFrame): DataFrame = {
-    val counts = df.select(df.columns.map(c => count(col(c)).as(c)): _*).head()
-    val keep = df.columns.zipWithIndex.collect {
-      case (c, i) if counts.getLong(i) > 0 => c
+  def dropAllNullColumns(df: DataFrame, sampleRows: Int = 10000): DataFrame = {
+    val sampleCounts = df.limit(sampleRows)
+      .select(df.columns.map(c => count(col(c)).as(c)): _*).head()
+    val suspects = df.columns.zipWithIndex.collect {
+      case (c, i) if sampleCounts.getLong(i) == 0L => c
     }
-    df.select(keep.map(col).toSeq: _*)
+    val allNull: Set[String] =
+      if (suspects.isEmpty) Set.empty
+      else {
+        val full = df.select(suspects.map(c => count(col(c)).as(c)).toSeq: _*).head()
+        suspects.zipWithIndex.collect {
+          case (c, i) if full.getLong(i) == 0L => c
+        }.toSet
+      }
+    df.select(df.columns.filterNot(allNull.contains).map(col).toSeq: _*)
   }
 
   /** Bulk rename via map (F4 — LAT:104,177,185; SER:130,173). */

@@ -45,16 +45,35 @@ object TextFns {
         i => array_join(slice(tk, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** MinHash signature: k salted min-hashes over the shingle set.
-    * Salting (hash of "j:shingle") replaces the textbook (a*x+b) mod p
-    * permutation family — same independence in practice, and exactly
-    * reproducible in SQL. Null signature entries for empty shingle
-    * sets.
+  /** Deterministic (a, b) pairs for the (a·h + b) mod P permutation
+    * family, derived from md5 so any engine regenerates them; a ≠ 0.
     */
-  def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(sh, s =>
-        hash60(concat(j.cast(StringType), lit(":"), s)))))
+  def permuteParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      def h(tag: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"minhash_${tag}_$j".getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+      }
+      (h("a") % (FoldP - 1) + 1, h("b") % FoldP)
+    }
+
+  /** MinHash signature: k min-hashes over the shingle set via the
+    * textbook (a·h + b) mod P permutation family on a SINGLE 60-bit
+    * shingle hash. One md5 pass per shingle (the identical `hs`
+    * subtree is shared by whole-stage codegen's subexpression
+    * elimination) + k codegen'd integer folds — the salted-md5
+    * alternative costs k md5 passes, which dominated the round-3
+    * bench (58 s → ~1 s at sf0.1). h < P and a < P keep a·h + b
+    * inside 63 bits (exact in any engine). Null entries for empty
+    * shingle sets.
+    */
+  def minhashSig(sh: Column, k: Int): Column = {
+    val hs = transform(sh, s => hash60(s) % FoldP)
+    array(permuteParams(k).map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % FoldP))
+    }: _*)
+  }
 
   /** LSH band hash for a signature: md5 of the comma-joined band rows.
     * Bands of `rows` signature entries starting at 1-based `start`.

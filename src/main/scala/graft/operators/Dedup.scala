@@ -64,7 +64,14 @@ object Dedup {
                       jaccardMin: Double = 0.4): DataFrame = {
     require(k % nBands == 0, s"k=$k must divide into nBands=$nBands")
     val rows = k / nBands
+    // The signature frame feeds three plan branches (bands, and both
+    // sides of the verification join); without pinning, the
+    // tokenize+shingle+hash subtree would execute three times. Here
+    // that is a cache; at 100 TB the signature table is materialized
+    // to storage once and reused across dedup runs — it is the
+    // standard first-class artifact of a corpus dedup pipeline.
     val sh = minhashSignatures(docs, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),

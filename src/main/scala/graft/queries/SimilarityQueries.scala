@@ -37,14 +37,22 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
-  /** Shared CTEs: shingles + minhash signature (k=8, salt j). */
-  private val sigCte =
+  /** Shared CTEs: shingles + minhash signature (k=8) via the same
+    * (a·h + b) mod P permutation family as [[graft.functions.TextFns
+    * .minhashSig]], constants generated from the one shared source.
+    */
+  private val sigCte = {
+    val p = graft.functions.TextFns.FoldP
+    val perms = graft.functions.TextFns.permuteParams(8).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString("[", ",\n       |    ", "]")
     s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
-       |sig AS (SELECT doc_id, shingles,
-       |  list_transform(range(0, 8), j -> list_min(list_transform(shingles,
-       |    s -> ${hash60Sql("CAST(j AS VARCHAR) || ':' || s")}))) AS sig
-       |  FROM sh)""".stripMargin
+       |hsrc AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> ${hash60Sql("s")} % $p) AS hs FROM sh),
+       |sig AS (SELECT doc_id, shingles, $perms AS sig
+       |  FROM hsrc)""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
 
