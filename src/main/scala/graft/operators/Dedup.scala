@@ -127,4 +127,36 @@ object Dedup {
     docs.select(col(idCol), TextFns.toks(col(textCol)).as("tk"))
       .withColumn("hs", transform(col("tk"), t => TextFns.hash60(t)))
       .select(col(idCol), TextFns.simhash60("hs").as("simhash"))
+
+  /** SimHash near-duplicate pairs via multi-index Hamming search:
+    * each 60-bit sketch is cut into `nBands` bit-bands; documents
+    * sharing ANY band value become candidates (bucket equi-join —
+    * never all-pairs), then candidates are verified by exact Hamming
+    * distance `bit_count(a XOR b) <= maxHamming`. With r < nBands
+    * differing bits, pigeonhole guarantees a matching band (exact
+    * recall); larger thresholds make the index approximate in the
+    * usual multi-probe sense. Shuffle carries only (id, band, value)
+    * triples + 8-byte sketches.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          nBands: Int = 4, bandBits: Int = 15,
+                          maxHamming: Int = 6): DataFrame = {
+    val sim = simhashTable(docs, idCol, textCol)
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val bands = sim.select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("simhash"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bv"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -81,6 +81,26 @@ object Similarity {
       when(dot(wLit, vec) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —
+    * vectors meet only within their bucket (sign agreement on every
+    * plane ⇒ small angle is likely), candidates verified by the exact
+    * fold cosine ≥ `minCos`. The all-pairs O(n²) comparison never
+    * happens; shuffle key is the bucket id. Recall tunes with plane
+    * count (fewer planes = bigger buckets = higher recall/cost).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         minCos: Double, nPlanes: Int, dims: Int): DataFrame = {
+    val planes = srpPlanes(nPlanes, dims)
+    val b = vectors.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val cos = cosine(col(s"a.$vecCol"), col(s"b.$vecCol"))
+    b.as("a").join(b.as("b"), Seq("bucket"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        floor(cos * 1e7).cast(LongType).as("cos_e7"))
+      .filter(col("cos_e7") >= (minCos * 1e7).toLong)
+  }
+
   /** Approximate top-k: probes meet only candidates in their SRP
     * bucket. Fewer planes → bigger buckets → higher recall and cost.
     */

@@ -149,6 +149,30 @@ object SimilarityQueries {
              |  ORDER BY CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) DESC, doc_id LIMIT 20)
              |ORDER BY jac_e6 DESC, doc_id""".stripMargin)),
 
+    // D6 — SimHash near-dup pairs via multi-index Hamming search:
+    // 4 × 15-bit band buckets propose, exact bit_count(xor) verifies.
+    Q("d6_simhash_pairs",
+      (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          nBands = 4, bandBits = 15, maxHamming = 6)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH h AS (SELECT doc_id,
+             |  list_transform($tkSql, t -> ${hash60Sql("t")}) AS hs FROM documents),
+             |s AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN list_sum(list_transform(hs,
+             |           h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+             |  FROM h),
+             |bands AS (SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bv
+             |          FROM s, unnest(range(0, 4)) t(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                a.sh AS sa, b.sh AS sb
+             |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+             |              AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // V1 — exact cosine top-k: 10 broadcast probes × linear corpus
     // scan, per-probe top-10 via probe-partitioned window.
     Q("v1_cosine_topk",
@@ -167,6 +191,26 @@ object SimilarityQueries {
              |      FROM d)
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 10 ORDER BY p_id, rn""".stripMargin)),
+
+    // V3 — embedding-cosine near-dup pairs: SRP-bucketed self-join
+    // proposes, exact fold cosine >= 0.4 verifies; never all-pairs.
+    Q("v3_cosine_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", minCos = 0.4, nPlanes = 4, dims = 64)
+        .orderBy("id_a", "id_b"),
+      {
+        val planes = Similarity.srpPlanes(4, 64)
+        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
+          val wLit = w.mkString("[", ", ", "]")
+          s"(CASE WHEN ${dotSql(wLit, "embedding")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               |        CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) AS cos_e7
+               |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+               |SELECT id_a, id_b, cos_e7 FROM p WHERE cos_e7 >= 4000000
+               |ORDER BY id_a, id_b""".stripMargin)
+      }),
 
     // V2 — SRP-LSH approximate top-k: probes meet only candidates in
     // their 4-bit sign-random-projection bucket (the scale path; plane

@@ -102,6 +102,16 @@ object StreamQueries {
              |              - INTERVAL 1 HOUR
              |ORDER BY user_id, s_start""".stripMargin)),
 
+    // ST5 — streaming dedup: dropDuplicates over the key pair inside
+    // the stream (keyed state store holds seen keys; with a watermark
+    // + event-time key this is the bounded-state production form).
+    Q("st5_stream_distinct",
+      (s, d) => Streaming.eventsStream(s, d, "append") { df =>
+        df.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
+      }.orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // ST4 — custom keyed state via flatMapGroupsWithState: per-user
     // running (count, cents-sum, id range). The state fold is
     // order-independent (integer adds, min/max), so the single

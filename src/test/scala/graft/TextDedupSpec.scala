@@ -64,6 +64,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhashNearDupPairs pairs identical docs at distance 0, skips unrelated") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical → hamming 0
+      (3L, "utterly unrelated vocabulary cluster misc words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
+  test("cosineNearDupPairs surfaces the planted aligned pair only") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f)),
+      (2L, Seq(0.98f, 0.01f, 0.01f)), // near-dup of 1
+      (3L, Seq(-0.1f, 0.99f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        minCos = 0.9, nPlanes = 2, dims = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
