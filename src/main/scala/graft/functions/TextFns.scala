@@ -58,6 +58,22 @@ object TextFns {
       (h("a") % (FoldP - 1) + 1, h("b") % FoldP)
     }
 
+  /** 60-bit hashes of the shingle set, distinct AFTER hashing — the
+    * integer basis for both minhash and Jaccard verification. Longs
+    * intersect/shuffle far cheaper than shingle strings, and because
+    * both engines hash identically, even the (negligible) collision
+    * cases agree cell-for-cell.
+    */
+  def shingleHashes(sh: Column): Column = array_distinct(transform(sh, s => hash60(s)))
+
+  /** MinHash signature from a pre-hashed shingle set ([[shingleHashes]]). */
+  def minhashSigFromHashes(hs: Column, k: Int): Column = {
+    val hsP = transform(hs, h => h % FoldP)
+    array(permuteParams(k).map { case (a, b) =>
+      array_min(transform(hsP, h => (h * a + b) % FoldP))
+    }: _*)
+  }
+
   /** MinHash signature: k min-hashes over the shingle set via the
     * textbook (a·h + b) mod P permutation family on a SINGLE 60-bit
     * shingle hash. One md5 pass per shingle (the identical `hs`

@@ -39,12 +39,17 @@ object Dedup {
         (col(idCol) === col("canonical_id")).as("is_canonical"))
   }
 
-  /** Per-document MinHash signature table: (id, shingles, sig). */
+  /** Per-document MinHash signature table: (id, hs, sig), where `hs`
+    * is the 60-bit hashed shingle set — longs, not strings, so the
+    * verification joins shuffle ~8 bytes per shingle instead of the
+    * shingle text.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
     docs.select(col(idCol),
-        TextFns.shingles(TextFns.toks(col(textCol)), n).as("shingles"))
-      .withColumn("sig", TextFns.minhashSig(col("shingles"), k))
+        TextFns.shingleHashes(
+          TextFns.shingles(TextFns.toks(col(textCol)), n)).as("hs"))
+      .withColumn("sig", TextFns.minhashSigFromHashes(col("hs"), k))
 
   /** MinHash + banded-LSH near-duplicate pairs, verified by exact
     * shingle Jaccard.
@@ -87,8 +92,8 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
 
-    val shA = sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    val shA = sh.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
     val ni = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
     val nu = (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - ni
     val jac = ni.cast(DoubleType) / nu.cast(DoubleType)
@@ -106,7 +111,8 @@ object Dedup {
   def jaccardAgainstProbe(docs: DataFrame, idCol: String, textCol: String,
                           probeId: Long, n: Int, topK: Int): DataFrame = {
     val sh = docs.select(col(idCol),
-      TextFns.shingles(TextFns.toks(col(textCol)), n).as("shingles"))
+      TextFns.shingleHashes(
+        TextFns.shingles(TextFns.toks(col(textCol)), n)).as("shingles"))
     val probe = sh.filter(col(idCol) === probeId)
       .select(col("shingles").as("p_sh"))
     val ni = size(array_intersect(col("shingles"), col("p_sh"))).cast(LongType)

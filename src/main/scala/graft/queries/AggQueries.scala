@@ -152,6 +152,61 @@ object AggQueries {
              |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // G9 — TPC-H Q3-style shipping-priority query: 3-way join with
+    // selective filters on both fact and dim sides, grouped revenue,
+    // top-10. Catalyst pushes the filters below the joins and
+    // broadcasts the pruned customer side; revenue sums are exact
+    // decimals. The final top-k is TakeOrderedAndProject, not a
+    // global sort.
+    Q("g9_tpch_q3",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15"))
+        val l = Tables.lineitem(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+             |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // G10 — TPC-H Q5-style local-supplier volume: 6-table star join
+    // (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region)
+    // with the same-nation residual; the three smallest dims are
+    // broadcast, the fact shuffles once.
+    Q("g10_tpch_q5",
+      (s, d) => {
+        val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+        val n = Tables.nation(s, d);   val r = Tables.region(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") &&
+            su("s_nationkey") === c("c_nationkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // G8 — lag + date arithmetic: days since the customer's previous
     // order (null for the first).
     Q("g8_lag_gap",

@@ -44,12 +44,14 @@ object SimilarityQueries {
   private val sigCte = {
     val p = graft.functions.TextFns.FoldP
     val perms = graft.functions.TextFns.permuteParams(8).map { case (a, b) =>
-      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      s"list_min(list_transform(hs, h -> ((h % $p) * $a + $b) % $p))"
     }.mkString("[", ",\n       |    ", "]")
     s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
-       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
-       |hsrc AS (SELECT doc_id, shingles,
-       |  list_transform(shingles, s -> ${hash60Sql("s")} % $p) AS hs FROM sh),
+       |shsrc AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(shingles, s -> ${hash60Sql("s")})) AS shingles
+       |  FROM shsrc),
+       |hsrc AS (SELECT doc_id, shingles, shingles AS hs FROM sh),
        |sig AS (SELECT doc_id, shingles, $perms AS sig
        |  FROM hsrc)""".stripMargin
   }
@@ -135,7 +137,10 @@ object SimilarityQueries {
           probeId = 0L, n = 3, topK = 20)
         .orderBy(col("jac_e6").desc, col("doc_id")),
       Some(s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
-             |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+             |shsrc AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(list_transform(shingles, s -> ${hash60Sql("s")})) AS shingles
+             |  FROM shsrc),
              |pr AS (SELECT shingles AS p_sh FROM sh WHERE doc_id = 0),
              |j AS (
              |  SELECT doc_id,

@@ -102,6 +102,30 @@ object StreamQueries {
              |              - INTERVAL 1 HOUR
              |ORDER BY user_id, s_start""".stripMargin)),
 
+    // ST6 — stream-stream interval join: views joined to the same
+    // user's clicks within 10 minutes, watermarks on both sides
+    // bounding join state (the production form of funnel/attribution
+    // joins; state evicts once the watermark passes the interval).
+    Q("st6_stream_stream_join",
+      (s, d) => Streaming.eventsStream(s, d, "append") { df =>
+        val wm = df.withWatermark("ts", "1 hour")
+        val views = wm.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val clicks = wm.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        views.join(clicks,
+          col("user_id") === col("c_user_id") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+          .select(col("user_id"), col("view_id"), col("click_id"))
+      }.orderBy("user_id", "view_id", "click_id"),
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id
+             |FROM events v JOIN events c ON v.user_id = c.user_id
+             |  AND v.event_type = 'view' AND c.event_type = 'click'
+             |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+             |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
+
     // ST5 — streaming dedup: dropDuplicates over the key pair inside
     // the stream (keyed state store holds seen keys; with a watermark
     // + event-time key this is the bounded-state production form).
