@@ -98,24 +98,6 @@ object TextFns {
     md5(concat_ws(",",
       (0 until rows).map(r => element_at(sig, start + r).cast(StringType)): _*))
 
-  /** 60-bit SimHash over a token-hash array column (by NAME, because
-    * the nested fold is easiest stated in SQL): for each bit, sum +1/-1
-    * votes across tokens; positive majority sets the bit. Token
-    * multiplicity intentionally counts (classic SimHash is over the
-    * term multiset). charikar02similarity; cf. reference's absence of
-    * any dedup — this is BASELINE.json north-star surface.
-    */
-  def simhash60(hsCol: String): Column =
-    expr(s"""
-      aggregate(
-        transform(sequence(0, 59), b ->
-          CASE WHEN aggregate($hsCol, CAST(0 AS BIGINT),
-                      (acc, h) -> acc + CASE WHEN (shiftright(h, CAST(b AS INT)) & CAST(1 AS BIGINT)) = CAST(1 AS BIGINT)
-                                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
-               THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
-               ELSE CAST(0 AS BIGINT) END),
-        CAST(0 AS BIGINT), (a, x) -> a + x)""")
-
   /** Polynomial rolling fingerprint over the token stream:
     * fold h = (h*31 + hash60(tok) mod P) mod P. Order-sensitive (a
     * permuted document fingerprints differently), exact integer math —

@@ -128,11 +128,45 @@ object Dedup {
       .drop("jac_raw")
   }
 
-  /** Per-document 60-bit SimHash sketch over the token multiset. */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), TextFns.toks(col(textCol)).as("tk"))
-      .withColumn("hs", transform(col("tk"), t => TextFns.hash60(t)))
-      .select(col(idCol), TextFns.simhash60("hs").as("simhash"))
+  /** Per-document 60-bit SimHash sketch over the token multiset.
+    *
+    * Implemented as a typed `mapPartitions` kernel rather than
+    * Catalyst higher-order functions: the 60-bit majority vote as an
+    * expression is 60 nested `aggregate` passes over the token-hash
+    * array, which are interpreted (HOFs don't codegen) — measured
+    * ~22 s for 5 000 docs at sf0.1 vs ~2 s for this kernel. The
+    * arithmetic is bit-identical to the SQL oracle: tokens =
+    * `split(trim_spaces(lower(text)), \s+)` exactly as
+    * [[TextFns.toks]], hash = first 15 hex chars of md5.
+    */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // Spark's trim removes only ASCII 0x20 — match it, not Java trim
+          val t = text.toLowerCase(java.util.Locale.ROOT)
+            .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          val votes = new Array[Int](60)
+          t.split("\\s+", -1).foreach { tok =>
+            md.reset()
+            val hex = md.digest(tok.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15)
+            val h = java.lang.Long.parseLong(hex, 16)
+            var b = 0
+            while (b < 60) {
+              votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
+            }
+          }
+          var sh = 0L
+          var b = 0
+          while (b < 60) { if (votes(b) > 0) sh |= 1L << b; b += 1 }
+          (id, sh)
+        }
+      }.toDF(idCol, "simhash")
+  }
 
   /** SimHash near-duplicate pairs via multi-index Hamming search:
     * each 60-bit sketch is cut into `nBands` bit-bands; documents
@@ -147,7 +181,10 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           nBands: Int = 4, bandBits: Int = 15,
                           maxHamming: Int = 6): DataFrame = {
+    // pinned: the sketch table feeds both sides of the bucket
+    // self-join (16 bytes/doc; materialized to storage at corpus scale)
     val sim = simhashTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
