@@ -54,6 +54,38 @@ object Relational {
     (df.select(first.map(col): _*), df.select(rest.map(col): _*))
   }
 
+  /** As-of join (scale extension; Spark has no native one): for each
+    * left row, attach `valueCol` from the LATEST right row with
+    * `right.ts <= left.ts` on the same key.
+    *
+    * Composed Spark-first as tag → union-by-name → one running
+    * `last(_, ignoreNulls)` window: ONE shuffle on the key, no
+    * per-row subquery, no range self-join — the plan shape that
+    * survives a billion-row event table. Ties at equal timestamps
+    * resolve right-rows-first then highest `valueCol` (pinned by the
+    * window ordering, so the result is deterministic).
+    *
+    * Contract: both inputs contain `keys` and `tsCol`; `valueCol` is
+    * a right-side column not present on the left.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lcols = left.columns.toSeq
+    val l = left
+      .withColumn("_asof_side", lit(1))
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select((keys :+ tsCol :+ valueCol).map(col): _*)
+      .withColumn("_asof_side", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("_asof_side"), col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_matched", last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+      .select((lcols.map(col) :+ col("_matched").as(valueCol)): _*)
+  }
+
   /** P9 (LAT:184) — drop rows where any of the listed key columns is
     * null (pandas `dropna(subset, how='any')`).
     */

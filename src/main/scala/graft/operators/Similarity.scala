@@ -81,6 +81,46 @@ object Similarity {
       when(dot(wLit, vec) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Assign every vector to its nearest centroid by cosine (ties →
+    * lowest centroid id): the IVF cell assignment. Centroids are
+    * broadcast; assignment is a map-side cross-product + per-vector
+    * top-1 window — no shuffle of the corpus beyond the window's
+    * id-partitioning.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("c_cos").desc, col("cell_id"))
+    vectors.crossJoin(broadcast(c))
+      .withColumn("c_cos", cosine(col(vecCol), col("c_vec")))
+      .withColumn("c_rn", row_number().over(w))
+      .filter(col("c_rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF-style ANN top-k: probes search only their own centroid's
+    * cell (`nprobe`=1). The centroid set stands in for a trained
+    * k-means codebook — training is an offline job; what's exercised
+    * here is the production assignment + cell-restricted search plan:
+    * corpus shuffles once on cell id, probe side is broadcast.
+    */
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: DataFrame): DataFrame = {
+    val cCells = ivfAssign(candidates, idCol, vecCol, centroids)
+    val pCells = ivfAssign(probes, idCol, vecCol, centroids)
+      .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
+    val cos = cosine(col("p_vec"), col(vecCol))
+    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col(idCol))
+    cCells.join(broadcast(pCells), Seq("cell_id"))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col(idCol),
+        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —
     * vectors meet only within their bucket (sign agreement on every
     * plane ⇒ small angle is likely), candidates verified by the exact

@@ -207,6 +207,43 @@ object AggQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // G11 — CUBE grouping sets (every subtotal combination).
+    Q("g11_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sumDec(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("cnt"), col("revenue"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // G12 — pivot: order counts per priority, statuses widened to
+    // columns (conditional aggregation under the hood — one pass).
+    Q("g12_pivot",
+      (s, d) => {
+        val p = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        p.select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+             |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+             |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // G8 — lag + date arithmetic: days since the customer's previous
     // order (null for the first).
     Q("g8_lag_gap",

@@ -184,6 +184,38 @@ object ParityQueries {
               |WHERE i.o_orderdate <= s.o_orderdate
               |ORDER BY i.o_orderkey""".stripMargin)),
 
+    // J5 (scale extension): as-of join — each click attributed to the
+    // user's latest prior (or simultaneous) view. Composed as
+    // union + running last() — one shuffle on the key; the oracle
+    // mirrors the same relational algebra in window SQL.
+    Q("j5_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        graft.operators.Relational.asofJoin(clicks, views,
+            Seq("user_id"), "ts", "view_id")
+          .select("click_id", "user_id", "view_id")
+          .orderBy("click_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id AS click_id,
+             |         CAST(NULL AS BIGINT) AS view_id, 1 AS side
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, event_id, 0
+             |  FROM events WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT user_id, click_id,
+             |    last_value(view_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, side, view_id
+             |      ROWS UNBOUNDED PRECEDING) AS view_id
+             |  FROM u)
+             |SELECT click_id, user_id, view_id FROM w
+             |WHERE click_id IS NOT NULL ORDER BY click_id""".stripMargin)),
+
     // A1 (LAT:241): n-ary UNION ALL aligned by name with null fill for
     // columns missing on one side (pandas concat semantics).
     Q("a1_union_by_name",

@@ -217,6 +217,37 @@ object SimilarityQueries {
                |ORDER BY id_a, id_b""".stripMargin)
       }),
 
+    // V4 — IVF-style ANN top-k: vectors assigned to their nearest of
+    // 16 centroid vectors (deterministic sample standing in for a
+    // trained codebook), probes search only their own cell.
+    Q("v4_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5,
+            centroids = e.filter(col("vec_id") < 16))
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |asg AS (
+             |  SELECT vec_id, embedding, cell_id FROM (
+             |    SELECT e.vec_id, e.embedding, c.cell_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |    FROM embeddings e CROSS JOIN cent c)
+             |  WHERE crn = 1),
+             |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+             |       FROM asg WHERE vec_id < 10),
+             |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
+             |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id
+             |          ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM dst)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+
     // V2 — SRP-LSH approximate top-k: probes meet only candidates in
     // their 4-bit sign-random-projection bucket (the scale path; plane
     // count tunes recall vs bucket size).

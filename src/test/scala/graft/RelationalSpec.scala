@@ -70,6 +70,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(rest.columns.toSeq == Seq("x", "z"))
   }
 
+  test("asofJoin attaches the latest right value at-or-before each left ts, null when none") {
+    val clicks = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
+      .toDF("user_id", "ts", "click_id")
+    val views = Seq((1L, 90L, 900L), (1L, 100L, 901L), (1L, 200L, 902L), (2L, 60L, 903L))
+      .toDF("user_id", "ts", "view_id")
+    val out = Relational.asofJoin(clicks, views, Seq("user_id"), "ts", "view_id")
+      .select("click_id", "view_id").as[(Long, Option[Long])].collect().toMap
+    // click@100 matches the simultaneous view 901 (>= semantics, tie →
+    // right-before-left then highest id); click@250 matches view@200;
+    // user 2's click@50 precedes every view → null
+    assert(out == Map(10L -> Some(901L), 11L -> Some(902L), 12L -> None))
+  }
+
   test("parseTimestamps converts ISO strings with offsets to UTC-naive instants (F9)") {
     val df = Seq(("2024-03-01T12:00:00-04:00", "2024-03-01T00:00:00")).toDF("a", "b")
     val out = Relational.parseTimestamps(df, Seq("a", "b"))
