@@ -86,6 +86,23 @@ object Relational {
       .select((lcols.map(col) :+ col("_matched").as(valueCol)): _*)
   }
 
+  /** Skew-salted equi-join (scale extension): the big (skewed) side
+    * gets a deterministic salt derived from `saltFrom`; the small
+    * side is replicated once per salt value; the join key becomes
+    * (keys, salt) so one hot key spreads over `nSalts` reducers.
+    * Result is EXACTLY the plain equi-join (oracle-checked) — only
+    * the shuffle distribution changes. AQE's skew-join handles most
+    * cases automatically; this is the manual fallback when a single
+    * key exceeds what one task can hold.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 joinType: String, nSalts: Int, saltFrom: Column): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(saltFrom, lit(nSalts)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(lit((0 until nSalts).toArray)))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** P9 (LAT:184) — drop rows where any of the listed key columns is
     * null (pandas `dropna(subset, how='any')`).
     */

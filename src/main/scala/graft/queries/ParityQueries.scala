@@ -184,6 +184,24 @@ object ParityQueries {
               |WHERE i.o_orderdate <= s.o_orderdate
               |ORDER BY i.o_orderkey""".stripMargin)),
 
+    // J6 (scale extension): skew-salted join — same result as the
+    // plain equi-join (the oracle IS the plain join), but the hot
+    // keys spread across 8 reducers. The salt derives from the row's
+    // own line number, so it is deterministic.
+    Q("j6_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+        val dim = Tables.part(s, d).select("p_partkey", "p_brand")
+          .withColumnRenamed("p_partkey", "l_partkey")
+        graft.operators.Relational.saltedJoin(li, dim, Seq("l_partkey"),
+            "left", nSalts = 8, saltFrom = col("l_linenumber"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |ORDER BY ALL""".stripMargin)),
+
     // J5 (scale extension): as-of join — each click attributed to the
     // user's latest prior (or simultaneous) view. Composed as
     // union + running last() — one shuffle on the key; the oracle
