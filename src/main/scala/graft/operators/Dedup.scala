@@ -42,14 +42,14 @@ object Dedup {
   /** Per-document MinHash signature table: (id, hs, sig), where `hs`
     * is the 60-bit hashed shingle set — longs, not strings, so the
     * verification joins shuffle ~8 bytes per shingle instead of the
-    * shingle text.
+    * shingle text. Computed by the typed kernel
+    * ([[graft.functions.TextKernels.minhashSignatures]]): md5 inside
+    * Catalyst `transform` lambdas is interpreted and was the d3
+    * bench bottleneck.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
-    docs.select(col(idCol),
-        TextFns.shingleHashes(
-          TextFns.shingles(TextFns.toks(col(textCol)), n)).as("hs"))
-      .withColumn("sig", TextFns.minhashSigFromHashes(col("hs"), k))
+    graft.functions.TextKernels.minhashSignatures(docs, idCol, textCol, n, k)
 
   /** MinHash + banded-LSH near-duplicate pairs, verified by exact
     * shingle Jaccard.
@@ -110,9 +110,8 @@ object Dedup {
     */
   def jaccardAgainstProbe(docs: DataFrame, idCol: String, textCol: String,
                           probeId: Long, n: Int, topK: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      TextFns.shingleHashes(
-        TextFns.shingles(TextFns.toks(col(textCol)), n)).as("shingles"))
+    val sh = graft.functions.TextKernels.shingleHashTable(docs, idCol, textCol, n)
+      .withColumnRenamed("hs", "shingles")
     val probe = sh.filter(col(idCol) === probeId)
       .select(col("shingles").as("p_sh"))
     val ni = size(array_intersect(col("shingles"), col("p_sh"))).cast(LongType)
@@ -146,15 +145,9 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          // Spark's trim removes only ASCII 0x20 — match it, not Java trim
-          val t = text.toLowerCase(java.util.Locale.ROOT)
-            .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
           val votes = new Array[Int](60)
-          t.split("\\s+", -1).foreach { tok =>
-            md.reset()
-            val hex = md.digest(tok.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(15)
-            val h = java.lang.Long.parseLong(hex, 16)
+          graft.functions.TextKernels.toks(text).foreach { tok =>
+            val h = graft.functions.TextKernels.hash60(md, tok)
             var b = 0
             while (b < 60) {
               votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1

@@ -119,11 +119,12 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // T4 — document fingerprint: order-sensitive polynomial rolling
-    // hash over the token stream (exact integer fold, mod 1e9+7).
+    // hash over the token stream (exact integer fold, mod 1e9+7;
+    // typed kernel — md5-per-token in a Catalyst lambda is
+    // interpreted and 4x slower).
     Q("t4_fingerprint",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFns.fingerprint(TextFns.toks(col("text"))).as("fp"))
+      (s, d) => graft.functions.TextKernels
+        .fingerprints(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(raw"""SELECT doc_id,
              |  list_reduce(

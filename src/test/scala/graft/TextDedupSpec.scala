@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.TextFns
+import graft.functions.{TextFns, TextKernels}
 import graft.operators.{Dedup, Similarity}
 
 /** Unit coverage for the LLM-pipeline primitives: shingling edge
@@ -14,17 +14,19 @@ class TextDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("shingles of a text shorter than n tokens is empty, not null") {
-    val df = Seq("one two", "one two three four").toDF("text")
-    val out = df.select(size(TextFns.shingles(TextFns.toks(col("text")), 3)))
-      .as[Int].collect().toSeq
-    assert(out == Seq(0, 2))
+  test("shingle hashes of a text shorter than n tokens are empty, not null") {
+    val df = Seq((1L, "one two"), (2L, "one two three four")).toDF("id", "text")
+    val out = TextKernels.shingleHashTable(df, "id", "text", 3)
+      .select(col("id"), size(col("hs")).as("n")).orderBy("id")
+      .as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 0), (2L, 2)))
   }
 
   test("fingerprint is order-sensitive and stable") {
-    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("text")
-    val fps = df.select(TextFns.fingerprint(TextFns.toks(col("text"))))
-      .as[Long].collect().toSeq
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")).toDF("id", "text")
+    val fps = TextKernels.fingerprints(df, "id", "text")
+      .orderBy("id").select("fp").as[Long].collect().toSeq
     assert(fps(0) == fps(2))
     assert(fps(0) != fps(1))
     assert(fps.forall(f => f >= 0 && f < TextFns.FoldP))
