@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+/** Harness-level streaming tests: the single-file glob workaround,
+  * complete-mode aggregation, and append-mode watermark withholding —
+  * the behaviors the oracle-checked st* queries depend on.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dataPath = {
+    val dir = Files.createTempDirectory("graft_stream_fixture")
+    val p = s"$dir/ticks.parquet"
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 20L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 30L))
+      .toDF("id", "ts", "v").coalesce(1).write.parquet(p)
+    p
+  }
+
+  test("runAvailableNow drains a single-file path via the glob rewrite (complete mode)") {
+    val out = Streaming.runAvailableNow(spark, dataPath, "complete") { df =>
+      df.groupBy(window(col("ts"), "1 hour").as("w")).agg(sum("v").as("s"))
+        .select(col("w.start").as("w_start"), col("s"))
+    }
+    val rows = out.orderBy("w_start").as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq(30L, 30L))
+  }
+
+  test("append mode withholds windows newer than the final watermark") {
+    // watermark delay 1h; max ts = 05:00 → watermark 04:00: the
+    // 00:00 window (end 01:00) emits, the 05:00 window (end 06:00)
+    // is withheld as potentially still open
+    val out = Streaming.runAvailableNow(spark, dataPath, "append") { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w")).agg(sum("v").as("s"))
+        .select(col("w.start").as("w_start"), col("s"))
+    }
+    val rows = out.as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(rows == Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 30L)))
+  }
+}

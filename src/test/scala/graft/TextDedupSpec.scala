@@ -110,6 +110,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(top == Seq(2L, 3L))
   }
 
+  test("ivfAssign sends each vector to its highest-cosine centroid, ties to lowest id") {
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (10L, Seq(0.9f, 0.1f)),  // → cell 0
+      (11L, Seq(0.1f, 0.9f)),  // → cell 1
+      (12L, Seq(0.5f, 0.5f)))  // equidistant → tie broken to cell 0
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(cells == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
   test("srpBucket assigns equal vectors to equal buckets, deterministically") {
     val planes = Similarity.srpPlanes(4, 3)
     assert(planes.length == 4 && planes(0).length == 3)
