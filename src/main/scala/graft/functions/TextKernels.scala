@@ -35,11 +35,19 @@ object TextKernels {
     t.split("\\s+", -1)
   }
 
-  /** JVM twin of [[TextFns.hash60]]. */
+  /** First 15 hex chars of md5 as a long (= `parseLong(hex.take(15),
+    * 16)`), read straight from the digest bytes: 60 bits = bytes 0–6
+    * big-endian plus the high nibble of byte 7. No hex-string
+    * round-trip — the `%02x`-per-byte formatting was measurably the
+    * hot allocation site in the dedup kernels.
+    */
   def hash60(md: MessageDigest, s: String): Long = {
     md.reset()
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
   /** Distinct word n-gram shingles, hashed to distinct 60-bit longs

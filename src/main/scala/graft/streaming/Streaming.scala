@@ -57,6 +57,32 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Drain a streaming transform into an arbitrary batch sink via
+    * `foreachBatch` — the production shape for streaming loads into
+    * JDBC/warehouse targets (each micro-batch calls `batchFn` with a
+    * normal DataFrame, so the K1–K5 sinks compose unchanged; e.g.
+    * complete-mode agg + truncate-reload gives idempotent refresh,
+    * update mode + [[graft.io.Sinks.updateByKey]] gives streaming
+    * upsert).
+    */
+  def runForeachBatch(spark: SparkSession, path: String, mode: String)
+                     (transform: DataFrame => DataFrame)
+                     (batchFn: (DataFrame, Long) => Unit): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val globbed = {
+      val i = path.lastIndexOf('/')
+      val (dir, leaf) = (path.substring(0, i), path.substring(i + 1))
+      s"$dir/[${leaf.head}]${leaf.tail}"
+    }
+    val src = spark.readStream.schema(schema).parquet(globbed)
+    val q = transform(src).writeStream
+      .foreachBatch(batchFn)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The `events` table as a stream: ts arrives as raw nanos (the
     * session reads parquet TIMESTAMP(NANOS) as long, see
     * [[graft.engine.Sessions]]) and converts to a µs timestamp —

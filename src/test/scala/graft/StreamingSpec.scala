@@ -35,6 +35,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._2) == Seq(30L, 30L))
   }
 
+  test("foreachBatch drains a streaming aggregate into a JDBC sink (Derby)") {
+    val dbDir = Files.createTempDirectory("graft_derby_stream")
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/streamdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    Streaming.runForeachBatch(spark, dataPath, "complete") { df =>
+      df.groupBy().agg(count(lit(1)).as("n"), sum("v").as("total"))
+    } { (batch, _) =>
+      // complete mode + truncate-reload = idempotent refresh per batch
+      graft.io.Sinks.truncateReload(batch, url, "stream_agg", props)
+    }
+    val got = spark.read.jdbc(url, "stream_agg", props)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 60L)))
+  }
+
   test("append mode withholds windows newer than the final watermark") {
     // watermark delay 1h; max ts = 05:00 → watermark 04:00: the
     // 00:00 window (end 01:00) emits, the 05:00 window (end 06:00)
