@@ -70,6 +70,21 @@ object Sinks {
     appendJdbc(df, url, table, props, batchSize)
   }
 
+  /** K3 on files — dynamic partition overwrite: rewrite ONLY the
+    * partitions present in `df`, leave sibling partitions untouched.
+    * This is the data-lake form of the ranged delete+append (at
+    * 100 TB the fact table lives partitioned on object storage and
+    * this is the idempotent daily-reload primitive). Scoped to this
+    * one write via the DataFrameWriter option — no session-wide conf
+    * mutation.
+    */
+  def dynamicPartitionOverwrite(df: DataFrame, path: String,
+                                partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** K4 (SER:247-282) — multi-table load with cross-table atomicity.
     * Spark's JDBC writer commits per partition per table, so a direct
     * multi-table append is NOT atomic (the reference wraps its four

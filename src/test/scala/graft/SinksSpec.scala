@@ -60,6 +60,20 @@ class SinksSpec extends AnyFunSuite {
     assert(got == Seq((1L, 100L), (6L, 555L), (9L, 900L)))
   }
 
+  test("K3 on files: dynamic partition overwrite touches only incoming partitions") {
+    val path = Files.createTempDirectory("graft_dpo").toString + "/fact"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "day").write.partitionBy("day").parquet(path)
+    // reload day 2 only; days 1 and 3 must survive
+    Sinks.dynamicPartitionOverwrite(
+      Seq((20L, "2024-01-02"), (21L, "2024-01-02")).toDF("id", "day"),
+      path, Seq("day"))
+    val got = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "2024-01-01"), (3L, "2024-01-03"),
+      (20L, "2024-01-02"), (21L, "2024-01-02")))
+  }
+
   test("K4 multi-table load commits both targets atomically (SER:247-282)") {
     Seq((1L, 1L)).toDF("id", "v").write.jdbc(url, "k4_a", props)
     Seq((1L, 1L)).toDF("id", "v").write.jdbc(url, "k4_b", props)
