@@ -1,0 +1,50 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.Flatten
+import graft.operators.Relational
+
+/** Remaining SURVEY §5.3 properties: union-by-name null-fill and
+  * rename round-trip.
+  */
+object RelationalProps extends Properties("Relational") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(8)
+
+  private val pool = Vector("c1", "c2", "c3", "c4", "c5")
+  private val genCols: Gen[Seq[String]] =
+    Gen.someOf(pool).map(_.toSeq).suchThat(_.nonEmpty)
+
+  property("unionByName covers A∪B and null-fills exactly the missing side") =
+    forAll(genCols, genCols, Gen.choose(1, 5), Gen.choose(1, 5)) { (a, b, na, nb) =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      def mk(cols: Seq[String], n: Int) =
+        spark.range(n).select(cols.map(c => lit(1L).as(c)): _*)
+      val u = Relational.unionByName(Seq(mk(a, na), mk(b, nb)))
+      val expectedCols = (a ++ b.filterNot(a.contains)).toSeq
+      val nullCounts = expectedCols.map { c =>
+        c -> u.filter(col(c).isNull).count()
+      }.toMap
+      u.columns.toSeq == expectedCols &&
+        u.count() == na + nb &&
+        expectedCols.forall { c =>
+          val expected = (if (a.contains(c)) 0L else na.toLong) +
+            (if (b.contains(c)) 0L else nb.toLong)
+          nullCounts(c) == expected
+        }
+    }
+
+  property("renameAll round-trips under the inverse map") =
+    forAll(Gen.someOf(pool).map(_.toSeq).suchThat(_.size >= 2)) { cols =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      val df = spark.range(1).select(cols.map(c => lit(1L).as(c)): _*)
+      val fwd = cols.map(c => c -> s"${c}_renamed").toMap
+      val back = fwd.map(_.swap)
+      Flatten.renameAll(Flatten.renameAll(df, fwd), back).columns.toSeq == cols
+    }
+}
