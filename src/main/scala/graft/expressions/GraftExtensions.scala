@@ -1,0 +1,23 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extension point, installed with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`):
+  * registers the engine's native expressions so both the Column API
+  * (`call_function`) and plain SQL can use them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(children(0), children(1))
+      }))
+  }
+}

@@ -40,7 +40,13 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine via the native codegen'd expression
+    * ([[graft.expressions.CosineSimilarity]]); bit-identical to
+    * `dot(a, b) / (l2norm(a) * l2norm(b))` but one fused loop inside
+    * whole-stage codegen instead of interpreted HOF lambdas.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimilarity(a, b)
 
   /** Exact top-k cosine neighbours for each probe vector.
     * @param probes     (idCol, vecCol) — small; broadcast
