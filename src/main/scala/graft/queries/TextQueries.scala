@@ -118,6 +118,26 @@ object TextQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // T5 — corpus composition report: documents and token volume per
+    // (language, length bucket) — the aggregate view a training-data
+    // pipeline monitors per ingest batch. One map stage + one tiny
+    // partial-aggregated shuffle.
+    Q("t5_corpus_stats",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        Tables.documents(s, d)
+          .select(col("lang"), size(tk).cast(LongType).as("n_tokens"))
+          .withColumn("len_bucket", (col("n_tokens") / 16).cast(LongType) * 16)
+          .groupBy("lang", "len_bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("lang", "len_bucket")
+      },
+      Some(raw"""SELECT lang, (n_tokens // 16) * 16 AS len_bucket,
+             |  count(*) AS n_docs, sum(n_tokens) AS total_tokens
+             |FROM (SELECT lang, CAST(len($tkSql) AS BIGINT) AS n_tokens
+             |      FROM documents)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // T4 — document fingerprint: order-sensitive polynomial rolling
     // hash over the token stream (exact integer fold, mod 1e9+7;
     // typed kernel — md5-per-token in a Catalyst lambda is
