@@ -65,7 +65,15 @@ object Streaming {
     * update mode + [[graft.io.Sinks.updateByKey]] gives streaming
     * upsert).
     */
-  def runForeachBatch(spark: SparkSession, path: String, mode: String)
+  /** @param checkpoint optional durable checkpoint dir: pass the SAME
+    *                    location across restarts and the query resumes
+    *                    from its saved offsets + state (exactly-once
+    *                    over the source, no reprocessing of seen
+    *                    files) — the property StreamingSpec's
+    *                    stop/restart test pins
+    */
+  def runForeachBatch(spark: SparkSession, path: String, mode: String,
+                      checkpoint: Option[String] = None)
                      (transform: DataFrame => DataFrame)
                      (batchFn: (DataFrame, Long) => Unit): Unit = {
     val schema = spark.read.parquet(path).schema
@@ -75,11 +83,11 @@ object Streaming {
       s"$dir/[${leaf.head}]${leaf.tail}"
     }
     val src = spark.readStream.schema(schema).parquet(globbed)
-    val q = transform(src).writeStream
+    val writer = transform(src).writeStream
       .foreachBatch(batchFn)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     q.awaitTermination()
   }
 

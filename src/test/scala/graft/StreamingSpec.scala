@@ -54,6 +54,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((3L, 60L)))
   }
 
+  test("restart from checkpoint delivers only unseen files, batch ids continue") {
+    val dataDir = Files.createTempDirectory("graft_ckpt_src").toString + "/ticks.parquet"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("user_id", "v")
+      .coalesce(1).write.parquet(dataDir)
+
+    def runOnce(): (Seq[(Long, Long)], Seq[Long]) = {
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val batches = scala.collection.mutable.ArrayBuffer[Long]()
+      Streaming.runForeachBatch(spark, dataDir, "append", Some(ckpt))(identity) {
+        (batch, id) =>
+          val got = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+          synchronized { rows ++= got; batches += id }
+      }
+      (rows.toSeq.sorted, batches.toSeq)
+    }
+
+    val (rows1, batches1) = runOnce()
+    assert(rows1 == Seq((1L, 10L), (1L, 30L), (2L, 20L)))
+    assert(batches1.contains(0L))
+
+    // new data lands between runs; same checkpoint → only the new
+    // file is delivered, and the batch counter resumes past run 1's
+    Seq((3L, 40L), (1L, 50L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    val (rows2, batches2) = runOnce()
+    assert(rows2 == Seq((1L, 50L), (3L, 40L)), s"reprocessed seen files: $rows2")
+    assert(batches2.nonEmpty && batches2.forall(_ > batches1.max),
+      s"batch ids did not continue: $batches1 then $batches2")
+  }
+
   test("append mode withholds windows newer than the final watermark") {
     // watermark delay 1h; max ts = 05:00 → watermark 04:00: the
     // 00:00 window (end 01:00) emits, the 05:00 window (end 06:00)
