@@ -22,8 +22,12 @@ import org.apache.spark.sql.types._
   * three accumulators fold sequentially left in array order exactly
   * like the HOF form — dot = ((0 + x₁y₁) + x₂y₂)…, same for the two
   * norms — and the result is `dot / (sqrt(na) * sqrt(nb))` in that
-  * operation order. Null semantics mirror the HOF form: null array,
-  * null element, or length mismatch (zip_with's null padding) → null.
+  * operation order. Null semantics: null array, null element, or
+  * length mismatch (zip_with's null padding) → null, like the HOF
+  * form; a ZERO-NORM input also yields null — deliberately unlike
+  * the HOF form, whose 0/0 raises DIVIDE_BY_ZERO under ANSI (a
+  * directionless vector has no defined similarity, and NaN would
+  * sort above every real cosine in a ranking).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -65,7 +69,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm input has no direction: null, never NaN (NaN sorts as
+    // the LARGEST double in Spark and would top every ranking)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -94,7 +101,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
         |    $nb += $y * $y;
         |  }
         |  if (!${ev.isNull}) {
-        |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |    if ($na == 0.0 || $nb == 0.0) {
+        |      ${ev.isNull} = true;
+        |    } else {
+        |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |    }
         |  }
         |}
       """.stripMargin

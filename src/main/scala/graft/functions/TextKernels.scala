@@ -26,8 +26,12 @@ import org.apache.spark.sql.types.LongType
   */
 object TextKernels {
 
-  /** JVM twin of the tokenizer semantics in [[TextFns.toks]]. */
+  /** JVM twin of the tokenizer semantics in [[TextFns.toks]];
+    * null-tolerant (null text → no tokens, mirroring how the Column
+    * form's null propagates to a null/empty result downstream).
+    */
   def toks(text: String): Array[String] = {
+    if (text == null) return Array.empty
     val lowered = text.toLowerCase(Locale.ROOT)
     val from = lowered.indexWhere(_ != ' ')
     val until = lowered.lastIndexWhere(_ != ' ') + 1

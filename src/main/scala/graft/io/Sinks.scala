@@ -107,16 +107,21 @@ object Sinks {
       val stage = s"${target}_stage$i"
       df.write.mode(SaveMode.Overwrite).option("batchsize", batchSize)
         .jdbc(url, stage, props)
-      (stage, target)
+      (stage, target, df.columns.toSeq)
     }
     withConnection(url, props) { conn =>
       conn.setAutoCommit(false)
       try {
         val st = conn.createStatement()
         try {
-          staged.foreach { case (stage, target) =>
+          staged.foreach { case (stage, target, cols) =>
             if (replace) st.executeUpdate(s"DELETE FROM $target")
-            st.executeUpdate(s"INSERT INTO $target SELECT * FROM $stage")
+            // column list on BOTH sides: positional SELECT * would
+            // silently mis-assign when the pre-existing target's
+            // column order differs from the frame's
+            val colList = cols.map(c => s""""$c"""").mkString(", ")
+            st.executeUpdate(
+              s"INSERT INTO $target ($colList) SELECT $colList FROM $stage")
           }
         } finally st.close()
         conn.commit()
@@ -127,7 +132,7 @@ object Sinks {
         // transaction — autocommit so the drops don't open a new tx
         conn.setAutoCommit(true)
         val st = conn.createStatement()
-        try staged.foreach { case (stage, _) =>
+        try staged.foreach { case (stage, _, _) =>
           try st.executeUpdate(s"DROP TABLE $stage") catch { case _: Exception => }
         } finally st.close()
       }

@@ -135,13 +135,17 @@ object Sources {
     import spark.implicits._
     val acc = spark.sparkContext.collectionAccumulator[Long]("graft.s3.failedKeys")
     val slots = math.max(1, math.min(parallelism, keys.size))
+    // PINNED: downstream consumers run several actions over the
+    // payloads (schema inference, the load, any validation pass) — an
+    // unpersisted plan would re-execute every HTTP request per action
+    // and double-count failures in the accumulator.
     val payloads = spark.createDataset(keys).repartition(slots)
       .mapPartitions { it =>
         it.flatMap { key =>
           try Iterator.single((key, transport(reqOf(key))))
           catch { case _: Exception => acc.add(key); Iterator.empty }
         }
-      }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     FanOut(payloads, acc)
   }
 

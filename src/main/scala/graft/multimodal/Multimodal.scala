@@ -86,7 +86,9 @@ object Multimodal {
       .select(col("doc_id").as("media_id"),
         element_at(typedlit(Seq("image", "audio", "video")),
           (col("doc_id") % 3).cast("int") + 1).as("kind"),
-        encode(col("text"), "UTF-8").as("content"))
+        // null text → empty payload: the decode kernels take the
+        // binary column as-is and must never see a null pointer
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
       .as[Media]
   }
 

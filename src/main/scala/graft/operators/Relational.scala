@@ -97,7 +97,12 @@ object Relational {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  joinType: String, nSalts: Int, saltFrom: Column): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(saltFrom, lit(nSalts)).cast("int"))
+    // null saltFrom must still land in a real bucket (salt 0) or the
+    // row would match nothing and break result-equality with the
+    // plain join; null JOIN KEYS never match either way, as in the
+    // plain join
+    val salted = big.withColumn("_salt",
+      pmod(coalesce(saltFrom, lit(0)), lit(nSalts)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(lit((0 until nSalts).toArray)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")

@@ -174,8 +174,13 @@ final case class RestReaderFactory(schema: StructType, conf: RestConf,
       partition.asInstanceOf[RestInputPartition].page)
 }
 
-/** Executor-side reader: one HTTP fetch per partition, parsed straight
-  * to InternalRow with Spark's JacksonParser (PERMISSIVE, UTC).
+/** Executor-side reader: one HTTP fetch per partition, parsed
+  * straight to InternalRow with Spark's JacksonParser. Parse-failure
+  * semantics are FAILFAST: a record that cannot coerce to the scan
+  * schema aborts the task with the parser's error (there is no
+  * null-filled PERMISSIVE row here — FailureSafeParser is not public
+  * API; callers wanting lenient parsing read the payload as string
+  * and use from_json).
   */
 class RestPartitionReader(schema: StructType, conf: RestConf, limit: Option[Int],
                           page: Option[Int]) extends PartitionReader[InternalRow] {

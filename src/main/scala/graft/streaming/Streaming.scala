@@ -24,6 +24,25 @@ object Streaming {
 
   private val ctr = new AtomicInteger(0)
 
+  /** The file stream source requires a directory (or glob) path — a
+    * single-file path fails basePath validation. Rewrite the last
+    * path segment as a one-character glob so the parent dir becomes
+    * basePath while matching exactly the target file/dir. Trailing
+    * slashes are stripped; paths whose parent dirs contain glob
+    * metacharacters are not supported (the glob would misfire) and
+    * are rejected loudly rather than matching nothing.
+    */
+  private[streaming] def singlePathGlob(path: String): String = {
+    val clean = path.reverse.dropWhile(_ == '/').reverse
+    require(clean.contains('/') && clean.last != '/',
+      s"not a usable source path: '$path'")
+    val i = clean.lastIndexOf('/')
+    val (dir, leaf) = (clean.substring(0, i), clean.substring(i + 1))
+    require(!dir.exists("*?[]{}".contains(_)),
+      s"glob metacharacters in parent dir unsupported: '$path'")
+    s"$dir/[${leaf.head}]${leaf.tail}"
+  }
+
   /** Run `transform(stream)` over the parquet files at `path` as a
     * Structured Streaming query, drain with AvailableNow, return the
     * completed in-memory result.
@@ -37,16 +56,7 @@ object Streaming {
   def runAvailableNow(spark: SparkSession, path: String,
                       mode: String)(transform: DataFrame => DataFrame): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    // The file stream source requires a directory (or glob) path — a
-    // single-file path fails basePath validation. Rewriting the last
-    // path segment as a one-character glob keeps the parent dir as
-    // basePath while matching exactly the target file/dir.
-    val globbed = {
-      val i = path.lastIndexOf('/')
-      val (dir, leaf) = (path.substring(0, i), path.substring(i + 1))
-      s"$dir/[${leaf.head}]${leaf.tail}"
-    }
-    val src = spark.readStream.schema(schema).parquet(globbed)
+    val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val q = transform(src).writeStream
       .format("memory").queryName(name)
@@ -64,8 +74,8 @@ object Streaming {
     * complete-mode agg + truncate-reload gives idempotent refresh,
     * update mode + [[graft.io.Sinks.updateByKey]] gives streaming
     * upsert).
-    */
-  /** @param checkpoint optional durable checkpoint dir: pass the SAME
+    *
+    * @param checkpoint optional durable checkpoint dir: pass the SAME
     *                    location across restarts and the query resumes
     *                    from its saved offsets + state (exactly-once
     *                    over the source, no reprocessing of seen
@@ -77,12 +87,7 @@ object Streaming {
                      (transform: DataFrame => DataFrame)
                      (batchFn: (DataFrame, Long) => Unit): Unit = {
     val schema = spark.read.parquet(path).schema
-    val globbed = {
-      val i = path.lastIndexOf('/')
-      val (dir, leaf) = (path.substring(0, i), path.substring(i + 1))
-      s"$dir/[${leaf.head}]${leaf.tail}"
-    }
-    val src = spark.readStream.schema(schema).parquet(globbed)
+    val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
     val writer = transform(src).writeStream
       .foreachBatch(batchFn)
       .outputMode(mode)

@@ -29,6 +29,15 @@ class CosineExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("zero-norm vectors yield null, not NaN (NaN would top every ranking)") {
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 2.0f), Seq(0.0f, 0.0f)),
+      (Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("null array, null element, and length mismatch all yield null") {
     val df = Seq(
       (Some(Seq[Option[Float]](Some(1f), Some(2f))), Some(Seq[Option[Float]](Some(1f), None))),

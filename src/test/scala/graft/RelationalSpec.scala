@@ -70,6 +70,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(rest.columns.toSeq == Seq("x", "z"))
   }
 
+  test("saltedJoin equals the plain join even when the salt source column is null") {
+    val big = Seq((Option(1L), Option(10L)), (Option(1L), Option.empty[Long]),
+      (Option(2L), Option(30L)), (Option.empty[Long], Option(40L)))
+      .toDF("k", "salt_src")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k"), "left")
+      .select("k", "salt_src", "name").collect().map(_.toString).sorted.toSeq
+    val salted = Relational.saltedJoin(big, dim, Seq("k"), "left",
+        nSalts = 4, saltFrom = col("salt_src"))
+      .select("k", "salt_src", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("asofJoin attaches the latest right value at-or-before each left ts, null when none") {
     val clicks = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
       .toDF("user_id", "ts", "click_id")

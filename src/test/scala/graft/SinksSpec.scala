@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import java.sql.DriverManager
 import java.util.Properties
 
 import org.apache.spark.sql.DataFrame
@@ -84,6 +85,21 @@ class SinksSpec extends AnyFunSuite {
     assert(readTable("k4_a").as[(Long, Long)].collect().toSeq == Seq((10L, 10L)))
     assert(readTable("k4_b").orderBy("id").as[(Long, Long)].collect().toSeq ==
       Seq((20L, 20L), (21L, 21L)))
+  }
+
+  test("K4 maps columns BY NAME when target column order differs from the frame's") {
+    // target created column-reversed relative to the incoming frame
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("""CREATE TABLE k4_rev ("v" BIGINT, "id" BIGINT)""")
+      st.close()
+    } finally conn.close()
+    Sinks.multiTableTransactionalLoad(Seq(
+      Seq((7L, 70L)).toDF("id", "v") -> "k4_rev"),
+      url, props, replace = true)
+    val got = readTable("k4_rev").select("id", "v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 70L))) // positional SELECT * would swap these
   }
 
   test("K4 failure before commit leaves every target untouched") {
