@@ -131,7 +131,8 @@ object Sources {
     * @param parallelism fetch slots (≈ concurrent HTTP connections)
     */
   def fanOutScan(spark: SparkSession, transport: Transport, keys: Seq[Long],
-                 reqOf: Long => RestRequest, parallelism: Int = 16): FanOut = {
+                 reqOf: Long => RestRequest, parallelism: Int = 16,
+                 retries: Int = 2): FanOut = {
     import spark.implicits._
     val acc = spark.sparkContext.collectionAccumulator[Long]("graft.s3.failedKeys")
     val slots = math.max(1, math.min(parallelism, keys.size))
@@ -142,8 +143,21 @@ object Sources {
     val payloads = spark.createDataset(keys).repartition(slots)
       .mapPartitions { it =>
         it.flatMap { key =>
-          try Iterator.single((key, transport(reqOf(key))))
-          catch { case _: Exception => acc.add(key); Iterator.empty }
+          // transient endpoint hiccups are the norm at fan-out scale:
+          // bounded linear-backoff retries per key; only a key that
+          // fails every attempt lands in the accumulator
+          var attempt = 0
+          var result: Option[(Long, String)] = None
+          while (result.isEmpty && attempt <= retries) {
+            try result = Some((key, transport(reqOf(key))))
+            catch {
+              case _: Exception =>
+                attempt += 1
+                if (attempt <= retries) Thread.sleep(50L * attempt)
+            }
+          }
+          if (result.isEmpty) acc.add(key)
+          result.iterator
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     FanOut(payloads, acc)

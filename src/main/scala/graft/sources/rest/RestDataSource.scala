@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,6 +29,10 @@ import graft.io.Sources.{JdkHttpTransport, RestRequest, Transport}
   *  - **limit pushdown** (`SupportsPushDownLimit`): `LIMIT n` becomes
   *    the server-side `limitParam` (the reference's datatable
   *    `length`, LAT:78);
+  *  - **filter pushdown** (`SupportsPushDownFilters`): equality
+  *    predicates become query params (the reference's
+  *    `deleted=false` / date-range URL predicates, SER:93-96) —
+  *    partial pushdown, Spark always re-applies the predicate;
   *  - **partitioned parallel fetch**: `pages=N` plans one input
   *    partition per page, so N executors fetch concurrently — the
   *    DSv2 form of the S3 fan-out.
@@ -79,8 +83,9 @@ class RestDataSource extends TableProvider with DataSourceRegister {
 final case class RestConf(url: String, transportKey: String, root: Option[String],
                           pages: Int, pageParam: String, fieldsParam: Option[String],
                           limitParam: String, baseParams: Map[String, String]) {
-  def request(page: Option[Int], fields: Option[Seq[String]], limit: Option[Int]): RestRequest =
-    RestRequest(url, baseParams ++
+  def request(page: Option[Int], fields: Option[Seq[String]], limit: Option[Int],
+              eqFilters: Map[String, String] = Map.empty): RestRequest =
+    RestRequest(url, baseParams ++ eqFilters ++
       page.map(p => pageParam -> p.toString) ++
       fields.flatMap(fs => fieldsParam.map(_ -> fs.mkString(","))) ++
       limit.map(n => limitParam -> n.toString))
@@ -128,10 +133,27 @@ class RestTable(schema: StructType, conf: RestConf) extends Table with SupportsR
 }
 
 class RestScanBuilder(fullSchema: StructType, conf: RestConf)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownFilters {
 
   private var pruned: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var pushedEq: Array[Filter] = Array.empty
+
+  /** Equality predicates on top-level columns travel to the server as
+    * `attr=value` query params; everything (incl. the pushed ones) is
+    * returned for Spark to re-evaluate — the server's filtering is an
+    * optimization, never trusted for correctness.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedEq = filters.collect {
+      case f @ EqualTo(_, v) if v != null && (
+        v.isInstanceOf[String] || v.isInstanceOf[java.lang.Number] ||
+          v.isInstanceOf[java.lang.Boolean]) => f
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushedEq
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // top-level pruning only; empty projections (count(*)) keep one
@@ -146,15 +168,18 @@ class RestScanBuilder(fullSchema: StructType, conf: RestConf)
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new RestScan(pruned, conf, limit)
+  override def build(): Scan = new RestScan(pruned, conf, limit,
+    pushedEq.collect { case EqualTo(a, v) => a -> String.valueOf(v) }.toMap)
 }
 
-class RestScan(schema: StructType, conf: RestConf, limit: Option[Int])
+class RestScan(schema: StructType, conf: RestConf, limit: Option[Int],
+               eqFilters: Map[String, String] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-rest ${conf.url} fields=${schema.fieldNames.mkString(",")} limit=$limit"
+    s"graft-rest ${conf.url} fields=${schema.fieldNames.mkString(",")} " +
+      s"limit=$limit eqFilters=${eqFilters.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
     (if (conf.pages <= 1) Array(None: Option[Int])
@@ -162,15 +187,17 @@ class RestScan(schema: StructType, conf: RestConf, limit: Option[Int])
       .map(p => RestInputPartition(p): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    RestReaderFactory(schema, conf, limit)
+    RestReaderFactory(schema, conf, limit, eqFilters)
 }
 
 final case class RestInputPartition(page: Option[Int]) extends InputPartition
 
 final case class RestReaderFactory(schema: StructType, conf: RestConf,
-                                   limit: Option[Int]) extends PartitionReaderFactory {
+                                   limit: Option[Int],
+                                   eqFilters: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RestPartitionReader(schema, conf, limit,
+    new RestPartitionReader(schema, conf, limit, eqFilters,
       partition.asInstanceOf[RestInputPartition].page)
 }
 
@@ -183,11 +210,12 @@ final case class RestReaderFactory(schema: StructType, conf: RestConf,
   * and use from_json).
   */
 class RestPartitionReader(schema: StructType, conf: RestConf, limit: Option[Int],
+                          eqFilters: Map[String, String],
                           page: Option[Int]) extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val payload = TransportRegistry.get(conf.transportKey)(
-      conf.request(page, Some(schema.fieldNames.toSeq), limit))
+      conf.request(page, Some(schema.fieldNames.toSeq), limit, eqFilters))
     val body = conf.root match {
       case Some(r) =>
         // envelope: extract the root array subtree verbatim

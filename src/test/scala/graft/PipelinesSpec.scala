@@ -70,6 +70,20 @@ object PipelineFixtures {
       | "content_display": {"display_id": 40661, "content_id": 9002, "rules": null}}
       |]}""".stripMargin
 
+  /** Fails the FIRST attempt for every key, succeeds after — retry
+    * coverage for the fan-out scan.
+    */
+  class FlakyOnceTransport extends Transport {
+    import java.util.concurrent.ConcurrentHashMap
+    private val seen = new ConcurrentHashMap[String, Boolean]()
+    def apply(req: RestRequest): String = {
+      val key = req.params("content_id")
+      if (seen.putIfAbsent(key, true) == null)
+        throw new RuntimeException(s"transient for $key")
+      s"""{"report": [{"content": $key, "ok": true}]}"""
+    }
+  }
+
   class LatinadTransport extends Transport {
     def apply(req: RestRequest): String = {
       val path = req.url
@@ -164,6 +178,15 @@ class PipelinesSpec extends AnyFunSuite {
         params = Map("content_id" -> id.toString)))
     assert(fanOut.payloads.count() == 2)
     assert(fanOut.failedKeys.value.toArray.toSeq == Seq(9003L))
+  }
+
+  test("fan-out retries transient failures; only permanently-failing keys accumulate") {
+    val fanOut = Sources.fanOutScan(spark, new FlakyOnceTransport(),
+      Seq(1L, 2L, 3L), id => RestRequest("https://api.test/report",
+        params = Map("content_id" -> id.toString)))
+    // every key fails once then succeeds within the retry budget
+    assert(fanOut.payloads.count() == 3)
+    assert(fanOut.failedKeys.value.isEmpty)
   }
 
   // ---- E2 fixtures (FIXTURES.md A4-A7) -----------------------------

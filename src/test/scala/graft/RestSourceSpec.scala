@@ -84,6 +84,16 @@ class RestSourceSpec extends AnyFunSuite {
     assert(reqs.nonEmpty && reqs.forall(_.params("length") == "3"))
   }
 
+  test("equality filters push to the server as params AND are re-applied by Spark") {
+    RestSourceFixture.requests.clear()
+    // the paged transport does NOT honor the filter param — Spark's
+    // re-application must still produce the correct result
+    val df = pagedReader.load().filter(col("id") === 3L)
+    assert(df.select("id").as[Long].collect().toSeq == Seq(3L))
+    val reqs = RestSourceFixture.requests.asScala.filter(_.params.contains("page"))
+    assert(reqs.nonEmpty && reqs.forall(_.params.get("id").contains("3")))
+  }
+
   test("envelope root option unwraps the payload array") {
     val df = spark.read.format("graft-rest")
       .option("url", "https://api.test/wrapped")
