@@ -207,6 +207,20 @@ object AggQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // G13 — exact percentiles (median + p90) per group: both engines
+    // sort within the group and linearly interpolate order statistics
+    // over the same doubles, so the result is deterministic.
+    Q("g13_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // G11 — CUBE grouping sets (every subtotal combination).
     Q("g11_cube",
       (s, d) => Tables.orders(s, d)
