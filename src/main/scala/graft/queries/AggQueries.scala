@@ -221,6 +221,22 @@ object AggQueries {
              |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // G14 — deterministic arg-max per group: the orderkey of the
+    // highest-priced order, ties broken inside the struct ordering
+    // (both engines compare structs field-by-field).
+    Q("g14_argmax",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .as("m"))
+        .select(col("o_orderstatus"), col("m.k").as("top_orderkey"),
+          col("m.p").as("top_price"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  (max({'p': o_totalprice, 'k': o_orderkey})).k AS top_orderkey,
+             |  (max({'p': o_totalprice, 'k': o_orderkey})).p AS top_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // G11 — CUBE grouping sets (every subtotal combination).
     Q("g11_cube",
       (s, d) => Tables.orders(s, d)

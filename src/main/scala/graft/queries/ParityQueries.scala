@@ -350,6 +350,27 @@ object ParityQueries {
       Some("""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // F16 (schema-drift extension of F1): drift-tolerant JSON parse —
+    // malformed payloads (every 10th row corrupted here) yield null
+    // instead of failing the scan, the posture an ingest pipeline
+    // needs when upstream JSON goes bad mid-feed.
+    Q("f16_json_drift",
+      (s, d) => Tables.events(s, d)
+        .withColumn("payload",
+          when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
+            .otherwise(col("props")))
+        .select(col("event_id"),
+          from_json(col("payload"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CASE WHEN json_valid(payload)
+             |       THEN CAST(payload->>'$.k' AS BIGINT) END AS k
+             |FROM (SELECT event_id,
+             |        CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS payload
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
     // F2 (SER:154-175): widen array to first-N scalar columns;
     // out-of-range index → null on both engines (64-dim vectors ⇒
     // non-null here; the <N case is unit-tested on fixtures).

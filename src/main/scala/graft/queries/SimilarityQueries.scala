@@ -178,6 +178,27 @@ object SimilarityQueries {
              |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // D7 — edit-distance fuzzy matching: candidate pairs meet only
+    // inside a (brand, size) blocking bucket — classic blocking-key
+    // record linkage, never an all-pairs Levenshtein.
+    Q("d7_fuzzy_pairs",
+      (s, d) => {
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size", "p_name")
+        p.as("a").join(p.as("b"), Seq("p_brand", "p_size"))
+          .filter(col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType).as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy("key_a", "key_b")
+      },
+      Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY key_a, key_b""".stripMargin)),
+
     // V1 — exact cosine top-k: 10 broadcast probes × linear corpus
     // scan, per-probe top-10 via probe-partitioned window.
     Q("v1_cosine_topk",
