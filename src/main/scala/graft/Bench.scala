@@ -31,6 +31,10 @@ object Bench {
         case e: Throwable =>
           e.printStackTrace()
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        // outside the timed region: evict operator-pinned caches so
+        // later queries aren't measured under earlier queries' memory
+        spark.catalog.clearCache()
       }
     }
     def jstr(s: String): String =

@@ -108,6 +108,9 @@ object Pipelines {
     Sinks.truncateReload(contents, jdbcUrl, dimTable, props)
     Sinks.rangedOverwrite(shaped, jdbcUrl, factTable, props,
       rangeCol = "Fecha", lo = fromDate, hi = toDate)
+    // the pinned fan-out payloads are fully consumed once the sinks
+    // have run — release the cache before returning
+    fanOut.payloads.unpersist(blocking = false)
     shaped
   }
 
@@ -200,6 +203,10 @@ object Pipelines {
     // K5 updates + K1 inserts into the task table
     Sinks.applyMerge(split, jdbcUrl, taskTable, props,
       keyCol = "id", updateCols = tasks.columns.filterNot(_ == "id").toSeq)
+    // the snapshot pin deliberately outlives this call: the returned
+    // split frames reference it lazily, and an unpersisted re-scan
+    // would read the just-merged table (callers release via
+    // spark.catalog.clearCache() when done)
 
     E2Result(tasks, split, turns, projects, elements)
   }
