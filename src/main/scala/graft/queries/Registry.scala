@@ -16,9 +16,15 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
-  def all: Seq[Q] =
-    ParityQueries.qs ++ AggQueries.qs ++ TextQueries.qs ++
+  def all: Seq[Q] = {
+    val qs = ParityQueries.qs ++ AggQueries.qs ++ TextQueries.qs ++
       SimilarityQueries.qs ++ StreamQueries.qs ++ MultimodalQueries.qs
+    // a duplicate name would silently drop a query from the Map-shaped
+    // driver contract — fail loudly instead
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
