@@ -126,6 +126,28 @@ object StreamQueries {
              |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
 
+    // ST7 — stream-static enrichment: the event stream joins a STATIC
+    // per-user profile frame (computed batch-side); the static side
+    // is re-planned per micro-batch, the streaming side needs no
+    // state — the standard dimension-enrichment shape.
+    Q("st7_stream_static_join",
+      (s, d) => {
+        val profile = graft.engine.Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("user_events"))
+        Streaming.eventsStream(s, d, "append") { df =>
+          df.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id")
+            .join(profile, Seq("user_id"))
+        }.orderBy("event_id")
+      },
+      Some("""WITH profile AS (
+             |  SELECT user_id, count(*) AS user_events FROM events GROUP BY 1)
+             |SELECT e.user_id, e.event_id, p.user_events
+             |FROM events e JOIN profile p USING (user_id)
+             |WHERE e.event_type = 'purchase'
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ST5 — streaming dedup: dropDuplicates over the key pair inside
     // the stream (keyed state store holds seen keys; with a watermark
     // + event-time key this is the bounded-state production form).
