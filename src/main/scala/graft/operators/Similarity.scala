@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,10 +20,12 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: brute-force is a broadcast of the (small) probe set
   * against a linear scan of the corpus — no shuffle of the corpus at
-  * all; per-probe top-k is a window over probe partitions. SRP-LSH
-  * replaces the linear scan with a bucket-equality join: each vector
-  * hashes to a `planes`-bit bucket, probes only meet their bucket
-  * (recall is tuned by plane count / multi-probe, not by scan size).
+  * all; per-probe top-k is a BOUNDED aggregation ([[TopK]]): each
+  * scan partition pre-reduces to a k-heap per probe, so only
+  * ≤ partitions×probes×k buffer rows ever shuffle. SRP-LSH replaces
+  * the linear scan with a bucket-equality join: each vector hashes
+  * to a `planes`-bit bucket, probes only meet their bucket (recall
+  * is tuned by plane count / multi-probe, not by scan size).
   */
 object Similarity {
 
@@ -48,6 +49,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.CosineSimilarity(a, b)
 
+  /** Scored (p_id, idCol, cos_raw) frame → per-probe bounded top-k
+    * via [[TopK]]: partial k-heaps reduce each scan partition to ≤ k
+    * rows per probe BEFORE the exchange, so the shuffle carries
+    * ≤ |partitions|×|probes|×k rows instead of probe×corpus (the
+    * row_number-window shape this replaces sorted the whole corpus
+    * inside |probes| window partitions — a 100 TB non-starter).
+    */
+  private def probeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    TopK.perGroup(scored, "p_id", idCol, "cos_raw", k)
+      .select(col("p_id"), col("rn"), col(idCol),
+        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+
   /** Exact top-k cosine neighbours for each probe vector.
     * @param probes     (idCol, vecCol) — small; broadcast
     * @param candidates (idCol, vecCol) — the corpus; scanned once
@@ -56,14 +69,11 @@ object Similarity {
                  idCol: String, vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))
     val cos = cosine(col("p_vec"), col(vecCol))
-    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col(idCol))
-    candidates.crossJoin(broadcast(p))
-      .filter(col("p_id") =!= col(idCol))
-      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("p_id"), col("rn"), col(idCol),
-        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+    probeTopK(
+      candidates.crossJoin(broadcast(p))
+        .filter(col("p_id") =!= col(idCol))
+        .select(col("p_id"), col(idCol), cos.as("cos_raw")),
+      idCol, k)
   }
 
   /** Deterministic SRP hyperplanes: integer weights in [-1000, 1000]
@@ -89,20 +99,25 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid by cosine (ties →
     * lowest centroid id): the IVF cell assignment. Centroids are
-    * broadcast; assignment is a map-side cross-product + per-vector
-    * top-1 window — no shuffle of the corpus beyond the window's
-    * id-partitioning.
+    * broadcast; the per-vector argmax is `max(struct(cos, -cell_id,
+    * vec))` — a declarative aggregate with map-side partial
+    * aggregation, so the ×|centroids| fan-out collapses back to one
+    * row per vector BEFORE the exchange (the row_number-window shape
+    * this replaces shuffled corpus×|centroids| rows; same trick as
+    * g14's argmax).
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("c_cos").desc, col("cell_id"))
     vectors.crossJoin(broadcast(c))
-      .withColumn("c_cos", cosine(col(vecCol), col("c_vec")))
-      .withColumn("c_rn", row_number().over(w))
-      .filter(col("c_rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+      .select(col(idCol), struct(
+          cosine(col(vecCol), col("c_vec")).as("c_cos"),
+          (-col("cell_id")).as("neg_cell"),
+          col(vecCol).as("vec")).as("cand"))
+      .groupBy(idCol)
+      .agg(max(col("cand")).as("best"))
+      .select(col(idCol), col("best.vec").as(vecCol),
+        (-col("best.neg_cell")).as("cell_id"))
   }
 
   /** IVF-style ANN top-k: probes search only their own centroid's
@@ -117,14 +132,11 @@ object Similarity {
     val pCells = ivfAssign(probes, idCol, vecCol, centroids)
       .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
     val cos = cosine(col("p_vec"), col(vecCol))
-    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col(idCol))
-    cCells.join(broadcast(pCells), Seq("cell_id"))
-      .filter(col("p_id") =!= col(idCol))
-      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("p_id"), col("rn"), col(idCol),
-        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+    probeTopK(
+      cCells.join(broadcast(pCells), Seq("cell_id"))
+        .filter(col("p_id") =!= col(idCol))
+        .select(col("p_id"), col(idCol), cos.as("cos_raw")),
+      idCol, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —
@@ -160,13 +172,10 @@ object Similarity {
     val c = candidates
       .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("bucket"))
     val cos = cosine(col("p_vec"), col(vecCol))
-    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col(idCol))
-    c.join(broadcast(p), Seq("bucket"))
-      .filter(col("p_id") =!= col(idCol))
-      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("p_id"), col("rn"), col(idCol),
-        floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
+    probeTopK(
+      c.join(broadcast(p), Seq("bucket"))
+        .filter(col("p_id") =!= col(idCol))
+        .select(col("p_id"), col(idCol), cos.as("cos_raw")),
+      idCol, k)
   }
 }

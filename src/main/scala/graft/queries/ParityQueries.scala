@@ -60,6 +60,21 @@ object ParityQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag
              |FROM lineitem ORDER BY ALL""".stripMargin)),
 
+    // P3 (SER:185-191): FULL fixed-list projection in canonical order
+    // (the reference's 27/10-column shaping lists): every name
+    // present, wanted order preserved, repeated name deduped (first
+    // occurrence wins) — the driver-visible row for the shaping lists
+    // that E2's shapeTasks/shapeElements exercise end-to-end.
+    Q("p3_fixed_projection",
+      (s, d) => Flatten.selectExisting(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_shipdate", "l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+             |  l_extendedprice, l_discount, l_tax, l_returnflag, l_shipdate
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // P4+P5 (LAT:47,178; LAT:254-255): column drop incl. conditional
     // drop of a column that may not exist.
     Q("p4_drop_columns",
@@ -294,6 +309,64 @@ object ParityQueries {
              |  CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
              |    || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sk
              |FROM lineitem ORDER BY ALL""".stripMargin)),
+
+    // F3 (LAT:48): nested-struct flatten with `.`→`_` joined names —
+    // one projection node, collapsed into the scan.
+    Q("f3_flatten_names",
+      (s, d) => graft.functions.Flatten.flatten(Tables.customer(s, d)
+          .select(col("c_custkey"), struct(col("c_name").as("name"),
+            struct(col("c_mktsegment").as("segment")).as("mkt")).as("info")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name AS info_name, c_mktsegment AS info_mkt_segment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // F4 (LAT:104,177,185; SER:130,173): bulk rename via explicit map.
+    Q("f4_rename_map",
+      (s, d) => Flatten.renameAll(Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderdate"),
+          Map("o_totalprice" -> "amount", "o_orderdate" -> "fecha"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice AS amount, o_orderdate AS fecha
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // F8 (LAT:149) + A3 (LAT:69,101): bounded key collect → CSV
+    // request parameter, rendered as a one-row frame so the oracle
+    // checks the exact string the fan-out would send.
+    Q("f8_keys_csv",
+      (s, d) => {
+        val csv = graft.io.Sources.keysCsv(
+          graft.io.Sources.collectKeys(Tables.nation(s, d), "n_nationkey"))
+        s.range(1).select(lit(csv).as("keys_csv"))
+      },
+      Some("""SELECT string_agg(CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_nationkey) AS keys_csv
+             |FROM (SELECT DISTINCT n_nationkey FROM nation)""".stripMargin)),
+
+    // F12 (SER:63): frame-wide fillna — numeric nulls → 0, string
+    // nulls → "0" (pandas dtype behavior), one projection.
+    Q("f12_fill_all",
+      (s, d) => Relational.fillAll(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 4 === 0, lit(null).cast(DoubleType))
+              .otherwise(col("o_totalprice")).as("price"),
+            when(col("o_orderkey") % 5 === 0, lit(null).cast(StringType))
+              .otherwise(col("o_orderstatus")).as("status")))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 4 = 0 THEN 0.0 ELSE o_totalprice END AS price,
+             |  CASE WHEN o_orderkey % 5 = 0 THEN '0' ELSE o_orderstatus END AS status
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // F15 (LAT:170-179): split a frame into two disjoint column sets;
+    // the "rest" half (whatever the fixed list didn't claim, in frame
+    // order) is the driver-visible row — the first half is P1's shape.
+    Q("f15_split_columns",
+      (s, d) => {
+        val (_, rest) = Relational.splitColumns(
+          Tables.customer(s, d).select("c_name", "c_acctbal", "c_custkey", "c_mktsegment"),
+          Seq("c_name", "c_acctbal"))
+        rest.orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey")),
 
     // F9 (SER:141,193-202): parse ISO-8601 with zone offset, strip to
     // UTC-naive (session TZ = UTC).

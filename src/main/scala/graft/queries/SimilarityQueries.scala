@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
 /** Dedup + similarity-search surface over `documents` and
@@ -293,6 +294,42 @@ object SimilarityQueries {
                |        row_number() OVER (PARTITION BY p_id ORDER BY cos_raw DESC, vec_id) AS rn
                |      FROM d)
                |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
+      }),
+
+    // MM4 — multimodal features FEED the ANN surface: the stub media
+    // features (mm2's 8 integer digest slices) become an 8-dim vector
+    // and run through the SAME SRP-bucketed top-k as real embeddings.
+    // This is the composed proof that binary column → feature extract
+    // → similarity search is one pipeline; swapping FakeCodec for a
+    // real model changes no plan shape.
+    Q("mm4_feature_ann",
+      (s, d) => {
+        val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
+          .select(col("media_id"),
+            array((1 to 8).map(i => col(s"f$i").cast(DoubleType)): _*).as("fvec"))
+        Similarity.srpAnnTopK(feats.filter(col("media_id") < 10), feats,
+            "media_id", "fvec", k = 5, nPlanes = 4, dims = 8)
+          .orderBy("p_id", "rn")
+      },
+      {
+        val planes = Similarity.srpPlanes(4, 8)
+        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
+          val wLit = w.mkString("[", ", ", "]")
+          s"(CASE WHEN ${dotSql(wLit, "fvec")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        val fvecSql = (0 until 8).map(i =>
+          s"CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        Some(s"""WITH f AS (SELECT doc_id AS media_id, $fvecSql AS fvec FROM documents),
+               |b AS (SELECT media_id, fvec, $bucketSql AS bucket FROM f),
+               |pr AS (SELECT media_id AS p_id, fvec AS p_vec, bucket FROM b WHERE media_id < 10),
+               |d AS (SELECT p_id, c.media_id, ${cosSql("p_vec", "c.fvec")} AS cos_raw
+               |      FROM b c JOIN pr USING (bucket) WHERE c.media_id <> p_id),
+               |r AS (SELECT p_id, media_id, cos_raw,
+               |        row_number() OVER (PARTITION BY p_id ORDER BY cos_raw DESC, media_id) AS rn
+               |      FROM d)
+               |SELECT p_id, rn, media_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
                |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
       })
   )

@@ -35,6 +35,9 @@ object StreamQueries {
     */
   private val centsSpark = floor(col("value") * 100 + 0.5).cast(LongType)
   private val centsSql = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+  // NB: every oracle-side sum() over these must be wrapped in
+  // CAST(... AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT, which
+  // hash-mismatches Spark's LongType even when values are equal.
 
   val qs: Seq[Q] = Seq(
 
@@ -49,7 +52,7 @@ object StreamQueries {
             col("n"), col("sum_cents"))
       }.orderBy("w_start", "event_type"),
       Some(s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 * 1000000 AS BIGINT)) AS w_start,
-             |  event_type, count(*) AS n, sum($centsSql) AS sum_cents
+             |  event_type, count(*) AS n, CAST(sum($centsSql) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ST2 — sliding window (1 day, 12 h slide): each event lands in 2
@@ -63,7 +66,7 @@ object StreamQueries {
           .select(col("w.start").as("w_start"), col("n"), col("sum_cents"))
       }.orderBy("w_start"),
       Some(s"""SELECT make_timestamp(CAST((floor(epoch(ts) / 43200) - k) * 43200 * 1000000 AS BIGINT)) AS w_start,
-             |  count(*) AS n, sum($centsSql) AS sum_cents
+             |  count(*) AS n, CAST(sum($centsSql) AS BIGINT) AS sum_cents
              |FROM events, unnest([0, 1]) AS t(k)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -185,7 +188,7 @@ object StreamQueries {
             .toDF("user_id", "n_events", "sum_cents", "min_event_id", "max_event_id")
         }.orderBy("user_id")
       },
-      Some(s"""SELECT user_id, count(*) AS n_events, sum($centsSql) AS sum_cents,
+      Some(s"""SELECT user_id, count(*) AS n_events, CAST(sum($centsSql) AS BIGINT) AS sum_cents,
              |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )

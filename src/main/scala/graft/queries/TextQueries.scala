@@ -133,7 +133,7 @@ object TextQueries {
           .orderBy("lang", "len_bucket")
       },
       Some(raw"""SELECT lang, (n_tokens // 16) * 16 AS len_bucket,
-             |  count(*) AS n_docs, sum(n_tokens) AS total_tokens
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
              |FROM (SELECT lang, CAST(len($tkSql) AS BIGINT) AS n_tokens
              |      FROM documents)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

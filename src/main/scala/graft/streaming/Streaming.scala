@@ -64,7 +64,19 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Copy the (already driver-resident) sink rows into a LocalRelation
+    // and drop the temp view + terminated query handle: a 66-query
+    // Verify/Bench run would otherwise accumulate every memory-sink
+    // table for the life of the session (clearCache doesn't free them),
+    // which is exactly the driver-heap pressure that slowed the round-3
+    // driver bench. Memory-sink results are small aggregates by
+    // construction; production plans write to Kafka/Delta instead.
+    val sunk = spark.table(name)
+    val rows = java.util.Arrays.asList(sunk.collect(): _*)
+    val out = spark.createDataFrame(rows, sunk.schema)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
   }
 
   /** Drain a streaming transform into an arbitrary batch sink via
