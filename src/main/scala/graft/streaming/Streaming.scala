@@ -24,6 +24,38 @@ object Streaming {
 
   private val ctr = new AtomicInteger(0)
 
+  /** State partitions per streaming query (default 8, env-overridable
+    * via SPARK_GRAFT_STREAM_SHUFFLE). Stateful operators allocate ONE
+    * state-store provider per shuffle partition, pinned in the
+    * executor JVM with a periodic maintenance task for the life of
+    * the session — so the partition count must track STATE VOLUME,
+    * not cluster width. Inheriting the batch shuffle width (32 here)
+    * left 32 providers × op × query resident after each drain; across
+    * a 73-query bench their maintenance churn slowed LATER batch
+    * queries up to 10×. A production job sizes this per stream
+    * explicitly (and a watermark keeps each store small); 8 bounds
+    * the local harness honestly.
+    */
+  private def streamShufflePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
+
+  /** Run `body` with the streaming shuffle width, restoring the batch
+    * width after; then unload every state-store provider and stop the
+    * maintenance thread ([[org.apache.spark.sql.execution.streaming
+    * .state.StateStore.stop]]) — a drained AvailableNow query never
+    * reuses them, and leaving them loaded is a session-wide leak.
+    */
+  private def drained[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, streamShufflePartitions.toString)
+    try body
+    finally {
+      spark.conf.set(key, prev)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   /** The file stream source requires a directory (or glob) path — a
     * single-file path fails basePath validation. Rewrite the last
     * path segment as a one-character glob so the parent dir becomes
@@ -54,7 +86,7 @@ object Streaming {
     *             tail windows never emit)
     */
   def runAvailableNow(spark: SparkSession, path: String,
-                      mode: String)(transform: DataFrame => DataFrame): DataFrame = {
+                      mode: String)(transform: DataFrame => DataFrame): DataFrame = drained(spark) {
     val schema = spark.read.parquet(path).schema
     val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
@@ -97,7 +129,7 @@ object Streaming {
   def runForeachBatch(spark: SparkSession, path: String, mode: String,
                       checkpoint: Option[String] = None)
                      (transform: DataFrame => DataFrame)
-                     (batchFn: (DataFrame, Long) => Unit): Unit = {
+                     (batchFn: (DataFrame, Long) => Unit): Unit = drained(spark) {
     val schema = spark.read.parquet(path).schema
     val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
     val writer = transform(src).writeStream

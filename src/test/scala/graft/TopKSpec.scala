@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TopK
+
+/** The bounded top-k aggregator must agree EXACTLY with the
+  * row_number-window formulation it replaces (same rows, same rank
+  * order, same tie-breaks) while keeping its buffer capped at k —
+  * that equivalence is what lets the v1/v2/v4 oracles stay unchanged
+  * when the plan shape moved from window to partial aggregation.
+  */
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-random scores with deliberate duplicates
+    * (g % 7 collides scores inside a group to exercise id tie-break).
+    */
+  private def scored(n: Int, groups: Int) =
+    (0 until n).map { i =>
+      val g = i % groups
+      (g.toLong, i.toLong, (((i * 37 + g * 11) % 19) / 19.0))
+    }.toDF("p_id", "cand_id", "cos_raw")
+      // spread over many partitions so partial buffers genuinely merge
+      .repartition(7)
+
+  private def windowTopK(k: Int, n: Int, groups: Int) = {
+    val w = Window.partitionBy("p_id").orderBy(col("cos_raw").desc, col("cand_id"))
+    scored(n, groups)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("p_id", "rn", "cand_id", "cos_raw")
+  }
+
+  test("perGroup matches the row_number window exactly, incl. score ties") {
+    val got = TopK.perGroup(scored(500, 9), "p_id", "cand_id", "cos_raw", k = 5)
+      .orderBy("p_id", "rn").collect().toSeq
+    val want = windowTopK(5, 500, 9).orderBy("p_id", "rn").collect().toSeq
+    assert(got == want)
+  }
+
+  test("groups smaller than k emit all their rows, ranked") {
+    val got = TopK.perGroup(scored(6, 3), "p_id", "cand_id", "cos_raw", k = 10)
+      .orderBy("p_id", "rn").collect().toSeq
+    val want = windowTopK(10, 6, 3).orderBy("p_id", "rn").collect().toSeq
+    assert(got == want)
+    assert(got.size == 6)
+  }
+
+  test("merge is order-independent: any partitioning gives the same result") {
+    val base = scored(300, 4)
+    val a = TopK.perGroup(base.repartition(1), "p_id", "cand_id", "cos_raw", 7)
+      .orderBy("p_id", "rn").collect().toSeq
+    val b = TopK.perGroup(base.repartition(13), "p_id", "cand_id", "cos_raw", 7)
+      .orderBy("p_id", "rn").collect().toSeq
+    assert(a == b)
+  }
+
+  test("aggregator buffer never exceeds k and stays (score desc, id asc) sorted") {
+    val agg = new TopK.TopKAgg(3)
+    var buf = agg.zero
+    val items = Seq((5L, 0.9), (1L, 0.3), (2L, 0.9), (9L, 0.1), (7L, 0.95), (3L, 0.9))
+    items.foreach { case (id, s) => buf = agg.reduce(buf, TopK.Scored(id, s)) }
+    assert(buf.ids.length == 3)
+    assert(buf.ids.toSeq == Seq(7L, 2L, 3L)) // 0.95, then 0.9 ties → lowest ids first
+    assert(buf.scores.toSeq == Seq(0.95, 0.9, 0.9))
+    // merging a buffer with better rows displaces the tail
+    val other = agg.reduce(agg.zero, TopK.Scored(4L, 0.97))
+    val merged = agg.merge(buf, other)
+    assert(merged.ids.toSeq == Seq(4L, 7L, 2L))
+  }
+
+  test("the plan partially aggregates before the exchange (no window sort)") {
+    val plan = TopK.perGroup(scored(100, 5), "p_id", "cand_id", "cos_raw", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg"))
+    assert(!plan.contains("Window"))
+  }
+}
