@@ -115,6 +115,83 @@ object Sources {
     restScan(spark, transport, req.copy(params = params), root)
   }
 
+  /** Datatable start/length window for page `page` (LAT:78's paging
+    * vocabulary, shared by the cursor and parallel paged scans).
+    */
+  private def pageParams(page: Int, pageSize: Int): Map[String, String] =
+    Map("start" -> (page.toLong * pageSize).toString,
+      "length" -> pageSize.toString)
+
+  /** Is the payload's row array literally empty? A cheap string scan
+    * (first non-whitespace char after the root array's `[`) so the
+    * cursor loop never runs a Spark job per page. A payload with no
+    * root array at all also reads as empty — the loop must terminate
+    * on a drained endpoint whatever shape it returns.
+    */
+  private[graft] def pageIsEmpty(payload: String, root: Option[String]): Boolean = {
+    def arrayEmptyAt(from: Int): Boolean = {
+      val i = payload.indexOf('[', from)
+      i < 0 || {
+        var j = i + 1
+        while (j < payload.length && payload.charAt(j).isWhitespace) j += 1
+        j < payload.length && payload.charAt(j) == ']'
+      }
+    }
+    root match {
+      case None    => arrayEmptyAt(0)
+      case Some(r) =>
+        val k = payload.indexOf("\"" + r + "\"")
+        k < 0 || arrayEmptyAt(k + r.length + 2)
+    }
+  }
+
+  /** S2-cursor — page through an endpoint until it returns an EMPTY
+    * page: the cursor contract for servers that never report a total
+    * count. Each page is one start/length window (LAT:78 vocabulary);
+    * all fetched payloads parse as ONE dataset, schemas unioned by
+    * name across pages. Zero pages → empty, column-less frame (the
+    * same degenerate shape pandas `json_normalize([])` yields).
+    *
+    * Scale note: an unknown-length cursor is inherently SEQUENTIAL —
+    * page N+1's existence is only learned from page N — so this
+    * fetches on the driver like S1/S2 and is for bounded admin
+    * endpoints. When the server reports the total (datatable
+    * `recordsTotal`), use [[restScanPagedParallel]]: page indexes
+    * become S3 fan-out keys and fetch on executors.
+    */
+  def restScanPaged(spark: SparkSession, transport: Transport, req: RestRequest,
+                    pageSize: Int, root: Option[String] = None,
+                    maxPages: Int = 100000): DataFrame = {
+    import spark.implicits._
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val pages = Iterator.from(0)
+      .take(maxPages)
+      .map(p => transport(req.copy(params = req.params ++ pageParams(p, pageSize))))
+      .takeWhile(payload => !pageIsEmpty(payload, root))
+      .toVector
+    if (pages.isEmpty) spark.emptyDataFrame
+    else parseJson(spark, spark.createDataset(pages), root)
+  }
+
+  /** S2-parallel — known-total paged scan: with `totalRows` reported
+    * by the server, every page index is known up front, so pages
+    * become keys of the S3 fan-out and fetch ON EXECUTORS with the
+    * same bounded retries; pages that fail every attempt land in the
+    * returned accumulator. This is the 100 TB shape: fetch
+    * parallelism = `parallelism`, no driver bottleneck.
+    */
+  def restScanPagedParallel(spark: SparkSession, transport: Transport,
+                            req: RestRequest, pageSize: Int, totalRows: Long,
+                            root: Option[String] = None,
+                            parallelism: Int = 16): (DataFrame, CollectionAccumulator[Long]) = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
+    val fo = fanOutScan(spark, transport, (0L until nPages.toLong).toSeq,
+      p => req.copy(params = req.params ++ pageParams(p.toInt, pageSize)),
+      parallelism)
+    (parseFanOut(spark, fo, root), fo.failedKeys)
+  }
+
   /** Result of the S3 fan-out: raw (key, payload) successes — parse
     * with [[parseJson]]/[[parseFanOut]] — plus the accumulated failed
     * keys (read AFTER an action has run the fetch).

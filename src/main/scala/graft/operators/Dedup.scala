@@ -161,6 +161,64 @@ object Dedup {
       }.toDF(idCol, "simhash")
   }
 
+  /** D8 — dedup CLUSTERS from a near-dup pair graph: connected
+    * components by iterative min-label propagation. Every document
+    * gets `cluster_id` = the smallest doc id reachable through
+    * near-dup edges (documents in no pair are their own singleton
+    * cluster), plus the cluster size and a canonical flag — the
+    * keep-one-per-cluster decision a corpus dedup actually ships.
+    *
+    * Plan shape: each round is one (edges ⋈ labels) shuffle on the
+    * node id + a min-aggregate, and `localCheckpoint` cuts the lineage
+    * so round N+1 does not replay rounds 1..N. Rounds needed =
+    * component diameter, which for near-dup graphs (dense clique-ish
+    * clusters) is small; the published O(log n)-round alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") is the drop-in upgrade if a
+    * corpus ever shows long chains. Non-convergence inside `maxIters`
+    * throws rather than returning a half-propagated labeling.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterate over the CONNECTED SUBGRAPH only: a near-dup pair graph
+    // is orders of magnitude smaller than the corpus, so the per-round
+    // shuffles move |dup graph| rows, never |corpus| rows; singleton
+    // documents join back in one final pass as their own cluster.
+    var labels = edges.select(col("src").as(idCol)).distinct()
+      .withColumn("cluster_id", col(idCol))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels(idCol))
+        .groupBy(col("dst").as(idCol))
+        .agg(min("cluster_id").as("nbr_min"))
+      val step = labels.join(nbrMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint(true)
+      changed = step.filter(col("chg")).count()
+      labels = step.drop("chg")
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    require(changed == 0,
+      s"connected components did not converge in $maxIters rounds")
+    val all = nodes.select(col(idCol)).join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("is_canonical"))
+  }
+
   /** SimHash near-duplicate pairs via multi-index Hamming search:
     * each 60-bit sketch is cut into `nBands` bit-bands; documents
     * sharing ANY band value become candidates (bucket equi-join —

@@ -178,4 +178,35 @@ object Similarity {
         .select(col("p_id"), col(idCol), cos.as("cos_raw")),
       idCol, k)
   }
+
+  /** Multi-probe SRP ANN top-k: each probe searches its own bucket
+    * PLUS the `nPlanes` single-bit-flip neighbour buckets — the
+    * standard multi-probe LSH recall upgrade (a near neighbour that
+    * disagrees on exactly one hyperplane sign still gets found)
+    * WITHOUT growing the corpus index: candidates stay single-bucket;
+    * only the tiny broadcast probe side replicates ×(nPlanes+1). The
+    * shuffle story is identical to [[srpAnnTopK]] — bucket-equality
+    * join + bounded top-k aggregation, never a corpus scan per probe.
+    */
+  def srpMultiProbeTopK(probes: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nPlanes: Int, dims: Int): DataFrame = {
+    val planes = srpPlanes(nPlanes, dims)
+    // masks: identity + one per flipped plane; distinct masks give
+    // distinct probe buckets, so no (probe, candidate) pair repeats
+    val masks = typedlit((0L +: (0 until nPlanes).map(p => 1L << p)).toSeq)
+    val p = probes
+      .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"),
+        srpBucket(col(vecCol), planes).as("b0"))
+      .select(col("p_id"), col("p_vec"),
+        explode(transform(masks, m => col("b0").bitwiseXOR(m))).as("bucket"))
+    val c = candidates
+      .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("bucket"))
+    val cos = cosine(col("p_vec"), col(vecCol))
+    probeTopK(
+      c.join(broadcast(p), Seq("bucket"))
+        .filter(col("p_id") =!= col(idCol))
+        .select(col("p_id"), col(idCol), cos.as("cos_raw")),
+      idCol, k)
+  }
 }

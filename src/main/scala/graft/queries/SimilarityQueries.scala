@@ -57,6 +57,25 @@ object SimilarityQueries {
        |  FROM hsrc)""".stripMargin
   }
 
+  /** Shared d6/d8 CTE chain: 60-bit SimHash sketches → 4×15-bit band
+    * buckets → candidate pairs (doc_a < doc_b) with both sketches.
+    */
+  private val simhashCandCte =
+    s"""h AS (SELECT doc_id,
+       |  list_transform($tkSql, t -> ${hash60Sql("t")}) AS hs FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 60), b ->
+       |    CASE WHEN list_sum(list_transform(hs,
+       |           h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+       |  FROM h),
+       |bands AS (SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bv
+       |          FROM s, unnest(range(0, 4)) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.sh AS sa, b.sh AS sb
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |              AND a.doc_id < b.doc_id)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // D1 — exact dedup by content-hash groupBy: canonical id = min id
@@ -161,23 +180,40 @@ object SimilarityQueries {
       (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
           nBands = 4, bandBits = 15, maxHamming = 6)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH h AS (SELECT doc_id,
-             |  list_transform($tkSql, t -> ${hash60Sql("t")}) AS hs FROM documents),
-             |s AS (SELECT doc_id,
-             |  CAST(list_sum(list_transform(range(0, 60), b ->
-             |    CASE WHEN list_sum(list_transform(hs,
-             |           h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-             |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
-             |  FROM h),
-             |bands AS (SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bv
-             |          FROM s, unnest(range(0, 4)) t(b)),
-             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |                a.sh AS sa, b.sh AS sb
-             |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-             |              AND a.doc_id < b.doc_id)
+      Some(s"""WITH $simhashCandCte
              |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
              |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // D8 — dedup CLUSTERS: connected components over the d6 near-dup
+    // pair graph (min-reachable-id labeling; singletons keep their own
+    // id). The Spark side iterates min-label propagation with
+    // checkpointed rounds; the oracle computes the same fixpoint as a
+    // recursive CTE — both sides agree on every label, size, and
+    // canonical flag.
+    Q("d8_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+            nBands = 4, bandBits = 15, maxHamming = 6)
+          .select("doc_a", "doc_b")
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+            pairs, "doc_a", "doc_b")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $simhashCandCte,
+             |p AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 6),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+             |reach(id, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+             |g AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+             |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM g GROUP BY 1)
+             |SELECT doc_id, cluster_id, cluster_size,
+             |       doc_id = cluster_id AS is_canonical
+             |FROM g JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
 
     // D7 — edit-distance fuzzy matching: candidate pairs meet only
     // inside a (brand, size) blocking bucket — classic blocking-key
@@ -288,6 +324,36 @@ object SimilarityQueries {
         }.mkString(" + ")
         Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
                |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, bucket FROM b WHERE vec_id < 10),
+               |d AS (SELECT p_id, c.vec_id, ${cosSql("p_vec", "c.embedding")} AS cos_raw
+               |      FROM b c JOIN pr USING (bucket) WHERE c.vec_id <> p_id),
+               |r AS (SELECT p_id, vec_id, cos_raw,
+               |        row_number() OVER (PARTITION BY p_id ORDER BY cos_raw DESC, vec_id) AS rn
+               |      FROM d)
+               |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
+      }),
+
+    // V5 — multi-probe SRP ANN: probes also search the 4 one-bit-flip
+    // neighbour buckets, recovering neighbours that disagree on one
+    // hyperplane (recall ↑ at fixed index size). Probe side fans out
+    // ×5; corpus stays single-bucket.
+    Q("v5_srp_multiprobe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.srpMultiProbeTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5, nPlanes = 4, dims = 64)
+          .orderBy("p_id", "rn")
+      },
+      {
+        val planes = Similarity.srpPlanes(4, 64)
+        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
+          val wLit = w.mkString("[", ", ", "]")
+          s"(CASE WHEN ${dotSql(wLit, "embedding")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, xor(bucket, m) AS bucket
+               |       FROM b, unnest([0, 1, 2, 4, 8]) AS t(m)
+               |       WHERE vec_id < 10),
                |d AS (SELECT p_id, c.vec_id, ${cosSql("p_vec", "c.embedding")} AS cos_raw
                |      FROM b c JOIN pr USING (bucket) WHERE c.vec_id <> p_id),
                |r AS (SELECT p_id, vec_id, cos_raw,

@@ -138,6 +138,78 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // T6 — repetition scoring: duplicate-bigram ratio (integer e6) —
+    // the standard "looping text" filter in training-data cleaning
+    // (boilerplate and degenerate generations repeat n-grams). Pure
+    // map stage: tokens → bigram list → distinct count vs total.
+    Q("t6_repetition",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        // bigrams as "tok_i tok_{i+1}" strings (empty when < 2 tokens)
+        val bigrams = when(size(tk) < 2, array().cast(ArrayType(StringType)))
+          .otherwise(transform(slice(tk, lit(1), size(tk) - 1),
+            (t, i) => concat_ws(" ", t, element_at(tk, i + 2))))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(bigrams).cast(LongType).as("n_bigrams"),
+            size(array_distinct(bigrams)).cast(LongType).as("n_distinct"))
+          .withColumn("rep_e6",
+            when(col("n_bigrams") === 0, 0L)
+              .otherwise(floor((col("n_bigrams") - col("n_distinct")) * 1000000.0
+                / col("n_bigrams")).cast(LongType)))
+          .orderBy("doc_id")
+      },
+      Some(raw"""SELECT doc_id, n_bigrams, n_distinct,
+             |  CASE WHEN n_bigrams = 0 THEN 0
+             |       ELSE CAST(floor((n_bigrams - n_distinct) * 1000000.0 / n_bigrams) AS BIGINT)
+             |  END AS rep_e6
+             |FROM (SELECT doc_id,
+             |        CAST(len(bg) AS BIGINT) AS n_bigrams,
+             |        CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
+             |      FROM (SELECT doc_id,
+             |              CASE WHEN len(tk) < 2 THEN []
+             |                   ELSE list_transform(range(1, len(tk)),
+             |                          i -> tk[i] || ' ' || tk[i+1]) END AS bg
+             |            FROM (SELECT doc_id, $tkSql AS tk FROM documents)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T7 — PII scrubbing: redact emails and long digit runs, count
+    // what was removed (the audit signal a cleaning pipeline logs).
+    // PII is synthesized per row (the corpus has none) so the
+    // redaction arms actually fire; patterns are RE2-safe so both
+    // engines run the identical regex. One projection, no shuffle.
+    Q("t7_pii_redact",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{7,}"
+        val dirty = concat(substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id"), lit("@example.com tel "),
+          (col("doc_id") + 5550000000L).cast(StringType))
+        Tables.documents(s, d)
+          .select(col("doc_id"), dirty.as("dirty"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+              .cast(LongType).as("n_emails"),
+            regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+              phoneRe, "<NUM>").as("clean"))
+          .withColumn("n_nums",
+            size(regexp_extract_all(col("clean"), lit("<NUM>"), lit(0))).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some(raw"""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  regexp_replace(regexp_replace(dirty,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g') AS clean,
+             |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(dirty,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g'), '<NUM>')) AS BIGINT) AS n_nums
+             |FROM (SELECT doc_id,
+             |        substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             |          || '@example.com tel ' || CAST(doc_id + 5550000000 AS VARCHAR) AS dirty
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // T4 — document fingerprint: order-sensitive polynomial rolling
     // hash over the token stream (exact integer fold, mod 1e9+7;
     // typed kernel — md5-per-token in a Catalyst lambda is

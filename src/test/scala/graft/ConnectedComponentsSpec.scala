@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Min-label propagation must converge to the true components for
+  * shapes that stress it differently: a long chain (needs ~diameter
+  * rounds), a clique (one round), singletons (no rounds), and a
+  * labeling-order trap where the smallest id sits at a chain's end.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Boolean)] =
+    Dedup.connectedComponents(
+      nodes.toDF("id"), "id",
+      pairs.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("chain, clique, and singleton all label to the component min id") {
+    val nodes = (0L to 9L)
+    // chain 0-1-2-3, clique {5,6,7}, edge 8-9, node 4 isolated
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (8L, 9L))
+    val got = run(nodes, pairs)
+    assert(Seq(0L, 1L, 2L, 3L).forall(got(_)._1 == 0L))
+    assert(Seq(5L, 6L, 7L).forall(got(_)._1 == 5L))
+    assert(Seq(8L, 9L).forall(got(_)._1 == 8L))
+    assert(got(4L) == ((4L, 1L, true)))
+    assert(got(0L)._2 == 4L && got(3L)._2 == 4L) // chain size
+    assert(got(5L)._3 && !got(6L)._3) // canonical flags
+  }
+
+  test("long chain with the min id at the FAR end still converges") {
+    // 20 <- 19 <- ... <- 1 <- 0, written so propagation must walk the
+    // whole diameter; min id 0 is at one extreme
+    val nodes = (0L to 20L)
+    val pairs = (0L until 20L).map(i => (i + 1, i))
+    val got = run(nodes, pairs)
+    assert(nodes.forall(got(_)._1 == 0L))
+    assert(got(0L)._2 == 21L)
+  }
+
+  test("non-convergence inside maxIters fails loudly, not silently") {
+    val nodes = (0L to 30L).toDF("id")
+    val pairs = (0L until 30L).map(i => (i + 1, i)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIters = 2).collect()
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+}

@@ -41,6 +41,27 @@ object RestSourceFixture {
     }
   }
 
+  /** Cursor endpoint: 3 pages × 2 rows addressed by start/length,
+    * then empty pages forever — the server never reports a total.
+    */
+  object CursorTransport extends Transport {
+    def apply(req: RestRequest): String = {
+      requests.add(req)
+      val start = req.params.getOrElse("start", "0").toInt
+      val len = req.params.getOrElse("length", "2").toInt
+      val rows = (start until math.min(start + len, 6)).map { id =>
+        s"""{"id": $id, "name": "user$id"}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+  }
+
+  /** Same cursor, wrapped in a {"total": …, "data": [...]} envelope. */
+  object CursorEnvelopeTransport extends Transport {
+    def apply(req: RestRequest): String =
+      s"""{"total": 6, "data": ${CursorTransport(req)}}"""
+  }
+
   TransportRegistry.register("paged", PagedTransport)
   TransportRegistry.register("envelope", EnvelopeTransport)
 }
@@ -106,5 +127,55 @@ class RestSourceSpec extends AnyFunSuite {
 
   test("count(*) projection still yields one row per element") {
     assert(pagedReader.load().count() == 6)
+  }
+
+  test("cursor paging fetches until the first empty page, no further") {
+    RestSourceFixture.requests.clear()
+    val df = graft.io.Sources.restScanPaged(spark, RestSourceFixture.CursorTransport,
+      RestRequest("https://api.test/cursor"), pageSize = 2)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
+    val reqs = RestSourceFixture.requests.asScala.toSeq
+    // 3 full pages + exactly one empty probe
+    assert(reqs.map(_.params("start")) == Seq("0", "2", "4", "6"))
+  }
+
+  test("cursor paging unwraps an envelope root and stops on its empty array") {
+    RestSourceFixture.requests.clear()
+    val df = graft.io.Sources.restScanPaged(spark,
+      RestSourceFixture.CursorEnvelopeTransport,
+      RestRequest("https://api.test/cursor"), pageSize = 4, root = Some("data"))
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
+    assert(RestSourceFixture.requests.size == 3) // 4 + 2 rows, then empty
+  }
+
+  test("cursor paging on an immediately-empty endpoint yields an empty frame") {
+    val empty = graft.io.Sources.restScanPaged(spark,
+      new Transport { def apply(r: RestRequest) = "[]" },
+      RestRequest("https://api.test/none"), pageSize = 2)
+    assert(empty.columns.isEmpty && empty.count() == 0)
+  }
+
+  test("known-total paging fans pages out and matches the cursor result") {
+    RestSourceFixture.requests.clear()
+    val (df, failed) = graft.io.Sources.restScanPagedParallel(spark,
+      RestSourceFixture.CursorTransport,
+      RestRequest("https://api.test/cursor"), pageSize = 2, totalRows = 6)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
+    assert(failed.value.isEmpty)
+    // exactly the 3 page windows, no empty probe needed
+    val starts = RestSourceFixture.requests.asScala.map(_.params("start")).toSeq.sorted
+    assert(starts == Seq("0", "2", "4"))
+  }
+
+  test("pageIsEmpty handles bare arrays, envelopes, and junk") {
+    import graft.io.Sources.pageIsEmpty
+    assert(pageIsEmpty("[]", None))
+    assert(pageIsEmpty("  [ \n ]  ", None))
+    assert(!pageIsEmpty("""[{"a": 1}]""", None))
+    assert(pageIsEmpty("""{"data": []}""", Some("data")))
+    assert(pageIsEmpty("""{"total": 6, "data": [ ]}""", Some("data")))
+    assert(!pageIsEmpty("""{"data": [{"a": 1}]}""", Some("data")))
+    assert(pageIsEmpty("""{"other": [1]}""", Some("data"))) // missing root → stop
+    assert(pageIsEmpty("not json at all", None)) // no array → stop
   }
 }
