@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.functions.TextFns
+import graft.operators.TopK
+
+/** Corpus-construction operators (LLM-data-pipeline surface): the
+  * sampling / mixing / packing decisions a training-data pipeline
+  * makes AFTER cleaning and dedup. All deterministic — sampling keys
+  * off content-independent md5 hashes, never RNG state — so every
+  * rerun (and the DuckDB oracle) selects the identical rows; that
+  * reproducibility is itself the production requirement (a resampled
+  * corpus must be reconstructable from the recipe).
+  */
+object CorpusQueries {
+
+  /** 60-bit md5-derived sampling hash of the id (hex chars 1-15 —
+    * always positive in a signed long), uniform enough for quota
+    * work and identical in any engine.
+    */
+  private def sampleHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  private val sampleHashSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val qs: Seq[Q] = Seq(
+
+    // C1 — deterministic hash sampling: keep ~10% of documents by
+    // hash bucket. Reproducible across runs/engines (no RNG), cheap
+    // (map-only, pipelined with the scan), and composable: the same
+    // predicate re-selects the identical subset at 100 TB.
+    Q("c1_hash_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("h", sampleHash(col("doc_id")))
+        .filter(col("h") % 10 === 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE $sampleHashSql % 10 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // C2 — stratified quota sampling: at most N documents per
+    // language, chosen by hash order (not "first N seen", which would
+    // bias toward storage order). Reuses the bounded TopK aggregate —
+    // the same partial k-heap plan as the ANN queries, so the shuffle
+    // carries ≤ strata×N rows, never the corpus.
+    Q("c2_stratified_quota",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id").as("cand_id"),
+            sampleHash(col("doc_id")).cast(DoubleType).as("score"))
+        TopK.perGroup(scored, "lang", "cand_id", "score", k = 50)
+          .select(col("lang"), col("rn"), col("cand_id").as("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""SELECT lang, rn, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY CAST($sampleHashSql AS DOUBLE) DESC, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin)),
+
+    // C3 — token-budget packing: assign documents to fixed-budget
+    // packs per language via a running token offset (pack boundary
+    // every 2048 tokens of cumulative length in doc-id order). The
+    // running-offset rule is the order-deterministic, SQL-expressible
+    // form of sequence packing; one shuffle on the stratum key, the
+    // cumulative sum is a single window pass.
+    Q("c3_token_packing",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(TextFns.toks(col("text"))).cast(LongType).as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(raw"""SELECT lang, doc_id, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+             |FROM (SELECT lang, doc_id, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM (SELECT lang, doc_id,
+             |              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |            FROM documents))
+             |ORDER BY lang, doc_id""".stripMargin))
+  )
+}
