@@ -291,6 +291,27 @@ object AggQueries {
              |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
              |      ORDER BY o_orderdate, o_orderkey) AS DATE),
              |    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // G15 — ntile + percent_rank: decile and exact rank position of
+    // each order by price within its priority class (the remaining
+    // ranking-family window shapes g2 doesn't cover).
+    Q("g15_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(10).over(w).as("decile"),
+            floor(percent_rank().over(w) * 1e6).cast(LongType).as("prank_e6"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+             |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_e6
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

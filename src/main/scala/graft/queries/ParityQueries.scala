@@ -199,6 +199,51 @@ object ParityQueries {
               |WHERE i.o_orderdate <= s.o_orderdate
               |ORDER BY i.o_orderkey""".stripMargin)),
 
+    // J7 (completeness): FULL OUTER CDC reconciliation — the audit
+    // view of a merge: new / deleted / updated / unchanged per key,
+    // both-sides-preserved. Incoming drops every 7th key so the
+    // "deleted" arm is non-empty; the snapshot already misses every
+    // 3rd ("new") and shifts versions ("updated"/"unchanged").
+    Q("j7_full_outer_reconcile",
+      (s, d) => {
+        val inc = cdcIncoming(s, d)
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_orderdate").as("v_incoming"))
+        val snap = cdcSnapshot(s, d)
+          .select(col("o_orderkey"), col("o_orderdate").as("v_existing"))
+        inc.join(snap, Seq("o_orderkey"), "full_outer")
+          .select(col("o_orderkey"), col("v_incoming"), col("v_existing"),
+            when(col("v_incoming").isNull, "deleted")
+              .when(col("v_existing").isNull, "new")
+              .when(col("v_incoming") > col("v_existing"), "updated")
+              .otherwise("unchanged").as("change_type"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, i.o_orderdate AS v_incoming, s.o_orderdate AS v_existing,
+              |  CASE WHEN i.o_orderdate IS NULL THEN 'deleted'
+              |       WHEN s.o_orderdate IS NULL THEN 'new'
+              |       WHEN i.o_orderdate > s.o_orderdate THEN 'updated'
+              |       ELSE 'unchanged' END AS change_type
+              |FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 7 <> 0) i
+              |FULL JOIN $cdcSnapshotSql s USING (o_orderkey)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // J8 (completeness): LEFT SEMI join — existence filter without
+    // row multiplication (the EXISTS shape; build side carries only
+    // the join key, no payload ever moves).
+    Q("j8_semi_join",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_discount") > 0.05)
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // J6 (scale extension): skew-salted join — same result as the
     // plain equi-join (the oracle IS the plain join), but the hot
     // keys spread across 8 reducers. The salt derives from the row's
