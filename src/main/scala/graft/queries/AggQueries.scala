@@ -312,6 +312,34 @@ object AggQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice, o_orderkey)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // SQL1 — the SQL FRONT-END path: TPC-H Q6 written as a plain
+    // `spark.sql` string over a registered view (same Catalyst plan
+    // as the DataFrame API — filters still push to parquet). Revenue
+    // is accumulated in integer cent×cent units so the aggregate is
+    // order-independent and bit-exact against the oracle.
+    Q("sql1_tpch_q6",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""SELECT count(*) AS n_rows,
+                |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                |           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                |    AS revenue_c2
+                |FROM lineitem_sql
+                |WHERE l_shipdate >= TIMESTAMP'2000-01-01 00:00:00'
+                |  AND l_shipdate < TIMESTAMP'2001-01-01 00:00:00'
+                |  AND l_discount BETWEEN 0.05 AND 0.07
+                |  AND l_quantity < 24""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS revenue_c2
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin))
   )
 }
