@@ -23,6 +23,14 @@ object Sessions {
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // Let AQE coalesce post-shuffle partitions to the advisory size
+      // instead of preserving one-per-core parallelism: with pushed
+      // filters most intermediate shuffles are far below 64 MB, and
+      // scheduling 32 near-empty reducers per exchange is pure
+      // overhead both here and on a real cluster (the setting Spark's
+      // own tuning guide recommends for production).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
