@@ -192,17 +192,27 @@ object Dedup {
     var labels = edges.select(col("src").as(idCol)).distinct()
       .withColumn("cluster_id", col(idCol))
       .localCheckpoint(true)
+    // One min-propagation hop as a lazy plan transform; two hops run
+    // between materialization barriers, halving the checkpoint+count
+    // jobs per unit of progress (the barriers, not the shuffles, are
+    // the fixed cost of driver-looped iteration).
+    def hop(l: DataFrame): DataFrame = {
+      val nbrMin = edges.join(l, edges("src") === l(idCol))
+        .groupBy(col("dst").as(idCol))
+        .agg(min("cluster_id").as("nbr_min"))
+      l.join(nbrMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("src") === labels(idCol))
-        .groupBy(col("dst").as(idCol))
-        .agg(min("cluster_id").as("nbr_min"))
-      val step = labels.join(nbrMin, Seq(idCol), "left")
-        .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
+      val before = labels.withColumnRenamed("cluster_id", "prev")
+      val step = hop(hop(labels))
+        .join(before, Seq(idCol))
+        .select(col(idCol), col("cluster_id"),
+          (col("cluster_id") < col("prev")).as("chg"))
         .localCheckpoint(true)
       changed = step.filter(col("chg")).count()
       labels = step.drop("chg")
