@@ -314,6 +314,25 @@ object AggQueries {
              |             ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // G16 — conditional aggregation (FILTER-clause shape): per-segment
+    // counts/sums restricted by predicates inside one aggregation pass
+    // (no self-joins, no second scan).
+    Q("g16_filtered_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_all"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          sum(when(col("o_totalprice") > 100000,
+            floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+            .otherwise(0L)).as("big_cents"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_all,
+             |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             |  CAST(sum(CASE WHEN o_totalprice > 100000
+             |                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |                ELSE 0 END) AS BIGINT) AS big_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL1 — the SQL FRONT-END path: TPC-H Q6 written as a plain
     // `spark.sql` string over a registered view (same Catalyst plan
     // as the DataFrame API — filters still push to parquet). Revenue

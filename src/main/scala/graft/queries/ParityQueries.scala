@@ -139,6 +139,22 @@ object ParityQueries {
              |    e -> CAST(CAST(floor(CAST(e AS DOUBLE) * 10000000) AS BIGINT) AS VARCHAR)), ',') AS emb4
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // P14 (completeness; the inverse of F2's widen): posexplode an
+    // array column to one row per element with its position — the
+    // normalize-to-rows shape for nested arrays. Fan-out happens on
+    // the projected (id, pos, element) triple only.
+    Q("p14_explode_rows",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, 4)).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          floor(col("e").cast(DoubleType) * 1e7).cast(LongType).as("e_e7"))
+        .orderBy("vec_id", "pos"),
+      Some("""SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS e_e7
+             |FROM embeddings, unnest(range(1, 5)) AS t(i)
+             |ORDER BY vec_id, pos""".stripMargin)),
+
     // J1 (LAT:249): multi-key equi LEFT OUTER join; probe side keeps
     // its key pair, build side is a keyed aggregate (min = exact on
     // doubles). At scale both sides shuffle on the same 2-key hash.
