@@ -53,7 +53,8 @@ object Bench {
     // record lost its JSON tail to output truncation ("parsed": null);
     // a compact line printed last, after a flush-forcing blank line,
     // survives tail-capture. bench_last.json is the durable copy.
-    def num(v: Double): String = f"$v%.3f"
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum

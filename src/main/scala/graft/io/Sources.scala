@@ -118,8 +118,8 @@ object Sources {
   /** Datatable start/length window for page `page` (LAT:78's paging
     * vocabulary, shared by the cursor and parallel paged scans).
     */
-  private def pageParams(page: Int, pageSize: Int): Map[String, String] =
-    Map("start" -> (page.toLong * pageSize).toString,
+  private def pageParams(page: Long, pageSize: Int): Map[String, String] =
+    Map("start" -> (page * pageSize).toString,
       "length" -> pageSize.toString)
 
   /** Is the payload's row array literally empty? A cheap string scan
@@ -127,21 +127,43 @@ object Sources {
     * cursor loop never runs a Spark job per page. A payload with no
     * root array at all also reads as empty — the loop must terminate
     * on a drained endpoint whatever shape it returns.
+    *
+    * The root key is matched as the first `"root"` followed (modulo
+    * whitespace) by `:` then `[` — a `"root"` string VALUE or
+    * non-array field never matches. Contract: the envelope's row key
+    * must be the first field of that name whose value is an array
+    * (a nested object reusing the name earlier in the payload is not
+    * supported — use the full `spark.read.json` path for such
+    * shapes).
     */
   private[graft] def pageIsEmpty(payload: String, root: Option[String]): Boolean = {
-    def arrayEmptyAt(from: Int): Boolean = {
-      val i = payload.indexOf('[', from)
-      i < 0 || {
-        var j = i + 1
-        while (j < payload.length && payload.charAt(j).isWhitespace) j += 1
-        j < payload.length && payload.charAt(j) == ']'
-      }
+    def skipWs(from: Int): Int = {
+      var j = from
+      while (j < payload.length && payload.charAt(j).isWhitespace) j += 1
+      j
+    }
+    def arrayEmptyAt(bracket: Int): Boolean = {
+      val j = skipWs(bracket + 1)
+      j < payload.length && payload.charAt(j) == ']'
     }
     root match {
-      case None    => arrayEmptyAt(0)
+      case None =>
+        val i = payload.indexOf('[')
+        i < 0 || arrayEmptyAt(i)
       case Some(r) =>
-        val k = payload.indexOf("\"" + r + "\"")
-        k < 0 || arrayEmptyAt(k + r.length + 2)
+        // first `"r"` whose value is an array
+        val needle = "\"" + r + "\""
+        var k = payload.indexOf(needle)
+        while (k >= 0) {
+          val colon = skipWs(k + needle.length)
+          if (colon < payload.length && payload.charAt(colon) == ':') {
+            val bracket = skipWs(colon + 1)
+            if (bracket < payload.length && payload.charAt(bracket) == '[')
+              return arrayEmptyAt(bracket)
+          }
+          k = payload.indexOf(needle, k + 1)
+        }
+        true
     }
   }
 
@@ -185,11 +207,22 @@ object Sources {
                             root: Option[String] = None,
                             parallelism: Int = 16): (DataFrame, CollectionAccumulator[Long]) = {
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-    val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
-    val fo = fanOutScan(spark, transport, (0L until nPages.toLong).toSeq,
-      p => req.copy(params = req.params ++ pageParams(p.toInt, pageSize)),
-      parallelism)
-    (parseFanOut(spark, fo, root), fo.failedKeys)
+    require(totalRows >= 0, s"totalRows must be non-negative, got $totalRows")
+    val nPages: Long = (totalRows + pageSize - 1) / pageSize
+    // the page-key list materializes on the driver — refuse silently
+    // truncating (the old .toInt overflow) or OOM-ing on absurd input
+    require(nPages <= 10_000_000L,
+      s"$nPages pages ($totalRows rows / $pageSize per page) exceeds the " +
+        "driver-side key-list bound; shard the range across calls")
+    if (nPages == 0L)
+      (spark.emptyDataFrame,
+        spark.sparkContext.collectionAccumulator[Long]("graft.s3.failedKeys"))
+    else {
+      val fo = fanOutScan(spark, transport, (0L until nPages).toSeq,
+        p => req.copy(params = req.params ++ pageParams(p, pageSize)),
+        parallelism)
+      (parseFanOut(spark, fo, root), fo.failedKeys)
+    }
   }
 
   /** Result of the S3 fan-out: raw (key, payload) successes — parse

@@ -215,6 +215,11 @@ object Dedup {
           (col("cluster_id") < col("prev")).as("chg"))
         .localCheckpoint(true)
       changed = step.filter(col("chg")).count()
+      // superseded rounds: the old checkpoint's blocks are freed by
+      // the ContextCleaner once this reassignment drops the last
+      // reference (Dataset.unpersist cannot release localCheckpoint
+      // storage — it only clears CacheManager entries); ≤ maxIters
+      // small frames may be transiently pinned, bounded by |dup graph|
       labels = step.drop("chg")
       iter += 1
     }

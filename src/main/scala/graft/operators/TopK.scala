@@ -76,11 +76,23 @@ object TopK {
   /** Collapse `scored(groupCol, candCol: long, scoreCol: double)` to
     * the per-group top-k as rows `(groupCol, rn, candCol, scoreCol)`
     * with rn 1-based in (score desc, id asc) order.
+    *
+    * Contract: `candCol` must be an integral column (the buffer keys
+    * on Long — checked here so a string-keyed caller gets a clear
+    * error, not an encoder cast failure); rows with a NULL id or
+    * score are EXCLUDED from the ranking (a null score means "no
+    * similarity defined" — e.g. `cosine_sim` of a zero-norm vector —
+    * and must not crash the non-nullable aggregation buffer).
     */
   def perGroup(scored: DataFrame, groupCol: String, candCol: String,
                scoreCol: String, k: Int): DataFrame = {
+    val idType = scored.schema(candCol).dataType
+    require(idType == LongType || idType == IntegerType || idType == ShortType,
+      s"TopK.perGroup keys on integral ids; $candCol is $idType " +
+        "(map string ids to a surrogate long first)")
     val agg = udaf(new TopKAgg(k), Encoders.product[Scored])
-    scored.groupBy(groupCol)
+    scored.filter(col(candCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(groupCol)
       .agg(agg(col(candCol), col(scoreCol)).as("tk"))
       .select(col(groupCol), posexplode(col("tk.ids")).as(Seq("pos", candCol)),
         col("tk.scores").as("_tk_scores"))

@@ -57,6 +57,17 @@ object SimilarityQueries {
        |  FROM hsrc)""".stripMargin
   }
 
+  /** DuckDB fragment for the SRP bucket id of `vecCol` — mirrors
+    * [[Similarity.srpBucket]] with the same embedded plane constants.
+    * One definition shared by every v-/mm- oracle so a change to the
+    * bucket encoding cannot silently diverge between them.
+    */
+  private def srpBucketSql(nPlanes: Int, dims: Int, vecCol: String): String =
+    Similarity.srpPlanes(nPlanes, dims).zipWithIndex.map { case (w, p) =>
+      val wLit = w.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(wLit, vecCol)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
   /** Shared d6/d8 CTE chain: 60-bit SimHash sketches → 4×15-bit band
     * buckets → candidate pairs (doc_a < doc_b) with both sketches.
     */
@@ -262,11 +273,7 @@ object SimilarityQueries {
           "vec_id", "embedding", minCos = 0.4, nPlanes = 4, dims = 64)
         .orderBy("id_a", "id_b"),
       {
-        val planes = Similarity.srpPlanes(4, 64)
-        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
-          val wLit = w.mkString("[", ", ", "]")
-          s"(CASE WHEN ${dotSql(wLit, "embedding")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString(" + ")
+        val bucketSql = srpBucketSql(4, 64, "embedding")
         Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
                |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                |        CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) AS cos_e7
@@ -317,11 +324,7 @@ object SimilarityQueries {
           .orderBy("p_id", "rn")
       },
       {
-        val planes = Similarity.srpPlanes(4, 64)
-        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
-          val wLit = w.mkString("[", ", ", "]")
-          s"(CASE WHEN ${dotSql(wLit, "embedding")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString(" + ")
+        val bucketSql = srpBucketSql(4, 64, "embedding")
         Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
                |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, bucket FROM b WHERE vec_id < 10),
                |d AS (SELECT p_id, c.vec_id, ${cosSql("p_vec", "c.embedding")} AS cos_raw
@@ -345,11 +348,7 @@ object SimilarityQueries {
           .orderBy("p_id", "rn")
       },
       {
-        val planes = Similarity.srpPlanes(4, 64)
-        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
-          val wLit = w.mkString("[", ", ", "]")
-          s"(CASE WHEN ${dotSql(wLit, "embedding")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString(" + ")
+        val bucketSql = srpBucketSql(4, 64, "embedding")
         Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
                |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, xor(bucket, m) AS bucket
                |       FROM b, unnest([0, 1, 2, 4, 8]) AS t(m)
@@ -379,11 +378,7 @@ object SimilarityQueries {
           .orderBy("p_id", "rn")
       },
       {
-        val planes = Similarity.srpPlanes(4, 8)
-        val bucketSql = planes.zipWithIndex.map { case (w, p) =>
-          val wLit = w.mkString("[", ", ", "]")
-          s"(CASE WHEN ${dotSql(wLit, "fvec")} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString(" + ")
+        val bucketSql = srpBucketSql(4, 8, "fvec")
         val fvecSql = (0 until 8).map(i =>
           s"CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT)")
           .mkString("[", ", ", "]")

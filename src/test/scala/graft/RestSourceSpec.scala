@@ -177,5 +177,10 @@ class RestSourceSpec extends AnyFunSuite {
     assert(!pageIsEmpty("""{"data": [{"a": 1}]}""", Some("data")))
     assert(pageIsEmpty("""{"other": [1]}""", Some("data"))) // missing root → stop
     assert(pageIsEmpty("not json at all", None)) // no array → stop
+    // the key must be followed by ':' then '[' — a string VALUE or
+    // scalar field named like the root never matches
+    assert(pageIsEmpty("""{"title": "data", "data": []}""", Some("data")))
+    assert(!pageIsEmpty("""{"count": 3, "data" : [ {"a": 1} ]}""", Some("data")))
+    assert(pageIsEmpty("""{"data": 3, "rows": [1]}""", Some("data"))) // non-array root → stop
   }
 }

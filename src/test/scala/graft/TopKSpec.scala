@@ -73,6 +73,28 @@ class TopKSpec extends AnyFunSuite {
     assert(merged.ids.toSeq == Seq(4L, 7L, 2L))
   }
 
+  test("null scores and null ids are excluded, not crashed on") {
+    // cosine_sim legitimately yields null (zero-norm vectors); the
+    // non-nullable aggregation buffer must never see those rows
+    val df = Seq(
+      (1L, Some(10L), Some(0.9)),
+      (1L, Some(11L), None),
+      (1L, None, Some(0.8)),
+      (1L, Some(12L), Some(0.7))
+    ).toDF("p_id", "cand_id", "cos_raw")
+    val got = TopK.perGroup(df, "p_id", "cand_id", "cos_raw", k = 5)
+      .orderBy("rn").select("cand_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 12L))
+  }
+
+  test("string-keyed candidates fail with a clear contract error") {
+    val df = Seq(("g", "a", 1.0)).toDF("p_id", "cand_id", "cos_raw")
+    val err = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, "p_id", "cand_id", "cos_raw", k = 1)
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("the plan partially aggregates before the exchange (no window sort)") {
     val plan = TopK.perGroup(scored(100, 5), "p_id", "cand_id", "cos_raw", 5)
       .queryExecution.executedPlan.toString
