@@ -65,6 +65,30 @@ object CorpusQueries {
              |  FROM documents)
              |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin)),
 
+    // C4 — weighted mixture sampling: per-language keep RATES (the
+    // corpus-mixing recipe — e.g. upsample scarce languages) applied
+    // via hash thresholds, so the mixture is reproducible and the
+    // filter is map-only. Unknown languages default to 10%.
+    Q("c4_mixture_sample",
+      (s, d) => {
+        val rates: Map[String, Long] = Map( // keep-rate × 1e6
+          "en" -> 250000L, "es" -> 500000L, "fr" -> 750000L, "de" -> 1000000L)
+        val rate = rates.foldLeft(lit(100000L)) { case (acc, (lang, r)) =>
+          when(col("lang") === lang, lit(r)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .withColumn("h", sampleHash(col("doc_id")) % 1000000L)
+          .filter(col("h") < rate)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE $sampleHashSql % 1000000 <
+             |  CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 500000
+             |            WHEN 'fr' THEN 750000 WHEN 'de' THEN 1000000
+             |            ELSE 100000 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // C3 — token-budget packing: assign documents to fixed-budget
     // packs per language via a running token offset (pack boundary
     // every 2048 tokens of cumulative length in doc-id order). The

@@ -33,6 +33,20 @@ object TextQueries {
   /** DuckDB fragment: whitespace tokens of trim(lower(text)). */
   private val tkSql = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
 
+  /** DuckDB fragment: "tok_i tok_{i+1}" bigram list over `tk`
+    * (shared by t6 and the composed t8 filter).
+    */
+  private val bigramsSql =
+    """CASE WHEN len(tk) < 2 THEN []
+      |     ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END"""
+      .stripMargin
+
+  /** Spark mirror of [[bigramsSql]] over a token-array column. */
+  private def bigramsOf(tk: org.apache.spark.sql.Column) =
+    when(size(tk) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(slice(tk, lit(1), size(tk) - 1),
+        (t, i) => concat_ws(" ", t, element_at(tk, i + 2))))
+
   private def votesSql(ws: Seq[String]) =
     s"len(list_filter($tkSql, t -> list_contains(${sqlList(ws)}, t)))"
 
@@ -145,10 +159,7 @@ object TextQueries {
     Q("t6_repetition",
       (s, d) => {
         val tk = TextFns.toks(col("text"))
-        // bigrams as "tok_i tok_{i+1}" strings (empty when < 2 tokens)
-        val bigrams = when(size(tk) < 2, array().cast(ArrayType(StringType)))
-          .otherwise(transform(slice(tk, lit(1), size(tk) - 1),
-            (t, i) => concat_ws(" ", t, element_at(tk, i + 2))))
+        val bigrams = bigramsOf(tk)
         Tables.documents(s, d)
           .select(col("doc_id"),
             size(bigrams).cast(LongType).as("n_bigrams"),
@@ -159,19 +170,66 @@ object TextQueries {
                 / col("n_bigrams")).cast(LongType)))
           .orderBy("doc_id")
       },
-      Some(raw"""SELECT doc_id, n_bigrams, n_distinct,
+      Some(s"""SELECT doc_id, n_bigrams, n_distinct,
              |  CASE WHEN n_bigrams = 0 THEN 0
              |       ELSE CAST(floor((n_bigrams - n_distinct) * 1000000.0 / n_bigrams) AS BIGINT)
              |  END AS rep_e6
              |FROM (SELECT doc_id,
              |        CAST(len(bg) AS BIGINT) AS n_bigrams,
              |        CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
-             |      FROM (SELECT doc_id,
-             |              CASE WHEN len(tk) < 2 THEN []
-             |                   ELSE list_transform(range(1, len(tk)),
-             |                          i -> tk[i] || ' ' || tk[i+1]) END AS bg
+             |      FROM (SELECT doc_id, $bigramsSql AS bg
              |            FROM (SELECT doc_id, $tkSql AS tk FROM documents)))
              |ORDER BY doc_id""".stripMargin)),
+
+    // T8 — the COMPOSED cleaning stage a training-data pipeline
+    // actually ships: keep a document iff it passes the t2 quality
+    // gate, repeats fewer than 20% of its bigrams (t6), and is the
+    // canonical survivor of its exact-dedup group (d1). One pass of
+    // map-side metrics + the d1 hash-groupBy — the operators compose
+    // as plans, not as materialized intermediate tables.
+    Q("t8_clean_corpus",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        val bigrams = bigramsOf(tk)
+        val metrics = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tk).cast(LongType).as("n_tokens"),
+            TextFns.vocabHits(tk, stopEn).as("n_stop"),
+            size(regexp_extract_all(col("text"),
+              lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_punct"),
+            size(bigrams).cast(LongType).as("n_bigrams"),
+            size(array_distinct(bigrams)).cast(LongType).as("n_distinct"))
+        val canon = graft.operators.Dedup
+          .exactDedup(Tables.documents(s, d), "doc_id",
+            md5(substring(col("text"), 1, 40)))
+          .filter(col("is_canonical"))
+          .select("doc_id")
+        metrics.join(canon, "doc_id")
+          .filter(col("n_tokens") >= 20 && col("n_stop") >= 1 &&
+            col("n_punct") * 5 <= col("n_tokens") &&
+            (col("n_bigrams") === 0 ||
+              (col("n_bigrams") - col("n_distinct")) * 5 < col("n_bigrams")))
+          .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(tk) AS BIGINT) AS n_tokens,
+             |    ${votesSql(stopEn)} AS n_stop,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+             |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+             |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
+             |  FROM (SELECT doc_id, lang, text, tk, $bigramsSql AS bg
+             |        FROM (SELECT doc_id, lang, text, $tkSql AS tk FROM documents))),
+             |k AS (SELECT doc_id, md5(substr(text, 1, 40)) AS dup_key FROM documents),
+             |g AS (SELECT dup_key, min(doc_id) AS canonical_id FROM k GROUP BY 1)
+             |SELECT m.doc_id, m.lang, m.n_tokens
+             |FROM m JOIN k ON m.doc_id = k.doc_id
+             |       JOIN g ON k.dup_key = g.dup_key AND m.doc_id = g.canonical_id
+             |WHERE m.n_tokens >= 20 AND m.n_stop >= 1
+             |  AND m.n_punct * 5 <= m.n_tokens
+             |  AND (m.n_bigrams = 0 OR (m.n_bigrams - m.n_distinct) * 5 < m.n_bigrams)
+             |ORDER BY m.doc_id""".stripMargin)),
 
     // T7 — PII scrubbing: redact emails and long digit runs, count
     // what was removed (the audit signal a cleaning pipeline logs).
