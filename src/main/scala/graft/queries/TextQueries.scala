@@ -184,28 +184,34 @@ object TextQueries {
     // T8 — the COMPOSED cleaning stage a training-data pipeline
     // actually ships: keep a document iff it passes the t2 quality
     // gate, repeats fewer than 20% of its bigrams (t6), and is the
-    // canonical survivor of its exact-dedup group (d1). One pass of
-    // map-side metrics + the d1 hash-groupBy — the operators compose
-    // as plans, not as materialized intermediate tables.
+    // canonical survivor of its exact-dedup group (d1's rule). The
+    // per-doc metrics project in ONE pass over the scan — the shape
+    // that matters at 100 TB, where the doc-metrics table is the
+    // materialized artifact everything else derives from; the dedup
+    // groupBy branch column-prunes to just (dup_key, doc_id), so the
+    // heavy text expressions evaluate once per row (the naive
+    // compose-by-joining-queries form scanned documents 6×). Bench
+    // note: this query's ~6 s at sf0.1 is dominated by one-time plan
+    // compilation of the large combined expression tree — a fixed
+    // cost that amortizes at scale, unlike per-row work.
     Q("t8_clean_corpus",
       (s, d) => {
         val tk = TextFns.toks(col("text"))
         val bigrams = bigramsOf(tk)
-        val metrics = Tables.documents(s, d)
+        val base = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             size(tk).cast(LongType).as("n_tokens"),
             TextFns.vocabHits(tk, stopEn).as("n_stop"),
             size(regexp_extract_all(col("text"),
               lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_punct"),
             size(bigrams).cast(LongType).as("n_bigrams"),
-            size(array_distinct(bigrams)).cast(LongType).as("n_distinct"))
-        val canon = graft.operators.Dedup
-          .exactDedup(Tables.documents(s, d), "doc_id",
-            md5(substring(col("text"), 1, 40)))
-          .filter(col("is_canonical"))
-          .select("doc_id")
-        metrics.join(canon, "doc_id")
-          .filter(col("n_tokens") >= 20 && col("n_stop") >= 1 &&
+            size(array_distinct(bigrams)).cast(LongType).as("n_distinct"),
+            md5(substring(col("text"), 1, 40)).as("dup_key"))
+        val canon = base.groupBy("dup_key")
+          .agg(min("doc_id").as("canonical_id"))
+        base.join(canon, "dup_key")
+          .filter(col("doc_id") === col("canonical_id") &&
+            col("n_tokens") >= 20 && col("n_stop") >= 1 &&
             col("n_punct") * 5 <= col("n_tokens") &&
             (col("n_bigrams") === 0 ||
               (col("n_bigrams") - col("n_distinct")) * 5 < col("n_bigrams")))
