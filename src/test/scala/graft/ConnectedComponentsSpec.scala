@@ -46,6 +46,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(0L)._2 == 21L)
   }
 
+  test("matches a union-find reference on deterministic pseudo-random graphs") {
+    def unionFind(n: Int, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to final minima
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- 1 to 5) {
+      val n = 40
+      val pairs = (0 until 50).map { i =>
+        val a = (i * 17 + seed * 31) % n
+        val b = (i * i * 13 + seed * 7) % n
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val want = unionFind(n, pairs)
+      val got = run((0L until n.toLong), pairs).map { case (id, (c, _, _)) => id -> c }
+      assert(got == want, s"seed=$seed mismatch")
+    }
+  }
+
   test("non-convergence inside maxIters fails loudly, not silently") {
     val nodes = (0L to 30L).toDF("id")
     val pairs = (0L until 30L).map(i => (i + 1, i)).toDF("a", "b")
