@@ -162,70 +162,144 @@ object Dedup {
   }
 
   /** D8 — dedup CLUSTERS from a near-dup pair graph: connected
-    * components by iterative min-label propagation. Every document
-    * gets `cluster_id` = the smallest doc id reachable through
-    * near-dup edges (documents in no pair are their own singleton
-    * cluster), plus the cluster size and a canonical flag — the
-    * keep-one-per-cluster decision a corpus dedup actually ships.
+    * components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * Every document gets `cluster_id` = the smallest doc id reachable
+    * through near-dup edges (documents in no pair are their own
+    * singleton cluster), plus the cluster size and a canonical flag —
+    * the keep-one-per-cluster decision a corpus dedup actually ships.
     *
-    * Plan shape: each round is one (edges ⋈ labels) shuffle on the
-    * node id + a min-aggregate, and `localCheckpoint` cuts the lineage
-    * so round N+1 does not replay rounds 1..N. Rounds needed =
-    * component diameter, which for near-dup graphs (dense clique-ish
-    * clusters) is small; the published O(log n)-round alternating
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") is the drop-in upgrade if a
-    * corpus ever shows long chains. Non-convergence inside `maxIters`
-    * throws rather than returning a half-propagated labeling.
+    * Plan shape (the 100 TB story):
+    *  - the iteration runs over the CONNECTED SUBGRAPH only — a
+    *    near-dup pair graph is orders of magnitude smaller than the
+    *    corpus, so per-round shuffles move |dup graph| rows, never
+    *    |corpus| rows; singletons join back in one final pass;
+    *  - star contraction converges in O(log n) rounds regardless of
+    *    component diameter (min-label propagation — the previous
+    *    implementation — needs diameter rounds on chains);
+    *  - ONE action per round: the job that materializes the round's
+    *    edge set also folds its (count, hashsum) convergence
+    *    fingerprint, so there is no separate compare-and-count job —
+    *    driver barriers, not shuffle volume, are the fixed cost of
+    *    looped iteration and this halves them;
+    *  - superseded rounds are unpersisted EXPLICITLY once the next
+    *    round is materialized (the old Dataset/localCheckpoint version
+    *    could only wait for the ContextCleaner);
+    *  - the core is an `RDD[(Long, Long)]` loop: no Catalyst
+    *    re-analysis of an ever-growing plan per round, and
+    *    `reduceByKey`/`join` share one `HashPartitioner` so the
+    *    per-round join is narrow;
+    *  - partition count adapts to the measured edge count (AQE does
+    *    not cover RDD stages): tiny dup graphs don't schedule 32
+    *    near-empty reducers per stage.
+    *
+    * Fault tolerance: with `checkpointDir` set, the edge set is
+    * reliably checkpointed every few rounds, so executor loss at
+    * cluster scale replays at most a few rounds instead of the whole
+    * loop (production setting). By default lineage is simply left
+    * attached (bounded by `maxIters` rounds — fine for RDD DAGs) and
+    * blocks are recomputable from the source, so nothing is lost on
+    * failure either way. Non-convergence inside `maxIters` throws
+    * rather than returning a half-contracted graph.
+    *
+    * Determinism: the output labeling is a pure function of the edge
+    * SET (min is associative/commutative, stars are per-node local),
+    * so partitioning and scheduling cannot change any result cell.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Iterate over the CONNECTED SUBGRAPH only: a near-dup pair graph
-    // is orders of magnitude smaller than the corpus, so the per-round
-    // shuffles move |dup graph| rows, never |corpus| rows; singleton
-    // documents join back in one final pass as their own cluster.
-    var labels = edges.select(col("src").as(idCol)).distinct()
-      .withColumn("cluster_id", col(idCol))
-      .localCheckpoint(true)
-    // One min-propagation hop as a lazy plan transform; two hops run
-    // between materialization barriers, halving the checkpoint+count
-    // jobs per unit of progress (the barriers, not the shuffles, are
-    // the fixed cost of driver-looped iteration).
-    def hop(l: DataFrame): DataFrame = {
-      val nbrMin = edges.join(l, edges("src") === l(idCol))
-        .groupBy(col("dst").as(idCol))
-        .agg(min("cluster_id").as("nbr_min"))
-      l.join(nbrMin, Seq(idCol), "left")
-        .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+                          maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+
+    // canonical edge orientation: (hi, lo), self-loops dropped
+    val edges0 = pairs
+      .select(col(aCol).cast(LongType), col(bCol).cast(LongType))
+      .as[(Long, Long)].rdd
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a > b) (a, b) else (b, a) }
+
+    // (count, hashsum) fingerprint, folded in the SAME job that
+    // materializes a persisted round — the convergence check costs no
+    // extra action. Order-independent (sum of a per-edge avalanche
+    // mix); a false "converged" needs a 2^-64-ish collision AND is
+    // additionally caught by the star-forest invariant check below.
+    def fingerprint(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+      e.mapPartitions { it =>
+        var n = 0L; var h = 0L
+        it.foreach { case (u, v) =>
+          n += 1
+          var x = u * 0x9e3779b97f4a7c15L + v
+          x ^= x >>> 32; x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 29
+          h += x
+        }
+        Iterator.single((n, h))
+      }.fold((0L, 0L)) { case ((n1, h1), (n2, h2)) => (n1 + n2, h1 + h2) }
+
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = edges0.distinct().persist(lvl)
+    var (eCount, eHash) = fingerprint(edges)
+
+    // one shared partitioner: reduceByKey and join co-partition, so
+    // each star op shuffles once for the min-agg and once for the
+    // emit-distinct; sized from the measured dup-graph edge count
+    val parts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+      eCount / 50000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+
+    // large-star(u): connect every neighbour v > u to
+    // m = min(Γ(u) ∪ {u}); m ≤ u < v keeps (hi, lo) orientation
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val nbrs = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val m = nbrs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .map { case (u, mn) => (u, math.min(u, mn)) }
+      nbrs.partitionBy(part).join(m)
+        .flatMap { case (u, (v, mm)) =>
+          if (v > u) Iterator.single((v, mm)) else Iterator.empty
+        }.distinct(parts)
     }
-    var changed = 1L
+
+    // small-star(u): connect u and all its ≤-neighbours to their min
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val m = e.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      e.partitionBy(part).join(m)
+        .flatMap { case (u, (v, mm)) =>
+          if (v == mm) Iterator.single((u, mm))
+          else Iterator((u, mm), (v, mm))
+        }.distinct(parts)
+    }
+
+    var converged = eCount == 0L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val before = labels.withColumnRenamed("cluster_id", "prev")
-      val step = hop(hop(labels))
-        .join(before, Seq(idCol))
-        .select(col(idCol), col("cluster_id"),
-          (col("cluster_id") < col("prev")).as("chg"))
-        .localCheckpoint(true)
-      changed = step.filter(col("chg")).count()
-      // superseded rounds: the old checkpoint's blocks are freed by
-      // the ContextCleaner once this reassignment drops the last
-      // reference (Dataset.unpersist cannot release localCheckpoint
-      // storage — it only clears CacheManager entries); ≤ maxIters
-      // small frames may be transiently pinned, bounded by |dup graph|
-      labels = step.drop("chg")
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).persist(lvl)
+      if (checkpointDir.isDefined && iter % 5 == 4) next.checkpoint()
+      val (nc, nh) = fingerprint(next) // materializes + fingerprints, one job
+      converged = nc == eCount && nh == eHash
+      eCount = nc; eHash = nh
+      edges.unpersist(blocking = false) // superseded; `next` is materialized
+      edges = next
       iter += 1
     }
-    edges.unpersist(blocking = false)
-    require(changed == 0,
+    require(converged,
       s"connected components did not converge in $maxIters rounds")
+    // star-forest invariant, checked completely: every node is either
+    // a leaf (src of EXACTLY one edge, never a dst) or a root (dst
+    // only) — src multiplicity >1 or src∩dst both violate it. One
+    // tiny post-loop job; the safety net for a fingerprint collision.
+    val bad = edges
+      .flatMap { case (s, d) => Iterator((s, (1L, 0L)), (d, (0L, 1L))) }
+      .reduceByKey(part, (a: (Long, Long), b: (Long, Long)) => (a._1 + b._1, a._2 + b._2))
+      .filter { case (_, (sc, dc)) => sc > 1 || (sc > 0 && dc > 0) }
+      .take(1)
+    require(bad.isEmpty,
+      s"connected components fixpoint is not a star forest at node ${bad.headOption.map(_._1)}")
+
+    val labels = edges.toDF(idCol, "cluster_id")
     val all = nodes.select(col(idCol)).join(labels, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))

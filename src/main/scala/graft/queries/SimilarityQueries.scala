@@ -198,10 +198,10 @@ object SimilarityQueries {
 
     // D8 — dedup CLUSTERS: connected components over the d6 near-dup
     // pair graph (min-reachable-id labeling; singletons keep their own
-    // id). The Spark side iterates min-label propagation with
-    // checkpointed rounds; the oracle computes the same fixpoint as a
-    // recursive CTE — both sides agree on every label, size, and
-    // canonical flag.
+    // id). The Spark side runs alternating large-star/small-star
+    // contraction (O(log n) rounds, one action per round); the oracle
+    // computes the same fixpoint as a recursive CTE — both sides agree
+    // on every label, size, and canonical flag.
     Q("d8_dedup_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -71,11 +71,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("non-convergence inside maxIters fails loudly, not silently") {
-    val nodes = (0L to 30L).toDF("id")
-    val pairs = (0L until 30L).map(i => (i + 1, i)).toDF("a", "b")
+    // star contraction halves a chain per round, so a 4000-node chain
+    // cannot possibly finish in 1 round
+    val nodes = (0L to 4000L).toDF("id")
+    val pairs = (0L until 4000L).map(i => (i + 1, i)).toDF("a", "b")
     val err = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIters = 2).collect()
+      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIters = 1).collect()
     }
     assert(err.getMessage.contains("converge"))
+  }
+
+  test("reliable checkpointDir path produces the same labeling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // 600-node chain: enough rounds to cross the every-5-rounds
+    // checkpoint cadence, so a real checkpoint file is written and read
+    val nodes = (0L to 600L).toDF("id")
+    val pairs = (0L until 600L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
+        maxIters = 40, checkpointDir = Some(dir))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 600L).forall(got(_) == 0L))
   }
 }
