@@ -22,11 +22,17 @@ object Bench {
     val spark = Sessions.local(cpus)
     // Untimed warm-up: absorb session/codegen/shuffle-service startup
     // (~4 s) so the first measured query isn't penalized by position.
+    // NonFatal only, and loudly: a swallowed OOM or a mispointed
+    // SPARK_GRAFT_SF_DIR would otherwise silently skip the warm-up and
+    // skew the first measured query — the exact bias it exists to cut.
     try {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").agg(sum("l_quantity")).count()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARM-UP FAILED (timings may skew): $e")
+    }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -49,10 +55,6 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // Millisecond precision keeps the line short: the round-3 driver
-    // record lost its JSON tail to output truncation ("parsed": null);
-    // a compact line printed last, after a flush-forcing blank line,
-    // survives tail-capture. bench_last.json is the durable copy.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
@@ -61,8 +63,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
+    // The driver keeps only the LAST bytes of stdout: the full
+    // per-query line is ~2 KB and rounds 3-4 lost its front to tail
+    // truncation ("parsed": null). Print the detail first (for humans
+    // and logs), then a <60-byte total-only line LAST — that one
+    // survives any tail capture; bench_last.json holds the full record.
     System.out.println()
     System.out.println(line)
+    System.out.println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec"}""")
     System.out.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
