@@ -55,6 +55,12 @@ object Similarity {
     * ≤ |partitions|×|probes|×k rows instead of probe×corpus (the
     * row_number-window shape this replaces sorted the whole corpus
     * inside |probes| window partitions — a 100 TB non-starter).
+    *
+    * Null/NaN contract: [[TopK.perGroup]] excludes null- and
+    * NaN-scored rows. The v1/v2/v4/v5/v6 DuckDB oracles rank the same
+    * domain (testdata embeddings have no zero-norm vectors, so no row
+    * is ever excluded on either side); a corpus with zero-norm
+    * vectors would drop those candidates rather than rank them.
     */
   private def probeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     TopK.perGroup(scored, "p_id", idCol, "cos_raw", k)

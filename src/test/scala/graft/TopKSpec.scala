@@ -87,6 +87,73 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Seq(10L, 12L))
   }
 
+  test("NaN scores are excluded like nulls, keeping results partition-independent") {
+    // NaN is unordered under > : an underfull buffer would accept it,
+    // a full one reject it, making output depend on partitioning
+    val df = Seq(
+      (1L, 10L, 0.9),
+      (1L, 11L, Double.NaN),
+      (1L, 12L, 0.7)
+    ).toDF("p_id", "cand_id", "cos_raw")
+    for (parts <- Seq(1, 5)) {
+      val got = TopK.perGroup(df.repartition(parts), "p_id", "cand_id", "cos_raw", k = 5)
+        .orderBy("rn").select("cand_id").as[Long].collect().toSeq
+      assert(got == Seq(10L, 12L), s"parts=$parts")
+    }
+  }
+
+  test("in-place insert beats copy-on-insert on allocation (micro-bench)") {
+    // the pre-round-5 insert allocated two fresh k-arrays per accepted
+    // candidate; keep that shape here as the reference and require the
+    // in-place version to at least match it on a hot loop
+    final case class OldBuf(ids: Array[Long], scores: Array[Double])
+    def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    def oldInsert(b: OldBuf, id: Long, s: Double, k: Int): OldBuf = {
+      val n = b.ids.length
+      if (n == k && !beats(s, id, b.scores(n - 1), b.ids(n - 1))) b
+      else {
+        var i = 0
+        while (i < n && beats(b.scores(i), b.ids(i), s, id)) i += 1
+        val m = math.min(n + 1, k)
+        val ids = new Array[Long](m); val ss = new Array[Double](m)
+        System.arraycopy(b.ids, 0, ids, 0, i)
+        System.arraycopy(b.scores, 0, ss, 0, i)
+        ids(i) = id; ss(i) = s
+        val rest = m - i - 1
+        if (rest > 0) {
+          System.arraycopy(b.ids, i, ids, i + 1, rest)
+          System.arraycopy(b.scores, i, ss, i + 1, rest)
+        }
+        OldBuf(ids, ss)
+      }
+    }
+    val k = 50; val rows = 2000000
+    // ascending scores: EVERY row beats the current tail and inserts —
+    // the allocation-heavy worst case (random scores mostly take the
+    // allocation-free reject path in both variants)
+    def score(i: Int): Double = i.toDouble
+    def timeNs(f: => Unit): Long = { val t = System.nanoTime(); f; System.nanoTime() - t }
+    // warm both paths, then measure
+    val agg = new TopK.TopKAgg(k)
+    def runNew(): Unit = {
+      val b = agg.zero
+      var i = 0
+      while (i < rows) { agg.reduce(b, TopK.Scored(i.toLong, score(i))); i += 1 }
+    }
+    def runOld(): Unit = {
+      var b = OldBuf(Array.emptyLongArray, Array.emptyDoubleArray)
+      var i = 0
+      while (i < rows) { b = oldInsert(b, i.toLong, score(i), k); i += 1 }
+    }
+    runNew(); runOld()
+    val tNew = timeNs(runNew()); val tOld = timeNs(runOld())
+    info(f"in-place ${tNew / 1e6}%.1f ms vs copy-on-insert ${tOld / 1e6}%.1f ms for $rows rows, k=$k")
+    // generous bound: the win is allocation, not big-O; just pin that
+    // in-place never regresses materially
+    assert(tNew < tOld * 1.5)
+  }
+
   test("string-keyed candidates fail with a clear contract error") {
     val df = Seq(("g", "a", 1.0)).toDF("p_id", "cand_id", "cos_raw")
     val err = intercept[IllegalArgumentException] {
