@@ -126,23 +126,126 @@ object Similarity {
         (-col("best.neg_cell")).as("cell_id"))
   }
 
-  /** IVF-style ANN top-k: probes search only their own centroid's
-    * cell (`nprobe`=1). The centroid set stands in for a trained
-    * k-means codebook — training is an offline job; what's exercised
-    * here is the production assignment + cell-restricted search plan:
-    * corpus shuffles once on cell id, probe side is broadcast.
+  /** IVF-style ANN top-k: candidates live in exactly one centroid
+    * cell; each probe searches its `nprobe` NEAREST cells (ranked by
+    * centroid cosine, ties → lowest cell id). The recall story of a
+    * production IVF index: nprobe=1 is the cheapest search, larger
+    * nprobe trades linearly more candidate comparisons for recall —
+    * and only the tiny broadcast probe side replicates ×nprobe, the
+    * corpus index is untouched (same asymmetry as SRP multi-probe).
+    * Centroids come from [[trainIvfCentroids]] (or any stand-in
+    * codebook); corpus shuffles once on cell id.
     */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, centroids: DataFrame): DataFrame = {
+              vecCol: String, k: Int, centroids: DataFrame,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cCells = ivfAssign(candidates, idCol, vecCol, centroids)
-    val pCells = ivfAssign(probes, idCol, vecCol, centroids)
-      .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
+    val pCells =
+      if (nprobe == 1)
+        ivfAssign(probes, idCol, vecCol, centroids)
+          .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
+      else {
+        // top-nprobe cells per probe via the same bounded k-heap
+        // aggregate as the result ranking (score desc, id asc — the
+        // identical tie-break as ivfAssign's argmax), then the probe
+        // vector joins back on the small probe side only
+        val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
+        val scoredCells = probes.crossJoin(broadcast(c))
+          .select(col(idCol).as("p_id"), col("cell_id"),
+            cosine(col(vecCol), col("c_vec")).as("c_cos"))
+        TopK.perGroup(scoredCells, "p_id", "cell_id", "c_cos", nprobe)
+          .join(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec")), "p_id")
+          .select(col("p_id"), col("p_vec"), col("cell_id"))
+      }
     val cos = cosine(col("p_vec"), col(vecCol))
     probeTopK(
       cCells.join(broadcast(pCells), Seq("cell_id"))
         .filter(col("p_id") =!= col(idCol))
         .select(col("p_id"), col(idCol), cos.as("cos_raw")),
       idCol, k)
+  }
+
+  /** Element-wise running mean over `array<double>` as a real
+    * aggregate: map-side partial sums mean one (dims+1)-wide buffer
+    * per (partition, group) crosses the exchange, never the member
+    * vectors. Buffer mutated in place (zero allocation per row after
+    * the first).
+    */
+  class VecMeanAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Double], VecMeanAgg.Buf, Array[Double]] {
+    import VecMeanAgg.Buf
+    override def zero: Buf = Buf(0L, Array.emptyDoubleArray)
+    override def reduce(b: Buf, a: Array[Double]): Buf = {
+      if (b.n == 0L) { b.sum = a.clone() }
+      else {
+        var i = 0
+        while (i < b.sum.length) { b.sum(i) += a(i); i += 1 }
+      }
+      b.n += 1; b
+    }
+    override def merge(x: Buf, y: Buf): Buf =
+      if (y.n == 0L) x
+      else if (x.n == 0L) y
+      else {
+        var i = 0
+        while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+        x.n += y.n; x
+      }
+    override def finish(b: Buf): Array[Double] =
+      if (b.n == 0L) b.sum else b.sum.map(_ / b.n)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.product[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+  object VecMeanAgg {
+    case class Buf(var n: Long, var sum: Array[Double])
+  }
+
+  /** Offline spherical-k-means codebook trainer for [[ivfTopK]].
+    *
+    * Lloyd iterations specialized to cosine geometry: assignment is
+    * the broadcast argmax of [[ivfAssign]]; the update step averages
+    * the UNIT-NORMALIZED members of each cell (cosine is
+    * scale-invariant, so the unnormalized mean direction is the
+    * spherical-k-means maximizer of the within-cell cosine sum —
+    * which makes the avg-best-cosine objective monotonically
+    * non-decreasing, the property the spec pins). Seeding is
+    * deterministic — the k lowest-id vectors — so training is
+    * reproducible without RNG. Zero-norm vectors are excluded from
+    * training (their cosine is undefined).
+    *
+    * Scale shape: each round is one corpus scan with a map-side
+    * partial vector-sum ([[VecMeanAgg]]) — the exchange carries
+    * ≤ partitions×k (dims+1)-wide buffers; the k×dims codebook itself
+    * is a driver artifact (like [[srpPlanes]]) collected and
+    * re-broadcast per round, bounded by k·dims, never by the corpus.
+    * Empty cells keep their previous centroid.
+    */
+  def trainIvfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val unit = {
+      val v = col(vecCol)
+      transform(v, x => x.cast(DoubleType) / l2norm(v)).as("uv")
+    }
+    val clean = vectors.filter(l2norm(col(vecCol)) > 0)
+    var cent: Map[Long, Array[Double]] = clean
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast(LongType), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val vmean = udaf(new VecMeanAgg)
+    for (_ <- 0 until iters) {
+      val centDf = cent.toSeq.sortBy(_._1).toDF(idCol, vecCol)
+      val asg = ivfAssign(clean, idCol, vecCol, centDf)
+      val means = asg.select(col("cell_id"), unit)
+        .groupBy("cell_id").agg(vmean(col("uv")).as("mv"))
+        .as[(Long, Array[Double])].collect().toMap
+      cent = cent.map { case (id, v) => id -> means.getOrElse(id, v) }
+    }
+    cent.toSeq.sortBy(_._1).toDF(idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —

@@ -313,6 +313,37 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
+    // V6 — IVF multi-probe: same cell index as v4, but each probe
+    // searches its TWO nearest cells (centroid-cosine ranked, ties →
+    // lowest cell id). Only the broadcast probe side replicates ×2;
+    // the corpus index is untouched — the standard IVF recall knob.
+    Q("v6_ivf_multiprobe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5,
+            centroids = e.filter(col("vec_id") < 16), nprobe = 2)
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |rk AS (
+             |  SELECT e.vec_id, e.embedding, c.cell_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |  FROM embeddings e CROSS JOIN cent c),
+             |asg AS (SELECT vec_id, embedding, cell_id FROM rk WHERE crn = 1),
+             |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+             |       FROM rk WHERE vec_id < 10 AND crn <= 2),
+             |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
+             |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id
+             |          ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM dst)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+
     // V2 — SRP-LSH approximate top-k: probes meet only candidates in
     // their 4-bit sign-random-projection bucket (the scale path; plane
     // count tunes recall vs bucket size).

@@ -57,6 +57,49 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(single > 0.2, s"single-bucket recall $single is uselessly low")
   }
 
+  test("IVF multi-probe recall: nprobe=2 >= nprobe=1, both above floor") {
+    val cents = vecs.filter(col("vec_id") < 16)
+    val r1 = recallOf(Similarity.ivfTopK(vecs.filter(col("vec_id") < 10), vecs,
+      "vec_id", "embedding", k, centroids = cents, nprobe = 1))
+    val r2 = recallOf(Similarity.ivfTopK(vecs.filter(col("vec_id") < 10), vecs,
+      "vec_id", "embedding", k, centroids = cents, nprobe = 2))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 fell below nprobe=1 recall $r1")
+    assert(r1 > 0.1, s"nprobe=1 recall $r1 is uselessly low")
+    assert(r2 > 0.3, s"nprobe=2 recall $r2 is uselessly low")
+  }
+
+  test("k-means training monotonically improves the avg best-cosine objective") {
+    import org.apache.spark.sql.DataFrame
+    def objective(cents: DataFrame): Double = {
+      val c = cents.select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      vecs.crossJoin(broadcast(c))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("c_vec")).as("cos"))
+        .groupBy("vec_id").agg(max("cos").as("best"))
+        .agg(avg("best")).as[Double].head()
+    }
+    val seed = vecs.filter(col("vec_id") < 8)
+    val seedObj = objective(seed)
+    var prev = seedObj
+    for (iters <- Seq(1, 3)) {
+      val trained = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+        k = 8, iters = iters)
+      val obj = objective(trained)
+      assert(obj >= prev - 1e-9,
+        s"objective regressed at iters=$iters: $obj < $prev (seed $seedObj)")
+      prev = obj
+    }
+    assert(prev > seedObj, "training never improved the seed codebook")
+  }
+
+  test("trained centroids feed ivfTopK end-to-end") {
+    val trained = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val r = recallOf(Similarity.ivfTopK(vecs.filter(col("vec_id") < 10), vecs,
+      "vec_id", "embedding", k, centroids = trained, nprobe = 2))
+    assert(r > 0.2, s"trained-codebook recall $r is uselessly low")
+  }
+
   test("IVF cell-restricted search finds its probes' own cells") {
     val out = Similarity.ivfTopK(vecs.filter(col("vec_id") < 10), vecs,
       "vec_id", "embedding", k, centroids = vecs.filter(col("vec_id") < 16))
