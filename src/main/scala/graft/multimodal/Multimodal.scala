@@ -54,42 +54,122 @@ object Multimodal {
     */
   val batchSize = 512
 
-  /** ======================= STUB CODEC =======================
-    * Deterministic fake decoder. A production build replaces these
-    * bodies with real library calls (JNI/javacpp decoders); the
-    * values here are pure functions of the payload bytes so tests
-    * and the SQL oracle can verify the plumbing end-to-end.
+  /** ================ CODEC: real PNG, stub otherwise ================
+    * Image decode is REAL: payloads carrying the PNG magic are decoded
+    * with `javax.imageio` (JDK built-in — no external media libs
+    * needed), returning true pixel dimensions, channel count, and
+    * channel means read back from the raster. Non-PNG payloads
+    * (audio/video stand-ins — this environment has no such codecs)
+    * take the clearly-marked deterministic STUB arithmetic, chosen to
+    * be reproducible in ANSI SQL so the plumbing still gets full
+    * DuckDB-oracle verification. Swapping in real audio/video codecs =
+    * replacing the stub branches; every signature and plan stays put.
     */
-  object FakeCodec extends Serializable {
+  object Codec extends Serializable {
     def md5Hex(bytes: Array[Byte]): String =
       MessageDigest.getInstance("MD5").digest(bytes)
         .map("%02x".format(_)).mkString
 
-    /** STUB decode: "dimensions" derived from payload size. */
-    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
-      val n = bytes.length
-      (16 + n % 64, 16 + (n / 64) % 64, 3)
+    def isPng(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && bytes(0) == 0x89.toByte &&
+        bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
+
+    private def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+    /** (width, height, channels): REAL decode for PNG, stub
+      * size-arithmetic otherwise.
+      */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) =
+      if (isPng(bytes)) {
+        val img = readPng(bytes)
+        (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+      } else {
+        val n = bytes.length
+        (16 + n % 64, 16 + (n / 64) % 64, 3)
+      }
+
+    /** Per-channel pixel means of a decoded PNG (floor division —
+      * exact for the solid-fill fixtures).
+      */
+    def meanRgb(bytes: Array[Byte]): (Long, Long, Long) = {
+      val img = readPng(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (r / n, g / n, b / n)
+    }
+
+    /** Solid-fill RGB PNG encoder (fixture generation + tests). */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
     /** STUB duration: 40 ms of "video" per payload byte. */
     def durationMs(bytes: Array[Byte]): Long = 40L * bytes.length
   }
 
+  /** The synthetic image fixtures' ground truth: dimensions and fill
+    * color as PURE FUNCTIONS of the media id. The PNG payload is
+    * genuinely encoded from these, the engine genuinely decodes the
+    * payload back, and the DuckDB oracle recomputes the same values
+    * arithmetically — so an oracle match PROVES the decode recovered
+    * the constructed pixels, not that two stubs agree.
+    */
+  object Fixture {
+    def width(id: Long): Int = (16 + id % 48).toInt
+    def height(id: Long): Int = (16 + (id * 7) % 48).toInt
+    def r(id: Long): Int = ((id * 37) % 256).toInt
+    def g(id: Long): Int = ((id * 59) % 256).toInt
+    def b(id: Long): Int = ((id * 83) % 256).toInt
+    def rgb(id: Long): Int = (r(id) << 16) | (g(id) << 8) | b(id)
+    def png(id: Long): Array[Byte] = Codec.encodePng(width(id), height(id), rgb(id))
+  }
+
   /** Synthetic media table over `documents` (the container ships no
-    * binary fixtures): payload = UTF-8 bytes of the text, kind cycles
-    * image/audio/video. Binary column + metadata exactly as a real
-    * ingest would land them.
+    * binary fixtures): kind cycles image/audio/video; image rows carry
+    * a REAL PNG payload ([[Fixture]] — decoded, not trusted, by the
+    * operators below), audio/video rows carry the UTF-8 text bytes.
+    * Binary column + metadata exactly as a real ingest would land
+    * them; generation is a map-only kernel that pipelines with the
+    * scan.
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[Media] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("media_id"),
-        element_at(typedlit(Seq("image", "audio", "video")),
-          (col("doc_id") % 3).cast("int") + 1).as("kind"),
-        // null text → empty payload: the decode kernels take the
-        // binary column as-is and must never see a null pointer
-        encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
-      .as[Media]
+      // null text → empty payload: the decode kernels take the binary
+      // column as-is and must never see a null pointer
+      .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id % 3) match {
+            case 0 => Media(id, "image", Fixture.png(id))
+            case 1 => Media(id, "audio", text.getBytes(StandardCharsets.UTF_8))
+            case _ => Media(id, "video", text.getBytes(StandardCharsets.UTF_8))
+          }
+        }
+      }
   }
 
   /** Decode pass: binary → typed image metadata, per-partition batch
@@ -102,27 +182,36 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, c) = FakeCodec.decodeImage(m.content)
+          val (w, h, c) = Codec.decodeImage(m.content)
           ImageMeta(m.media_id, m.content.length.toLong, w.toLong, h.toLong,
-            c.toLong, FakeCodec.md5Hex(m.content))
+            c.toLong, Codec.md5Hex(m.content))
         }
       }
     }
   }
 
-  /** Feature extraction: binary → 8 integer features (60-bit hex
-    * slices of the payload digest — the stub stand-in for an
-    * embedding model). Downstream these feed the same
-    * [[graft.operators.Similarity]] bucketing as real embeddings.
+  /** Feature extraction: binary → 8 integer features. PNG payloads
+    * get REAL pixel-derived features (dimensions, area, per-channel
+    * means read back from the decoded raster); other payloads get the
+    * stub digest slices (the stand-in for an embedding model).
+    * Downstream these feed the same [[graft.operators.Similarity]]
+    * bucketing as real embeddings.
     */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val hex = FakeCodec.md5Hex(m.content)
-          def f(i: Int): Long = java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16)
-          MediaFeatures(m.media_id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          if (Codec.isPng(m.content)) {
+            val (w, h, _) = Codec.decodeImage(m.content)
+            val (r, g, b) = Codec.meanRgb(m.content)
+            MediaFeatures(m.media_id, w.toLong, h.toLong, w.toLong * h,
+              r, g, b, r + g + b, math.max(r, math.max(g, b)))
+          } else {
+            val hex = Codec.md5Hex(m.content)
+            def f(i: Int): Long = java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16)
+            MediaFeatures(m.media_id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          }
         }
       }
     }
