@@ -18,13 +18,13 @@ import graft.engine.Tables
   *
   * REAL vs STUB: the Spark-side plumbing — schema, encoders,
   * partition/batch shape, explode fan-out — is real and tested. The
-  * codec itself ([[FakeCodec]]) is a clearly-marked deterministic
-  * STUB: this container has no image/audio libraries, so "decode"
-  * derives metadata arithmetically from the bytes (size, MD5). The
-  * arithmetic is chosen to be reproducible in ANSI SQL so even the
-  * stubbed operators get full DuckDB-oracle verification, not just
-  * row counts. Swapping in a real codec = replacing FakeCodec's
-  * method bodies; every signature and plan stays put.
+  * codec ([[Codec]]) genuinely decodes PNG payloads via
+  * `javax.imageio`; for audio/video this container has no libraries,
+  * so those branches are a clearly-marked deterministic STUB whose
+  * arithmetic is reproducible in ANSI SQL — even the stubbed
+  * operators get full DuckDB-oracle verification, not just row
+  * counts. Swapping in real audio/video codecs = replacing Codec's
+  * stub branches; every signature and plan stays put.
   *
   * Scale notes (100 TB): media rows are large (MBs) — the operators
   * never shuffle the binary payload; decode/features are map-only
@@ -226,11 +226,11 @@ object Multimodal {
     media.filter(col("kind") === "video").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { m =>
-          val dur = FakeCodec.durationMs(m.content)
-          val base = FakeCodec.md5Hex(m.content)
+          val dur = Codec.durationMs(m.content)
+          val base = Codec.md5Hex(m.content)
           (0L to dur / intervalMs).iterator.map { i =>
             Frame(m.media_id, i, i * intervalMs,
-              FakeCodec.md5Hex(s"$base:$i".getBytes(StandardCharsets.UTF_8)))
+              Codec.md5Hex(s"$base:$i".getBytes(StandardCharsets.UTF_8)))
           }
         }
       }

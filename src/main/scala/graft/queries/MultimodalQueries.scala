@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Multimodal surface as oracle-checked queries. The decode is the
-  * documented STUB ([[Multimodal.FakeCodec]]), but its arithmetic is
+  * documented STUB ([[Multimodal.Codec]]), but its arithmetic is
   * SQL-reproducible, so the mapPartitions plumbing (encoders, batch
   * loop, explode fan-out) gets full cell-level DuckDB verification —
   * the strongest check available without real codecs in the image.

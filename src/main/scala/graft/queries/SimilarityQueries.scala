@@ -397,7 +397,7 @@ object SimilarityQueries {
     // features (mm2's 8 integer digest slices) become an 8-dim vector
     // and run through the SAME SRP-bucketed top-k as real embeddings.
     // This is the composed proof that binary column → feature extract
-    // → similarity search is one pipeline; swapping FakeCodec for a
+    // → similarity search is one pipeline; swapping Codec for a
     // real model changes no plan shape.
     Q("mm4_feature_ann",
       (s, d) => {

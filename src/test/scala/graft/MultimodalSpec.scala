@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{FakeCodec, Media}
+import graft.multimodal.Multimodal.{Codec, Media}
 
 /** Unit coverage for the multimodal plumbing: binary schema, batch
   * loop, frame fan-out arithmetic, resize math — the parts a real
@@ -26,7 +26,7 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(meta.n_bytes == 100L)
     assert(meta.width == 16 + 100 % 64 && meta.height == 16 + (100 / 64) % 64)
-    assert(meta.checksum == FakeCodec.md5Hex("x".repeat(100).getBytes))
+    assert(meta.checksum == Codec.md5Hex("x".repeat(100).getBytes))
   }
 
   test("decodeMeta batch loop covers partitions larger than one batch") {
@@ -46,8 +46,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.media_id).distinct.toSeq == Seq(1L))
     assert(rows.map(_.ts_ms).toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
     // signatures chain off the payload digest + index
-    val base = FakeCodec.md5Hex("x".repeat(100).getBytes)
-    assert(rows(2).frame_sig == FakeCodec.md5Hex(s"$base:2".getBytes))
+    val base = Codec.md5Hex("x".repeat(100).getBytes)
+    assert(rows(2).frame_sig == Codec.md5Hex(s"$base:2".getBytes))
   }
 
   test("extractFeatures is deterministic and 16-bit bounded") {
