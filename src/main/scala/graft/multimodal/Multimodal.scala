@@ -74,8 +74,16 @@ object Multimodal {
       bytes.length >= 4 && bytes(0) == 0x89.toByte &&
         bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
 
-    private def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage =
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    private def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read returns null (not an exception) for a payload that
+      // carries the 4 magic bytes but is truncated/corrupt past them —
+      // surface a descriptive decode error instead of an executor NPE
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"payload has the PNG magic but is not decodable (${bytes.length} bytes)")
+      img
+    }
 
     /** (width, height, channels): REAL decode for PNG, stub
       * size-arithmetic otherwise.
@@ -89,10 +97,13 @@ object Multimodal {
         (16 + n % 64, 16 + (n / 64) % 64, 3)
       }
 
-    /** Per-channel pixel means of a decoded PNG (floor division —
-      * exact for the solid-fill fixtures).
+    /** One-pass PNG decode: (width, height, channels, meanR, meanG,
+      * meanB). Channel means are floor-divided pixel sums — exact for
+      * the solid-fill fixtures. One `ImageIO.read` serves both the
+      * dimension and the mean needs; decoding twice per row doubled
+      * the feature-extraction cost in the r5 bench.
       */
-    def meanRgb(bytes: Array[Byte]): (Long, Long, Long) = {
+    def imageStats(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long) = {
       val img = readPng(bytes)
       val w = img.getWidth; val h = img.getHeight
       var r = 0L; var g = 0L; var b = 0L
@@ -107,7 +118,13 @@ object Multimodal {
         y += 1
       }
       val n = w.toLong * h
-      (r / n, g / n, b / n)
+      (w, h, img.getColorModel.getNumComponents, r / n, g / n, b / n)
+    }
+
+    /** Per-channel pixel means of a decoded PNG. */
+    def meanRgb(bytes: Array[Byte]): (Long, Long, Long) = {
+      val s = imageStats(bytes)
+      (s._4, s._5, s._6)
     }
 
     /** Solid-fill RGB PNG encoder (fixture generation + tests). */
@@ -143,7 +160,28 @@ object Multimodal {
     def g(id: Long): Int = ((id * 59) % 256).toInt
     def b(id: Long): Int = ((id * 83) % 256).toInt
     def rgb(id: Long): Int = (r(id) << 16) | (g(id) << 8) | b(id)
-    def png(id: Long): Array[Byte] = Codec.encodePng(width(id), height(id), rgb(id))
+
+    /** Encoded-payload memo: PNG encode (deflate) is the expensive
+      * half of fixture generation, and r5 paid it for every image row
+      * on EVERY query run (mm4 twice per run) — it dominated the
+      * multimodal bench rows. Payloads are pure functions of the id,
+      * so memoize per JVM (executor-local on a real cluster; shared
+      * across queries on local[n]). Bounded: past `pngCacheMax`
+      * entries new ids encode without caching, so fixture generation
+      * can never grow executor memory with the corpus.
+      */
+    private val pngCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+    private val pngCacheMax = 1 << 18
+
+    def png(id: Long): Array[Byte] = {
+      val hit = pngCache.get(id)
+      if (hit != null) hit
+      else {
+        val bytes = Codec.encodePng(width(id), height(id), rgb(id))
+        if (pngCache.size < pngCacheMax) pngCache.putIfAbsent(id, bytes)
+        bytes
+      }
+    }
   }
 
   /** Synthetic media table over `documents` (the container ships no
@@ -203,8 +241,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           if (Codec.isPng(m.content)) {
-            val (w, h, _) = Codec.decodeImage(m.content)
-            val (r, g, b) = Codec.meanRgb(m.content)
+            val (w, h, _, r, g, b) = Codec.imageStats(m.content)
             MediaFeatures(m.media_id, w.toLong, h.toLong, w.toLong * h,
               r, g, b, r + g + b, math.max(r, math.max(g, b)))
           } else {

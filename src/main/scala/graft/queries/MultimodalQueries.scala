@@ -4,41 +4,83 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal surface as oracle-checked queries. The decode is the
-  * documented STUB ([[Multimodal.Codec]]), but its arithmetic is
-  * SQL-reproducible, so the mapPartitions plumbing (encoders, batch
-  * loop, explode fan-out) gets full cell-level DuckDB verification —
-  * the strongest check available without real codecs in the image.
+/** Multimodal surface as oracle-checked queries. Image rows
+  * (doc_id % 3 = 0) carry a REAL encoded PNG that the engine REALLY
+  * decodes ([[Multimodal.Codec]] via `javax.imageio`); the DuckDB
+  * oracle recomputes the expected dimensions/channel means from the
+  * [[Multimodal.Fixture]] arithmetic — a match proves the decode
+  * recovered the constructed pixels, not that two stubs agree.
+  * Audio/video rows keep the documented SQL-reproducible stub
+  * arithmetic, so the mapPartitions plumbing (encoders, batch loop,
+  * explode fan-out) still gets full cell-level verification.
   */
 object MultimodalQueries {
 
-  /** DuckDB mirror of the synthetic media payload: UTF-8 bytes of
-    * `documents.text`.
+  /** DuckDB mirror of the synthetic audio/video payload: UTF-8 bytes
+    * of `documents.text`.
     */
   private val nBytesSql = "octet_length(encode(text))"
 
+  /** DuckDB expressions for mm2's eight features, image arm replaying
+    * the Fixture arithmetic ([[Multimodal.Fixture]]: width=16+id%48,
+    * height=16+(id*7)%48, fill colour = (id*37, id*59, id*83) % 256 —
+    * exact because the fills are solid and the PNG roundtrip is
+    * lossless), stub arm replaying the digest slices. Shared with
+    * mm4's oracle ([[SimilarityQueries]]) so the two cannot diverge.
+    */
+  val featureSql: Seq[String] = {
+    val w = "(16 + doc_id % 48)"
+    val h = "(16 + (doc_id * 7) % 48)"
+    val r = "((doc_id * 37) % 256)"
+    val g = "((doc_id * 59) % 256)"
+    val b = "((doc_id * 83) % 256)"
+    val imgArm = Seq(w, h, s"$w * $h", r, g, b, s"$r + $g + $b", s"greatest($r, $g, $b)")
+    (0 until 8).map { i =>
+      s"""CAST(CASE WHEN doc_id % 3 = 0 THEN ${imgArm(i)}
+         |       ELSE CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT) END
+         |     AS BIGINT)""".stripMargin
+    }
+  }
+
   val qs: Seq[Q] = Seq(
 
-    // MM1 — decode pass: binary payload → typed image metadata.
+    // MM1 — decode pass: binary payload → typed image metadata. Image
+    // rows: width/height/channels are REAL `javax.imageio` decode
+    // output, verified against the Fixture arithmetic. The PNG
+    // container's byte length and byte-level md5 are properties of
+    // the encoder's output stream, not reproducible in SQL — those
+    // two cells are masked to NULL on the image arm ONLY (the decode
+    // proof lives in the dimension columns here and the channel means
+    // in mm2); audio/video rows keep all six verified columns.
     Q("mm1_decode_meta",
-      (s, d) => Multimodal.decodeMeta(Multimodal.mediaTable(s, d))
-        .toDF().orderBy("media_id"),
+      (s, d) => {
+        val isImg = col("media_id") % 3 === 0
+        Multimodal.decodeMeta(Multimodal.mediaTable(s, d)).toDF()
+          .withColumn("n_bytes", when(isImg, lit(null)).otherwise(col("n_bytes")))
+          .withColumn("checksum", when(isImg, lit(null)).otherwise(col("checksum")))
+          .orderBy("media_id")
+      },
       Some(s"""SELECT doc_id AS media_id,
-             |  CAST($nBytesSql AS BIGINT) AS n_bytes,
-             |  CAST(16 + $nBytesSql % 64 AS BIGINT) AS width,
-             |  CAST(16 + ($nBytesSql // 64) % 64 AS BIGINT) AS height,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+             |       ELSE $nBytesSql END AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48
+             |       ELSE 16 + $nBytesSql % 64 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 48
+             |       ELSE 16 + ($nBytesSql // 64) % 64 END AS BIGINT) AS height,
              |  CAST(3 AS BIGINT) AS channels,
-             |  md5(text) AS checksum
+             |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE md5(text) END AS checksum
              |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // MM2 — feature extraction: payload → 8 integer features (stub
-    // embedding), consumable by the Similarity operators.
+    // MM2 — feature extraction: payload → 8 integer features. Image
+    // rows: REAL pixel-derived features (decoded dimensions + channel
+    // means read back from the raster) checked against the Fixture
+    // fill colours; audio/video rows: digest-slice stub embedding.
+    // Both arms feed the Similarity operators identically.
     Q("mm2_media_features",
       (s, d) => Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
         .toDF().orderBy("media_id"),
       Some(s"""SELECT doc_id AS media_id,
-             |  ${(0 until 8).map(i =>
-                  s"CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT) AS f${i + 1}")
+             |  ${featureSql.zipWithIndex.map { case (e, i) => s"$e AS f${i + 1}" }
                   .mkString(",\n             |  ")}
              |FROM documents ORDER BY media_id""".stripMargin)),
 

@@ -410,9 +410,10 @@ object SimilarityQueries {
       },
       {
         val bucketSql = srpBucketSql(4, 8, "fvec")
-        val fvecSql = (0 until 8).map(i =>
-          s"CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT)")
-          .mkString("[", ", ", "]")
+        // feature arms shared with mm2's oracle (image rows = Fixture
+        // arithmetic the engine recovers by decoding, others = digest
+        // stub) so the two oracles cannot diverge
+        val fvecSql = MultimodalQueries.featureSql.mkString("[", ", ", "]")
         Some(s"""WITH f AS (SELECT doc_id AS media_id, $fvecSql AS fvec FROM documents),
                |b AS (SELECT media_id, fvec, $bucketSql AS bucket FROM f),
                |pr AS (SELECT media_id AS p_id, fvec AS p_vec, bucket FROM b WHERE media_id < 10),
