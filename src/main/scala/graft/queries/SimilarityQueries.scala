@@ -344,6 +344,71 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
+    // V7 — IVF search over a TRAINED codebook: 2 spherical-k-means
+    // rounds (k=8, deterministic lowest-id seeding, argmax ties →
+    // lowest cell) then the same cell search as v4. The oracle REPLAYS
+    // the training — assignment argmax + per-cell mean of unit
+    // vectors, empty cells keep their centroid — as CTE rounds, so
+    // the trainer itself is cell-level verified, not just recall-
+    // bounded. (Spark sums partial vectors in partition order, DuckDB
+    // in scan order; both divide once at the end — differences are
+    // ≤1-ulp and only an exact argmax tie could amplify them, which
+    // the tie-break makes id-deterministic on both sides.)
+    Q("v7_ivf_trained",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cb = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5, centroids = cb)
+          .orderBy("p_id", "rn")
+      },
+      {
+        // one spherical-k-means round: argmax-assign `clean` to the
+        // previous codebook, then per-cell element-wise mean of the
+        // unit-normalized members (empty cell keeps its centroid)
+        def round(r: Int): String =
+          s"""asg$r AS (
+             |  SELECT vec_id, uv, cell_id FROM (
+             |    SELECT c.vec_id, c.uv, ct.cell_id,
+             |      row_number() OVER (PARTITION BY c.vec_id
+             |        ORDER BY ${cosSql("c.embedding", "ct.c_vec")} DESC, ct.cell_id) AS crn
+             |    FROM clean c CROSS JOIN cent${r - 1} ct) WHERE crn = 1),
+             |mean$r AS (
+             |  SELECT cell_id, list(mv ORDER BY i) AS c_vec FROM (
+             |    SELECT cell_id, i, avg(uv[i]) AS mv
+             |    FROM asg$r, unnest(range(1, 65)) t(i)
+             |    GROUP BY cell_id, i) GROUP BY cell_id),
+             |cent$r AS (
+             |  SELECT p.cell_id, coalesce(m.c_vec, p.c_vec) AS c_vec
+             |  FROM cent${r - 1} p LEFT JOIN mean$r m USING (cell_id))""".stripMargin
+        Some(s"""WITH clean AS (
+               |  SELECT vec_id, embedding,
+               |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${normSql("embedding")}) AS uv
+               |  FROM embeddings WHERE ${normSql("embedding")} > 0),
+               |cent0 AS (
+               |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_vec
+               |  FROM clean ORDER BY vec_id LIMIT 8),
+               |${round(1)},
+               |${round(2)},
+               |fasg AS (
+               |  SELECT vec_id, embedding, cell_id FROM (
+               |    SELECT e.vec_id, e.embedding, c.cell_id,
+               |      row_number() OVER (PARTITION BY e.vec_id
+               |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+               |    FROM embeddings e CROSS JOIN cent2 c) WHERE crn = 1),
+               |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+               |       FROM fasg WHERE vec_id < 10),
+               |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
+               |      FROM fasg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
+               |r AS (SELECT p_id, vec_id, cos_raw,
+               |        row_number() OVER (PARTITION BY p_id
+               |          ORDER BY cos_raw DESC, vec_id) AS rn
+               |      FROM dst)
+               |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
+      }),
+
     // V2 — SRP-LSH approximate top-k: probes meet only candidates in
     // their 4-bit sign-random-projection bucket (the scale path; plane
     // count tunes recall vs bucket size).
