@@ -231,21 +231,29 @@ object Similarity {
       val v = col(vecCol)
       transform(v, x => x.cast(DoubleType) / l2norm(v)).as("uv")
     }
+    // every round re-scans the training set (seed job + one assign
+    // job per iteration) — pin it once instead of re-reading and
+    // re-filtering the source each round; training is synchronous
+    // (each round collects its k×dims codebook), so the pin can be
+    // dropped before returning
     val clean = vectors.filter(l2norm(col(vecCol)) > 0)
-    var cent: Map[Long, Array[Double]] = clean
-      .orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast(LongType), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect().toMap
-    val vmean = udaf(new VecMeanAgg)
-    for (_ <- 0 until iters) {
-      val centDf = cent.toSeq.sortBy(_._1).toDF(idCol, vecCol)
-      val asg = ivfAssign(clean, idCol, vecCol, centDf)
-      val means = asg.select(col("cell_id"), unit)
-        .groupBy("cell_id").agg(vmean(col("uv")).as("mv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cent: Map[Long, Array[Double]] = clean
+        .orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast(LongType), col(vecCol).cast("array<double>"))
         .as[(Long, Array[Double])].collect().toMap
-      cent = cent.map { case (id, v) => id -> means.getOrElse(id, v) }
-    }
-    cent.toSeq.sortBy(_._1).toDF(idCol, vecCol)
+      val vmean = udaf(new VecMeanAgg)
+      for (_ <- 0 until iters) {
+        val centDf = cent.toSeq.sortBy(_._1).toDF(idCol, vecCol)
+        val asg = ivfAssign(clean, idCol, vecCol, centDf)
+        val means = asg.select(col("cell_id"), unit)
+          .groupBy("cell_id").agg(vmean(col("uv")).as("mv"))
+          .as[(Long, Array[Double])].collect().toMap
+        cent = cent.map { case (id, v) => id -> means.getOrElse(id, v) }
+      }
+      cent.toSeq.sortBy(_._1).toDF(idCol, vecCol)
+    } finally clean.unpersist(blocking = false)
   }
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —

@@ -466,9 +466,15 @@ object SimilarityQueries {
     // real model changes no plan shape.
     Q("mm4_feature_ann",
       (s, d) => {
+        // the feature frame feeds BOTH the probe and the corpus branch
+        // of the ANN join; the decode kernel is a mapPartitions stage
+        // (no subtree reuse through an exchange), so without pinning
+        // every image row would be decoded twice per run — same
+        // rationale as the Dedup signature-table persist
         val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
           .select(col("media_id"),
             array((1 to 8).map(i => col(s"f$i").cast(DoubleType)): _*).as("fvec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Similarity.srpAnnTopK(feats.filter(col("media_id") < 10), feats,
             "media_id", "fvec", k = 5, nPlanes = 4, dims = 8)
           .orderBy("p_id", "rn")

@@ -70,6 +70,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial shapes converge within the O(log n) round bound") {
+    // maxIters IS the round-count assertion: non-convergence inside it
+    // throws, so passing with maxIters = 2*log2(n)+2 pins the
+    // large-star/small-star O(log n) claim on the shapes that defeat
+    // plain min-label propagation (which needs ~diameter rounds).
+    def logBound(n: Long): Int =
+      2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 2
+
+    // long chain: diameter 512 >> log2(512) = 9 → bound 20 rounds
+    val chainN = 512L
+    val chain = Dedup.connectedComponents(
+        (0L until chainN).toDF("id"), "id",
+        (0L until chainN - 1).map(i => (i + 1, i)).toDF("a", "b"), "a", "b",
+        maxIters = logBound(chainN))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert((0L until chainN).forall(chain(_)._1 == 0L))
+    assert(chain(0L)._2 == chainN)
+
+    // single giant component, min id at the wrong end of every edge:
+    // a hub at the HIGHEST id fanning out to all others plus a chain
+    // through the spokes — one 1000-node component, bound 22 rounds
+    val hubN = 1000L
+    val hubPairs = (0L until hubN - 1).map(i => (hubN - 1, i)) ++
+      (0L until hubN - 2).map(i => (i + 1, i))
+    val hub = Dedup.connectedComponents(
+        (0L until hubN).toDF("id"), "id",
+        hubPairs.toDF("a", "b"), "a", "b",
+        maxIters = logBound(hubN))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert((0L until hubN).forall(hub(_)._1 == 0L))
+    assert(hub(0L)._2 == hubN)
+  }
+
   test("non-convergence inside maxIters fails loudly, not silently") {
     // star contraction halves a chain per round, so a 4000-node chain
     // cannot possibly finish in 1 round

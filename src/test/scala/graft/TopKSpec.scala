@@ -136,22 +136,28 @@ class TopKSpec extends AnyFunSuite {
     def timeNs(f: => Unit): Long = { val t = System.nanoTime(); f; System.nanoTime() - t }
     // warm both paths, then measure
     val agg = new TopK.TopKAgg(k)
-    def runNew(): Unit = {
+    def runNew(): TopK.Buf = {
       val b = agg.zero
       var i = 0
       while (i < rows) { agg.reduce(b, TopK.Scored(i.toLong, score(i))); i += 1 }
+      b
     }
-    def runOld(): Unit = {
+    def runOld(): OldBuf = {
       var b = OldBuf(Array.emptyLongArray, Array.emptyDoubleArray)
       var i = 0
       while (i < rows) { b = oldInsert(b, i.toLong, score(i), k); i += 1 }
+      b
     }
     runNew(); runOld()
-    val tNew = timeNs(runNew()); val tOld = timeNs(runOld())
+    var bNew: TopK.Buf = null; var bOld: OldBuf = null
+    val tNew = timeNs { bNew = runNew() }; val tOld = timeNs { bOld = runOld() }
+    // both shapes must keep the identical ranked contents — that is
+    // the assertion; timing is informational only (single unwarmed
+    // runs flake on a loaded machine, so no wall-clock bound)
+    assert(bNew.n == k)
+    assert(bNew.ids.take(bNew.n).toSeq == bOld.ids.toSeq)
+    assert(bNew.scores.take(bNew.n).toSeq == bOld.scores.toSeq)
     info(f"in-place ${tNew / 1e6}%.1f ms vs copy-on-insert ${tOld / 1e6}%.1f ms for $rows rows, k=$k")
-    // generous bound: the win is allocation, not big-O; just pin that
-    // in-place never regresses materially
-    assert(tNew < tOld * 1.5)
   }
 
   test("string-keyed candidates fail with a clear contract error") {
