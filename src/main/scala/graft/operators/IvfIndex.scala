@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized IVF index: build once, search many — the missing half
+  * of [[Similarity.ivfTopK]]'s scale story. `ivfTopK` re-assigns the
+  * whole corpus to cells on every call, which is right for a one-shot
+  * query but wrong for a served index: at 100 TB the cell assignment
+  * is the expensive pass, and a production pipeline runs it ONCE,
+  * persists the result, and amortizes it over every search.
+  *
+  * The Spark-first design point is the LAYOUT: the index is parquet
+  * `partitionBy("cell_id")`, so each IVF cell is a partition
+  * DIRECTORY. Search assigns the (small) probe set to its `nprobe`
+  * cells, collects that driver-bounded cell list (≤ |probes|×nprobe
+  * longs — the same boundedness contract as the broadcast probe side
+  * itself), and pushes `cell_id IN (...)` into the scan as a STATIC
+  * partition filter: Spark plans file splits for the probed cells
+  * only, so a search that probes 1/k of the cells reads ~1/k of the
+  * corpus bytes — no job ever touches the rest. That pruning is
+  * asserted by `IvfIndexSpec`, not assumed.
+  *
+  * Search semantics are bit-identical to `ivfTopK` with the same
+  * codebook: probe assignment shares [[Similarity.probeCells]] and the
+  * ranking shares the bounded k-heap [[TopK]] aggregate, so the
+  * `v4`/`v6` DuckDB oracles verify this path too (`v8_ivf_indexed`).
+  */
+object IvfIndex {
+
+  /** Assign `corpus` to its nearest-centroid cells and write the
+    * index: parquet partitioned by `cell_id` (one directory per IVF
+    * cell). Vectors are stored once, inside their cell partition;
+    * nothing else is duplicated. Re-running overwrites atomically at
+    * the `path` level (dynamic partition overwrite is unnecessary —
+    * an index rebuild replaces every cell by construction).
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, path: String): Unit =
+    Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** Top-k cosine search over a built index. Reads ONLY the cell
+    * partitions the probes hash to (static partition pruning via the
+    * collected probe-cell list); ranking is the same bounded k-heap
+    * as [[Similarity.ivfTopK]].
+    */
+  def search(spark: SparkSession, path: String, probes: DataFrame,
+             idCol: String, vecCol: String, k: Int, centroids: DataFrame,
+             nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
+    // driver-bounded by contract: probes are the small broadcast side,
+    // so |cells| ≤ |probes| × nprobe
+    val cells = pCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(path)
+    val pruned =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell_id").isin(cells: _*))
+    val cos = Similarity.cosine(col("p_vec"), col(vecCol))
+    Similarity.probeTopK(
+      pruned.join(broadcast(pCells), Seq("cell_id"))
+        .filter(col("p_id") =!= col(idCol))
+        .select(col("p_id"), col(idCol), cos.as("cos_raw")),
+      idCol, k)
+  }
+
+  /** Build-once memo for repeated same-process searches (Verify/Bench
+    * run every query in one JVM; a served index is likewise built once
+    * and queried many times). Key covers the corpus identity; the
+    * value is a temp directory holding the partitioned index.
+    */
+  private val builtPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def builtFor(key: String, corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): String =
+    builtPaths.computeIfAbsent(key, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      build(corpus, idCol, vecCol, centroids, path)
+      path
+    })
+}

@@ -62,7 +62,7 @@ object Similarity {
     * is ever excluded on either side); a corpus with zero-norm
     * vectors would drop those candidates rather than rank them.
     */
-  private def probeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+  private[operators] def probeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     TopK.perGroup(scored, "p_id", idCol, "cos_raw", k)
       .select(col("p_id"), col("rn"), col(idCol),
         floor(col("cos_raw") * 1e7).cast(LongType).as("cos_e7"))
@@ -136,28 +136,37 @@ object Similarity {
     * Centroids come from [[trainIvfCentroids]] (or any stand-in
     * codebook); corpus shuffles once on cell id.
     */
+  /** (p_id, p_vec, cell_id): each probe paired with its `nprobe`
+    * nearest cells — the probe side of [[ivfTopK]] and of the
+    * materialized [[IvfIndex]] search (one definition so the two
+    * search paths cannot diverge on assignment or tie-break).
+    */
+  private[operators] def probeCells(probes: DataFrame, idCol: String,
+                                    vecCol: String, centroids: DataFrame,
+                                    nprobe: Int): DataFrame =
+    if (nprobe == 1)
+      ivfAssign(probes, idCol, vecCol, centroids)
+        .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
+    else {
+      // top-nprobe cells per probe via the same bounded k-heap
+      // aggregate as the result ranking (score desc, id asc — the
+      // identical tie-break as ivfAssign's argmax), then the probe
+      // vector joins back on the small probe side only
+      val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
+      val scoredCells = probes.crossJoin(broadcast(c))
+        .select(col(idCol).as("p_id"), col("cell_id"),
+          cosine(col(vecCol), col("c_vec")).as("c_cos"))
+      TopK.perGroup(scoredCells, "p_id", "cell_id", "c_cos", nprobe)
+        .join(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec")), "p_id")
+        .select(col("p_id"), col("p_vec"), col("cell_id"))
+    }
+
   def ivfTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: DataFrame,
               nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cCells = ivfAssign(candidates, idCol, vecCol, centroids)
-    val pCells =
-      if (nprobe == 1)
-        ivfAssign(probes, idCol, vecCol, centroids)
-          .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
-      else {
-        // top-nprobe cells per probe via the same bounded k-heap
-        // aggregate as the result ranking (score desc, id asc — the
-        // identical tie-break as ivfAssign's argmax), then the probe
-        // vector joins back on the small probe side only
-        val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
-        val scoredCells = probes.crossJoin(broadcast(c))
-          .select(col(idCol).as("p_id"), col("cell_id"),
-            cosine(col(vecCol), col("c_vec")).as("c_cos"))
-        TopK.perGroup(scoredCells, "p_id", "cell_id", "c_cos", nprobe)
-          .join(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec")), "p_id")
-          .select(col("p_id"), col("p_vec"), col("cell_id"))
-      }
+    val pCells = probeCells(probes, idCol, vecCol, centroids, nprobe)
     val cos = cosine(col("p_vec"), col(vecCol))
     probeTopK(
       cCells.join(broadcast(pCells), Seq("cell_id"))

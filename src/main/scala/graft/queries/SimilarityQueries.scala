@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, IvfIndex, Similarity}
 
 /** Dedup + similarity-search surface over `documents` and
   * `embeddings` (LLM-data-pipeline north star; absent from the
@@ -67,6 +67,32 @@ object SimilarityQueries {
       val wLit = w.mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(wLit, vecCol)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  /** v4 AND v8 oracle: IVF cell-restricted top-k over the 16
+    * stand-in centroids. One definition for both because the live
+    * `ivfTopK` and the materialized `IvfIndex` search must agree
+    * cell-for-cell.
+    */
+  private lazy val ivfStandInOracle: String =
+    s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+       |             FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, embedding, cell_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE crn = 1),
+       |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+       |       FROM asg WHERE vec_id < 10),
+       |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
+       |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
+       |r AS (SELECT p_id, vec_id, cos_raw,
+       |        row_number() OVER (PARTITION BY p_id
+       |          ORDER BY cos_raw DESC, vec_id) AS rn
+       |      FROM dst)
+       |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+       |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
 
   /** Shared d6/d8 CTE chain: 60-bit SimHash sketches → 4×15-bit band
     * buckets → candidate pairs (doc_a < doc_b) with both sketches.
@@ -293,25 +319,24 @@ object SimilarityQueries {
             centroids = e.filter(col("vec_id") < 16))
           .orderBy("p_id", "rn")
       },
-      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
-             |             FROM embeddings WHERE vec_id < 16),
-             |asg AS (
-             |  SELECT vec_id, embedding, cell_id FROM (
-             |    SELECT e.vec_id, e.embedding, c.cell_id,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
-             |    FROM embeddings e CROSS JOIN cent c)
-             |  WHERE crn = 1),
-             |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
-             |       FROM asg WHERE vec_id < 10),
-             |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
-             |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
-             |r AS (SELECT p_id, vec_id, cos_raw,
-             |        row_number() OVER (PARTITION BY p_id
-             |          ORDER BY cos_raw DESC, vec_id) AS rn
-             |      FROM dst)
-             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
-             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+      Some(ivfStandInOracle)),
+
+    // V8 — the SAME search semantics as v4 through the MATERIALIZED
+    // index path: corpus assigned once and written parquet-partitioned
+    // by cell_id (memoized per JVM — the build-once-search-many shape
+    // of a served index), search reads only the probed cell
+    // partitions via static partition pruning. Shares v4's oracle
+    // verbatim: the two paths must be cell-for-cell identical.
+    Q("v8_ivf_indexed",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = IvfIndex.builtFor(s"$d#v8", e, "vec_id", "embedding", cent)
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cent)
+          .orderBy("p_id", "rn")
+      },
+      Some(ivfStandInOracle)),
 
     // V6 — IVF multi-probe: same cell index as v4, but each probe
     // searches its TWO nearest cells (centroid-cosine ranked, ties →

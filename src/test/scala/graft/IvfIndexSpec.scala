@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, Similarity}
+
+/** The materialized IVF index must (a) return cell-for-cell what the
+  * live ivfTopK returns for the same codebook, and (b) actually PRUNE:
+  * a search must plan file reads only for the probed cell partitions —
+  * that pruning is the entire point of the partitioned layout.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic 8-dim vectors in 4 well-separated direction
+  // clusters, so cell assignment is stable and every cell is non-empty
+  private def vecs(n: Int): DataFrame =
+    (0L until n.toLong).map { i =>
+      val axis = (i % 4).toInt
+      val base = Array.fill(8)(0.05 * ((i * 7 % 5) + 1))
+      base(axis * 2) = 10.0 + (i % 3)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+
+  test("index search matches live ivfTopK cell-for-cell") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val probes = corpus.filter(col("vec_id").isin(10L, 21L, 33L))
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path)
+    for (nprobe <- Seq(1, 2)) {
+      val live = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+          k = 5, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      val indexed = IvfIndex.search(spark, path, probes, "vec_id", "embedding",
+          k = 5, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      assert(indexed == live, s"nprobe=$nprobe")
+    }
+  }
+
+  test("search reads only the probed cell partitions") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path)
+    // all 4 cells are non-empty on disk
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(cellDirs.size == 4, s"expected 4 cell partitions, got $cellDirs")
+
+    // one probe → one (nprobe=1) cell; the scan must carry a partition
+    // filter on cell_id, and the planned scan must touch exactly the
+    // files of that single cell directory
+    val probe = corpus.filter(col("vec_id") === 10L)
+    val res = IvfIndex.search(spark, path, probe, "vec_id", "embedding",
+      k = 3, centroids = cent)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
+      s"no cell_id partition filter in plan:\n$plan")
+
+    // executedPlan is the AQE wrapper (childless until execution), so
+    // pull the scan node from the pre-adaptive physical plan
+    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val indexScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(path.split('/').last)))
+    assert(indexScans.nonEmpty, "no file scan over the index path found")
+    val filesPlanned = indexScans.map(_.relation.location
+      .listFiles(indexScans.head.partitionFilters, Nil)
+      .map(_.files.size).sum).sum
+    val filesInOneCell = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).min
+    val filesTotal = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesPlanned < filesTotal,
+      s"scan planned all $filesTotal index files — no pruning happened")
+    assert(filesPlanned >= filesInOneCell)
+  }
+
+  test("empty probe set returns an empty, well-typed frame") {
+    val corpus = vecs(16)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path)
+    val res = IvfIndex.search(spark, path,
+      corpus.filter(col("vec_id") < 0), "vec_id", "embedding",
+      k = 3, centroids = cent)
+    assert(res.columns.toSeq == Seq("p_id", "rn", "vec_id", "cos_e7"))
+    assert(res.count() == 0)
+  }
+}
