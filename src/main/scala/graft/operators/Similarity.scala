@@ -103,27 +103,58 @@ object Similarity {
       when(dot(wLit, vec) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Above this codebook size the assignment argmax falls back from
+    * embedded literals to the crossJoin+aggregate shape: a plan with
+    * thousands of k×dims literal arrays stops fitting whole-stage
+    * codegen's method budget. 256×64 doubles is comfortably inside it.
+    */
+  val maxLiteralCentroids = 256
+
   /** Assign every vector to its nearest centroid by cosine (ties →
-    * lowest centroid id): the IVF cell assignment. Centroids are
-    * broadcast; the per-vector argmax is `max(struct(cos, -cell_id,
-    * vec))` — a declarative aggregate with map-side partial
-    * aggregation, so the ×|centroids| fan-out collapses back to one
-    * row per vector BEFORE the exchange (the row_number-window shape
-    * this replaces shuffled corpus×|centroids| rows; same trick as
-    * g14's argmax).
+    * lowest centroid id): the IVF cell assignment.
+    *
+    * Centroids are a BOUNDED driver artifact (k×dims — same contract
+    * as [[srpPlanes]] and the [[trainIvfCentroids]] codebook), so for
+    * codebooks up to [[maxLiteralCentroids]] the argmax is computed
+    * per ROW: each centroid becomes a literal `struct(cos, -cell_id)`
+    * candidate and `array_max` picks the best — a MAP-ONLY stage
+    * inside whole-stage codegen. The corpus never shuffles for
+    * assignment (the previous `crossJoin → max(struct) groupBy` shape
+    * still exchanged one row per corpus vector — a full-corpus
+    * shuffle at 100 TB for per-row work). Tie-break is unchanged:
+    * struct ordering compares cosine desc then -cell_id, i.e. lowest
+    * cell wins ties.
+    *
+    * Codebooks larger than [[maxLiteralCentroids]] keep the
+    * crossJoin + map-side-partial `max(struct)` aggregate (shuffle =
+    * one row per vector, never ×|centroids|).
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
-    vectors.crossJoin(broadcast(c))
-      .select(col(idCol), struct(
-          cosine(col(vecCol), col("c_vec")).as("c_cos"),
-          (-col("cell_id")).as("neg_cell"),
-          col(vecCol).as("vec")).as("cand"))
-      .groupBy(idCol)
-      .agg(max(col("cand")).as("best"))
-      .select(col(idCol), col("best.vec").as(vecCol),
-        (-col("best.neg_cell")).as("cell_id"))
+    val cents = centroids
+      .select(col(idCol).cast(LongType), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    if (cents.length <= maxLiteralCentroids) {
+      val cands = array(cents.map { case (cid, cv) =>
+        struct(cosine(col(vecCol), typedlit(cv)).as("c_cos"),
+          lit(-cid).as("neg_cell"))
+      }: _*)
+      vectors.select(col(idCol), col(vecCol),
+        (-array_max(cands).getField("neg_cell")).as("cell_id"))
+    } else {
+      val c = centroids.select(col(idCol).cast(LongType).as("cell_id"),
+        col(vecCol).as("c_vec"))
+      vectors.crossJoin(broadcast(c))
+        .select(col(idCol), struct(
+            cosine(col(vecCol), col("c_vec")).as("c_cos"),
+            (-col("cell_id")).as("neg_cell"),
+            col(vecCol).as("vec")).as("cand"))
+        .groupBy(idCol)
+        .agg(max(col("cand")).as("best"))
+        .select(col(idCol), col("best.vec").as(vecCol),
+          (-col("best.neg_cell")).as("cell_id"))
+    }
   }
 
   /** IVF-style ANN top-k: candidates live in exactly one centroid
@@ -134,7 +165,10 @@ object Similarity {
     * and only the tiny broadcast probe side replicates ×nprobe, the
     * corpus index is untouched (same asymmetry as SRP multi-probe).
     * Centroids come from [[trainIvfCentroids]] (or any stand-in
-    * codebook); corpus shuffles once on cell id.
+    * codebook). With a literal-size codebook the whole corpus side is
+    * SHUFFLE-FREE: map-only cell assignment ([[ivfAssign]]) feeding a
+    * broadcast-hash join on cell_id, then the bounded top-k partial
+    * aggregate — only ≤ partitions×probes×k heap rows ever exchange.
     */
   /** (p_id, p_vec, cell_id): each probe paired with its `nprobe`
     * nearest cells — the probe side of [[ivfTopK]] and of the
@@ -215,7 +249,7 @@ object Similarity {
   /** Offline spherical-k-means codebook trainer for [[ivfTopK]].
     *
     * Lloyd iterations specialized to cosine geometry: assignment is
-    * the broadcast argmax of [[ivfAssign]]; the update step averages
+    * the map-only argmax of [[ivfAssign]]; the update step averages
     * the UNIT-NORMALIZED members of each cell (cosine is
     * scale-invariant, so the unnormalized mean direction is the
     * spherical-k-means maximizer of the within-cell cosine sum —
