@@ -50,6 +50,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).frame_sig == Codec.md5Hex(s"$base:2".getBytes))
   }
 
+  test("truncated payload with a PNG magic fails with a decode error, not an NPE") {
+    // ImageIO.read returns null (not an exception) for this shape
+    val bogus = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeImage(bogus)
+    }
+    assert(err.getMessage.contains("not decodable"))
+  }
+
+  test("real PNG roundtrip: encode → decode recovers dimensions and fill color") {
+    val bytes = Multimodal.Codec.encodePng(23, 17, 0x406080)
+    assert(Multimodal.Codec.isPng(bytes))
+    val (w, h, c, r, g, b) = Multimodal.Codec.imageStats(bytes)
+    assert((w, h, c) == ((23, 17, 3)))
+    assert((r, g, b) == ((0x40L, 0x60L, 0x80L)))
+  }
+
   test("extractFeatures is deterministic and 16-bit bounded") {
     val f1 = Multimodal.extractFeatures(media((1L, "audio", "same bytes"))).collect().head
     val f2 = Multimodal.extractFeatures(media((9L, "audio", "same bytes"))).collect().head
