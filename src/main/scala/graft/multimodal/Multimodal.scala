@@ -121,12 +121,6 @@ object Multimodal {
       (w, h, img.getColorModel.getNumComponents, r / n, g / n, b / n)
     }
 
-    /** Per-channel pixel means of a decoded PNG. */
-    def meanRgb(bytes: Array[Byte]): (Long, Long, Long) = {
-      val s = imageStats(bytes)
-      (s._4, s._5, s._6)
-    }
-
     /** Solid-fill RGB PNG encoder (fixture generation + tests). */
     def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(

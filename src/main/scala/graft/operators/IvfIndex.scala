@@ -49,7 +49,11 @@ object IvfIndex {
              idCol: String, vecCol: String, k: Int, centroids: DataFrame,
              nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // pinned because the probe plan feeds two consumers — the
+    // collected pruning list and the join's broadcast side — and
+    // without the pin the assignment job would execute twice
     val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-bounded by contract: probes are the small broadcast side,
     // so |cells| ≤ |probes| × nprobe
     val cells = pCells.select("cell_id").distinct()
@@ -68,8 +72,12 @@ object IvfIndex {
 
   /** Build-once memo for repeated same-process searches (Verify/Bench
     * run every query in one JVM; a served index is likewise built once
-    * and queried many times). Key covers the corpus identity; the
-    * value is a temp directory holding the partitioned index.
+    * and queried many times). The KEY is the caller's statement of
+    * corpus identity — rebuilding when the data under a key changes is
+    * the caller's responsibility, exactly as it is for any persisted
+    * index artifact. Temp directories are removed on JVM exit; a
+    * production deployment passes a real warehouse `path` to [[build]]
+    * directly and owns its lifecycle.
     */
   private val builtPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -77,9 +85,15 @@ object IvfIndex {
   def builtFor(key: String, corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame): String =
     builtPaths.computeIfAbsent(key, _ => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
-      build(corpus, idCol, vecCol, centroids, path)
-      path
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Exception => () } // best-effort temp cleanup
+      }))
+      build(corpus, idCol, vecCol, centroids, dir.toString)
+      dir.toString
     })
 }

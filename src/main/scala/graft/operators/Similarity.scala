@@ -131,8 +131,13 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
+    // bounded probe collect: limit(max+1) either returns the COMPLETE
+    // codebook (≤ max rows — safe to embed as literals) or proves it
+    // is oversized without ever materializing a large codebook on the
+    // driver (the fallback path below only broadcasts it)
     val cents = centroids
       .select(col(idCol).cast(LongType), col(vecCol).cast("array<double>"))
+      .limit(maxLiteralCentroids + 1)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
     if (cents.length <= maxLiteralCentroids) {
@@ -157,6 +162,33 @@ object Similarity {
     }
   }
 
+  /** (p_id, p_vec, cell_id): each probe paired with its `nprobe`
+    * nearest cells — the probe side of [[ivfTopK]] and of the
+    * materialized [[IvfIndex]] search (one definition so the two
+    * search paths cannot diverge on assignment or tie-break).
+    * `cell_id` is LongType on both branches.
+    */
+  private[operators] def probeCells(probes: DataFrame, idCol: String,
+                                    vecCol: String, centroids: DataFrame,
+                                    nprobe: Int): DataFrame =
+    if (nprobe == 1)
+      ivfAssign(probes, idCol, vecCol, centroids)
+        .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
+    else {
+      // top-nprobe cells per probe via the same bounded k-heap
+      // aggregate as the result ranking (score desc, id asc — the
+      // identical tie-break as ivfAssign's argmax), then the probe
+      // vector joins back on the small probe side only
+      val c = centroids.select(col(idCol).cast(LongType).as("cell_id"),
+        col(vecCol).as("c_vec"))
+      val scoredCells = probes.crossJoin(broadcast(c))
+        .select(col(idCol).as("p_id"), col("cell_id"),
+          cosine(col(vecCol), col("c_vec")).as("c_cos"))
+      TopK.perGroup(scoredCells, "p_id", "cell_id", "c_cos", nprobe)
+        .join(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec")), "p_id")
+        .select(col("p_id"), col("p_vec"), col("cell_id"))
+    }
+
   /** IVF-style ANN top-k: candidates live in exactly one centroid
     * cell; each probe searches its `nprobe` NEAREST cells (ranked by
     * centroid cosine, ties → lowest cell id). The recall story of a
@@ -170,31 +202,6 @@ object Similarity {
     * broadcast-hash join on cell_id, then the bounded top-k partial
     * aggregate — only ≤ partitions×probes×k heap rows ever exchange.
     */
-  /** (p_id, p_vec, cell_id): each probe paired with its `nprobe`
-    * nearest cells — the probe side of [[ivfTopK]] and of the
-    * materialized [[IvfIndex]] search (one definition so the two
-    * search paths cannot diverge on assignment or tie-break).
-    */
-  private[operators] def probeCells(probes: DataFrame, idCol: String,
-                                    vecCol: String, centroids: DataFrame,
-                                    nprobe: Int): DataFrame =
-    if (nprobe == 1)
-      ivfAssign(probes, idCol, vecCol, centroids)
-        .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
-    else {
-      // top-nprobe cells per probe via the same bounded k-heap
-      // aggregate as the result ranking (score desc, id asc — the
-      // identical tie-break as ivfAssign's argmax), then the probe
-      // vector joins back on the small probe side only
-      val c = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
-      val scoredCells = probes.crossJoin(broadcast(c))
-        .select(col(idCol).as("p_id"), col("cell_id"),
-          cosine(col(vecCol), col("c_vec")).as("c_cos"))
-      TopK.perGroup(scoredCells, "p_id", "cell_id", "c_cos", nprobe)
-        .join(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec")), "p_id")
-        .select(col("p_id"), col("p_vec"), col("cell_id"))
-    }
-
   def ivfTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: DataFrame,
               nprobe: Int = 1): DataFrame = {

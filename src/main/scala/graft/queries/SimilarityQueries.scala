@@ -375,14 +375,18 @@ object SimilarityQueries {
     // the training — assignment argmax + per-cell mean of unit
     // vectors, empty cells keep their centroid — as CTE rounds, so
     // the trainer itself is cell-level verified, not just recall-
-    // bounded. (Spark sums partial vectors in partition order, DuckDB
-    // in scan order; both divide once at the end — differences are
-    // ≤1-ulp and only an exact argmax tie could amplify them, which
-    // the tie-break makes id-deterministic on both sides.)
+    // bounded. The coalesce(1) is the oracle's determinism pin: FP
+    // addition is non-associative and multi-partition partial sums
+    // merge in task-completion order, so single-partition training
+    // makes the per-cell mean a fixed scan-order fold — the exact
+    // sequence DuckDB's avg() executes. The OPERATOR is partition-
+    // agnostic (means are correct at any parallelism, ulps aside);
+    // only this cell-exact replay needs the pin. Training input here
+    // is oracle-scale tiny; real corpora train on a sample anyway.
     Q("v7_ivf_trained",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cb = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        val cb = Similarity.trainIvfCentroids(e.coalesce(1), "vec_id", "embedding",
           k = 8, iters = 2)
         Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
             "vec_id", "embedding", k = 5, centroids = cb)
