@@ -62,12 +62,27 @@ object Dedup {
     * candidate ids. Band/row parameters trade recall vs bucket size as
     * usual (threshold ≈ (1/b)^(1/r)).
     *
+    * Skew safeguard: a bucket of m members emits m·(m−1)/2 candidate
+    * pairs — the one quadratic term in the whole pipeline. Web-scale
+    * corpora always have template/boilerplate clusters that put
+    * thousands of near-identical docs in one bucket, and a single such
+    * bucket turns the self-join into the O(n²) job this module exists
+    * to avoid. Buckets larger than `maxBucket` are therefore dropped
+    * before the self-join (one cheap count on the same key the join
+    * shuffles on). Recall contract: only pairs that co-occur in NO
+    * other surviving bucket are lost, and members of an oversized
+    * bucket are near-identical by construction — exact dedup (d1 /
+    * [[exactDedup]]) is the right tool for them, not pairwise LSH.
+    *
     * @param jaccardMin verification threshold on exact shingle Jaccard
+    * @param maxBucket  largest LSH bucket allowed to emit pairs
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 8, nBands: Int = 4,
-                      jaccardMin: Double = 0.4): DataFrame = {
+                      jaccardMin: Double = 0.4,
+                      maxBucket: Int = 1000): DataFrame = {
     require(k % nBands == 0, s"k=$k must divide into nBands=$nBands")
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     val rows = k / nBands
     // The signature frame feeds three plan branches (bands, and both
     // sides of the verification join); without pinning, the
@@ -86,8 +101,16 @@ object Dedup {
         explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band", "bh"))
+    // drop oversized buckets BEFORE the quadratic self-join; the count
+    // aggregates on the join key itself, so the exchange is shared
+    val okBuckets = bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
+    val bounded = bands.join(okBuckets, Seq("band", "bh"))
+
+    val cand = bounded.as("a")
+      .join(bounded.as("b"), Seq("band", "bh"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
@@ -317,10 +340,19 @@ object Dedup {
     * recall); larger thresholds make the index approximate in the
     * usual multi-probe sense. Shuffle carries only (id, band, value)
     * triples + 8-byte sketches.
+    *
+    * `maxBucket` is the same skew safeguard as [[minhashLshPairs]]:
+    * an oversized band bucket (boilerplate cluster) would emit
+    * quadratic candidates; dropping it bounds the join, and its
+    * near-identical members belong to exact dedup instead. Note the
+    * pigeonhole recall guarantee then holds only among surviving
+    * buckets.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           nBands: Int = 4, bandBits: Int = 15,
-                          maxHamming: Int = 6): DataFrame = {
+                          maxHamming: Int = 6,
+                          maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     // pinned: the sketch table feeds both sides of the bucket
     // self-join (16 bytes/doc; materialized to storage at corpus scale)
     val sim = simhashTable(docs, idCol, textCol)
@@ -333,7 +365,13 @@ object Dedup {
     val bands = sim.select(col(idCol), col("simhash"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("simhash"), col("bs.band").as("band"), col("bs.bv").as("bv"))
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bv"))
+    // skew safeguard: no oversized bucket reaches the self-join
+    val okBuckets = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bv")
+    val bounded = bands.join(okBuckets, Seq("band", "bv"))
+    val cand = bounded.as("a").join(bounded.as("b"), Seq("band", "bv"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))

@@ -94,8 +94,16 @@ object SimilarityQueries {
        |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
        |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
 
+  /** Bucket-size cap mirrored into every LSH oracle — MUST match the
+    * `maxBucket` the d3/d6/d8 queries pass to the operators, so the
+    * skew-safeguard semantic (oversized buckets emit no pairs) is
+    * itself oracle-checked.
+    */
+  private val LshMaxBucket = 1000
+
   /** Shared d6/d8 CTE chain: 60-bit SimHash sketches → 4×15-bit band
-    * buckets → candidate pairs (doc_a < doc_b) with both sketches.
+    * buckets (capped at [[LshMaxBucket]] members) → candidate pairs
+    * (doc_a < doc_b) with both sketches.
     */
   private val simhashCandCte =
     s"""h AS (SELECT doc_id,
@@ -108,9 +116,12 @@ object SimilarityQueries {
        |  FROM h),
        |bands AS (SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bv
        |          FROM s, unnest(range(0, 4)) t(b)),
+       |okb AS (SELECT b, bv FROM bands GROUP BY b, bv
+       |        HAVING count(*) <= $LshMaxBucket),
+       |bb AS (SELECT bands.* FROM bands JOIN okb USING (b, bv)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.sh AS sa, b.sh AS sb
-       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |         FROM bb a JOIN bb b ON a.b = b.b AND a.bv = b.bv
        |              AND a.doc_id < b.doc_id)""".stripMargin
 
   val qs: Seq[Q] = Seq(
@@ -150,16 +161,19 @@ object SimilarityQueries {
     // (band, bandhash) bucket — never an all-pairs join.
     Q("d3_minhash_lsh_pairs",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, k = 8, nBands = 4, jaccardMin = 0.4)
+          n = 3, k = 8, nBands = 4, jaccardMin = 0.4, maxBucket = LshMaxBucket)
         .orderBy("doc_a", "doc_b"),
       Some(s"""$sigCte,
              |bands AS (
              |  SELECT doc_id, b,
              |    md5(CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)) AS bh
              |  FROM sig, unnest(range(0, 4)) AS t(b)),
+             |okb AS (SELECT b, bh FROM bands GROUP BY b, bh
+             |        HAVING count(*) <= $LshMaxBucket),
+             |bb AS (SELECT bands.* FROM bands JOIN okb USING (b, bh)),
              |cand AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |  FROM bb a JOIN bb b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2),
              |j AS (
              |  SELECT doc_a, doc_b,
@@ -215,7 +229,7 @@ object SimilarityQueries {
     // 4 × 15-bit band buckets propose, exact bit_count(xor) verifies.
     Q("d6_simhash_pairs",
       (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-          nBands = 4, bandBits = 15, maxHamming = 6)
+          nBands = 4, bandBits = 15, maxHamming = 6, maxBucket = LshMaxBucket)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $simhashCandCte
              |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
@@ -232,7 +246,7 @@ object SimilarityQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
-            nBands = 4, bandBits = 15, maxHamming = 6)
+            nBands = 4, bandBits = 15, maxHamming = 6, maxBucket = LshMaxBucket)
           .select("doc_a", "doc_b")
         Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
             pairs, "doc_a", "doc_b")

@@ -66,6 +66,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("oversized LSH buckets emit no pairs; normal buckets are untouched") {
+    // 40 identical boilerplate docs land in one bucket per band —
+    // 780 quadratic pairs that the maxBucket safeguard must suppress —
+    // while a planted 2-doc near-dup bucket must keep pairing
+    val boiler = "lorem ipsum boilerplate navigation footer copyright terms"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0L until 40L).map(i => (i, boiler)) ++
+      Seq((100L, near), (101L, near + " tonight")))
+      .toDF("doc_id", "text")
+
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 8, nBands = 4, jaccardMin = 0.4, maxBucket = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      "hot-bucket pairs must be suppressed, planted pair kept")
+
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 8, nBands = 4, jaccardMin = 0.4, maxBucket = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1,
+      "below the cap every pair must survive")
+
+    val simCapped = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxBucket = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!simCapped.exists { case (a, b) => a < 40 && b < 40 },
+      "simhash hot-bucket pairs must be suppressed")
+  }
+
   test("simhashNearDupPairs pairs identical docs at distance 0, skips unrelated") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
