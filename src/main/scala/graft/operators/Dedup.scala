@@ -83,7 +83,6 @@ object Dedup {
                       maxBucket: Int = 1000): DataFrame = {
     require(k % nBands == 0, s"k=$k must divide into nBands=$nBands")
     require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
-    val rows = k / nBands
     // The signature frame feeds three plan branches (bands, and both
     // sides of the verification join); without pinning, the
     // tokenize+shingle+hash subtree would execute three times. Here
@@ -93,13 +92,7 @@ object Dedup {
     val sh = minhashSignatures(docs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        TextFns.bandHash(col("sig"), b * rows + 1, rows).as("bh"))
-    }
-    val bands = sh.select(col(idCol),
-        explode(array(bandCols: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val bands = bandKeys(sh, idCol, k, nBands)
 
     // drop oversized buckets BEFORE the quadratic self-join; the count
     // aggregates on the join key itself, so the exchange is shared
@@ -125,6 +118,91 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), ni.as("ni"), nu.as("nu"),
         floor(jac * 1e6).cast(LongType).as("jac_e6"))
       .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
+  }
+
+  /** Persist the MinHash dedup artifacts for [[incrementalLshPairs]]:
+    * `path/sigs` = (id, hs) hashed shingle sets, `path/bands` =
+    * (id, band, bh) bucket keys. This is the first-class index an
+    * incremental corpus-dedup pipeline maintains — each new crawl
+    * batch compares against ALL accumulated history without
+    * re-tokenizing or even re-reading old text (8-byte hashes only).
+    * `overwrite=false` APPENDS, which is how a batch is folded into
+    * the index after its pairs are resolved.
+    */
+  def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 3, k: Int = 8,
+                        nBands: Int = 4, overwrite: Boolean = true): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val sh = minhashSignatures(docs, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.select(col(idCol), col("hs")).write.mode(mode).parquet(s"$path/sigs")
+      bandKeys(sh, idCol, k, nBands).write.mode(mode).parquet(s"$path/bands")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Near-dup pairs of a NEW batch against an indexed corpus — the
+    * incremental form of [[minhashLshPairs]]. Returns every verified
+    * pair with at least one member in `newDocs` (new↔old and
+    * new↔new); old↔old pairs were resolved when the index was built,
+    * so the candidate join probes index bands with DELTA bands only:
+    * work scales with |delta| × bucket width, never |corpus|².
+    * Bucket-size capping ([[minhashLshPairs]]'s skew safeguard) is
+    * applied to the UNION of index and delta bands, so a boilerplate
+    * bucket that grew oversized across batches stops emitting pairs
+    * exactly as it would in the full recompute.
+    *
+    * Equivalence contract (spec-pinned): identical output to
+    * `minhashLshPairs(old ∪ new)` filtered to delta-touching pairs.
+    */
+  def incrementalLshPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                          indexPath: String, n: Int = 3, k: Int = 8,
+                          nBands: Int = 4, jaccardMin: Double = 0.4,
+                          maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSh = minhashSignatures(newDocs, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandKeys(newSh, idCol, k, nBands)
+    val allBands = spark.read.parquet(s"$indexPath/bands")
+      .unionByName(newBands)
+    val okBuckets = allBands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
+    val bounded = allBands.join(okBuckets, Seq("band", "bh"))
+    val newBounded = newBands.join(okBuckets, Seq("band", "bh"))
+    // candidates: (anything in the bucket) × (delta member) — old↔old
+    // never forms; orient and distinct exactly as the full recompute
+    val cand = bounded.as("a").join(newBounded.as("b"), Seq("band", "bh"))
+      .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
+      .distinct()
+    val sigs = spark.read.parquet(s"$indexPath/sigs")
+      .unionByName(newSh.select(col(idCol), col("hs")))
+    val shA = sigs.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
+    val shB = sigs.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
+    val ni = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val nu = (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - ni
+    val jac = ni.cast(DoubleType) / nu.cast(DoubleType)
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), ni.as("ni"), nu.as("nu"),
+        floor(jac * 1e6).cast(LongType).as("jac_e6"))
+      .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
+  }
+
+  /** (id, band, bh) bucket keys of a signature frame — one shared
+    * definition for the batch self-join and the persisted index.
+    */
+  private def bandKeys(sh: DataFrame, idCol: String, k: Int,
+                       nBands: Int): DataFrame = {
+    val rows = k / nBands
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        TextFns.bandHash(col("sig"), b * rows + 1, rows).as("bh"))
+    }
+    sh.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
   }
 
   /** Exact n-gram Jaccard of every document against one probe document

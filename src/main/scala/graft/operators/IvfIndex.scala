@@ -70,30 +70,13 @@ object IvfIndex {
       idCol, k)
   }
 
-  /** Build-once memo for repeated same-process searches (Verify/Bench
-    * run every query in one JVM; a served index is likewise built once
-    * and queried many times). The KEY is the caller's statement of
-    * corpus identity — rebuilding when the data under a key changes is
-    * the caller's responsibility, exactly as it is for any persisted
-    * index artifact. Temp directories are removed on JVM exit; a
-    * production deployment passes a real warehouse `path` to [[build]]
-    * directly and owns its lifecycle.
+  /** Build-once memo for repeated same-process searches; see
+    * [[graft.engine.TempArtifacts]] for the identity/lifecycle
+    * contract.
     */
-  private val builtPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def builtFor(key: String, corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame): String =
-    builtPaths.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        catch { case _: Exception => () } // best-effort temp cleanup
-      }))
-      build(corpus, idCol, vecCol, centroids, dir.toString)
-      dir.toString
-    })
+    graft.engine.TempArtifacts.getOrBuild(key, "graft_ivf_index") { path =>
+      build(corpus, idCol, vecCol, centroids, path)
+    }
 }

@@ -187,6 +187,51 @@ object SimilarityQueries {
              |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // D9 — INCREMENTAL near-dup dedup: docs < 400 are the indexed
+    // corpus history (signatures + band keys persisted once — the
+    // artifact an accumulating dedup pipeline maintains), docs ≥ 400
+    // are the new batch. The delta's bands probe the index; only
+    // delta-touching pairs form (old↔old was resolved when the index
+    // was built), so per-batch work scales with |delta|, not |corpus|.
+    // Oracle = the full-recompute d3 semantics filtered to
+    // delta-touching pairs — the equivalence the operator guarantees.
+    Q("d9_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#d9", "graft_mh_index") { p =>
+          Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400),
+            "doc_id", "text", p, n = 3, k = 8, nBands = 4)
+        }
+        Dedup.incrementalLshPairs(docs.filter(col("doc_id") >= 400),
+            "doc_id", "text", path, n = 3, k = 8, nBands = 4,
+            jaccardMin = 0.4, maxBucket = LshMaxBucket)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$sigCte,
+             |bands AS (
+             |  SELECT doc_id, b,
+             |    md5(CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)) AS bh
+             |  FROM sig, unnest(range(0, 4)) AS t(b)),
+             |okb AS (SELECT b, bh FROM bands GROUP BY b, bh
+             |        HAVING count(*) <= $LshMaxBucket),
+             |bb AS (SELECT bands.* FROM bands JOIN okb USING (b, bh)),
+             |cand AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bb a JOIN bb b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |  WHERE a.doc_id >= 400 OR b.doc_id >= 400
+             |  GROUP BY 1, 2),
+             |j AS (
+             |  SELECT doc_a, doc_b,
+             |    len(list_intersect(sa.shingles, sb.shingles)) AS ni,
+             |    len(sa.shingles) + len(sb.shingles)
+             |      - len(list_intersect(sa.shingles, sb.shingles)) AS nu
+             |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, ni, nu,
+             |  CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) AS jac_e6
+             |FROM j
+             |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // D4 — SimHash sketch: 60-bit majority-vote signature over the
     // token multiset; Hamming-close sketches ⇒ near-dup candidates.
     Q("d4_simhash",

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** The incremental dedup contract: probing a persisted signature
+  * index with a delta must return EXACTLY the full-recompute pairs
+  * that touch the delta — no old↔old pairs re-reported, no cross-
+  * boundary pair missed — and appending a resolved batch must make it
+  * visible to the next batch.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val baseA = "the quick brown fox jumps over the lazy dog again and again"
+  private val baseB = "structured streaming state stores keep watermarked aggregates warm"
+  private val baseC = "parquet partition pruning keeps the scan narrow and the bytes cold"
+
+  // old corpus 0–7 (contains an old↔old near-dup 2≈3), delta 8–11
+  // (8≈10 new↔new, 1≈9 old↔new)
+  private def allDocs = Seq(
+    (0L, "completely unrelated words about catalyst execution plans"),
+    (1L, baseA),
+    (2L, baseB),
+    (3L, baseB + " tonight"),
+    (4L, "another singleton document with its own vocabulary entirely"),
+    (5L, baseC),
+    (6L, "yet more filler text that matches nothing else in the corpus"),
+    (7L, "sixth unrelated document full of distinct nouns and verbs"),
+    (8L, baseC + " always"),
+    (9L, baseA + " tonight"),
+    (10L, baseC + " always indeed"),
+    (11L, "the newest document shares no phrasing with anything prior")
+  ).toDF("doc_id", "text")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+
+  test("incremental pairs equal the full recompute filtered to delta-touching") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+
+    val incremental = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 8), "doc_id", "text", path)
+      .select("doc_a", "doc_b", "jac_e6")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "jac_e6")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(incremental == full.filter { case (a, b, _) => a >= 8 || b >= 8 })
+    // the old↔old near-dup exists in the full recompute but must NOT
+    // be re-reported by the incremental probe
+    assert(full.exists { case (a, b, _) => (a, b) == ((2L, 3L)) })
+    assert(!incremental.exists { case (a, b, _) => (a, b) == ((2L, 3L)) })
+    // cross-boundary and new↔new pairs must both surface
+    assert(incremental.exists { case (a, b, _) => (a, b) == ((1L, 9L)) })
+    assert(incremental.exists { case (a, b, _) => (a, b) == ((8L, 10L)) })
+  }
+
+  test("appending a resolved batch makes it visible to the next batch") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+    // fold batch1 (ids 8–9) into the index, then probe with batch2
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
+      "doc_id", "text", path, overwrite = false)
+    val batch2 = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", path)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // 10 pairs with indexed 5 (old) AND with indexed 8 (batch1)
+    assert(batch2.contains((5L, 10L)))
+    assert(batch2.contains((8L, 10L)))
+    assert(!batch2.exists { case (a, b) => b < 10 }) // only delta-touching
+  }
+
+  test("oversized union buckets are capped exactly like the full recompute") {
+    val boiler = "lorem ipsum boilerplate navigation footer copyright terms"
+    val docs = ((0L until 30L).map(i => (i, boiler)) ++
+      (30L until 40L).map(i => (i, boiler)) ++
+      Seq((100L, baseA), (101L, baseA + " tonight")))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 30), "doc_id", "text", path)
+    // 30 indexed + 10 delta boilerplate docs: union bucket = 40 > 20
+    val pairs = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 30), "doc_id", "text", path, maxBucket = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)),
+      "union-oversized boilerplate bucket must emit nothing; planted pair survives")
+  }
+}
