@@ -191,18 +191,67 @@ object Dedup {
       .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
   }
 
-  /** (id, band, bh) bucket keys of a signature frame — one shared
-    * definition for the batch self-join and the persisted index.
+  /** (id[, carry...], band, bh) bucket keys of a signature frame —
+    * one shared definition for the batch self-join, the persisted
+    * index, and the streaming probe (which carries `hs` through the
+    * explode so no stream-stream join is ever needed).
     */
-  private def bandKeys(sh: DataFrame, idCol: String, k: Int,
-                       nBands: Int): DataFrame = {
+  private def bandKeys(sh: DataFrame, idCol: String, k: Int, nBands: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
     val rows = k / nBands
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         TextFns.bandHash(col("sig"), b * rows + 1, rows).as("bh"))
     }
-    sh.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    sh.select(col(idCol) +: carry.map(col) :+
+        explode(array(bandCols: _*)).as("bs"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("bs.band").as("band") :+ col("bs.bh").as("bh"): _*)
+  }
+
+  /** Online ingest near-dup probe: flag each incoming document
+    * against the indexed corpus ([[writeMinhashIndex]]). Works on a
+    * BATCH or a STREAMING frame unchanged — every stage is stateless
+    * map/explode, a stream-static join against the index, and one
+    * keyed `dropDuplicates` (the st5 shape) to collapse multi-band
+    * candidate repeats; the incoming doc's own shingle set rides along
+    * the explode so the verification never needs a stream-stream join.
+    * Returns (id, matched_id, ni, nu, jac_e6) — one row per verified
+    * (incoming, indexed) near-dup pair.
+    *
+    * Unlike [[incrementalLshPairs]] this intentionally does NOT pair
+    * stream docs with each other (that is the batch fold-in's job —
+    * run [[writeMinhashIndex]] append + [[incrementalLshPairs]] per
+    * resolved micro-batch); the bucket cap is therefore evaluated on
+    * the INDEX buckets alone, which are known at index-build time.
+    */
+  def streamNearDupProbe(stream: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, n: Int = 3, k: Int = 8,
+                         nBands: Int = 4, jaccardMin: Double = 0.4,
+                         maxBucket: Int = 1000): DataFrame = {
+    val spark = stream.sparkSession
+    val sh = minhashSignatures(stream, idCol, textCol, n, k)
+    val probes = bandKeys(sh, idCol, k, nBands, carry = Seq("hs"))
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val okBuckets = idxBands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
+    val bounded = idxBands.join(okBuckets, Seq("band", "bh"))
+      .select(col(idCol).as("matched_id"), col("band"), col("bh"))
+    val cand = probes.join(bounded, Seq("band", "bh"))
+      .filter(col(idCol) =!= col("matched_id"))
+      .select(col(idCol), col("matched_id"), col("hs"))
+      .dropDuplicates(idCol, "matched_id")
+    val idxSigs = spark.read.parquet(s"$indexPath/sigs")
+      .select(col(idCol).as("matched_id"), col("hs").as("idx_hs"))
+    val ni = size(array_intersect(col("hs"), col("idx_hs"))).cast(LongType)
+    val nu = (size(col("hs")) + size(col("idx_hs"))).cast(LongType) - ni
+    val jac = ni.cast(DoubleType) / nu.cast(DoubleType)
+    cand.join(idxSigs, "matched_id")
+      .select(col(idCol), col("matched_id"), ni.as("ni"), nu.as("nu"),
+        floor(jac * 1e6).cast(LongType).as("jac_e6"))
+      .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
   }
 
   /** Exact n-gram Jaccard of every document against one probe document

@@ -232,6 +232,50 @@ object SimilarityQueries {
              |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ST8 — ONLINE ingest dedup: documents ≥ 400 arrive as a REAL
+    // file-source stream (micro-batch engine, append mode) and each is
+    // flagged against the same persisted index d9 maintains — a
+    // stream-static band join plus keyed dropDuplicates; the incoming
+    // shingle set rides the explode so verification needs no
+    // stream-stream join. Lives here (not StreamQueries) to share the
+    // minhash CTEs with its batch siblings.
+    Q("st8_stream_neardup_probe",
+      (s, d) => {
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#d9", "graft_mh_index") { p =>
+          Dedup.writeMinhashIndex(Tables.documents(s, d).filter(col("doc_id") < 400),
+            "doc_id", "text", p, n = 3, k = 8, nBands = 4)
+        }
+        graft.streaming.Streaming.runAvailableNow(s, s"$d/documents.parquet", "append") { df =>
+          Dedup.streamNearDupProbe(df.filter(col("doc_id") >= 400),
+            "doc_id", "text", path, n = 3, k = 8, nBands = 4,
+            jaccardMin = 0.4, maxBucket = LshMaxBucket)
+        }.orderBy("doc_id", "matched_id")
+      },
+      Some(s"""$sigCte,
+             |bands AS (
+             |  SELECT doc_id, b,
+             |    md5(CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)) AS bh
+             |  FROM sig, unnest(range(0, 4)) AS t(b)),
+             |ib AS (SELECT * FROM bands WHERE doc_id < 400),
+             |okb AS (SELECT b, bh FROM ib GROUP BY b, bh
+             |        HAVING count(*) <= $LshMaxBucket),
+             |bib AS (SELECT ib.* FROM ib JOIN okb USING (b, bh)),
+             |pb AS (SELECT * FROM bands WHERE doc_id >= 400),
+             |cand AS (SELECT DISTINCT p.doc_id AS doc_id, i.doc_id AS matched_id
+             |         FROM pb p JOIN bib i ON p.b = i.b AND p.bh = i.bh),
+             |j AS (
+             |  SELECT cand.doc_id AS doc_id, cand.matched_id AS matched_id,
+             |    len(list_intersect(sa.shingles, sb.shingles)) AS ni,
+             |    len(sa.shingles) + len(sb.shingles)
+             |      - len(list_intersect(sa.shingles, sb.shingles)) AS nu
+             |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_id
+             |       JOIN sh sb ON sb.doc_id = cand.matched_id)
+             |SELECT doc_id, matched_id, ni, nu,
+             |  CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) AS jac_e6
+             |FROM j
+             |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
+             |ORDER BY doc_id, matched_id""".stripMargin)),
+
     // D4 — SimHash sketch: 60-bit majority-vote signature over the
     // token multiset; Hamming-close sketches ⇒ near-dup candidates.
     Q("d4_simhash",

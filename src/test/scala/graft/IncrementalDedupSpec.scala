@@ -79,6 +79,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!batch2.exists { case (a, b) => b < 10 }) // only delta-touching
   }
 
+  test("streamNearDupProbe (batch form) = incremental pairs restricted to index matches") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+    val delta = docs.filter(col("doc_id") >= 8)
+    val probe = Dedup.streamNearDupProbe(delta, "doc_id", "text", path)
+      .select("doc_id", "matched_id", "jac_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    val incr: Set[(Long, Long, Long)] =
+      Dedup.incrementalLshPairs(delta, "doc_id", "text", path)
+        .select("doc_a", "doc_b", "jac_e6")
+        .as[(Long, Long, Long)].collect().toSet
+    val incrToIndex = incr
+      .filter { case (a, _, _) => a < 8 } // drop new↔new, probe's non-goal
+      .map { case (a, b, j) => (b, a, j) } // reorient to (incoming, indexed)
+    assert(probe == incrToIndex)
+    assert(probe.exists { case (id, m, _) => (id, m) == ((9L, 1L)) })
+  }
+
   test("oversized union buckets are capped exactly like the full recompute") {
     val boiler = "lorem ipsum boilerplate navigation footer copyright terms"
     val docs = ((0L until 30L).map(i => (i, boiler)) ++
