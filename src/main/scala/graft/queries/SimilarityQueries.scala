@@ -541,6 +541,47 @@ object SimilarityQueries {
                |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
       }),
 
+    // V9 — scalar-quantized two-stage top-k: stage 1 ranks on int8
+    // codes (the 4–8× smaller representation a 100 TB scan actually
+    // reads), stage 2 re-scores only a bounded 20-candidate pool with
+    // exact float cosine. Quantization is floor arithmetic, so the
+    // oracle replays both stages cell-exactly.
+    Q("v9_sq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.sqTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5, rerankK = 20)
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH qsrc AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+             |  FROM qsrc WHERE amax > 0),
+             |qp AS (SELECT vec_id AS p_id, qv AS p_qv FROM q WHERE vec_id < 10),
+             |a AS (SELECT p_id, c.vec_id, ${cosSql("p_qv", "c.qv")} AS acos
+             |      FROM q c CROSS JOIN qp WHERE c.vec_id <> p_id),
+             |pool AS (SELECT p_id, vec_id FROM (
+             |    SELECT p_id, vec_id,
+             |      row_number() OVER (PARTITION BY p_id ORDER BY acos DESC, vec_id) AS rn
+             |    FROM a) WHERE rn <= 20),
+             |pr AS (SELECT vec_id AS p_id, embedding AS p_vec
+             |       FROM embeddings WHERE vec_id < 10),
+             |ex AS (SELECT pool.p_id, pool.vec_id,
+             |         ${cosSql("pr.p_vec", "e.embedding")} AS cos_raw
+             |       FROM pool JOIN embeddings e ON e.vec_id = pool.vec_id
+             |            JOIN pr ON pr.p_id = pool.p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id
+             |          ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM ex)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+
     // V2 — SRP-LSH approximate top-k: probes meet only candidates in
     // their 4-bit sign-random-projection bucket (the scale path; plane
     // count tunes recall vs bucket size).

@@ -68,6 +68,22 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r2 > 0.3, s"nprobe=2 recall $r2 is uselessly low")
   }
 
+  test("SQ two-stage: full-pool degenerates to exact; bounded pool keeps high recall") {
+    val probes = vecs.filter(col("vec_id") < 10)
+    // rerankK >= |corpus| → stage 1 keeps everything → stage 2 IS the
+    // exact search, cell for cell
+    val degen = Similarity.sqTopK(probes, vecs, "vec_id", "embedding",
+        k, rerankK = 300)
+      .select("p_id", "rn", "vec_id").as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.cosineTopK(probes, vecs, "vec_id", "embedding", k)
+      .select("p_id", "rn", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(degen == exact)
+    // int8 codes rank well enough that a 4k pool recovers ~all of top-k
+    val r = recallOf(Similarity.sqTopK(probes, vecs, "vec_id", "embedding",
+      k, rerankK = 4 * k))
+    assert(r > 0.8, s"SQ rerank recall $r is uselessly low")
+  }
+
   test("k-means training monotonically improves the avg best-cosine objective") {
     import org.apache.spark.sql.DataFrame
     def objective(cents: DataFrame): Double = {
