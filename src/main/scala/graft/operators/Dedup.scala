@@ -254,6 +254,40 @@ object Dedup {
       .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
   }
 
+  /** Benchmark DECONTAMINATION: find (corpus doc, eval doc) pairs
+    * sharing ≥ `minShared` distinct n-gram shingles — the standard
+    * pre-training hygiene step that keeps evaluation material out of
+    * the training set. Exact n-gram collision via an INVERTED-INDEX
+    * join (shingle-hash equi-join), never a pairwise document
+    * comparison: each side explodes to (hash, id), pairs form only
+    * where a hash collides, and the per-pair shared count is a plain
+    * aggregation — everything is linear in total shingle volume.
+    *
+    * `maxDf` is this operator's skew valve (same role as the LSH
+    * `maxBucket`): an n-gram present in more than `maxDf` corpus docs
+    * is boilerplate — it would pair every doc containing it with
+    * every eval doc containing it (the one quadratic term) while
+    * carrying no contamination signal; such shingles are dropped
+    * from the index, and the drop is part of the oracle-checked
+    * semantics.
+    */
+  def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, n: Int = 3, minShared: Int = 5,
+                         maxDf: Int = 1000): DataFrame = {
+    val cx = graft.functions.TextKernels.shingleHashTable(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("hs")).as("h"))
+    val ex = graft.functions.TextKernels.shingleHashTable(eval, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), explode(col("hs")).as("h"))
+    val okH = cx.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    // per-doc shingle sets are distinct, so every joined (doc, eval,
+    // h) row is unique and count(*) IS the distinct shared count
+    cx.join(okH, Seq("h")).join(ex, Seq("h"))
+      .groupBy(idCol, "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard of every document against one probe document
     * — the brute-force similarity scan (linear, probe broadcast; the
     * scale path for many probes is [[minhashLshPairs]] bucketing).

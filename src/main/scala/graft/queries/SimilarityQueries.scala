@@ -276,6 +276,35 @@ object SimilarityQueries {
              |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
              |ORDER BY doc_id, matched_id""".stripMargin)),
 
+    // T9 — benchmark decontamination: docs < 20 stand in for an eval
+    // set; training docs (≥ 20) sharing ≥ 3 distinct 3-gram shingles
+    // with any eval doc are flagged, via an inverted-index hash join —
+    // never a pairwise comparison. Lives here to share the shingle
+    // CTE fragments. maxDf drops boilerplate n-grams (the quadratic
+    // pairing term) and is part of the checked semantics.
+    Q("t9_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.ngramContamination(docs.filter(col("doc_id") >= 20),
+            "doc_id", "text", docs.filter(col("doc_id") < 20),
+            n = 3, minShared = 3, maxDf = 1000)
+          .orderBy("doc_id", "eval_id")
+      },
+      Some(s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |shsrc AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(list_transform(shingles, s -> ${hash60Sql("s")})) AS hs
+             |  FROM shsrc),
+             |cx AS (SELECT doc_id, h FROM sh, unnest(hs) AS t(h) WHERE doc_id >= 20),
+             |okh AS (SELECT h FROM cx GROUP BY h HAVING count(*) <= 1000),
+             |ex AS (SELECT doc_id AS eval_id, h FROM sh, unnest(hs) AS t(h)
+             |       WHERE doc_id < 20),
+             |p AS (SELECT cx.doc_id, ex.eval_id, count(*) AS n_shared
+             |      FROM cx JOIN okh USING (h) JOIN ex USING (h)
+             |      GROUP BY 1, 2)
+             |SELECT doc_id, eval_id, n_shared FROM p
+             |WHERE n_shared >= 3 ORDER BY doc_id, eval_id""".stripMargin)),
+
     // D4 — SimHash sketch: 60-bit majority-vote signature over the
     // token multiset; Hamming-close sketches ⇒ near-dup candidates.
     Q("d4_simhash",

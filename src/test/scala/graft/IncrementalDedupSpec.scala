@@ -98,6 +98,41 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(probe.exists { case (id, m, _) => (id, m) == ((9L, 1L)) })
   }
 
+  test("ngramContamination flags planted eval overlap and drops boilerplate n-grams") {
+    val evalSet = Seq(
+      (0L, "what is the capital city of france paris is the answer indeed"),
+      (1L, "compute the sum of the first hundred natural numbers quickly"))
+      .toDF("doc_id", "text")
+    val boiler = "click here to subscribe to our newsletter for updates"
+    val corpus = Seq(
+      // verbatim half of eval doc 0 → ≥3 shared shingles
+      (10L, "trivia page what is the capital city of france paris unrelated tail"),
+      // no overlap
+      (11L, "completely unrelated text about catalyst optimizer rules"),
+      // boilerplate-only doc: shares nothing with eval
+      (12L, boiler))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.ngramContamination(corpus, "doc_id", "text", evalSet,
+        n = 3, minShared = 3)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((10L, 0L)))
+
+    // a shingle present in many corpus docs is dropped by maxDf: give
+    // every corpus doc the contaminating phrase — with maxDf below the
+    // doc count the collision hashes are boilerplate and nothing flags
+    val saturated = (10L until 20L).map(i =>
+      (i, s"prefix $i what is the capital city of france paris suffix"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramContamination(saturated, "doc_id", "text", evalSet,
+        n = 3, minShared = 3, maxDf = 5)
+      .count()
+    assert(capped == 0, "df-capped boilerplate shingles must not flag")
+    val uncapped = Dedup.ngramContamination(saturated, "doc_id", "text", evalSet,
+        n = 3, minShared = 3, maxDf = 1000)
+      .count()
+    assert(uncapped == 10, "below the cap all ten docs flag against eval 0")
+  }
+
   test("oversized union buckets are capped exactly like the full recompute") {
     val boiler = "lorem ipsum boilerplate navigation footer copyright terms"
     val docs = ((0L until 30L).map(i => (i, boiler)) ++
