@@ -128,6 +128,14 @@ object Dedup {
     * re-tokenizing or even re-reading old text (8-byte hashes only).
     * `overwrite=false` APPENDS, which is how a batch is folded into
     * the index after its pairs are resolved.
+    *
+    * Durability note: the two appends (sigs, then bands) are separate
+    * jobs — each is atomic, the pair is not. A failure between them
+    * leaves a batch half-indexed (docs that verify but never form
+    * candidates, or vice versa); the recovery is to re-append the
+    * batch into a FRESH index path or rebuild — a production
+    * deployment keeps this artifact in a transactional table format
+    * where the fold-in is one commit.
     */
   def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 3, k: Int = 8,
@@ -145,8 +153,12 @@ object Dedup {
     * incremental form of [[minhashLshPairs]]. Returns every verified
     * pair with at least one member in `newDocs` (new↔old and
     * new↔new); old↔old pairs were resolved when the index was built,
-    * so the candidate join probes index bands with DELTA bands only:
-    * work scales with |delta| × bucket width, never |corpus|².
+    * so CANDIDATE work scales with |delta| × bucket width, never
+    * |corpus|². The per-batch index-side cost that remains is linear
+    * scans of the 8-byte hash tables (bucket counts + the sigs
+    * verification join) — old TEXT is never re-read or re-tokenized;
+    * materializing per-bucket counts into the index at fold-in would
+    * shave that remaining scan and is the next step at real scale.
     * Bucket-size capping ([[minhashLshPairs]]'s skew safeguard) is
     * applied to the UNION of index and delta bands, so a boilerplate
     * bucket that grew oversized across batches stops emitting pairs
@@ -159,6 +171,7 @@ object Dedup {
                           indexPath: String, n: Int = 3, k: Int = 8,
                           nBands: Int = 4, jaccardMin: Double = 0.4,
                           maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     val spark = newDocs.sparkSession
     val newSh = minhashSignatures(newDocs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -229,6 +242,7 @@ object Dedup {
                          indexPath: String, n: Int = 3, k: Int = 8,
                          nBands: Int = 4, jaccardMin: Double = 0.4,
                          maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     val spark = stream.sparkSession
     val sh = minhashSignatures(stream, idCol, textCol, n, k)
     val probes = bandKeys(sh, idCol, k, nBands, carry = Seq("hs"))
@@ -239,10 +253,22 @@ object Dedup {
       .select("band", "bh")
     val bounded = idxBands.join(okBuckets, Seq("band", "bh"))
       .select(col(idCol).as("matched_id"), col("band"), col("bh"))
-    val cand = probes.join(bounded, Seq("band", "bh"))
+    val cand0 = probes.join(bounded, Seq("band", "bh"))
       .filter(col(idCol) =!= col("matched_id"))
       .select(col(idCol), col("matched_id"), col("hs"))
-      .dropDuplicates(idCol, "matched_id")
+    // multi-band repeats of a pair all land in the micro-batch that
+    // carried the doc, so the dedup state only needs to survive one
+    // watermark tick — dropDuplicatesWithinWatermark keeps streaming
+    // state BOUNDED on continuous ingest (plain dropDuplicates would
+    // retain every flagged pair forever); a doc re-sent in a LATER
+    // batch re-flags, which is the desired at-least-once semantics
+    val cand =
+      if (stream.isStreaming)
+        cand0.withColumn("ingest_ts", current_timestamp())
+          .withWatermark("ingest_ts", "0 seconds")
+          .dropDuplicatesWithinWatermark(idCol, "matched_id")
+          .drop("ingest_ts")
+      else cand0.dropDuplicates(idCol, "matched_id")
     val idxSigs = spark.read.parquet(s"$indexPath/sigs")
       .select(col(idCol).as("matched_id"), col("hs").as("idx_hs"))
     val ni = size(array_intersect(col("hs"), col("idx_hs"))).cast(LongType)
@@ -274,8 +300,13 @@ object Dedup {
   def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
                          eval: DataFrame, n: Int = 3, minShared: Int = 5,
                          maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // pinned: the corpus shingle kernel (the dominant cost — see the
+    // d3 note on minhashLshPairs) feeds both the df count and the
+    // inverted-index join; unpinned it would tokenize the corpus twice
     val cx = graft.functions.TextKernels.shingleHashTable(corpus, idCol, textCol, n)
       .select(col(idCol), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = graft.functions.TextKernels.shingleHashTable(eval, idCol, textCol, n)
       .select(col(idCol).as("eval_id"), explode(col("hs")).as("h"))
     val okH = cx.groupBy("h").agg(count(lit(1)).as("df"))

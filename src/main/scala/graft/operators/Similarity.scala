@@ -356,14 +356,28 @@ object Similarity {
     * fold cosine ≥ `minCos`. The all-pairs O(n²) comparison never
     * happens; shuffle key is the bucket id. Recall tunes with plane
     * count (fewer planes = bigger buckets = higher recall/cost).
+    *
+    * `maxBucket` is the same skew valve as the text-LSH caps
+    * ([[Dedup.minhashLshPairs]]): duplicated documents embed
+    * IDENTICALLY, so an embedding corpus has hot buckets for exactly
+    * the same reason a text corpus does, and one such bucket makes
+    * the self-join quadratic. Oversized buckets emit no pairs; their
+    * members are the exact-dup groupBy's job.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         minCos: Double, nPlanes: Int, dims: Int): DataFrame = {
+                         minCos: Double, nPlanes: Int, dims: Int,
+                         maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     val planes = srpPlanes(nPlanes, dims)
     val b = vectors.select(col(idCol), col(vecCol),
       srpBucket(col(vecCol), planes).as("bucket"))
+    val okBuckets = b.groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("bucket")
+    val bounded = b.join(okBuckets, Seq("bucket"))
     val cos = cosine(col(s"a.$vecCol"), col(s"b.$vecCol"))
-    b.as("a").join(b.as("b"), Seq("bucket"))
+    bounded.as("a").join(bounded.as("b"), Seq("bucket"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         floor(cos * 1e7).cast(LongType).as("cos_e7"))

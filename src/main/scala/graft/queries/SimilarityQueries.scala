@@ -428,11 +428,15 @@ object SimilarityQueries {
     // proposes, exact fold cosine >= 0.4 verifies; never all-pairs.
     Q("v3_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", minCos = 0.4, nPlanes = 4, dims = 64)
+          "vec_id", "embedding", minCos = 0.4, nPlanes = 4, dims = 64,
+          maxBucket = 100000)
         .orderBy("id_a", "id_b"),
       {
         val bucketSql = srpBucketSql(4, 64, "embedding")
-        Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        Some(s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |okb AS (SELECT bucket FROM b0 GROUP BY bucket
+               |        HAVING count(*) <= 100000),
+               |b AS (SELECT b0.* FROM b0 JOIN okb USING (bucket)),
                |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                |        CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) AS cos_e7
                |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
