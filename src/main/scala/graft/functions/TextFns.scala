@@ -30,6 +30,14 @@ object TextFns {
   /** Whitespace tokens of lowercased, trimmed text. */
   def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** 60-bit md5-prefix hash as a Column — the declarative twin of
+    * [[TextKernels.hash60]] (first 15 hex chars = first 60 bits), so
+    * sketch inputs hash identically in codegen'd expressions, typed
+    * kernels, and the DuckDB oracles' `hash60Sql`.
+    */
+  def hash60Col(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType)
+
   /** Deterministic (a, b) pairs for the (a·h + b) mod P permutation
     * family, derived from md5 so any engine regenerates them; a ≠ 0.
     */

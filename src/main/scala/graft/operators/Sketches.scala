@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable sketches for corpus-scale statistics.
+  *
+  * KMV ("k minimum values") distinct-count: keep the k SMALLEST
+  * distinct 60-bit hashes of the values; if fewer than k distinct
+  * hashes exist the sketch IS the exact distinct count, otherwise
+  * the k-th minimum estimates the density of a uniform hash space:
+  * est = (k−1)·2⁶⁰ / h₍ₖ₎ (standard error ≈ 1/√(k−2)).
+  *
+  * Why KMV and not HLL: Spark's `approx_count_distinct` (HLL++) is
+  * not reproducible across engines, so it cannot be oracle-checked.
+  * KMV is a PURE FUNCTION of the value set given the hash — the
+  * DuckDB oracle replays it with a window rank over the same md5-
+  * derived hashes and the same floor arithmetic, so the sketch gets
+  * cell-level verification like every exact operator.
+  *
+  * Scale shape: the buffer is a bounded sorted array (k longs) with
+  * map-side partial aggregation — each scan partition reduces to one
+  * k-array before the exchange, merges are linear array merges, and
+  * the shuffle carries ≤ partitions×groups×k longs. Same bounded-
+  * buffer discipline as [[TopK]], specialized to bottom-k-distinct.
+  */
+object Sketches {
+
+  val HashBits = 60
+  private val Space = (1L << HashBits).toDouble
+
+  final case class KmvBuf(var n: Int, hs: Array[Long])
+
+  /** Bottom-k distinct insert: ignore duplicates, keep the k smallest
+    * in ascending order (binary search + shift — the hot path is the
+    * allocation-free reject for h ≥ current max).
+    */
+  private[graft] def insert(b: KmvBuf, h: Long, k: Int): Unit = {
+    if (b.n == k && h >= b.hs(k - 1)) return
+    var lo = 0; var hi = b.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b.hs(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < b.n && b.hs(lo) == h) return // duplicate value
+    val m = math.min(b.n + 1, k)
+    val moved = m - lo - 1
+    if (moved > 0) System.arraycopy(b.hs, lo, b.hs, lo + 1, moved)
+    b.hs(lo) = h
+    b.n = m
+  }
+
+  class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, Long] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    override def zero: KmvBuf = KmvBuf(0, new Array[Long](k))
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = { insert(b, h, k); b }
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      var i = 0
+      while (i < y.n) { insert(x, y.hs(i), k); i += 1 }
+      x
+    }
+    /** Exact when the sketch never filled; the k-th-minimum density
+      * estimate otherwise. floor keeps the output a BIGINT both here
+      * and in the oracle's replay.
+      */
+    override def finish(b: KmvBuf): Long =
+      if (b.n < k) b.n.toLong
+      else math.floor((k - 1).toDouble * Space / b.hs(k - 1).toDouble).toLong
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column form: KMV distinct estimate of a 60-bit hash column (use
+    * [[graft.functions.TextFns.hash60Col]] to hash arbitrary values).
+    */
+  def kmvDistinct(hashCol: Column, k: Int): Column =
+    udaf(new KmvAgg(k)).apply(hashCol)
+}

@@ -333,6 +333,39 @@ object AggQueries {
              |                ELSE 0 END) AS BIGINT) AS big_cents
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // G17 — KMV distinct-count sketch: a MERGEABLE bounded bottom-k
+    // aggregator (operators.Sketches) — the deterministic alternative
+    // to approx_count_distinct's HLL++, which no oracle can replay.
+    // The oracle reproduces the sketch with a window rank over the
+    // identical md5-prefix hashes and the identical floor estimate;
+    // exact counts ride along to show the error in-data.
+    Q("g17_kmv_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.operators.Sketches.kmvDistinct(
+            graft.functions.TextFns.hash60Col(col("l_partkey").cast(StringType)),
+            k = 64).as("est_distinct"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        .orderBy("l_returnflag"),
+      Some("""WITH h AS (
+             |  SELECT DISTINCT l_returnflag,
+             |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM lineitem),
+             |rk AS (SELECT l_returnflag, hv,
+             |         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+             |       FROM h),
+             |k AS (SELECT l_returnflag, count(*) AS nk, max(hv) AS hk
+             |      FROM rk WHERE rn <= 64 GROUP BY 1),
+             |x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+             |      FROM lineitem GROUP BY 1)
+             |SELECT k.l_returnflag,
+             |  CASE WHEN nk < 64 THEN nk
+             |       ELSE CAST(floor(63.0 * 1152921504606846976 / hk) AS BIGINT) END AS est_distinct,
+             |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+             |FROM k JOIN x USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // SQL1 — the SQL FRONT-END path: TPC-H Q6 written as a plain
     // `spark.sql` string over a registered view (same Catalyst plan
     // as the DataFrame API — filters still push to parquet). Revenue

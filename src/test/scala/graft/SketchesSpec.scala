@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.operators.Sketches
+
+/** The KMV sketch's contract: exact below k distinct values,
+  * partition-order invariant always (merges are set unions of
+  * bottom-k hashes), duplicate-blind, and within the standard-error
+  * envelope when estimating.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def estimate(values: Seq[Long], k: Int, parts: Int): Long =
+    values.toDF("v").repartition(parts)
+      .agg(Sketches.kmvDistinct(TextFns.hash60Col(col("v").cast("string")), k)
+        .as("est"))
+      .as[Long].head()
+
+  test("exact count below k, duplicates ignored") {
+    val vals = (1L to 40L) ++ (1L to 40L) ++ (1L to 10L)
+    assert(estimate(vals, k = 64, parts = 3) == 40L)
+  }
+
+  test("partition count never changes the result") {
+    val vals = (1L to 5000L).map(i => i % 700)
+    val results = Seq(1, 4, 32).map(p => estimate(vals, k = 64, parts = p))
+    assert(results.distinct.size == 1, s"partition-dependent results: $results")
+  }
+
+  test("estimate lands inside 3 standard errors of the truth") {
+    val n = 2000
+    val vals = (1L to n.toLong)
+    val k = 64
+    val est = estimate(vals, k, parts = 8)
+    // se ≈ 1/sqrt(k-2); 3σ bound with a little slack for small n
+    val tol = 3.0 / math.sqrt(k - 2)
+    assert(math.abs(est - n).toDouble / n <= tol,
+      s"estimate $est vs $n outside ±${math.round(tol * 100)}%")
+  }
+
+  test("insert keeps the k smallest distinct hashes in order") {
+    val b = Sketches.KmvBuf(0, new Array[Long](4))
+    Seq(50L, 10L, 30L, 10L, 40L, 20L, 5L).foreach(Sketches.insert(b, _, 4))
+    assert(b.n == 4)
+    assert(b.hs.toSeq == Seq(5L, 10L, 20L, 30L))
+  }
+}
