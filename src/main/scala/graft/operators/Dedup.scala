@@ -121,32 +121,59 @@ object Dedup {
   }
 
   /** Persist the MinHash dedup artifacts for [[incrementalLshPairs]]:
-    * `path/sigs` = (id, hs) hashed shingle sets, `path/bands` =
-    * (id, band, bh) bucket keys. This is the first-class index an
-    * incremental corpus-dedup pipeline maintains — each new crawl
-    * batch compares against ALL accumulated history without
-    * re-tokenizing or even re-reading old text (8-byte hashes only).
-    * `overwrite=false` APPENDS, which is how a batch is folded into
-    * the index after its pairs are resolved.
+    * `sigs` = (id, hs) hashed shingle sets, `bands` = (id, band, bh)
+    * bucket keys, and `bucket_counts` = (band, bh, n) per-bucket
+    * member counts PRE-AGGREGATED over this batch. This is the
+    * first-class index an incremental corpus-dedup pipeline maintains
+    * — each new crawl batch compares against ALL accumulated history
+    * without re-tokenizing or even re-reading old text (8-byte hashes
+    * only). `overwrite=false` folds the batch in after its pairs are
+    * resolved.
     *
-    * Durability note: the two appends (sigs, then bands) are separate
-    * jobs — each is atomic, the pair is not. A failure between them
-    * leaves a batch half-indexed (docs that verify but never form
-    * candidates, or vice versa); the recovery is to re-append the
-    * batch into a FRESH index path or rebuild — a production
-    * deployment keeps this artifact in a transactional table format
-    * where the fold-in is one commit.
+    * The counts part is the scale fix for the per-batch probe: the
+    * skew valve needs every bucket's TOTAL size, and recomputing that
+    * with a groupBy over the full accumulated band table made each
+    * tiny delta pay a linear-in-corpus aggregation. Counts are
+    * additive, so folding pre-aggregated per-batch counts and summing
+    * at read time gives the identical valve decision from a table
+    * that is |distinct buckets| rows, not |corpus|×nBands rows.
+    *
+    * Durability: all three parts publish as ONE batch through
+    * [[graft.io.BatchedIndex]] — a single commit-marker create is the
+    * commit point, so a writer dying mid-fold leaves the index
+    * exactly as it was (spec-pinned via the failure-injection hook).
     */
   def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 3, k: Int = 8,
                         nBands: Int = 4, overwrite: Boolean = true): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
     val sh = minhashSignatures(docs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sh.select(col(idCol), col("hs")).write.mode(mode).parquet(s"$path/sigs")
-      bandKeys(sh, idCol, k, nBands).write.mode(mode).parquet(s"$path/bands")
+      val bands = bandKeys(sh, idCol, k, nBands)
+      graft.io.BatchedIndex.fold(docs.sparkSession, path, Seq(
+        "sigs" -> sh.select(col(idCol), col("hs")),
+        "bands" -> bands,
+        "bucket_counts" -> bands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("n"))
+      ), overwrite)
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** The skew-valve bucket filter, derived from the index's
+    * pre-aggregated `bucket_counts` part (merged across committed
+    * batches, plus the optional un-indexed delta's own counts) —
+    * never from a re-aggregation of the full per-doc band table.
+    * Counts are additive, so the merge is exact.
+    */
+  private def okBucketsFromCounts(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  deltaCounts: Option[DataFrame],
+                                  maxBucket: Int): DataFrame = {
+    val idx = graft.io.BatchedIndex.read(spark, indexPath, "bucket_counts")
+    deltaCounts.fold(idx)(idx.unionByName(_))
+      .groupBy("band", "bh").agg(sum("n").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
   }
 
   /** Near-dup pairs of a NEW batch against an indexed corpus — the
@@ -154,13 +181,13 @@ object Dedup {
     * pair with at least one member in `newDocs` (new↔old and
     * new↔new); old↔old pairs were resolved when the index was built,
     * so CANDIDATE work scales with |delta| × bucket width, never
-    * |corpus|². The per-batch index-side cost that remains is linear
-    * scans of the 8-byte hash tables (bucket counts + the sigs
-    * verification join) — old TEXT is never re-read or re-tokenized;
-    * materializing per-bucket counts into the index at fold-in would
-    * shave that remaining scan and is the next step at real scale.
+    * |corpus|². The skew valve reads the index's pre-aggregated
+    * `bucket_counts` part and merges the delta's own counts — no
+    * per-batch aggregation over the accumulated band table; old TEXT
+    * is never re-read or re-tokenized, and the remaining index-side
+    * work is the hash joins on the 8-byte band/sig tables themselves.
     * Bucket-size capping ([[minhashLshPairs]]'s skew safeguard) is
-    * applied to the UNION of index and delta bands, so a boilerplate
+    * applied to the UNION of index and delta counts, so a boilerplate
     * bucket that grew oversized across batches stops emitting pairs
     * exactly as it would in the full recompute.
     *
@@ -176,12 +203,11 @@ object Dedup {
     val newSh = minhashSignatures(newDocs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandKeys(newSh, idCol, k, nBands)
-    val allBands = spark.read.parquet(s"$indexPath/bands")
+    val allBands = graft.io.BatchedIndex.read(spark, indexPath, "bands")
       .unionByName(newBands)
-    val okBuckets = allBands.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-      .select("band", "bh")
+    val okBuckets = okBucketsFromCounts(spark, indexPath,
+      Some(newBands.groupBy("band", "bh").agg(count(lit(1)).as("n"))),
+      maxBucket)
     val bounded = allBands.join(okBuckets, Seq("band", "bh"))
     val newBounded = newBands.join(okBuckets, Seq("band", "bh"))
     // candidates: (anything in the bucket) × (delta member) — old↔old
@@ -191,7 +217,7 @@ object Dedup {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
       .distinct()
-    val sigs = spark.read.parquet(s"$indexPath/sigs")
+    val sigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs")
       .unionByName(newSh.select(col(idCol), col("hs")))
     val shA = sigs.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
     val shB = sigs.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
@@ -246,11 +272,10 @@ object Dedup {
     val spark = stream.sparkSession
     val sh = minhashSignatures(stream, idCol, textCol, n, k)
     val probes = bandKeys(sh, idCol, k, nBands, carry = Seq("hs"))
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
-    val okBuckets = idxBands.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-      .select("band", "bh")
+    val idxBands = graft.io.BatchedIndex.read(spark, indexPath, "bands")
+    // index-only valve, straight from the pre-aggregated counts part
+    // — no per-micro-batch aggregation over the full band table
+    val okBuckets = okBucketsFromCounts(spark, indexPath, None, maxBucket)
     val bounded = idxBands.join(okBuckets, Seq("band", "bh"))
       .select(col(idCol).as("matched_id"), col("band"), col("bh"))
     val cand0 = probes.join(bounded, Seq("band", "bh"))
@@ -269,7 +294,7 @@ object Dedup {
           .dropDuplicatesWithinWatermark(idCol, "matched_id")
           .drop("ingest_ts")
       else cand0.dropDuplicates(idCol, "matched_id")
-    val idxSigs = spark.read.parquet(s"$indexPath/sigs")
+    val idxSigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs")
       .select(col(idCol).as("matched_id"), col("hs").as("idx_hs"))
     val ni = size(array_intersect(col("hs"), col("idx_hs"))).cast(LongType)
     val nu = (size(col("hs")) + size(col("idx_hs"))).cast(LongType) - ni

@@ -133,6 +133,86 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(uncapped == 10, "below the cap all ten docs flag against eval 0")
   }
 
+  test("fold-in maintains bucket counts that match a direct recount of the band table") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
+      "doc_id", "text", path, overwrite = false)
+    val merged = graft.io.BatchedIndex.read(spark, path, "bucket_counts")
+      .groupBy("band", "bh").agg(sum("n").as("n"))
+      .as[(Int, String, Long)].collect().toSet
+    val recount = graft.io.BatchedIndex.read(spark, path, "bands")
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(merged == recount,
+      "merged pre-aggregated counts must equal a recount over both folded batches")
+  }
+
+  test("incremental probe derives the valve from the counts part, not a band-table scan") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+    val plan = Dedup.incrementalLshPairs(
+      docs.filter(col("doc_id") >= 8), "doc_id", "text", path)
+    val scans = plan.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("/bucket_counts/")),
+      s"valve must read the pre-aggregated counts part; scans were $scans")
+    // the full per-doc band table is scanned exactly once (the
+    // candidate join) — a second scan would mean the valve still
+    // re-aggregates it per batch
+    assert(scans.count(_.contains("/bands/")) == 1,
+      s"band table must be scanned once, not re-aggregated; scans were $scans")
+    assert(Dedup.streamNearDupProbe(docs.filter(col("doc_id") >= 8),
+        "doc_id", "text", path)
+      .queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.exists(_.contains("/bucket_counts/")),
+      "streaming probe must also derive its valve from the counts part")
+  }
+
+  test("a writer dying mid-fold leaves the index exactly as it was") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+    val before = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", path)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val committedBefore = graft.io.BatchedIndex.committed(spark, path)
+
+    // kill the fold-in right after the sigs part lands — the exact
+    // failure window the old two-append layout could not survive
+    graft.io.BatchedIndex.afterPartWrite = (p, part) =>
+      if (p == path && part == "sigs") throw new RuntimeException("injected fold-in death")
+    try {
+      intercept[RuntimeException] {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
+          "doc_id", "text", path, overwrite = false)
+      }
+    } finally graft.io.BatchedIndex.afterPartWrite = (_, _) => ()
+
+    assert(graft.io.BatchedIndex.committed(spark, path) == committedBefore,
+      "a failed fold must not publish a batch")
+    val after = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", path)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(after == before, "readers must see the whole batch or none of it")
+    assert(!after.contains((8L, 10L)), "the half-written batch must be invisible")
+
+    // the same fold, uninjected, publishes once and becomes visible
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
+      "doc_id", "text", path, overwrite = false)
+    val healed = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", path)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(healed.contains((8L, 10L)))
+    assert(graft.io.BatchedIndex.committed(spark, path).size == committedBefore.size + 1)
+  }
+
   test("oversized union buckets are capped exactly like the full recompute") {
     val boiler = "lorem ipsum boilerplate navigation footer copyright terms"
     val docs = ((0L until 30L).map(i => (i, boiler)) ++
