@@ -19,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   path/_batches/<batchId>            commit markers (empty files)
-  *   path/<part>/batch=<batchId>/*.parquet
+  *   path/<part>/batch=<batchId>/part-...parquet
   * }}}
   *
   * Readers list the committed markers and read exactly those batch
