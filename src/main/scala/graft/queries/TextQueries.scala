@@ -187,13 +187,14 @@ object TextQueries {
     // canonical survivor of its exact-dedup group (d1's rule). The
     // per-doc metrics project in ONE pass over the scan — the shape
     // that matters at 100 TB, where the doc-metrics table is the
-    // materialized artifact everything else derives from; the dedup
-    // groupBy branch column-prunes to just (dup_key, doc_id), so the
-    // heavy text expressions evaluate once per row (the naive
-    // compose-by-joining-queries form scanned documents 6×). Bench
-    // note: this query's ~6 s at sf0.1 is dominated by one-time plan
-    // compilation of the large combined expression tree — a fixed
-    // cost that amortizes at scale, unlike per-row work.
+    // materialized artifact everything else derives from; the
+    // canonical-survivor rule is a window min over `dup_key`, so
+    // documents is scanned ONCE and the heavy text expressions
+    // evaluate once per row (the previous groupBy + self-join form
+    // scanned and re-evaluated the metrics branch twice; the naive
+    // compose-by-joining-queries form scanned documents 6×). The
+    // window shuffles only the already-projected metric rows on
+    // dup_key — same exchange the groupBy needed, minus the join.
     Q("t8_clean_corpus",
       (s, d) => {
         val tk = TextFns.toks(col("text"))
@@ -207,9 +208,8 @@ object TextQueries {
             size(bigrams).cast(LongType).as("n_bigrams"),
             size(array_distinct(bigrams)).cast(LongType).as("n_distinct"),
             md5(substring(col("text"), 1, 40)).as("dup_key"))
-        val canon = base.groupBy("dup_key")
-          .agg(min("doc_id").as("canonical_id"))
-        base.join(canon, "dup_key")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("dup_key")
+        base.withColumn("canonical_id", min("doc_id").over(w))
           .filter(col("doc_id") === col("canonical_id") &&
             col("n_tokens") >= 20 && col("n_stop") >= 1 &&
             col("n_punct") * 5 <= col("n_tokens") &&
