@@ -30,15 +30,26 @@ object IvfIndex {
 
   /** Assign `corpus` to its nearest-centroid cells and write the
     * index: parquet partitioned by `cell_id` (one directory per IVF
-    * cell). Vectors are stored once, inside their cell partition;
-    * nothing else is duplicated. Re-running overwrites atomically at
-    * the `path` level (dynamic partition overwrite is unnecessary —
-    * an index rebuild replaces every cell by construction).
+    * cell). Each row stores the float vector AND its symmetric int8
+    * code (`qv`, `array<tinyint>` — null for the zero vector, which
+    * quantized search excludes): ONE artifact serves both the exact
+    * search ([[search]], which column-prunes `qv` away) and the
+    * scalar-quantized two-stage search ([[searchSq]], whose stage 1
+    * column-prunes the float vector away and reads ~1 byte per
+    * dimension). Vectors are stored once, inside their cell
+    * partition; nothing else is duplicated. Re-running overwrites
+    * atomically at the `path` level (dynamic partition overwrite is
+    * unnecessary — an index rebuild replaces every cell by
+    * construction).
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            centroids: DataFrame, path: String): Unit =
+            centroids: DataFrame, path: String): Unit = {
+    val amax = Similarity.amaxOf(col(vecCol))
     Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
+      .withColumn("qv", when(amax > 0,
+        Similarity.quantize(col(vecCol), amax).cast("array<tinyint>")))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+  }
 
   /** Top-k cosine search over a built index. Reads ONLY the cell
     * partitions the probes hash to (static partition pruning via the
@@ -68,6 +79,55 @@ object IvfIndex {
         .filter(col("p_id") =!= col(idCol))
         .select(col("p_id"), col(idCol), cos.as("cos_raw")),
       idCol, k)
+  }
+
+  /** Scalar-quantized two-stage top-k over a built index — the
+    * composition of [[Similarity.sqTopK]]'s memory story with this
+    * index's partition pruning: the production ANN shape. Stage 1
+    * ranks by cosine over the stored int8 codes of the PROBED CELLS
+    * ONLY (partition-pruned like [[search]], and column-pruned to the
+    * code column — the scan reads ~1/nCells of the corpus at ~1 byte
+    * per dimension) and keeps a bounded `rerankK` pool per probe via
+    * the shared k-heap aggregate. Stage 2 re-scores only that pool
+    * with exact float cosine, reading the float vectors from the same
+    * pruned cells (the pool is a subset of them by construction).
+    * Both stages are floor arithmetic, so the composed search is
+    * oracle-checkable (`v10_sq_indexed`). Probes with a zero vector
+    * are excluded exactly as in [[Similarity.sqTopK]].
+    */
+  def searchSq(spark: SparkSession, path: String, probes: DataFrame,
+               idCol: String, vecCol: String, k: Int, rerankK: Int,
+               centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    // same two-consumer pin as [[search]]
+    val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = pCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(path)
+    val pruned =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell_id").isin(cells: _*))
+    val pq = pCells
+      .withColumn("amax", Similarity.amaxOf(col("p_vec")))
+      .filter(col("amax") > 0)
+      .select(col("cell_id"), col("p_id"),
+        Similarity.quantize(col("p_vec"), col("amax")).as("p_qv"))
+    val stage1 = pruned.filter(col("qv").isNotNull)
+      .join(broadcast(pq), Seq("cell_id"))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol),
+        Similarity.cosine(col("p_qv"), col("qv").cast("array<double>")).as("cos_raw"))
+    val pool = TopK.perGroup(stage1, "p_id", idCol, "cos_raw", rerankK)
+      .select(col("p_id"), col(idCol))
+    val exact = pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(pool), Seq(idCol))
+      .join(broadcast(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))),
+        Seq("p_id"))
+      .select(col("p_id"), col(idCol),
+        Similarity.cosine(col("p_vec"), col(vecCol)).as("cos_raw"))
+    Similarity.probeTopK(exact, idCol, k)
   }
 
   /** Build-once memo for repeated same-process searches; see

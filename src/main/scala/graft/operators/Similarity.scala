@@ -49,6 +49,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.CosineSimilarity(a, b)
 
+  /** max |x_i| of an embedding — the symmetric int8 quantization
+    * scale. Zero for the all-zero vector, which every quantized path
+    * therefore excludes (its cosine is undefined anyway).
+    */
+  private[operators] def amaxOf(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast(DoubleType))))
+
+  /** Symmetric int8 code array: q_i = floor(x_i·127/amax + 0.5).
+    * Elements are kept double-typed for in-flight compute (cosine_sim
+    * takes float|double arrays); cast the array to `array<tinyint>`
+    * where the 1-byte-at-rest representation is the point
+    * ([[IvfIndex.build]]). Floor arithmetic — identical in any
+    * engine, so quantized stages stay oracle-checkable.
+    */
+  private[operators] def quantize(vec: Column, amax: Column): Column =
+    transform(vec, x =>
+      floor(x.cast(DoubleType) * lit(127.0) / amax + lit(0.5)).cast(DoubleType))
+
   /** Scored (p_id, idCol, cos_raw) frame → per-probe bounded top-k
     * via [[TopK]]: partial k-heaps reduce each scan partition to ≤ k
     * rows per probe BEFORE the exchange, so the shuffle carries
@@ -325,16 +343,10 @@ object Similarity {
   def sqTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
              vecCol: String, k: Int, rerankK: Int): DataFrame = {
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
-    val amax = array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))
-    // codes stay integral-valued; typed double because cosine_sim
-    // takes float|double arrays (the 1-byte-at-rest story is the
-    // STORED representation, not the in-flight compute type)
-    val qv = transform(col(vecCol), x =>
-      floor(x.cast(DoubleType) * lit(127.0) / col("amax") + lit(0.5)).cast(DoubleType))
     def quantized(df: DataFrame) = df
-      .select(col(idCol), col(vecCol), amax.as("amax"))
+      .select(col(idCol), col(vecCol), amaxOf(col(vecCol)).as("amax"))
       .filter(col("amax") > 0)
-      .select(col(idCol), qv.as("qv"))
+      .select(col(idCol), quantize(col(vecCol), col("amax")).as("qv"))
     val qp = quantized(probes)
       .select(col(idCol).as("p_id"), col("qv").as("p_qv"))
     val approx = quantized(candidates).crossJoin(broadcast(qp))

@@ -467,7 +467,7 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
-        val path = IvfIndex.builtFor(s"$d#v8", e, "vec_id", "embedding", cent)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent)
         IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, centroids = cent)
           .orderBy("p_id", "rn")
@@ -608,6 +608,62 @@ object SimilarityQueries {
              |         ${cosSql("pr.p_vec", "e.embedding")} AS cos_raw
              |       FROM pool JOIN embeddings e ON e.vec_id = pool.vec_id
              |            JOIN pr ON pr.p_id = pool.p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id
+             |          ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM ex)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+
+    // V10 — the production ANN shape: v9's scalar quantization INSIDE
+    // v8's cell-partitioned index. Stage 1 ranks on int8 codes read
+    // from the PROBED CELL PARTITIONS only (partition-pruned AND
+    // column-pruned — ~1/nCells of the corpus at ~1 byte/dim), stage 2
+    // re-scores a bounded 20-candidate pool with exact float cosine
+    // from the same pruned cells. Shares v8's memoized index artifact:
+    // one build serves both the exact and the quantized search. Both
+    // stages are floor arithmetic, so the oracle replays the full
+    // composition (cell assignment → quantized in-cell ranking →
+    // bounded exact rerank) cell-exactly.
+    Q("v10_sq_indexed",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent)
+        IvfIndex.searchSq(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, rerankK = 20, centroids = cent)
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |asg AS (
+             |  SELECT vec_id, embedding, cell_id FROM (
+             |    SELECT e.vec_id, e.embedding, c.cell_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |    FROM embeddings e CROSS JOIN cent c)
+             |  WHERE crn = 1),
+             |qsrc AS (SELECT vec_id, cell_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+             |  FROM asg),
+             |q AS (SELECT vec_id, cell_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+             |  FROM qsrc WHERE amax > 0),
+             |qp AS (SELECT vec_id AS p_id, cell_id, qv AS p_qv
+             |       FROM q WHERE vec_id < 10),
+             |a AS (SELECT p_id, c.vec_id, ${cosSql("p_qv", "c.qv")} AS acos
+             |      FROM q c JOIN qp USING (cell_id) WHERE c.vec_id <> p_id),
+             |pool AS (SELECT p_id, vec_id FROM (
+             |    SELECT p_id, vec_id,
+             |      row_number() OVER (PARTITION BY p_id ORDER BY acos DESC, vec_id) AS rn
+             |    FROM a) WHERE rn <= 20),
+             |prv AS (SELECT vec_id AS p_id, embedding AS p_vec
+             |        FROM embeddings WHERE vec_id < 10),
+             |ex AS (SELECT pool.p_id, pool.vec_id,
+             |         ${cosSql("prv.p_vec", "e.embedding")} AS cos_raw
+             |       FROM pool JOIN embeddings e ON e.vec_id = pool.vec_id
+             |            JOIN prv ON prv.p_id = pool.p_id),
              |r AS (SELECT p_id, vec_id, cos_raw,
              |        row_number() OVER (PARTITION BY p_id
              |          ORDER BY cos_raw DESC, vec_id) AS rn

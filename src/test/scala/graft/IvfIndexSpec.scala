@@ -87,6 +87,66 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(filesPlanned >= filesInOneCell)
   }
 
+  test("SQ search with a corpus-covering rerank pool degenerates to the exact search") {
+    // rerankK ≥ |corpus| ⇒ stage 1 keeps every in-cell candidate, so
+    // the exact rerank must reproduce ivfTopK row-for-row — the same
+    // degeneration contract sqTopK pins against cosineTopK
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val probes = corpus.filter(col("vec_id").isin(10L, 21L, 33L))
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path)
+    for (nprobe <- Seq(1, 2)) {
+      val live = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+          k = 5, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      val sq = IvfIndex.searchSq(spark, path, probes, "vec_id", "embedding",
+          k = 5, rerankK = 64, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      assert(sq == live, s"nprobe=$nprobe")
+    }
+  }
+
+  test("SQ search prunes partitions in BOTH stages and column-prunes each scan") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path)
+    val probe = corpus.filter(col("vec_id") === 10L)
+    val res = IvfIndex.searchSq(spark, path, probe, "vec_id", "embedding",
+      k = 3, rerankK = 8, centroids = cent)
+    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val indexScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(path.split('/').last)))
+    assert(indexScans.size == 2,
+      s"expected the stage-1 code scan and the rerank vector scan, got ${indexScans.size}")
+    val filesTotal = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    indexScans.foreach { s =>
+      // the broadcast cell_id join also injects a DynamicPruningSubquery,
+      // which is unevaluable at planning time — the STATIC isin filter
+      // alone must already prune (runtime pruning only narrows further)
+      val static = s.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty, s"no static cell_id partition filter on scan:\n$s")
+      val planned = s.relation.location.listFiles(static, Nil)
+        .map(_.files.size).sum
+      assert(planned < filesTotal,
+        s"index scan planned all $filesTotal files — no pruning:\n$s")
+    }
+    // the bytes story: stage 1 reads codes, not floats; rerank reads
+    // floats, not codes — each scan's required schema must prune the
+    // other representation
+    val schemas = indexScans.map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.exists(s => s.contains("qv") && !s.contains("embedding")),
+      s"no code-only scan (stage 1 would read float vectors too): $schemas")
+    assert(schemas.exists(s => s.contains("embedding") && !s.contains("qv")),
+      s"no float-only scan (rerank would read codes too): $schemas")
+  }
+
   test("empty probe set returns an empty, well-typed frame") {
     val corpus = vecs(16)
     val cent = corpus.filter(col("vec_id") < 4)
