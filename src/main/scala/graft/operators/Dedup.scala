@@ -166,10 +166,10 @@ object Dedup {
     * Counts are additive, so the merge is exact.
     */
   private def okBucketsFromCounts(spark: org.apache.spark.sql.SparkSession,
-                                  indexPath: String,
+                                  indexPath: String, batchIds: Seq[String],
                                   deltaCounts: Option[DataFrame],
                                   maxBucket: Int): DataFrame = {
-    val idx = graft.io.BatchedIndex.read(spark, indexPath, "bucket_counts")
+    val idx = graft.io.BatchedIndex.read(spark, indexPath, "bucket_counts", batchIds)
     deltaCounts.fold(idx)(idx.unionByName(_))
       .groupBy("band", "bh").agg(sum("n").as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
@@ -203,9 +203,13 @@ object Dedup {
     val newSh = minhashSignatures(newDocs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandKeys(newSh, idCol, k, nBands)
-    val allBands = graft.io.BatchedIndex.read(spark, indexPath, "bands")
+    // one manifest resolution for all three part reads, so a fold-in
+    // committing mid-query can't give this probe bands, counts and
+    // sigs from different snapshots
+    val snap = graft.io.BatchedIndex.committed(spark, indexPath)
+    val allBands = graft.io.BatchedIndex.read(spark, indexPath, "bands", snap)
       .unionByName(newBands)
-    val okBuckets = okBucketsFromCounts(spark, indexPath,
+    val okBuckets = okBucketsFromCounts(spark, indexPath, snap,
       Some(newBands.groupBy("band", "bh").agg(count(lit(1)).as("n"))),
       maxBucket)
     val bounded = allBands.join(okBuckets, Seq("band", "bh"))
@@ -217,7 +221,7 @@ object Dedup {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
       .distinct()
-    val sigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs")
+    val sigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs", snap)
       .unionByName(newSh.select(col(idCol), col("hs")))
     val shA = sigs.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
     val shB = sigs.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
@@ -272,10 +276,14 @@ object Dedup {
     val spark = stream.sparkSession
     val sh = minhashSignatures(stream, idCol, textCol, n, k)
     val probes = bandKeys(sh, idCol, k, nBands, carry = Seq("hs"))
-    val idxBands = graft.io.BatchedIndex.read(spark, indexPath, "bands")
+    // one manifest resolution for bands/counts/sigs — a single
+    // consistent index snapshot for the whole probe plan
+    val snap = graft.io.BatchedIndex.committed(spark, indexPath)
+    val idxBands = graft.io.BatchedIndex.read(spark, indexPath, "bands", snap)
     // index-only valve, straight from the pre-aggregated counts part
     // — no per-micro-batch aggregation over the full band table
-    val okBuckets = okBucketsFromCounts(spark, indexPath, None, maxBucket)
+    val okBuckets = okBucketsFromCounts(spark, indexPath, snap, maxBucket = maxBucket,
+      deltaCounts = None)
     val bounded = idxBands.join(okBuckets, Seq("band", "bh"))
       .select(col(idCol).as("matched_id"), col("band"), col("bh"))
     val cand0 = probes.join(bounded, Seq("band", "bh"))
@@ -294,7 +302,7 @@ object Dedup {
           .dropDuplicatesWithinWatermark(idCol, "matched_id")
           .drop("ingest_ts")
       else cand0.dropDuplicates(idCol, "matched_id")
-    val idxSigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs")
+    val idxSigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs", snap)
       .select(col(idCol).as("matched_id"), col("hs").as("idx_hs"))
     val ni = size(array_intersect(col("hs"), col("idx_hs"))).cast(LongType)
     val nu = (size(col("hs")) + size(col("idx_hs"))).cast(LongType) - ni

@@ -396,6 +396,83 @@ object Similarity {
       .filter(col("cos_e7") >= (minCos * 1e7).toLong)
   }
 
+  /** Persist the SRP near-dup artifacts for
+    * [[incrementalCosineNearDupPairs]]: `vecs` = (id, vec, bucket)
+    * and `bucket_counts` = (bucket, n) pre-aggregated over this batch
+    * — the embedding mirror of [[Dedup.writeMinhashIndex]], for
+    * continuously-ingested embedding corpora (each new batch compares
+    * against all accumulated history without re-hashing old vectors,
+    * and the skew valve sums a |buckets|-row counts table instead of
+    * re-aggregating the corpus). All parts publish as ONE batch via
+    * [[graft.io.BatchedIndex]], so a writer dying mid-fold leaves the
+    * index exactly as it was.
+    */
+  def writeSrpIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                    path: String, nPlanes: Int, dims: Int,
+                    overwrite: Boolean = true): Unit = {
+    val planes = srpPlanes(nPlanes, dims)
+    val b = vectors.select(col(idCol), col(vecCol),
+        srpBucket(col(vecCol), planes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.io.BatchedIndex.fold(vectors.sparkSession, path, Seq(
+        "vecs" -> b,
+        "bucket_counts" -> b.groupBy("bucket").agg(count(lit(1)).as("n"))
+      ), overwrite)
+    } finally b.unpersist(blocking = false)
+  }
+
+  /** Embedding near-dup pairs of a NEW batch against an indexed
+    * corpus ([[writeSrpIndex]]) — the incremental form of
+    * [[cosineNearDupPairs]] and the embedding mirror of
+    * [[Dedup.incrementalLshPairs]]. Returns every verified pair with
+    * at least one member in `newVecs` (new↔old and new↔new); old↔old
+    * pairs were resolved when the index was built, so candidate work
+    * scales with |delta| × bucket width, never |corpus|². The skew
+    * valve merges the index's pre-aggregated `bucket_counts` with the
+    * delta's own counts — a bucket that grew oversized across batches
+    * stops emitting pairs exactly as in the full recompute. One
+    * manifest resolution covers both part reads (single consistent
+    * snapshot).
+    *
+    * Equivalence contract (spec-pinned): identical output to
+    * `cosineNearDupPairs(old ∪ new)` filtered to delta-touching
+    * pairs. The exact-cosine verification rides the bucket join (the
+    * fold cosine is bit-symmetric, so orientation never changes the
+    * score).
+    */
+  def incrementalCosineNearDupPairs(newVecs: DataFrame, idCol: String,
+                                    vecCol: String, indexPath: String,
+                                    minCos: Double, nPlanes: Int, dims: Int,
+                                    maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
+    val spark = newVecs.sparkSession
+    val planes = srpPlanes(nPlanes, dims)
+    val newB = newVecs.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val snap = graft.io.BatchedIndex.committed(spark, indexPath)
+    val allVecs = graft.io.BatchedIndex.read(spark, indexPath, "vecs", snap)
+      .unionByName(newB)
+    val okBuckets = graft.io.BatchedIndex.read(spark, indexPath, "bucket_counts", snap)
+      .unionByName(newB.groupBy("bucket").agg(count(lit(1)).as("n")))
+      .groupBy("bucket").agg(sum("n").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("bucket")
+    val bounded = allVecs.join(okBuckets, Seq("bucket"))
+    val newBounded = newB.join(okBuckets, Seq("bucket"))
+    val cos = cosine(col(s"a.$vecCol"), col(s"b.$vecCol"))
+    // (anything in the bucket) × (delta member): old↔old never forms;
+    // a new↔new pair forms twice (once per orientation) with a
+    // bit-identical score, so the distinct collapses it
+    bounded.as("a").join(newBounded.as("b"), Seq("bucket"))
+      .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+        floor(cos * 1e7).cast(LongType).as("cos_e7"))
+      .distinct()
+      .filter(col("cos_e7") >= (minCos * 1e7).toLong)
+  }
+
   /** Approximate top-k: probes meet only candidates in their SRP
     * bucket. Fewer planes → bigger buckets → higher recall and cost.
     */

@@ -720,6 +720,41 @@ object SimilarityQueries {
                |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
       }),
 
+    // V11 — INCREMENTAL embedding dedup: vectors < 400 are the
+    // indexed corpus history (SRP buckets + vectors persisted once via
+    // the same atomic BatchedIndex fold as d9's text index), vectors
+    // ≥ 400 are the new batch. The delta probes the persisted bucket
+    // index; only delta-touching pairs form and the skew valve merges
+    // pre-aggregated index counts with delta counts — per-batch work
+    // scales with |delta|, not |corpus|. Oracle = the full-recompute
+    // v3 semantics filtered to delta-touching pairs (the operator's
+    // equivalence contract).
+    Q("v11_incremental_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#srp", "graft_srp_index") { p =>
+          Similarity.writeSrpIndex(e.filter(col("vec_id") < 400),
+            "vec_id", "embedding", p, nPlanes = 4, dims = 64)
+        }
+        Similarity.incrementalCosineNearDupPairs(e.filter(col("vec_id") >= 400),
+            "vec_id", "embedding", path, minCos = 0.4, nPlanes = 4, dims = 64,
+            maxBucket = 100000)
+          .orderBy("id_a", "id_b")
+      },
+      {
+        val bucketSql = srpBucketSql(4, 64, "embedding")
+        Some(s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |okb AS (SELECT bucket FROM b0 GROUP BY bucket
+               |        HAVING count(*) <= 100000),
+               |b AS (SELECT b0.* FROM b0 JOIN okb USING (bucket)),
+               |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               |        CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) AS cos_e7
+               |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+               |      WHERE a.vec_id >= 400 OR b.vec_id >= 400)
+               |SELECT id_a, id_b, cos_e7 FROM p WHERE cos_e7 >= 4000000
+               |ORDER BY id_a, id_b""".stripMargin)
+      }),
+
     // MM4 — multimodal features FEED the ANN surface: the stub media
     // features (mm2's 8 integer digest slices) become an 8-dim vector
     // and run through the SAME SRP-bucketed top-k as real embeddings.

@@ -185,15 +185,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val committedBefore = graft.io.BatchedIndex.committed(spark, path)
 
     // kill the fold-in right after the sigs part lands — the exact
-    // failure window the old two-append layout could not survive
-    graft.io.BatchedIndex.afterPartWrite = (p, part) =>
-      if (p == path && part == "sigs") throw new RuntimeException("injected fold-in death")
-    try {
+    // failure window the old two-append layout could not survive;
+    // withValue scopes the injection to this block
+    graft.io.BatchedIndex.afterPartWrite.withValue((p, part) =>
+      if (p == path && part == "sigs") throw new RuntimeException("injected fold-in death")) {
       intercept[RuntimeException] {
         Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
           "doc_id", "text", path, overwrite = false)
       }
-    } finally graft.io.BatchedIndex.afterPartWrite = (_, _) => ()
+    }
 
     assert(graft.io.BatchedIndex.committed(spark, path) == committedBefore,
       "a failed fold must not publish a batch")
@@ -211,6 +211,67 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(healed.contains((8L, 10L)))
     assert(graft.io.BatchedIndex.committed(spark, path).size == committedBefore.size + 1)
+  }
+
+  test("overwrite rebuild is an atomic generation switch; scrub reclaims dead orphans only") {
+    import graft.io.BatchedIndex
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 8), "doc_id", "text", path)
+    val gen0 = BatchedIndex.committed(spark, path)
+    assert(gen0.size == 1)
+
+    // leave an orphan behind: a fold that dies after its parts land
+    // but before its marker
+    BatchedIndex.afterPartWrite.withValue((p, part) =>
+      if (p == path && part == "bucket_counts")
+        throw new RuntimeException("injected death")) {
+      intercept[RuntimeException] {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
+          "doc_id", "text", path, overwrite = false)
+      }
+    }
+    def batchDirs() = new java.io.File(s"$path/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs().size == 2, "orphan dir present beside the committed batch")
+
+    // the orphan is NEWER than the newest marker — an in-flight fold
+    // would look exactly like this, so scrub must leave it alone
+    assert(BatchedIndex.scrub(spark, path) == 0)
+    assert(batchDirs().size == 2)
+
+    // a later successful append proves the orphan's writer dead;
+    // scrub now reclaims it (3 parts × 1 orphan dir) and never
+    // touches marked batches
+    Thread.sleep(20) // distinct mtimes on the marker vs the orphan
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id").isin(8L, 9L)),
+      "doc_id", "text", path, overwrite = false)
+    assert(BatchedIndex.scrub(spark, path) == 3)
+    assert(batchDirs().size == 2, "the two committed batches survive the scrub")
+    assert(BatchedIndex.committed(spark, path).size == 2)
+
+    // overwrite rebuild: the manifest switches generations in one
+    // marker-create — committed() is NEVER empty and never mixes
+    // generations, and the superseded batch dirs are swept
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", path, overwrite = true)
+    val gen1 = BatchedIndex.committed(spark, path)
+    assert(gen1.size == 1 && !gen1.exists(gen0.contains(_)))
+    assert(batchDirs().size == 1, "superseded generation swept after the switch")
+    val pairs = Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", path)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((8L, 10L)), "rebuilt index serves reads")
+  }
+
+  test("a pre-manifest legacy layout fails with a dedicated migration error") {
+    val path = tmp()
+    // simulate an r6-era index: a bare parquet part dir, no manifest
+    allDocs.limit(2).write.parquet(s"$path/sigs")
+    val e = intercept[IllegalStateException] {
+      graft.io.BatchedIndex.read(spark, path, "sigs")
+    }
+    assert(e.getMessage.contains("legacy"))
+    assert(e.getMessage.contains("overwrite=true"))
   }
 
   test("oversized union buckets are capped exactly like the full recompute") {
