@@ -473,6 +473,51 @@ object Similarity {
       .filter(col("cos_e7") >= (minCos * 1e7).toLong)
   }
 
+  /** Online ingest embedding near-dup probe: flag each incoming
+    * vector against the indexed corpus ([[writeSrpIndex]]) — the
+    * embedding mirror of [[Dedup.streamNearDupProbe]] and the
+    * streaming half of [[incrementalCosineNearDupPairs]]. Works on a
+    * BATCH or a STREAMING frame unchanged: every stage is a stateless
+    * map plus ONE stream-static bucket join against the index —
+    * because each vector lives in exactly one SRP bucket, a (probe,
+    * index) pair can form at most once, so unlike the multi-band text
+    * probe this needs no dedup state at all (the whole plan is
+    * stateless; streaming state is zero on continuous ingest).
+    * Returns (id, matched_id, cos_e7) — one row per verified
+    * (incoming, indexed) near-dup pair.
+    *
+    * Intentionally does NOT pair stream vectors with each other (that
+    * is the batch fold-in's job — run [[writeSrpIndex]] append +
+    * [[incrementalCosineNearDupPairs]] per resolved micro-batch); the
+    * bucket cap is therefore evaluated on the INDEX buckets alone,
+    * which are known at index-build time.
+    */
+  def streamCosineNearDupProbe(stream: DataFrame, idCol: String,
+                               vecCol: String, indexPath: String,
+                               minCos: Double, nPlanes: Int, dims: Int,
+                               maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
+    val spark = stream.sparkSession
+    val planes = srpPlanes(nPlanes, dims)
+    val probes = stream.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    // one manifest resolution for both part reads — a single
+    // consistent index snapshot for the whole probe plan
+    val snap = graft.io.BatchedIndex.committed(spark, indexPath)
+    val okBuckets = graft.io.BatchedIndex.read(spark, indexPath, "bucket_counts", snap)
+      .groupBy("bucket").agg(sum("n").as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("bucket")
+    val bounded = graft.io.BatchedIndex.read(spark, indexPath, "vecs", snap)
+      .join(okBuckets, Seq("bucket"))
+      .select(col("bucket"), col(idCol).as("matched_id"), col(vecCol).as("m_vec"))
+    probes.join(bounded, Seq("bucket"))
+      .filter(col(idCol) =!= col("matched_id"))
+      .select(col(idCol), col("matched_id"),
+        floor(cosine(col(vecCol), col("m_vec")) * 1e7).cast(LongType).as("cos_e7"))
+      .filter(col("cos_e7") >= (minCos * 1e7).toLong)
+  }
+
   /** Approximate top-k: probes meet only candidates in their SRP
     * bucket. Fewer planes → bigger buckets → higher recall and cost.
     */

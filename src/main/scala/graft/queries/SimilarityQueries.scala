@@ -755,6 +755,40 @@ object SimilarityQueries {
                |ORDER BY id_a, id_b""".stripMargin)
       }),
 
+    // ST9 — ONLINE embedding ingest probe: vectors ≥ 400 arrive as a
+    // real file-source stream and each is flagged against the same
+    // persisted SRP index v11 maintains — a single stateless
+    // stream-static bucket join (one bucket per vector ⇒ no dedup
+    // state at all, unlike the multi-band text probe st8). The
+    // streaming half of v11; lives here to share the SRP bucket SQL.
+    Q("st9_stream_embedding_probe",
+      (s, d) => {
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#srp", "graft_srp_index") { p =>
+          Similarity.writeSrpIndex(Tables.embeddings(s, d).filter(col("vec_id") < 400),
+            "vec_id", "embedding", p, nPlanes = 4, dims = 64)
+        }
+        graft.streaming.Streaming.runAvailableNow(s, s"$d/embeddings.parquet", "append") { df =>
+          Similarity.streamCosineNearDupProbe(df.filter(col("vec_id") >= 400),
+            "vec_id", "embedding", path, minCos = 0.4, nPlanes = 4, dims = 64,
+            maxBucket = 100000)
+        }.orderBy("vec_id", "matched_id")
+      },
+      {
+        val bucketSql = srpBucketSql(4, 64, "embedding")
+        Some(s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |i AS (SELECT * FROM b0 WHERE vec_id < 400),
+               |okb AS (SELECT bucket FROM i GROUP BY bucket
+               |        HAVING count(*) <= 100000),
+               |bi AS (SELECT i.* FROM i JOIN okb USING (bucket)),
+               |p AS (SELECT * FROM b0 WHERE vec_id >= 400),
+               |j AS (SELECT p.vec_id AS vec_id, bi.vec_id AS matched_id,
+               |        CAST(floor(${cosSql("p.embedding", "bi.embedding")} * 1e7) AS BIGINT) AS cos_e7
+               |      FROM p JOIN bi ON p.bucket = bi.bucket
+               |           AND p.vec_id <> bi.vec_id)
+               |SELECT vec_id, matched_id, cos_e7 FROM j WHERE cos_e7 >= 4000000
+               |ORDER BY vec_id, matched_id""".stripMargin)
+      }),
+
     // MM4 — multimodal features FEED the ANN surface: the stub media
     // features (mm2's 8 integer digest slices) become an 8-dim vector
     // and run through the SAME SRP-bucketed top-k as real embeddings.

@@ -89,6 +89,30 @@ class IncrementalSrpSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 20L)), "original index member still matches")
   }
 
+  test("stream probe flags exactly the incremental contract's new↔old pairs") {
+    val vecs = allVecs
+    val path = tmp()
+    Similarity.writeSrpIndex(vecs.filter(col("vec_id") < 8),
+      "vec_id", "embedding", path, nPlanes = 4, dims = dims)
+    // batch invocation of the stream-shaped plan (every stage is
+    // stateless, so the frame kind doesn't change the semantics)
+    val probe = Similarity.streamCosineNearDupProbe(
+        vecs.filter(col("vec_id") >= 8), "vec_id", "embedding", path,
+        minCos = MinCos, nPlanes = 4, dims = dims)
+      .select("vec_id", "matched_id").as[(Long, Long)].collect().toSet
+    val incrPairs: Set[(Long, Long)] = Similarity.incrementalCosineNearDupPairs(
+        vecs.filter(col("vec_id") >= 8), "vec_id", "embedding", path,
+        minCos = MinCos, nPlanes = 4, dims = dims)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val incrNewOld = incrPairs
+      .filter(p => p._1 < 8 && p._2 >= 8)
+      .map(p => (p._2, p._1)) // (new, old)
+    assert(probe == incrNewOld)
+    assert(probe.contains((8L, 0L)) && probe.contains((9L, 1L)))
+    // new↔new pairs are the fold-in's job, never the stream probe's
+    assert(!probe.exists { case (a, b) => a >= 8 && b >= 8 })
+  }
+
   test("union-oversized buckets are capped exactly like the full recompute") {
     // 6 indexed + 2 delta members of family A: union bucket size 8 > 5
     // ⇒ no A pairs; the planted family-D pair (bucket size 2) survives
