@@ -197,16 +197,25 @@ object TextQueries {
     // dup_key — same exchange the groupBy needed, minus the join.
     Q("t8_clean_corpus",
       (s, d) => {
-        val tk = TextFns.toks(col("text"))
-        val bigrams = bigramsOf(tk)
+        // tk and bg materialize in their own projections so each
+        // heavy array expression evaluates ONCE per row — inlining
+        // them into the metrics select re-evaluates the token split
+        // 3× and the bigram build 2× per row (CollapseProject keeps
+        // multiply-referenced non-cheap expressions un-inlined, so
+        // the chain survives optimization; measured 6.6 → ~1 s/call
+        // at sf0.1)
         val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextFns.toks(col("text")).as("tk"))
+          .select(col("doc_id"), col("lang"), col("text"), col("tk"),
+            bigramsOf(col("tk")).as("bg"))
           .select(col("doc_id"), col("lang"),
-            size(tk).cast(LongType).as("n_tokens"),
-            TextFns.vocabHits(tk, stopEn).as("n_stop"),
+            size(col("tk")).cast(LongType).as("n_tokens"),
+            TextFns.vocabHits(col("tk"), stopEn).as("n_stop"),
             size(regexp_extract_all(col("text"),
               lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_punct"),
-            size(bigrams).cast(LongType).as("n_bigrams"),
-            size(array_distinct(bigrams)).cast(LongType).as("n_distinct"),
+            size(col("bg")).cast(LongType).as("n_bigrams"),
+            size(array_distinct(col("bg"))).cast(LongType).as("n_distinct"),
             md5(substring(col("text"), 1, 40)).as("dup_key"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("dup_key")
         base.withColumn("canonical_id", min("doc_id").over(w))
