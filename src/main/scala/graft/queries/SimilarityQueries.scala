@@ -755,6 +755,46 @@ object SimilarityQueries {
                |ORDER BY id_a, id_b""".stripMargin)
       }),
 
+    // V12 — embedding dedup CLUSTERS: connected components over the
+    // v3 cosine near-dup pair graph — the embedding mirror of d8
+    // (semantic dedup picks one representative per cluster of
+    // near-identical embeddings). Same large-star/small-star
+    // contraction, same recursive-CTE oracle shape; only the edge
+    // generator differs (SRP-bucketed cosine pairs instead of SimHash
+    // Hamming pairs).
+    Q("v12_embedding_clusters",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+            minCos = 0.4, nPlanes = 4, dims = 64, maxBucket = 100000)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(e.select("vec_id"), "vec_id",
+            pairs, "id_a", "id_b")
+          .orderBy("vec_id")
+      },
+      {
+        val bucketSql = srpBucketSql(4, 64, "embedding")
+        Some(s"""WITH RECURSIVE b0 AS (
+               |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+               |okb AS (SELECT bucket FROM b0 GROUP BY bucket
+               |        HAVING count(*) <= 100000),
+               |b AS (SELECT b0.* FROM b0 JOIN okb USING (bucket)),
+               |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+               |      WHERE CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) >= 4000000),
+               |e AS (SELECT id_a AS src, id_b AS dst FROM p
+               |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+               |reach(id, root) AS (
+               |  SELECT vec_id, vec_id FROM embeddings
+               |  UNION
+               |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+               |g AS (SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+               |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM g GROUP BY 1)
+               |SELECT vec_id, cluster_id, cluster_size,
+               |       vec_id = cluster_id AS is_canonical
+               |FROM g JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin)
+      }),
+
     // ST9 — ONLINE embedding ingest probe: vectors ≥ 400 arrive as a
     // real file-source stream and each is flagged against the same
     // persisted SRP index v11 maintains — a single stateless
