@@ -50,6 +50,65 @@ object TextQueries {
   private def votesSql(ws: Seq[String]) =
     s"len(list_filter($tkSql, t -> list_contains(${sqlList(ws)}, t)))"
 
+  /** The t8 cleaning stage as an unordered plan, shared by t8 and the
+    * composed c5 pipeline: (doc_id, lang, n_tokens) of every document
+    * that passes the quality gate (t2), repeats fewer than 20% of its
+    * bigrams (t6), and is the canonical survivor of its exact-dedup
+    * group (d1's rule, as a window min over `dup_key` — one scan).
+    * tk and bg materialize in their own projections so each heavy
+    * array expression evaluates ONCE per row — inlining them into the
+    * metrics select re-evaluates the token split 3× and the bigram
+    * build 2× per row (CollapseProject keeps multiply-referenced
+    * non-cheap expressions un-inlined, so the chain survives
+    * optimization; measured 6.6 → ~1 s/call at sf0.1).
+    */
+  private def cleanDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFns.toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("text"), col("tk"),
+        bigramsOf(col("tk")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        TextFns.vocabHits(col("tk"), stopEn).as("n_stop"),
+        size(regexp_extract_all(col("text"),
+          lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_punct"),
+        size(col("bg")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast(LongType).as("n_distinct"),
+        md5(substring(col("text"), 1, 40)).as("dup_key"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dup_key")
+    base.withColumn("canonical_id", min("doc_id").over(w))
+      .filter(col("doc_id") === col("canonical_id") &&
+        col("n_tokens") >= 20 && col("n_stop") >= 1 &&
+        col("n_punct") * 5 <= col("n_tokens") &&
+        (col("n_bigrams") === 0 ||
+          (col("n_bigrams") - col("n_distinct")) * 5 < col("n_bigrams")))
+      .select("doc_id", "lang", "n_tokens")
+  }
+
+  /** t8's oracle WITH-chain, reused verbatim by c5 so the two stages
+    * cannot diverge: `surv` = the cleaned (doc_id, lang, n_tokens).
+    */
+  private def survCte = s"""WITH m AS (
+    |  SELECT doc_id, lang,
+    |    CAST(len(tk) AS BIGINT) AS n_tokens,
+    |    ${votesSql(stopEn)} AS n_stop,
+    |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+    |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+    |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
+    |  FROM (SELECT doc_id, lang, text, tk, $bigramsSql AS bg
+    |        FROM (SELECT doc_id, lang, text, $tkSql AS tk FROM documents))),
+    |k AS (SELECT doc_id, md5(substr(text, 1, 40)) AS dup_key FROM documents),
+    |g AS (SELECT dup_key, min(doc_id) AS canonical_id FROM k GROUP BY 1),
+    |surv AS (
+    |  SELECT m.doc_id, m.lang, m.n_tokens
+    |  FROM m JOIN k ON m.doc_id = k.doc_id
+    |         JOIN g ON k.dup_key = g.dup_key AND m.doc_id = g.canonical_id
+    |  WHERE m.n_tokens >= 20 AND m.n_stop >= 1
+    |    AND m.n_punct * 5 <= m.n_tokens
+    |    AND (m.n_bigrams = 0 OR (m.n_bigrams - m.n_distinct) * 5 < m.n_bigrams))"""
+    .stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // T1 — token counting: whitespace tokens, BPE-ish subword regex
@@ -196,55 +255,40 @@ object TextQueries {
     // window shuffles only the already-projected metric rows on
     // dup_key — same exchange the groupBy needed, minus the join.
     Q("t8_clean_corpus",
+      (s, d) => cleanDocs(s, d).orderBy("doc_id"),
+      Some(s"""$survCte
+             |SELECT doc_id, lang, n_tokens FROM surv ORDER BY doc_id""".stripMargin)),
+
+    // C5 — the COMPOSED end-to-end corpus-construction pipeline: the
+    // t8 cleaning stage feeding c3's sequence packing in ONE
+    // declarative plan — clean (quality ∧ low-repetition ∧
+    // dedup-canonical) then pack survivors per language at a
+    // 2048-token budget. This is the shape a training-data pipeline
+    // actually ships: both stages share one scan lineage, Catalyst
+    // fuses the projections, and the only exchanges are the dup_key
+    // window and the per-language packing window. Oracle reuses t8's
+    // WITH-chain verbatim, so the composed stages can never diverge
+    // from their standalone counterparts.
+    Q("c5_clean_pack",
       (s, d) => {
-        // tk and bg materialize in their own projections so each
-        // heavy array expression evaluates ONCE per row — inlining
-        // them into the metrics select re-evaluates the token split
-        // 3× and the bigram build 2× per row (CollapseProject keeps
-        // multiply-referenced non-cheap expressions un-inlined, so
-        // the chain survives optimization; measured 6.6 → ~1 s/call
-        // at sf0.1)
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("text"),
-            TextFns.toks(col("text")).as("tk"))
-          .select(col("doc_id"), col("lang"), col("text"), col("tk"),
-            bigramsOf(col("tk")).as("bg"))
-          .select(col("doc_id"), col("lang"),
-            size(col("tk")).cast(LongType).as("n_tokens"),
-            TextFns.vocabHits(col("tk"), stopEn).as("n_stop"),
-            size(regexp_extract_all(col("text"),
-              lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_punct"),
-            size(col("bg")).cast(LongType).as("n_bigrams"),
-            size(array_distinct(col("bg"))).cast(LongType).as("n_distinct"),
-            md5(substring(col("text"), 1, 40)).as("dup_key"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("dup_key")
-        base.withColumn("canonical_id", min("doc_id").over(w))
-          .filter(col("doc_id") === col("canonical_id") &&
-            col("n_tokens") >= 20 && col("n_stop") >= 1 &&
-            col("n_punct") * 5 <= col("n_tokens") &&
-            (col("n_bigrams") === 0 ||
-              (col("n_bigrams") - col("n_distinct")) * 5 < col("n_bigrams")))
-          .select("doc_id", "lang", "n_tokens")
-          .orderBy("doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        cleanDocs(s, d)
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
+          .orderBy("lang", "doc_id")
       },
-      Some(s"""WITH m AS (
-             |  SELECT doc_id, lang,
-             |    CAST(len(tk) AS BIGINT) AS n_tokens,
-             |    ${votesSql(stopEn)} AS n_stop,
-             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
-             |    CAST(len(bg) AS BIGINT) AS n_bigrams,
-             |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
-             |  FROM (SELECT doc_id, lang, text, tk, $bigramsSql AS bg
-             |        FROM (SELECT doc_id, lang, text, $tkSql AS tk FROM documents))),
-             |k AS (SELECT doc_id, md5(substr(text, 1, 40)) AS dup_key FROM documents),
-             |g AS (SELECT dup_key, min(doc_id) AS canonical_id FROM k GROUP BY 1)
-             |SELECT m.doc_id, m.lang, m.n_tokens
-             |FROM m JOIN k ON m.doc_id = k.doc_id
-             |       JOIN g ON k.dup_key = g.dup_key AND m.doc_id = g.canonical_id
-             |WHERE m.n_tokens >= 20 AND m.n_stop >= 1
-             |  AND m.n_punct * 5 <= m.n_tokens
-             |  AND (m.n_bigrams = 0 OR (m.n_bigrams - m.n_distinct) * 5 < m.n_bigrams)
-             |ORDER BY m.doc_id""".stripMargin)),
+      Some(s"""$survCte
+             |SELECT lang, doc_id, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+             |FROM (SELECT lang, doc_id, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM surv)
+             |ORDER BY lang, doc_id""".stripMargin)),
 
     // T7 — PII scrubbing: redact emails and long digit runs, count
     // what was removed (the audit signal a cleaning pipeline logs).
