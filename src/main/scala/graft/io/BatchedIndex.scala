@@ -92,15 +92,25 @@ object BatchedIndex {
     * marker. `overwrite = true` starts a new generation (logical
     * rebuild — readers switch atomically at marker-create) and then
     * sweeps the superseded markers and batch dirs; `false` appends
-    * the batch to the current generation.
+    * the batch to the current generation. A part listed in
+    * `partitionBy` is written hive-partitioned by those columns
+    * INSIDE its batch dir — readers passing the batch dirs as scan
+    * roots still get partition-column inference and static pruning
+    * per root (the layout behind [[graft.operators.IvfIndex]]'s
+    * incremental cell index).
     */
   def fold(spark: SparkSession, path: String,
-           parts: Seq[(String, DataFrame)], overwrite: Boolean): Unit = {
+           parts: Seq[(String, DataFrame)], overwrite: Boolean,
+           partitionBy: Map[String, Seq[String]] = Map.empty): Unit = {
     require(parts.nonEmpty, "a batch needs at least one part")
     val fs = fsOf(spark, path)
     val batchId = java.util.UUID.randomUUID().toString
     parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name/batch=$batchId")
+      val writer = df.write.mode("overwrite")
+      partitionBy.getOrElse(name, Nil) match {
+        case Nil  => writer.parquet(s"$path/$name/batch=$batchId")
+        case cols => writer.partitionBy(cols: _*).parquet(s"$path/$name/batch=$batchId")
+      }
       afterPartWrite.value(path, name)
     }
     val mdir = new HPath(s"$path/_batches")
@@ -156,7 +166,15 @@ object BatchedIndex {
       require(ids.nonEmpty,
         s"no committed batches under $path — build the index first")
     }
-    spark.read.parquet(ids.map(id => s"$path/$part/batch=$id"): _*)
+    // basePath makes `batch=` parse as a partition column even when a
+    // part is itself hive-partitioned inside each batch dir (without
+    // it, multi-batch reads of partitioned parts fail partition
+    // inference with CONFLICTING_DIRECTORY_STRUCTURES); the synthetic
+    // `batch` column is dropped — the manifest, not the path layout,
+    // is the visibility contract
+    spark.read.option("basePath", s"$path/$part")
+      .parquet(ids.map(id => s"$path/$part/batch=$id"): _*)
+      .drop("batch")
   }
 
   /** Reclaim orphan batch dirs left by fold-ins that died before

@@ -28,27 +28,68 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Assign `corpus` to its nearest-centroid cells and write the
-    * index: parquet partitioned by `cell_id` (one directory per IVF
-    * cell). Each row stores the float vector AND its symmetric int8
-    * code (`qv`, `array<tinyint>` — null for the zero vector, which
-    * quantized search excludes): ONE artifact serves both the exact
-    * search ([[search]], which column-prunes `qv` away) and the
+  /** (id, vec, cell_id, qv) — the row an index stores per vector:
+    * the float vector AND its symmetric int8 code (`qv`,
+    * `array<tinyint>` — null for the zero vector, which quantized
+    * search excludes), so ONE artifact serves both the exact search
+    * ([[search]], which column-prunes `qv` away) and the
     * scalar-quantized two-stage search ([[searchSq]], whose stage 1
     * column-prunes the float vector away and reads ~1 byte per
-    * dimension). Vectors are stored once, inside their cell
-    * partition; nothing else is duplicated. Re-running overwrites
-    * atomically at the `path` level (dynamic partition overwrite is
-    * unnecessary — an index rebuild replaces every cell by
-    * construction).
+    * dimension).
     */
-  def build(corpus: DataFrame, idCol: String, vecCol: String,
-            centroids: DataFrame, path: String): Unit = {
+  private def assigned(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame): DataFrame = {
     val amax = Similarity.amaxOf(col(vecCol))
     Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
       .withColumn("qv", when(amax > 0,
         Similarity.quantize(col(vecCol), amax).cast("array<tinyint>")))
+  }
+
+  /** Assign `corpus` to its nearest-centroid cells and write the
+    * index in one shot: parquet partitioned by `cell_id` (one
+    * directory per IVF cell). Vectors are stored once, inside their
+    * cell partition; nothing else is duplicated. Re-running
+    * overwrites atomically at the `path` level (dynamic partition
+    * overwrite is unnecessary — an index rebuild replaces every cell
+    * by construction). For continuous ingest, use [[foldBatch]]
+    * instead.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, path: String): Unit =
+    assigned(corpus, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** INCREMENTAL index maintenance: assign a batch of new vectors to
+    * the (fixed) codebook's cells and fold it into the served index
+    * as ONE atomically-committed batch — the ANN mirror of
+    * [[graft.operators.Dedup.writeMinhashIndex]]'s append path, via
+    * the same [[graft.io.BatchedIndex]] manifest. Each batch is
+    * hive-partitioned by `cell_id` INSIDE its batch dir, so
+    * [[search]]/[[searchSq]] prune cells within every committed batch
+    * exactly as on a one-shot [[build]] (spec-asserted); a writer
+    * dying mid-fold leaves the index serving the old corpus. A
+    * continuously-ingested embedding corpus thus keeps its served
+    * index current without ever rebuilding: per-batch work is one
+    * map-only assignment pass over the delta plus the fold.
+    * `overwrite = true` starts the index (or rebuilds it in one
+    * atomic generation switch).
+    */
+  def foldBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, path: String,
+                overwrite: Boolean): Unit =
+    graft.io.BatchedIndex.fold(corpus.sparkSession, path,
+      Seq("cells" -> assigned(corpus, idCol, vecCol, centroids)),
+      overwrite, partitionBy = Map("cells" -> Seq("cell_id")))
+
+  /** The stored index rows, whichever layout the path holds: a
+    * manifest-committed incremental index ([[foldBatch]] — committed
+    * batches only, one snapshot per call) or a one-shot [[build]]
+    * directory.
+    */
+  private def indexFrame(spark: SparkSession, path: String): DataFrame = {
+    val ids = graft.io.BatchedIndex.committed(spark, path)
+    if (ids.nonEmpty) graft.io.BatchedIndex.read(spark, path, "cells", ids)
+    else spark.read.parquet(path)
   }
 
   /** Top-k cosine search over a built index. Reads ONLY the cell
@@ -69,7 +110,7 @@ object IvfIndex {
     // so |cells| ≤ |probes| × nprobe
     val cells = pCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = spark.read.parquet(path)
+    val idx = indexFrame(spark, path)
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))
@@ -105,7 +146,7 @@ object IvfIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = pCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = spark.read.parquet(path)
+    val idx = indexFrame(spark, path)
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))

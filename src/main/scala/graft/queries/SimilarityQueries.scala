@@ -474,6 +474,31 @@ object SimilarityQueries {
       },
       Some(ivfStandInOracle)),
 
+    // V13 — INCREMENTAL IVF index maintenance: the index is built as
+    // TWO atomically-committed batches (vectors < 400, then ≥ 400)
+    // through the same BatchedIndex manifest as d9/v11 — the served-
+    // index shape for a continuously-ingested embedding corpus: new
+    // batches fold in with one map-only assignment pass, no rebuild.
+    // Search semantics must be IDENTICAL to the one-shot v8 build, so
+    // this shares v4/v8's oracle verbatim; each batch is cell-
+    // partitioned inside its batch dir, so search prunes cells within
+    // every committed batch (spec-asserted).
+    Q("v13_ivf_incremental",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#ivfinc", "graft_ivf_inc") { p =>
+          IvfIndex.foldBatch(e.filter(col("vec_id") < 400), "vec_id", "embedding",
+            cent, p, overwrite = true)
+          IvfIndex.foldBatch(e.filter(col("vec_id") >= 400), "vec_id", "embedding",
+            cent, p, overwrite = false)
+        }
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cent)
+          .orderBy("p_id", "rn")
+      },
+      Some(ivfStandInOracle)),
+
     // V6 — IVF multi-probe: same cell index as v4, but each probe
     // searches its TWO nearest cells (centroid-cosine ranked, ties →
     // lowest cell id). Only the broadcast probe side replicates ×2;

@@ -147,6 +147,59 @@ class IvfIndexSpec extends AnyFunSuite {
       s"no float-only scan (rerank would read codes too): $schemas")
   }
 
+  test("incremental fold-in equals the one-shot build and still prunes per batch") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val probes = corpus.filter(col("vec_id").isin(10L, 21L, 33L))
+    val path = tmp()
+    graft.io.BatchedIndex // two committed batches through the manifest
+    IvfIndex.foldBatch(corpus.filter(col("vec_id") < 40), "vec_id", "embedding",
+      cent, path, overwrite = true)
+    IvfIndex.foldBatch(corpus.filter(col("vec_id") >= 40), "vec_id", "embedding",
+      cent, path, overwrite = false)
+    for (nprobe <- Seq(1, 2)) {
+      val live = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+          k = 5, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      val incr = IvfIndex.search(spark, path, probes, "vec_id", "embedding",
+          k = 5, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      assert(incr == live, s"nprobe=$nprobe")
+      val sq = IvfIndex.searchSq(spark, path, probes, "vec_id", "embedding",
+          k = 5, rerankK = 64, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      assert(sq == live, s"searchSq nprobe=$nprobe")
+    }
+
+    // pruning must hold WITHIN each committed batch dir: one probe →
+    // one cell, so the scan plans strictly fewer files than the total
+    // across both batches' cell partitions
+    val res = IvfIndex.search(spark, path,
+      corpus.filter(col("vec_id") === 10L), "vec_id", "embedding",
+      k = 3, centroids = cent)
+    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val indexScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(path.split('/').last)))
+    assert(indexScans.nonEmpty, "no file scan over the incremental index found")
+    val batchDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("batch="))
+    assert(batchDirs.length == 2)
+    val filesTotal = batchDirs.flatMap(_.listFiles())
+      .filter(_.getName.startsWith("cell_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    indexScans.foreach { s =>
+      val static = s.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty, s"no static cell_id partition filter on scan:\n$s")
+      val planned = s.relation.location.listFiles(static, Nil)
+        .map(_.files.size).sum
+      assert(planned < filesTotal,
+        s"scan planned all $filesTotal files across batches — no pruning")
+    }
+  }
+
   test("empty probe set returns an empty, well-typed frame") {
     val corpus = vecs(16)
     val cent = corpus.filter(col("vec_id") < 4)
