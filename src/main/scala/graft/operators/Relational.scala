@@ -86,6 +86,40 @@ object Relational {
       .select((lcols.map(col) :+ col("_matched").as(valueCol)): _*)
   }
 
+  /** Bucketized RANGE (interval) join (scale extension): match each
+    * point row to every range row whose `[startCol, endCol]` interval
+    * contains its `pointCol` — inclusive on both ends. Spark plans a
+    * bare inequality join as BroadcastNestedLoop (quadratic work, and
+    * impossible once neither side broadcasts); this is the standard
+    * scale shape instead: both sides map to coarse time buckets —
+    * points to ONE bucket, ranges exploded to every bucket their
+    * interval covers — the join becomes a bucket EQUI-join (hash
+    * shuffle, partial-aggregable, AQE-skew-handled like any other),
+    * and the exact interval predicate filters residually. A (point,
+    * range) pair can meet in at most one bucket (the point's), so no
+    * dedup is needed. Shuffle volume = |points| + |ranges| ×
+    * ⌈span/bucket⌉ — pick `bucketSeconds` near the typical interval
+    * span so range fan-out stays ~2×.
+    *
+    * Contract: `pointCol`/`startCol`/`endCol` are timestamps (UTC
+    * session), the two inputs share no column names, and every range
+    * has `startCol` <= `endCol` (rows violating it simply match
+    * nothing, as with the naive predicate).
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                ranges: DataFrame, startCol: String, endCol: String,
+                bucketSeconds: Long = 7L * 86400): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / bucketSeconds).cast(LongType)
+    val pb = points.withColumn("_rj_bucket", bucketOf(col(pointCol)))
+    val rb = ranges.withColumn("_rj_bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    pb.join(rb, Seq("_rj_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_rj_bucket")
+  }
+
   /** Skew-salted equi-join (scale extension): the big (skewed) side
     * gets a deterministic salt derived from `saltFrom`; the small
     * side is replicated once per salt value; the join key becomes

@@ -278,6 +278,36 @@ object ParityQueries {
              |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
              |ORDER BY ALL""".stripMargin)),
 
+    // J9 (scale extension): bucketized RANGE join — each high-value
+    // shipment matched to every big order whose 7-day window contains
+    // its ship timestamp, then a per-shipment activity count. Spark
+    // would plan the bare BETWEEN predicate as BroadcastNestedLoop
+    // (quadratic, broadcast-bound); the operator maps both sides to
+    // week buckets (ranges exploded to each covered bucket) so the
+    // join is a plain hash equi-join with a residual filter — the
+    // shape that survives two non-broadcastable sides. The oracle
+    // runs the naive BETWEEN join: result equality IS the check.
+    Q("j9_range_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") === 50)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderdate") + expr("INTERVAL 6 DAYS")).as("o_end"))
+        graft.operators.Relational.rangeJoin(li, "l_shipdate", o,
+            "o_orderdate", "o_end")
+          .groupBy("l_orderkey", "l_linenumber", "l_shipdate")
+          .agg(count(lit(1)).as("n_active"), min("o_orderkey").as("first_order"))
+          .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+             |  count(*) AS n_active, min(o.o_orderkey) AS first_order
+             |FROM lineitem l JOIN orders o
+             |  ON l.l_shipdate >= o.o_orderdate
+             | AND l.l_shipdate <= o.o_orderdate + INTERVAL 6 DAY
+             |WHERE l.l_quantity = 50 AND o.o_totalprice > 400000
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // J5 (scale extension): as-of join — each click attributed to the
     // user's latest prior (or simultaneous) view. Composed as
     // union + running last() — one shuffle on the key; the oracle

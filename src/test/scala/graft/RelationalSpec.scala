@@ -83,6 +83,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("rangeJoin equals the naive inequality join, including bucket-boundary cases") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // bucketSeconds = 100: ranges that sit inside one bucket, span a
+    // boundary, cover several buckets, and touch points exactly at
+    // their inclusive endpoints
+    val points = Seq((1L, ts(50)), (2L, ts(100)), (3L, ts(199)),
+      (4L, ts(250)), (5L, ts(999))).toDF("p_id", "p_ts")
+    val ranges = Seq(
+      (10L, ts(40), ts(60)),    // single bucket
+      (11L, ts(90), ts(110)),   // spans the 100 boundary
+      (12L, ts(50), ts(260)),   // covers three buckets
+      (13L, ts(100), ts(199)),  // inclusive endpoints hit points 2 and 3
+      (14L, ts(300), ts(400))   // matches nothing
+    ).toDF("r_id", "r_start", "r_end")
+    val naive = points.join(ranges,
+        col("p_ts") >= col("r_start") && col("p_ts") <= col("r_end"))
+      .select("p_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    val bucketed = Relational.rangeJoin(points, "p_ts", ranges,
+        "r_start", "r_end", bucketSeconds = 100L)
+      .select("p_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketed == naive)
+    assert(naive.contains((2L, 13L)) && naive.contains((3L, 13L)),
+      "inclusive endpoints must match")
+    // no pair is emitted twice even when a range covers many buckets
+    assert(bucketed.distinct == bucketed)
+  }
+
   test("asofJoin attaches the latest right value at-or-before each left ts, null when none") {
     val clicks = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
       .toDF("user_id", "ts", "click_id")
