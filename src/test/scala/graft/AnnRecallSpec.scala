@@ -84,6 +84,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r > 0.8, s"SQ rerank recall $r is uselessly low")
   }
 
+  test("indexed SQ search (v10 shape) keeps useful recall with a bounded pool") {
+    import graft.operators.IvfIndex
+    val cents = vecs.filter(col("vec_id") < 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_annrec").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", cents, path)
+    val probes = vecs.filter(col("vec_id") < 10)
+    // the composed path stacks TWO approximations (cell restriction +
+    // int8 stage-1), so pin both the nprobe monotonicity and a floor
+    val r1 = recallOf(IvfIndex.searchSq(spark, path, probes,
+      "vec_id", "embedding", k, rerankK = 4 * k, centroids = cents, nprobe = 1))
+    val r2 = recallOf(IvfIndex.searchSq(spark, path, probes,
+      "vec_id", "embedding", k, rerankK = 4 * k, centroids = cents, nprobe = 2))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 fell below nprobe=1 recall $r1")
+    assert(r1 > 0.1, s"indexed-SQ nprobe=1 recall $r1 is uselessly low")
+    assert(r2 > 0.3, s"indexed-SQ nprobe=2 recall $r2 is uselessly low")
+  }
+
   test("k-means training monotonically improves the avg best-cosine objective") {
     import org.apache.spark.sql.DataFrame
     def objective(cents: DataFrame): Double = {
