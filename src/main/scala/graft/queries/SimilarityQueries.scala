@@ -696,6 +696,38 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
+    // SQL2 — vector search through the plain SQL front-end: the same
+    // top-k semantics as v1 written entirely in SQL against a view,
+    // ranking with the natively registered cosine_sim extension
+    // function (GraftExtensions) — proof that a user can run
+    // similarity search from SQL alone on this engine, with the
+    // identical fused-loop codegen as the DataFrame path. The
+    // row_number window is the SQL-expressible ranking (fine at probe
+    // counts this small); the SCALE path for top-k stays the bounded
+    // k-heap aggregate the v-queries use — this row pins the SQL
+    // surface, not the 100 TB plan shape.
+    Q("sql2_vector_search",
+      (s, d) => {
+        Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
+        s.sql("""SELECT p_id, rn, vec_id, cos_e7 FROM (
+                |  SELECT p.vec_id AS p_id, e.vec_id,
+                |    row_number() OVER (PARTITION BY p.vec_id
+                |      ORDER BY cosine_sim(p.embedding, e.embedding) DESC, e.vec_id) AS rn,
+                |    CAST(floor(cosine_sim(p.embedding, e.embedding) * 1e7) AS BIGINT) AS cos_e7
+                |  FROM graft_emb e JOIN graft_emb p
+                |    ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+                |WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
+      },
+      Some(s"""WITH pr AS (SELECT vec_id AS p_id, embedding AS p_vec
+             |           FROM embeddings WHERE vec_id < 5),
+             |d AS (SELECT p_id, e.vec_id, ${cosSql("p_vec", "e.embedding")} AS cos_raw
+             |      FROM embeddings e, pr WHERE e.vec_id <> p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM d)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+
     // V2 — SRP-LSH approximate top-k: probes meet only candidates in
     // their 4-bit sign-random-projection bucket (the scale path; plane
     // count tunes recall vs bucket size).
