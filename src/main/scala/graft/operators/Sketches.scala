@@ -76,4 +76,55 @@ object Sketches {
     */
   def kmvDistinct(hashCol: Column, k: Int): Column =
     udaf(new KmvAgg(k)).apply(hashCol)
+
+  /** Same aggregation, but FINISH returns the sketch STATE (the
+    * ascending bottom-k distinct hashes) instead of the estimate —
+    * the materializable form: persist per-fine-group states and roll
+    * them up to any coarser grouping with [[kmvMergeStates]] +
+    * [[kmvEstimate]], never rescanning the fact table. Sound because
+    * the k smallest hashes of a union are a subset of each input's k
+    * smallest (the KMV mergeability law, spec-pinned).
+    */
+  class KmvStateAgg(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    override def zero: KmvBuf = KmvBuf(0, new Array[Long](k))
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = { insert(b, h, k); b }
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      var i = 0
+      while (i < y.n) { insert(x, y.hs(i), k); i += 1 }
+      x
+    }
+    override def finish(b: KmvBuf): Array[Long] =
+      java.util.Arrays.copyOf(b.hs, b.n)
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def kmvState(hashCol: Column, k: Int): Column =
+    udaf(new KmvStateAgg(k)).apply(hashCol)
+
+  /** Merge per-group sketch states up one aggregation level: bottom-k
+    * of the union of the collected state arrays. Order-independent
+    * (distinct + sort), so collect_list's nondeterministic order
+    * cannot leak into the result — each merged group reduces to ≤ k
+    * longs, so a rollup over states shuffles sketch bytes, never
+    * fact rows.
+    */
+  def kmvMergeStates(stateCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_distinct(flatten(collect_list(stateCol)))), 1, k)
+  }
+
+  /** The estimate of a (merged) state array — identical arithmetic to
+    * [[KmvAgg.finish]]: exact when the sketch never filled, else the
+    * k-th-minimum density estimate, floored to BIGINT for the oracle.
+    */
+  def kmvEstimate(stateCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    when(size(stateCol) < k, size(stateCol).cast(LongType))
+      .otherwise(floor(lit((k - 1).toDouble * Space)
+        / element_at(stateCol, k).cast(DoubleType)).cast(LongType))
+  }
 }

@@ -366,6 +366,54 @@ object AggQueries {
              |FROM k JOIN x USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // G18 — sketch ROLLUP across aggregation levels: per-day KMV
+    // states (bounded k-long arrays) merge up to per-month distinct-
+    // customer estimates WITHOUT rescanning orders — the lattice-
+    // materialization pattern that makes sketches worth their bytes
+    // at 100 TB (daily cube persists; every coarser cube derives from
+    // sketch merges, shuffling k longs per group instead of fact
+    // rows). Sound by the KMV mergeability law: the k smallest hashes
+    // of a union are a subset of each day's k smallest — so the
+    // oracle can compute month-level bottom-k directly and must match
+    // the merged estimate cell-for-cell. Exact counts ride along as
+    // the accuracy reference.
+    Q("g18_kmv_rollup",
+      (s, d) => {
+        val k = 64
+        val sk = graft.operators.Sketches
+        val day = Tables.orders(s, d)
+          .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+            to_date(col("o_orderdate")).as("day"),
+            graft.functions.TextFns.hash60Col(col("o_custkey").cast(StringType)).as("h"))
+          .groupBy("month", "day")
+          .agg(sk.kmvState(col("h"), k).as("day_state"))
+        val month = day.groupBy("month")
+          .agg(sk.kmvMergeStates(col("day_state"), k).as("m_state"))
+          .select(col("month"), sk.kmvEstimate(col("m_state"), k).as("est_distinct"))
+        val exact = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        month.join(exact, "month").orderBy("month")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM orders),
+             |rk AS (SELECT month, hv,
+             |         row_number() OVER (PARTITION BY month ORDER BY hv) AS rn
+             |       FROM h),
+             |k AS (SELECT month, count(*) AS nk, max(hv) AS hk
+             |      FROM rk WHERE rn <= 64 GROUP BY 1),
+             |x AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |        count(DISTINCT o_custkey) AS exact_distinct
+             |      FROM orders GROUP BY 1)
+             |SELECT k.month,
+             |  CASE WHEN nk < 64 THEN nk
+             |       ELSE CAST(floor(63.0 * 1152921504606846976 / hk) AS BIGINT) END AS est_distinct,
+             |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+             |FROM k JOIN x USING (month)
+             |ORDER BY month""".stripMargin)),
+
     // SQL1 — the SQL FRONT-END path: TPC-H Q6 written as a plain
     // `spark.sql` string over a registered view (same Catalyst plan
     // as the DataFrame API — filters still push to parquet). Revenue

@@ -43,6 +43,28 @@ class SketchesSpec extends AnyFunSuite {
       s"estimate $est vs $n outside ±${math.round(tol * 100)}%")
   }
 
+  test("mergeability law: rolled-up states give the same estimate as a direct sketch") {
+    val k = 16
+    // 500 values spread over 10 fine groups with cross-group overlap,
+    // so the union's bottom-k genuinely draws from several groups
+    val df = (0L until 500L).map(i => (i % 10, i % 137)).toDF("g", "v")
+      .select(col("g"), TextFns.hash60Col(col("v").cast("string")).as("h"))
+    val direct = df.agg(Sketches.kmvDistinct(col("h"), k).as("est"))
+      .as[Long].head()
+    val rolled = df.groupBy("g")
+      .agg(Sketches.kmvState(col("h"), k).as("state"))
+      .agg(Sketches.kmvEstimate(Sketches.kmvMergeStates(col("state"), k), k).as("est"))
+      .as[Long].head()
+    assert(rolled == direct,
+      s"merged-state estimate $rolled must equal the direct sketch $direct")
+    // and the state itself is the bottom-k of the union, not an
+    // artifact of collect order
+    val st = df.groupBy("g").agg(Sketches.kmvState(col("h"), k).as("state"))
+      .agg(Sketches.kmvMergeStates(col("state"), k).as("m"))
+      .as[Seq[Long]].head()
+    assert(st == st.sorted && st.distinct == st && st.size == k)
+  }
+
   test("insert keeps the k smallest distinct hashes in order") {
     val b = Sketches.KmvBuf(0, new Array[Long](4))
     Seq(50L, 10L, 30L, 10L, 40L, 20L, 5L).foreach(Sketches.insert(b, _, 4))
