@@ -55,6 +55,39 @@ object StreamQueries {
              |  event_type, count(*) AS n, CAST(sum($centsSql) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ST10 — STREAMING distinct count via the KMV sketch: daily
+    // distinct users per event type. `countDistinct` is UNSUPPORTED
+    // in a streaming aggregation (its state is unbounded — every seen
+    // value); the mergeable bottom-k sketch is the streaming-native
+    // answer, carrying exactly k longs of state per (window, type)
+    // group across micro-batches, and because KMV is a pure function
+    // of the value set it stays cell-level oracle-checkable even
+    // through the streaming engine (same replay as g17/g18).
+    Q("st10_stream_kmv_distinct",
+      (s, d) => Streaming.eventsStream(s, d, "complete") { df =>
+        df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(graft.operators.Sketches.kmvDistinct(
+            graft.functions.TextFns.hash60Col(col("user_id").cast(StringType)),
+            k = 64).as("est_users"))
+          .select(col("w.start").as("w_start"), col("event_type"), col("est_users"))
+      }.orderBy("w_start", "event_type"),
+      Some("""WITH h AS (
+             |  SELECT DISTINCT
+             |    make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 * 1000000 AS BIGINT)) AS w_start,
+             |    event_type,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM events),
+             |rk AS (SELECT w_start, event_type, hv,
+             |         row_number() OVER (PARTITION BY w_start, event_type ORDER BY hv) AS rn
+             |       FROM h),
+             |k AS (SELECT w_start, event_type, count(*) AS nk, max(hv) AS hk
+             |      FROM rk WHERE rn <= 64 GROUP BY 1, 2)
+             |SELECT w_start, event_type,
+             |  CASE WHEN nk < 64 THEN nk
+             |       ELSE CAST(floor(63.0 * 1152921504606846976 / hk) AS BIGINT) END AS est_users
+             |FROM k ORDER BY 1, 2""".stripMargin)),
+
     // ST2 — sliding window (1 day, 12 h slide): each event lands in 2
     // overlapping windows; state is per-(window), shuffled once on the
     // window key.
