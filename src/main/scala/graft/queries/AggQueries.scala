@@ -414,6 +414,58 @@ object AggQueries {
              |FROM k JOIN x USING (month)
              |ORDER BY month""".stripMargin)),
 
+    // G19 — one-pass table PROFILE: per-column row/non-null counts,
+    // KMV distinct estimate, and min/max — the data-quality snapshot
+    // an ingest pipeline logs per batch. ONE scan with bounded state:
+    // the distinct sketches make the multi-column distinct profile a
+    // single pass (exact multi-column countDistinct would EXPAND the
+    // scan ×columns), and nulls map to a sentinel hash so they count
+    // as one distinct value deterministically on both engines. Wide
+    // aggregate → melt via explode, so the output is (col_name, ...)
+    // rows regardless of how many columns the profile covers.
+    Q("g19_profile",
+      (s, d) => {
+        val k = 64
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+        val sentinel = lit("\u0001null\u0001")
+        val aggs = cols.flatMap { c => Seq(
+          count(col(c)).as(s"${c}__nn"),
+          graft.operators.Sketches.kmvDistinct(
+            graft.functions.TextFns.hash60Col(
+              coalesce(col(c).cast(StringType), sentinel)), k).as(s"${c}__nd"),
+          min(col(c)).cast(StringType).as(s"${c}__min"),
+          max(col(c)).cast(StringType).as(s"${c}__max"))
+        }
+        val row = Tables.orders(s, d)
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        row.select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"), col("n_rows"),
+            col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct_est"),
+            col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))): _*))
+            .as("p"))
+          .select("p.*")
+          .orderBy("col_name")
+      },
+      {
+        def arm(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |  (WITH h AS (SELECT DISTINCT
+             |       CAST(('0x' || substr(md5(coalesce(CAST($c AS VARCHAR), chr(1)||'null'||chr(1))), 1, 15)) AS BIGINT) AS hv
+             |     FROM orders),
+             |   rk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+             |   kk AS (SELECT count(*) AS nk, max(hv) AS hk FROM rk WHERE rn <= 64)
+             |   SELECT CASE WHEN nk < 64 THEN nk
+             |          ELSE CAST(floor(63.0 * 1152921504606846976 / hk) AS BIGINT) END
+             |   FROM kk) AS n_distinct_est,
+             |  CAST(min($c) AS VARCHAR) AS min_str,
+             |  CAST(max($c) AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+        Some(cols.map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+      }),
+
     // SQL1 — the SQL FRONT-END path: TPC-H Q6 written as a plain
     // `spark.sql` string over a registered view (same Catalyst plan
     // as the DataFrame API — filters still push to parquet). Revenue
