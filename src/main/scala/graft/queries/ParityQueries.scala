@@ -546,6 +546,36 @@ object ParityQueries {
         .orderBy("vec_id"),
       Some("""SELECT vec_id, embedding[1] AS e1, embedding[2] AS e2,
              |       embedding[3] AS e3, embedding[4] AS e4
-             |FROM embeddings ORDER BY vec_id""".stripMargin))
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // K6 (scale extension) — Z-ORDER clustered layout: orders
+    // rewritten clustered on the (o_custkey, o_orderdate) bit-
+    // interleaved curve, then scanned with a 2-D box predicate. The
+    // layout changes where rows land, never what a query returns —
+    // so the oracle is the same box filter over the UNCLUSTERED
+    // table (result equality IS the correctness contract), and the
+    // skipping power (per-file min/max spreads shrink on BOTH
+    // dimensions) is asserted in LayoutSpec. At 100 TB this is how a
+    // multi-dimension-selective scan reads tiles instead of the
+    // whole table.
+    Q("k6_zorder_scan",
+      (s, d) => {
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#zorder", "graft_zorder") { p =>
+          graft.io.Layout.zorderWrite(Tables.orders(s, d),
+            Seq("o_custkey", "o_orderdate"), p, nFiles = 16)
+        }
+        s.read.parquet(path)
+          .filter(col("o_custkey").between(100, 500) &&
+            col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate
+             |FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 500
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01'
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
