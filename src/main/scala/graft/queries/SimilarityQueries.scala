@@ -384,6 +384,47 @@ object SimilarityQueries {
              |       doc_id = cluster_id AS is_canonical
              |FROM g JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
 
+    // C6 — LEAKAGE-SAFE train/val/test splits: assignment is a pure
+    // function of the near-dup CLUSTER id (d8's components over the
+    // SimHash pair graph), so every member of a cluster lands in the
+    // same split by construction — near-duplicate documents can never
+    // straddle train and eval, the classic contamination bug in
+    // split-by-document-hash pipelines. Hash-threshold split (80/10/
+    // 10) keeps the recipe RNG-free and reproducible like c1. Lives
+    // here to share the d8 CTE chain.
+    Q("c6_leakage_safe_splits",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+            nBands = 4, bandBits = 15, maxHamming = 6, maxBucket = LshMaxBucket)
+          .select("doc_a", "doc_b")
+        val h = conv(substring(md5(col("cluster_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType)
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+            pairs, "doc_a", "doc_b")
+          .select(col("doc_id"), col("cluster_id"))
+          .withColumn("split",
+            when(h % 10 === 0, "test").when(h % 10 === 1, "val")
+              .otherwise("train"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $simhashCandCte,
+             |p AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 6),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+             |reach(id, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+             |g AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+             |sp AS (SELECT doc_id, cluster_id,
+             |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hm
+             |  FROM g)
+             |SELECT doc_id, cluster_id,
+             |  CASE WHEN hm = 0 THEN 'test' WHEN hm = 1 THEN 'val'
+             |       ELSE 'train' END AS split
+             |FROM sp ORDER BY doc_id""".stripMargin)),
+
     // D7 — edit-distance fuzzy matching: candidate pairs meet only
     // inside a (brand, size) blocking bucket — classic blocking-key
     // record linkage, never an all-pairs Levenshtein.
