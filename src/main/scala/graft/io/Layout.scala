@@ -80,4 +80,31 @@ object Layout {
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Bucketed table layout (scale extension): pay the shuffle ONCE at
+    * write time. The table is hash-partitioned into `nBuckets` on
+    * `key` and registered in the session catalog; any later join or
+    * aggregation on `key` between tables sharing the bucket spec
+    * plans with ZERO exchanges — the recurring-join shape a 100 TB
+    * warehouse wants (Spark's answer to co-located/partitioned joins
+    * in distributed DBs). The pre-write `repartition(nBuckets, key)`
+    * uses the same murmur3-pmod hash as the bucket spec, so each task
+    * holds exactly one bucket and writes exactly one file — one file
+    * per bucket is what lets the bucketed SCAN also report a sorted,
+    * single-partition-per-bucket layout and elide the join SORT, not
+    * just the exchange. Idempotent per (session, name): the catalog
+    * check makes repeat calls free, mirroring how a served warehouse
+    * table is written once and joined many times.
+    */
+  def bucketedTable(df: DataFrame, name: String, nBuckets: Int,
+                    key: String): String = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(name)) {
+      df.repartition(nBuckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .saveAsTable(name)
+    }
+    name
+  }
 }

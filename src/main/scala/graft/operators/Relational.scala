@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -70,7 +71,6 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lcols = left.columns.toSeq
     val l = left
       .withColumn("_asof_side", lit(1))
@@ -140,6 +140,59 @@ object Relational {
     val replicated = small.withColumn("_salt",
       explode(lit((0 until nSalts).toArray)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** Bloom-pruned LEFT SEMI join (scale extension): the runtime-filter
+    * pattern. One bounded aggregation pass over the build side makes a
+    * Bloom filter of its join keys (the sketch, never the keys, comes
+    * to the driver — ~1.2 MB per million keys at 1 % fpp); the sketch
+    * broadcasts to every fact partition and drops non-matching rows AT
+    * THE SCAN, before any exchange. The final semi join then removes
+    * the Bloom's false positives, so the result is EXACTLY the plain
+    * semi join (the oracle) — the sketch only changes how many fact
+    * rows reach the shuffle. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling ~the matching rows;
+    * it is what Spark's own InjectRuntimeFilter does for eligible
+    * plans, available here as an explicit operator for shapes the
+    * rule misses (pre-filtered dims, reused builds). Keys must be
+    * integral (sketch hashes longs); `expectedItems`/`fpp` size the
+    * sketch — an undersized filter only raises the pass-through rate,
+    * never breaks correctness.
+    */
+  def bloomPrunedSemiJoin(fact: DataFrame, factKey: String,
+                          dim: DataFrame, dimKey: String,
+                          expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val sketch = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(sketch)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
+
+  /** Batch sessionization (scale extension): number each row's
+    * session within its `key`, where a new session starts when the
+    * gap since the previous row exceeds `gapSeconds` (a gap of
+    * EXACTLY `gapSeconds` stays in-session). Two stacked windows over
+    * ONE partitioning — lag flags session starts, a running sum
+    * numbers them — so the whole op is a single shuffle on the key,
+    * and a following per-session rollup reuses that partitioning.
+    * Gaps compare on floor-epoch-seconds (`unix_timestamp`), which is
+    * what a SQL oracle can replay bit-identically; `tieCol` breaks
+    * equal-timestamp ordering deterministically. Adds `es` (the
+    * row's floor-epoch-seconds) and `sess_idx` (1-based).
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String, tieCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("es", unix_timestamp(col(tsCol)))
+      .withColumn("_new_sess",
+        when(lag(col("es"), 1).over(w).isNull
+          .or(col("es") - lag(col("es"), 1).over(w) > gapSeconds), 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("_new_sess")).over(run))
+      .drop("_new_sess")
   }
 
   /** P9 (LAT:184) — drop rows where any of the listed key columns is

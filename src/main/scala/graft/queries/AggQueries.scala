@@ -492,6 +492,76 @@ object AggQueries {
              |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
              |  AND l_discount BETWEEN 0.05 AND 0.07
-             |  AND l_quantity < 24""".stripMargin))
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // G20 — batch sessionization of the event stream: a new session
+    // starts after a >30-minute silence. Two stacked windows over ONE
+    // partitioning (lag to flag session starts, running sum to number
+    // them) — a single shuffle on user_id serves both, then the
+    // per-session rollup reuses the same partitioning. Both engines
+    // compute the gap on floor-epoch-seconds so the threshold
+    // comparison is bit-identical; ties order by (ts, event_id).
+    Q("g20_sessionize",
+      (s, d) => {
+        graft.operators.Relational.sessionize(
+            Tables.events(s, d).select("user_id", "event_id", "ts"),
+            key = "user_id", tsCol = "ts", tieCol = "event_id",
+            gapSeconds = 1800L)
+          .groupBy("user_id", "sess_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("es")).as("sess_start_s"),
+            (max(col("es")) - min(col("es"))).as("duration_s"))
+          .orderBy("user_id", "sess_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, event_id, ts, es,
+             |    CASE WHEN lag(es) OVER w IS NULL
+             |           OR es - lag(es) OVER w > 1800
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |x AS (
+             |  SELECT user_id, es,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+             |  FROM g)
+             |SELECT user_id, sess_idx, count(*) AS n_events,
+             |  min(es) AS sess_start_s,
+             |  max(es) - min(es) AS duration_s
+             |FROM x GROUP BY user_id, sess_idx
+             |ORDER BY user_id, sess_idx""".stripMargin)),
+
+    // SQL3 — TPC-H Q4 shape (EXISTS decorrelation) through the plain
+    // SQL front-end: Catalyst rewrites the correlated EXISTS into a
+    // left semi join (no row multiplication, build side carries only
+    // the key) — the subquery family sql1/sql2 don't cover.
+    Q("sql3_exists_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                |FROM orders_sql
+                |WHERE o_orderdate >= TIMESTAMP'1995-06-01 00:00:00'
+                |  AND o_orderdate < TIMESTAMP'1995-09-01 00:00:00'
+                |  AND EXISTS (SELECT 1 FROM lineitem_sql
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_returnflag = 'R')
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -576,6 +576,60 @@ object ParityQueries {
              |WHERE o_custkey BETWEEN 100 AND 500
              |  AND o_orderdate >= TIMESTAMP '1995-01-01'
              |  AND o_orderdate < TIMESTAMP '1996-01-01'
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // J10 (scale extension): Bloom-pruned semi join — the runtime-
+    // filter pattern as an explicit operator. A bounded sketch of the
+    // qualifying orders' keys broadcasts to the lineitem scan and
+    // drops non-matching rows BEFORE the exchange; the final semi
+    // join removes the sketch's false positives, so the result is
+    // exactly the plain EXISTS (the oracle). At 100 TB: shuffle the
+    // matching ~2 % of the fact table, not all of it.
+    Q("j10_bloom_semi_join",
+      (s, d) => {
+        val bigOrders = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 470000)
+        Relational.bloomPrunedSemiJoin(
+            Tables.lineitem(s, d)
+              .select("l_orderkey", "l_linenumber", "l_quantity"),
+            "l_orderkey", bigOrders, "o_orderkey",
+            expectedItems = 100000L)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l_orderkey
+             |                AND o_totalprice > 470000)
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // K7 (scale extension): bucketed co-located join — both sides are
+    // written hash-bucketed on the join key (the shuffle paid once,
+    // at write time), so the recurring join + same-key aggregation
+    // runs with zero exchanges (plan shape pinned in BucketingSpec).
+    // Result equality against the plain-parquet join IS the oracle.
+    Q("k7_bucketed_join",
+      (s, d) => {
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        val lt = graft.io.Layout.bucketedTable(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+          s"graft_bkt_${tag}_lineitem", nBuckets = 8, key = "l_orderkey")
+        val ot = graft.io.Layout.bucketedTable(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          s"graft_bkt_${tag}_orders", nBuckets = 8, key = "o_orderkey")
+        s.table(lt)
+          .join(s.table(ot).withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"))
+          .filter(col("o_totalprice") > 400000)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 400000
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
   )
 }

@@ -36,4 +36,48 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_dim")
     }
   }
+
+  test("k7 shape: bucketed join + same-key aggregation, zero exchanges") {
+    val d = "/root/testdata/sf0.001"
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val lt = graft.io.Layout.bucketedTable(
+      graft.engine.Tables.lineitem(spark, d).select("l_orderkey", "l_quantity"),
+      s"graft_bkt_${tag}_lineitem", nBuckets = 8, key = "l_orderkey")
+    val ot = graft.io.Layout.bucketedTable(
+      graft.engine.Tables.orders(spark, d).select("o_orderkey", "o_totalprice"),
+      s"graft_bkt_${tag}_orders", nBuckets = 8, key = "o_orderkey")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = spark.table(lt)
+        .join(spark.table(ot).withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"))
+        .filter(col("o_totalprice") > 400000)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join+agg still shuffles:\n$plan")
+
+      // one file per bucket (the repartition inside bucketedTable) is
+      // what lets the scan report per-bucket sorted order; the join
+      // result must equal the plain parquet-scan join
+      val want = graft.engine.Tables.lineitem(spark, d)
+        .select("l_orderkey", "l_quantity")
+        .join(graft.engine.Tables.orders(spark, d)
+            .select("o_orderkey", "o_totalprice")
+            .withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"))
+        .filter(col("o_totalprice") > 400000)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_orderkey").collect()
+      val got = agg.orderBy("l_orderkey").collect()
+      assert(got.sameElements(want))
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

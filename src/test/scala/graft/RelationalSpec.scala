@@ -130,4 +130,20 @@ class RelationalSpec extends AnyFunSuite {
       date_format(col("b"), "yyyy-MM-dd HH:mm:ss")).as[(String, String)].head()
     assert(r == ("2024-03-01 16:00:00", "2024-03-01 00:00:00"))
   }
+
+  test("sessionize: a gap of exactly gapSeconds stays in-session, one more splits") {
+    val base = 1700000000L
+    val rows = Seq(
+      // user 1: 0s, +1800s (in-session boundary), +1801s after that (split)
+      (1L, 1L, base), (1L, 2L, base + 1800L), (1L, 3L, base + 1800L + 1801L),
+      // user 2: a single event — its own session 1
+      (2L, 4L, base))
+      .toDF("user_id", "event_id", "es_in")
+      .withColumn("ts", timestamp_seconds(col("es_in"))).drop("es_in")
+    val got = Relational.sessionize(rows, "user_id", "ts", "event_id", 1800L)
+      .select("user_id", "event_id", "sess_idx")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (2L, 4L, 1L)))
+  }
 }
