@@ -38,9 +38,9 @@ object IvfIndex {
     * dimension).
     */
   private def assigned(corpus: DataFrame, idCol: String, vecCol: String,
-                       centroids: DataFrame): DataFrame = {
+                       centroids: DataFrame, keep: Seq[String]): DataFrame = {
     val amax = Similarity.amaxOf(col(vecCol))
-    Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
+    Similarity.ivfAssign(corpus, idCol, vecCol, centroids, keep)
       .withColumn("qv", when(amax > 0,
         Similarity.quantize(col(vecCol), amax).cast("array<tinyint>")))
   }
@@ -55,8 +55,9 @@ object IvfIndex {
     * instead.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            centroids: DataFrame, path: String): Unit =
-    assigned(corpus, idCol, vecCol, centroids)
+            centroids: DataFrame, path: String,
+            keep: Seq[String] = Nil): Unit =
+    assigned(corpus, idCol, vecCol, centroids, keep)
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
   /** INCREMENTAL index maintenance: assign a batch of new vectors to
@@ -76,9 +77,9 @@ object IvfIndex {
     */
   def foldBatch(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, path: String,
-                overwrite: Boolean): Unit =
+                overwrite: Boolean, keep: Seq[String] = Nil): Unit =
     graft.io.BatchedIndex.fold(corpus.sparkSession, path,
-      Seq("cells" -> assigned(corpus, idCol, vecCol, centroids)),
+      Seq("cells" -> assigned(corpus, idCol, vecCol, centroids, keep)),
       overwrite, partitionBy = Map("cells" -> Seq("cell_id")))
 
   /** The stored index rows, whichever layout the path holds: a
@@ -99,7 +100,8 @@ object IvfIndex {
     */
   def search(spark: SparkSession, path: String, probes: DataFrame,
              idCol: String, vecCol: String, k: Int, centroids: DataFrame,
-             nprobe: Int = 1): DataFrame = {
+             nprobe: Int = 1,
+             candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // pinned because the probe plan feeds two consumers — the
     // collected pruning list and the join's broadcast side — and
@@ -111,9 +113,15 @@ object IvfIndex {
     val cells = pCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val idx = indexFrame(spark, path)
-    val pruned =
+    val prunedCells =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))
+    // metadata-filtered ANN: the predicate lands on the partition-
+    // pruned scan (an ordinary pushable parquet filter over the kept
+    // metadata columns), so a filtered search still reads only the
+    // probed cells — and of those, only the row groups the predicate
+    // survives
+    val pruned = candidateFilter.map(prunedCells.filter).getOrElse(prunedCells)
     val cos = Similarity.cosine(col("p_vec"), col(vecCol))
     Similarity.probeTopK(
       pruned.join(broadcast(pCells), Seq("cell_id"))
@@ -176,8 +184,8 @@ object IvfIndex {
     * contract.
     */
   def builtFor(key: String, corpus: DataFrame, idCol: String, vecCol: String,
-               centroids: DataFrame): String =
+               centroids: DataFrame, keep: Seq[String] = Nil): String =
     graft.engine.TempArtifacts.getOrBuild(key, "graft_ivf_index") { path =>
-      build(corpus, idCol, vecCol, centroids, path)
+      build(corpus, idCol, vecCol, centroids, path, keep)
     }
 }

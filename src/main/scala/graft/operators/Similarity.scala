@@ -148,7 +148,7 @@ object Similarity {
     * one row per vector, never ×|centroids|).
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame): DataFrame = {
+                centroids: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     // bounded probe collect: limit(max+1) either returns the COMPLETE
     // codebook (≤ max rows — safe to embed as literals) or proves it
     // is oversized without ever materializing a large codebook on the
@@ -163,20 +163,21 @@ object Similarity {
         struct(cosine(col(vecCol), typedlit(cv)).as("c_cos"),
           lit(-cid).as("neg_cell"))
       }: _*)
-      vectors.select(col(idCol), col(vecCol),
-        (-array_max(cands).getField("neg_cell")).as("cell_id"))
+      vectors.select(col(idCol) +: col(vecCol) +: keep.map(col) :+
+        (-array_max(cands).getField("neg_cell")).as("cell_id"): _*)
     } else {
       val c = centroids.select(col(idCol).cast(LongType).as("cell_id"),
         col(vecCol).as("c_vec"))
       vectors.crossJoin(broadcast(c))
         .select(col(idCol), struct(
-            cosine(col(vecCol), col("c_vec")).as("c_cos"),
-            (-col("cell_id")).as("neg_cell"),
-            col(vecCol).as("vec")).as("cand"))
+            cosine(col(vecCol), col("c_vec")).as("c_cos") +:
+            (-col("cell_id")).as("neg_cell") +:
+            col(vecCol).as("vec") +: keep.map(col): _*).as("cand"))
         .groupBy(idCol)
         .agg(max(col("cand")).as("best"))
-        .select(col(idCol), col("best.vec").as(vecCol),
-          (-col("best.neg_cell")).as("cell_id"))
+        .select(col(idCol) +: col("best.vec").as(vecCol) +:
+          keep.map(k => col(s"best.$k").as(k)) :+
+          (-col("best.neg_cell")).as("cell_id"): _*)
     }
   }
 

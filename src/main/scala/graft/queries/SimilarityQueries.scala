@@ -73,12 +73,12 @@ object SimilarityQueries {
     * `ivfTopK` and the materialized `IvfIndex` search must agree
     * cell-for-cell.
     */
-  private lazy val ivfStandInOracle: String =
+  private def ivfStandInOracleWhere(candFilter: String): String =
     s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
        |             FROM embeddings WHERE vec_id < 16),
        |asg AS (
-       |  SELECT vec_id, embedding, cell_id FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell_id,
+       |  SELECT vec_id, embedding, label, cell_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, c.cell_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
        |    FROM embeddings e CROSS JOIN cent c)
@@ -86,13 +86,15 @@ object SimilarityQueries {
        |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
        |       FROM asg WHERE vec_id < 10),
        |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
-       |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
+       |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id$candFilter),
        |r AS (SELECT p_id, vec_id, cos_raw,
        |        row_number() OVER (PARTITION BY p_id
        |          ORDER BY cos_raw DESC, vec_id) AS rn
        |      FROM dst)
        |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
        |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+
+  private lazy val ivfStandInOracle: String = ivfStandInOracleWhere("")
 
   /** Bucket-size cap mirrored into every LSH oracle — MUST match the
     * `maxBucket` the d3/d6/d8 queries pass to the operators, so the
@@ -539,6 +541,30 @@ object SimilarityQueries {
           .orderBy("p_id", "rn")
       },
       Some(ivfStandInOracle)),
+
+    // V14 — metadata-FILTERED ANN: the production "search within a
+    // slice" shape (same-language neighbours, licensed-subset
+    // retrieval). ONE index serves both plain and filtered search:
+    // the index is built with the metadata column kept alongside each
+    // vector (`keep`), and the predicate lands on the partition-
+    // pruned scan as an ordinary pushable parquet filter — a filtered
+    // search still reads only the probed cells, and of those only the
+    // row groups the predicate survives. Post-filtering a plain top-k
+    // would be WRONG (k survivors of an unfiltered top-k are not the
+    // top-k of the filtered corpus); filtering before the bounded
+    // k-heap is exact over the filtered slice.
+    Q("v14_filtered_ann",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = IvfIndex.builtFor(s"$d#ivflbl", e, "vec_id", "embedding",
+          cent, keep = Seq("label"))
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cent,
+            candidateFilter = Some(col("label") <= 2))
+          .orderBy("p_id", "rn")
+      },
+      Some(ivfStandInOracleWhere(" AND a.label <= 2"))),
 
     // V6 — IVF multi-probe: same cell index as v4, but each probe
     // searches its TWO nearest cells (centroid-cosine ranked, ties →

@@ -200,6 +200,30 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search over one index equals plain search over the filtered corpus") {
+    // cell assignment is per-vector, so predicate-at-search over the
+    // full index must equal building a second index from the
+    // pre-filtered corpus and searching it plain — the invariant that
+    // makes ONE index serve every metadata slice
+    val corpus = vecs(64).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val cent = corpus.filter(col("vec_id") < 4)
+    val probes = corpus.filter(col("vec_id").isin(10L, 21L, 33L))
+    val full = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, full,
+      keep = Seq("label"))
+    val sliced = tmp()
+    IvfIndex.build(corpus.filter(col("label") === 1), "vec_id", "embedding",
+      cent, sliced)
+    val filtered = IvfIndex.search(spark, full, probes, "vec_id", "embedding",
+        k = 5, centroids = cent, candidateFilter = Some(col("label") === 1))
+      .orderBy("p_id", "rn").collect().toSeq
+    val want = IvfIndex.search(spark, sliced, probes, "vec_id", "embedding",
+        k = 5, centroids = cent)
+      .orderBy("p_id", "rn").collect().toSeq
+    assert(filtered == want)
+    assert(filtered.nonEmpty)
+  }
+
   test("empty probe set returns an empty, well-typed frame") {
     val corpus = vecs(16)
     val cent = corpus.filter(col("vec_id") < 4)
