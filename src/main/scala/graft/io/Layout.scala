@@ -100,6 +100,14 @@ object Layout {
                     key: String): String = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(name)) {
+      // the in-memory catalog dies with the JVM but the warehouse
+      // directory doesn't: a table absent from the catalog whose
+      // location survives a previous process is a stale derived
+      // artifact — sweep it or CREATE refuses the location
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       df.repartition(nBuckets, col(key))
         .write.mode("overwrite")
         .bucketBy(nBuckets, key).sortBy(key)

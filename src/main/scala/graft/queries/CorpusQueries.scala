@@ -115,6 +115,43 @@ object CorpusQueries {
              |      FROM (SELECT lang, doc_id,
              |              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
              |            FROM documents))
-             |ORDER BY lang, doc_id""".stripMargin))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // C7 — deterministic per-epoch reshuffle: every training epoch
+    // orders the corpus by hash(doc_id ":" epoch) — a reproducible,
+    // RNG-free permutation that changes per epoch, and any shard of
+    // it is re-derivable from the recipe alone (seekable resume: a
+    // restarted job recomputes order without reading a saved
+    // permutation). The query surfaces the first 30 positions of two
+    // epochs; the full-scale materialization is a range-partition +
+    // sort on the same hash (a total order with no single-reducer
+    // bottleneck), exactly like the z-order write path.
+    Q("c7_epoch_shuffle",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("epoch")
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array(lit(0), lit(1))).as("epoch"))
+          .withColumn("h", sampleHash(
+            concat(col("doc_id").cast(StringType), lit(":"),
+              col("epoch").cast(StringType))))
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= 30)
+          .select("epoch", "pos", "doc_id")
+          .orderBy("epoch", "pos")
+      },
+      Some("""WITH x AS (SELECT doc_id, e.epoch
+             |          FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch)),
+             |h AS (SELECT doc_id, epoch,
+             |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+             |          || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |      FROM x),
+             |r AS (SELECT epoch, doc_id,
+             |        row_number() OVER (PARTITION BY epoch
+             |          ORDER BY h, doc_id) AS pos
+             |      FROM h)
+             |SELECT epoch, pos, doc_id FROM r WHERE pos <= 30
+             |ORDER BY epoch, pos""".stripMargin))
   )
 }

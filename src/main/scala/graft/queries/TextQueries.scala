@@ -341,6 +341,34 @@ object TextQueries {
              |      list_transform($tkSql,
              |        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000007)),
              |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // T10 — vocabulary construction: the top-20 tokens per language
+    // with contiguous ranks — the seed step of tokenizer training and
+    // stopword-list induction. Plan shape at scale: explode feeds a
+    // partial-aggregated count (the shuffle carries (lang, token)
+    // PARTIAL COUNTS, never token instances), and the ranking window
+    // runs over the already-reduced vocabulary, not the corpus.
+    // Determinism: ties rank by token asc in both engines.
+    Q("t10_vocab",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("token"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(TextFns.toks(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("lang", "rn", "token", "n")
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($tkSql) AS token FROM documents),
+             |c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+             |r AS (SELECT lang, token, n,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY n DESC, token) AS rn
+             |      FROM c)
+             |SELECT lang, rn, token, n FROM r WHERE rn <= 20
+             |ORDER BY lang, rn""".stripMargin))
   )
 }
