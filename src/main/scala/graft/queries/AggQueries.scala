@@ -562,6 +562,35 @@ object AggQueries {
              |              WHERE l_orderkey = o_orderkey
              |                AND l_returnflag = 'R')
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // G21 — explicit GROUPING SETS: two independent one-column
+    // rollups plus the grand total in ONE pass over the fact table
+    // (g4's ROLLUP and g11's CUBE cover the lattice shapes; this is
+    // the hand-picked-sets shape). The grouping-id bitmask is
+    // computed explicitly from grouping() flags in both engines so
+    // the bit order cannot diverge; ordering pins NULLS FIRST, where
+    // the engines' defaults differ.
+    Q("g21_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast(LongType).as("gid"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+             |         AS BIGINT) AS gid,
+             |  l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+             |  l_linestatus ASC NULLS FIRST""".stripMargin))
   )
 }

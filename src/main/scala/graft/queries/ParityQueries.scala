@@ -630,6 +630,29 @@ object ParityQueries {
       Some("""SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_totalprice > 400000
-             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // K8 (scale extension): hive-partitioned layout — the third leg
+    // of the layout family (k6 z-order tiles, k7 hash buckets, k8
+    // date directories). The event stream is written partitioned by
+    // day, so a day-selective read plans file splits for that one
+    // directory via STATIC partition pruning — at 100 TB a daily
+    // incremental job reads 1/30th of the month, not the month
+    // (pruning itself is asserted in PartitionPruningSpec; the oracle
+    // pins that relocating rows never changes results).
+    Q("k8_partitioned_scan",
+      (s, d) => {
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#dtpart", "graft_dtpart") { p =>
+          Tables.events(s, d).withColumn("dt", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("dt").parquet(p)
+        }
+        s.read.parquet(path)
+          .filter(col("dt") === lit("2024-01-05"))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -31,4 +31,16 @@ class PartitionPruningSpec extends AnyFunSuite {
       s"read files outside the pruned partition: ${files.mkString(", ")}")
     assert(pruned.count() == 100)
   }
+
+  test("k8's day-partitioned event layout reads only the filtered day") {
+    val d = "/root/testdata/sf0.001"
+    val path = graft.engine.TempArtifacts.getOrBuild(s"$d#dtpart", "graft_dtpart") { p =>
+      graft.engine.Tables.events(spark, d).withColumn("dt", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("dt").parquet(p)
+    }
+    val day = spark.read.parquet(path).filter(col("dt") === lit("2024-01-05"))
+    val files = day.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("dt=2024-01-05")),
+      s"read files outside the pruned day: ${files.mkString(", ")}")
+  }
 }
