@@ -591,6 +591,37 @@ object AggQueries {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
              |ORDER BY gid, l_returnflag ASC NULLS FIRST,
-             |  l_linestatus ASC NULLS FIRST""".stripMargin))
+             |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // G22 — time-RANGE window frame: each order's trailing-30-day
+    // order count and spend for its customer — the "activity in the
+    // last N days as of each row" shape g7's ROWS frame can't express
+    // (a rows frame counts rows, not time). The frame bound is epoch
+    // seconds on both engines, so tie handling (RANGE includes ALL
+    // peers of the current value) is bit-identical. One shuffle on
+    // the customer key; the frame scan is a single ordered pass per
+    // partition.
+    Q("g22_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("es"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d)
+          .withColumn("es", unix_timestamp(col("o_orderdate")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType).as("spend_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  count(*) OVER w AS n_30d,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+             |       AS DOUBLE) AS spend_30d
+             |FROM (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es
+             |      FROM orders)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY es
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

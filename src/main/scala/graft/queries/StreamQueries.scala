@@ -223,6 +223,42 @@ object StreamQueries {
       },
       Some(s"""SELECT user_id, count(*) AS n_events, CAST(sum($centsSql) AS BIGINT) AS sum_cents,
              |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ST11 — STREAMING grouped top-k: the 5 highest-value events per
+    // type, maintained across micro-batches by the same bounded
+    // k-heap aggregate as the batch/ANN paths ([[TopK.TopKAgg]] —
+    // mergeable, so partial per-batch heaps fold into the state store
+    // buffer). A `row_number` window is impossible in streaming (no
+    // global sort over an unbounded stream) and collecting per-group
+    // candidates would grow state without bound; the heap carries
+    // exactly k (id, score) slots per group forever. The heap lives
+    // INSIDE the streaming aggregation; the rank explode runs on the
+    // drained result.
+    Q("st11_stream_grouped_topk",
+      (s, d) => {
+        val agg = org.apache.spark.sql.functions.udaf(
+          new graft.operators.TopK.TopKAgg(5),
+          org.apache.spark.sql.Encoders.product[graft.operators.TopK.Scored])
+        Streaming.eventsStream(s, d, "complete") { df =>
+          df.filter(col("value").isNotNull && !isnan(col("value")))
+            .groupBy("event_type")
+            .agg(agg(col("event_id"), col("value")).as("tk"))
+        }
+          .select(col("event_type"),
+            posexplode(col("tk.ids")).as(Seq("pos", "event_id")),
+            col("tk.scores").as("_s"))
+          .select(col("event_type"), (col("pos") + 1).as("rn"),
+            col("event_id"),
+            element_at(col("_s"), col("pos") + 1).as("value"))
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, rn, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id) AS rn
+             |  FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value))
+             |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin))
   )
 }
