@@ -622,6 +622,66 @@ object AggQueries {
              |      FROM orders)
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY es
              |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // A4 — set operations: customers active in 1995 but not 1996
+    // (EXCEPT) and in both years (INTERSECT), tagged in one result.
+    // Both ops carry SET semantics (distinct), which Spark plans as
+    // hash aggregates over a single shuffle per side — the shape that
+    // distributes; the tag column disambiguates the union so one
+    // oracle covers both operators.
+    Q("a4_except_intersect",
+      (s, d) => {
+        def custsIn(year: Int) = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01"))
+          .select("o_custkey")
+        val only95 = custsIn(1995).except(custsIn(1996))
+          .select(lit("only_1995").as("tag"), col("o_custkey"))
+        val both = custsIn(1995).intersect(custsIn(1996))
+          .select(lit("both").as("tag"), col("o_custkey"))
+        only95.unionByName(both).orderBy("tag", "o_custkey")
+      },
+      Some("""WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             |            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             |              AND o_orderdate < TIMESTAMP '1996-01-01'),
+             |y96 AS (SELECT DISTINCT o_custkey FROM orders
+             |        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |          AND o_orderdate < TIMESTAMP '1997-01-01')
+             |SELECT 'only_1995' AS tag, o_custkey FROM (
+             |  SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+             |UNION ALL
+             |SELECT 'both' AS tag, o_custkey FROM (
+             |  SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+             |ORDER BY tag, o_custkey""".stripMargin)),
+
+    // G23 — UNPIVOT (melt): the inverse of g12's pivot. A wide
+    // per-flag aggregate turns into long (flag, metric, value) rows —
+    // the normalization step feeding generic metric stores. Spark's
+    // native `unpivot` keeps the plan columnar (no explode of
+    // hand-built structs); values are integer cents so the melted
+    // DOUBLE column is exact in both engines. The oracle mirrors via
+    // UNION ALL, the portable spelling of unpivot.
+    Q("g23_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          // integer-cent sum (order-independent), rendered DOUBLE so
+          // both melted metrics share one exact value type
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType))
+            .cast(DoubleType).as("sum_price_c2"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price_c2")), "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some("""WITH w AS (SELECT l_returnflag,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |       AS BIGINT) AS DOUBLE) AS sum_price_c2
+             |FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_price_c2', sum_price_c2 FROM w
+             |ORDER BY l_returnflag, metric""".stripMargin))
   )
 }
