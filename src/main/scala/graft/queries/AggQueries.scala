@@ -682,6 +682,32 @@ object AggQueries {
              |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
              |UNION ALL
              |SELECT l_returnflag, 'sum_price_c2', sum_price_c2 FROM w
-             |ORDER BY l_returnflag, metric""".stripMargin))
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // SQL4 — named WINDOW clause through the SQL front-end: one
+    // window definition shared by three functions (rank, running
+    // count, partition max) — the parser/analyzer surface sql1–sql3
+    // don't touch. Catalyst folds all three into ONE Window operator
+    // over one shuffle (same plan the DataFrame API gets).
+    Q("sql4_window_sql",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        s.sql("""SELECT o_custkey, o_orderkey,
+                |  rank() OVER w AS rk,
+                |  count(*) OVER w AS n_so_far,
+                |  max(o_totalprice) OVER (PARTITION BY o_custkey) AS max_price
+                |FROM orders_sql
+                |WINDOW w AS (PARTITION BY o_custkey
+                |             ORDER BY o_orderdate, o_orderkey)
+                |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  rank() OVER w AS rk,
+             |  count(*) OVER w AS n_so_far,
+             |  max(o_totalprice) OVER (PARTITION BY o_custkey) AS max_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }
