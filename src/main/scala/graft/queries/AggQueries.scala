@@ -708,6 +708,34 @@ object AggQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey
              |             ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // SQL5 — correlated SCALAR subquery through the SQL front-end:
+    // each high-value order's line count and peak line price as
+    // per-row subqueries. Catalyst decorrelates both into ONE
+    // aggregate-then-left-join (visible in the plan as a single
+    // Aggregate + Join, not a per-row loop) — the remaining
+    // decorrelation family after sql3's EXISTS.
+    Q("sql5_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""SELECT o_orderkey,
+                |  (SELECT count(*) FROM lineitem_sql
+                |   WHERE l_orderkey = o_orderkey) AS n_lines,
+                |  (SELECT max(l_extendedprice) FROM lineitem_sql
+                |   WHERE l_orderkey = o_orderkey) AS max_line_price
+                |FROM orders_sql
+                |WHERE o_totalprice > 450000
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  (SELECT count(*) FROM lineitem
+             |   WHERE l_orderkey = o_orderkey) AS n_lines,
+             |  (SELECT max(l_extendedprice) FROM lineitem
+             |   WHERE l_orderkey = o_orderkey) AS max_line_price
+             |FROM orders
+             |WHERE o_totalprice > 450000
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -47,4 +47,34 @@ object RelationalProps extends Properties("Relational") {
       val back = fwd.map(_.swap)
       Flatten.renameAll(Flatten.renameAll(df, fwd), back).columns.toSeq == cols
     }
+
+  // sessionize invariant: within a key's timeline sorted by (ts, id),
+  // consecutive rows share a session iff their gap is <= the
+  // threshold — i.e. sess_idx increments exactly at >threshold gaps
+  // and sessions are contiguous runs starting at 1
+  property("sessionize splits exactly at gaps > threshold") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(1L, 3L),          // key
+        Gen.choose(0L, 40000L))),    // epoch seconds (clusters + gaps)
+      Gen.choose(300L, 5000L)) { (rows, gap) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = rows.zipWithIndex
+        .map { case ((k, es), i) => (k, i.toLong, es) }
+        .toDF("k", "id", "es_in")
+        .withColumn("ts", timestamp_seconds(col("es_in"))).drop("es_in")
+      val got = Relational.sessionize(df, "k", "ts", "id", gap)
+        .select("k", "es", "sess_idx").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).values
+      got.forall { perKey =>
+        val tl = perKey.sortBy(r => (r._2, r._1)).toSeq // (ts asc) per key
+        tl.head._3 == 1L &&
+          tl.sliding(2).filter(_.size == 2).forall { case Seq(a, b) =>
+            val split = b._2 - a._2 > gap
+            b._3 == a._3 + (if (split) 1L else 0L)
+          }
+      }
+    }
 }
