@@ -556,6 +556,35 @@ object Dedup {
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
 
+  /** INCREMENTAL cluster maintenance: fold a new batch into an
+    * existing clustering without reprocessing the historical pair
+    * graph. The previous assignment is itself a certificate of the
+    * old components — each (node, cluster) row is an edge to the
+    * component's min-id root — so components over (assignment edges ∪
+    * delta pairs) equal components over (ALL old pairs ∪ delta
+    * pairs): per-batch graph size is |nodes| + |delta pairs|, never
+    * the accumulated pair history. Min-id labeling makes the result
+    * IDENTICAL to a full recompute (the min of a merged component is
+    * the min of its parts' mins) — the equivalence the d10 oracle
+    * checks. Caveat mirrored from the pair generators: with a finite
+    * `maxBucket` valve, old↔old pairs reflect the bucket counts at
+    * their build time; the composition equals the full recompute
+    * exactly when no bucket crosses the cap between builds (always
+    * true with the cap the queries use at test scale).
+    */
+  def incrementalClusters(prevAssign: DataFrame, idCol: String,
+                          clusterCol: String, newNodes: DataFrame,
+                          deltaPairs: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val nodes = prevAssign.select(col(idCol))
+      .unionByName(newNodes.select(col(idCol))).distinct()
+    val prevEdges = prevAssign.filter(col(idCol) =!= col(clusterCol))
+      .select(col(idCol).as(aCol), col(clusterCol).as(bCol))
+    connectedComponents(nodes, idCol,
+      prevEdges.unionByName(deltaPairs.select(col(aCol), col(bCol))),
+      aCol, bCol)
+  }
+
   /** SimHash near-duplicate pairs via multi-index Hamming search:
     * each 60-bit sketch is cut into `nBands` bit-bands; documents
     * sharing ANY band value become candidates (bucket equi-join —

@@ -234,6 +234,68 @@ object SimilarityQueries {
              |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // D10 — INCREMENTAL dedup CLUSTERS: the cluster-level closure of
+    // d9. The previous batch's assignment (each doc → min-id root) is
+    // a certificate of the old components, so folding a delta needs
+    // only (assignment edges ∪ delta pairs) — per-batch graph size is
+    // |docs| + |delta pairs|, never the accumulated pair history; the
+    // delta pairs come off the same persisted index d9 probes. Min-id
+    // labeling makes the composition EQUAL a full recompute, and the
+    // oracle IS the full recompute: d3's full-corpus pair semantics
+    // fed into d8's recursive-CTE components.
+    Q("d10_incremental_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(col("doc_id") < 400)
+        val neu = docs.filter(col("doc_id") >= 400)
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#d9", "graft_mh_index") { p =>
+          Dedup.writeMinhashIndex(old, "doc_id", "text", p, n = 3, k = 8, nBands = 4)
+        }
+        val prevAssign = Dedup.connectedComponents(old.select("doc_id"), "doc_id",
+            Dedup.minhashLshPairs(old, "doc_id", "text", n = 3, k = 8,
+              nBands = 4, jaccardMin = 0.4, maxBucket = LshMaxBucket)
+              .select("doc_a", "doc_b"),
+            "doc_a", "doc_b")
+          .select("doc_id", "cluster_id")
+        val deltaPairs = Dedup.incrementalLshPairs(neu, "doc_id", "text", path,
+            n = 3, k = 8, nBands = 4, jaccardMin = 0.4, maxBucket = LshMaxBucket)
+          .select("doc_a", "doc_b")
+        Dedup.incrementalClusters(prevAssign, "doc_id", "cluster_id",
+            neu.select("doc_id"), deltaPairs, "doc_a", "doc_b")
+          .orderBy("doc_id")
+      },
+      Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |bands AS (
+             |  SELECT doc_id, b,
+             |    md5(CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)) AS bh
+             |  FROM sig, unnest(range(0, 4)) AS t(b)),
+             |okb AS (SELECT b, bh FROM bands GROUP BY b, bh
+             |        HAVING count(*) <= $LshMaxBucket),
+             |bb AS (SELECT bands.* FROM bands JOIN okb USING (b, bh)),
+             |cand AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bb a JOIN bb b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jj AS (
+             |  SELECT doc_a, doc_b,
+             |    len(list_intersect(sa.shingles, sb.shingles)) AS ni,
+             |    len(sa.shingles) + len(sb.shingles)
+             |      - len(list_intersect(sa.shingles, sb.shingles)) AS nu
+             |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+             |p AS (SELECT doc_a, doc_b FROM jj
+             |      WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000) AS BIGINT) >= 400000),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+             |reach(id, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+             |g AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+             |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM g GROUP BY 1)
+             |SELECT doc_id, cluster_id, cluster_size,
+             |       doc_id = cluster_id AS is_canonical
+             |FROM g JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
+
     // ST8 — ONLINE ingest dedup: documents ≥ 400 arrive as a REAL
     // file-source stream (micro-batch engine, append mode) and each is
     // flagged against the same persisted index d9 maintains — a

@@ -126,4 +126,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 600L).forall(got(_) == 0L))
   }
+
+  test("incremental fold equals full recompute, including cluster merges") {
+    // old graph: two clusters {0,1,2} and {10,11}, singleton 20.
+    // delta: new nodes 30,31 with a new↔new pair (30,31) and old↔new
+    // pairs (11,31) and (2,31) — so the two OLD clusters must fuse
+    // through a path that exists only in the delta, the case a naive
+    // "append new assignments" implementation gets wrong
+    val oldNodes = Seq(0L, 1L, 2L, 10L, 11L, 20L).toDF("id")
+    val oldPairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val prev = Dedup.connectedComponents(oldNodes, "id", oldPairs, "a", "b")
+      .select(col("id"), col("cluster_id"))
+    val newNodes = Seq(30L, 31L).toDF("id")
+    val delta = Seq((30L, 31L), (11L, 31L), (2L, 31L)).toDF("a", "b")
+    val got = Dedup.incrementalClusters(prev, "id", "cluster_id",
+        newNodes, delta, "a", "b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val full = Dedup.connectedComponents(
+        oldNodes.unionByName(newNodes), "id",
+        oldPairs.unionByName(delta), "a", "b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.sameElements(full))
+    // the fused component {0,1,2,10,11,30,31} labels to the global min 0
+    assert(got.filter(_._1 != 20L).forall(_._2 == 0L))
+  }
 }
