@@ -210,6 +210,38 @@ object BatchedIndex {
     }
   }
 
+  /** COMPACTION: rewrite the committed batches as ONE batch in a new
+    * generation — the lifecycle step after build → fold → scrub. An
+    * append-heavy index accumulates a scan root per batch per part
+    * (more file listings, more parquet footers, smaller row groups);
+    * compaction collapses them without changing any visible row: each
+    * part is read at one pinned snapshot and re-folded with
+    * `overwrite = true`, so the switch is the same single
+    * marker-create as any rebuild and a crash mid-compact leaves the
+    * old batches serving. `partitionBy` mirrors [[fold]]'s — pass the
+    * same map the folds used so hive-partitioned parts (e.g. the IVF
+    * cell index) keep their pruning layout. Returns the number of
+    * batches compacted away (0 = nothing to do). Single-writer, like
+    * all mutations here.
+    */
+  def compact(spark: SparkSession, path: String,
+              partitionBy: Map[String, Seq[String]] = Map.empty): Int = {
+    val fs = fsOf(spark, path)
+    val ids = committed(spark, path)
+    if (ids.size <= 1) 0
+    else {
+      val parts = fs.listStatus(new HPath(path)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName != "_batches")
+        .map(_.getPath.getName).sorted
+      // lazy reads pinned to the pre-compact snapshot; fold writes the
+      // merged batch into NEW batch dirs, so the reads scan only old
+      // files while the write runs
+      fold(spark, path, parts.map(p => p -> read(spark, path, p, ids)),
+        overwrite = true, partitionBy)
+      ids.size
+    }
+  }
+
   /** Best-effort removal of batch dirs no longer referenced by the
     * manifest (old batches after a rebuild, orphans of failed folds).
     */
