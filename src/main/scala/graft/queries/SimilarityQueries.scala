@@ -489,6 +489,61 @@ object SimilarityQueries {
              |       ELSE 'train' END AS split
              |FROM sp ORDER BY doc_id""".stripMargin)),
 
+    // C8 — the END-TO-END corpus pipeline in ONE declarative plan:
+    // quality/repetition/exact-dedup cleaning (t8's stage), near-dup
+    // CLUSTER train-split (c6's leakage-safe rule over d8's SimHash
+    // components — no near-duplicate of an eval document can reach
+    // the training corpus), and c3's per-language token packing of
+    // the surviving train docs. All three stages compose lazily:
+    // Catalyst plans one job with the dup_key window, the component
+    // contraction, and the packing window as its only wide stages.
+    // The oracle is the verbatim concatenation of the three stages'
+    // standalone WITH-chains, so the composition can never diverge
+    // from its parts.
+    Q("c8_pipeline_train_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+            nBands = 4, bandBits = 15, maxHamming = 6, maxBucket = LshMaxBucket)
+          .select("doc_a", "doc_b")
+        val h = conv(substring(md5(col("cluster_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType)
+        val train = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+            pairs, "doc_a", "doc_b")
+          .filter(h % 10 >= 2)
+          .select("doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        TextQueries.cleanDocs(s, d).join(train, "doc_id")
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""${TextQueries.survCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |$simhashCandCte,
+             |pp AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 6),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+             |      UNION SELECT doc_b AS src, doc_a AS dst FROM pp),
+             |reach(id, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+             |cg AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+             |tr AS (SELECT doc_id FROM cg
+             |       WHERE CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 >= 2),
+             |corpus AS (SELECT surv.doc_id, surv.lang, surv.n_tokens
+             |           FROM surv JOIN tr USING (doc_id))
+             |SELECT lang, doc_id, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+             |FROM (SELECT lang, doc_id, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM corpus)
+             |ORDER BY lang, doc_id""".stripMargin)),
+
     // D7 — edit-distance fuzzy matching: candidate pairs meet only
     // inside a (brand, size) blocking bucket — classic blocking-key
     // record linkage, never an all-pairs Levenshtein.

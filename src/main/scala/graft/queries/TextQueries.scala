@@ -62,7 +62,7 @@ object TextQueries {
     * non-cheap expressions un-inlined, so the chain survives
     * optimization; measured 6.6 → ~1 s/call at sf0.1).
     */
-  private def cleanDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def cleanDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
         TextFns.toks(col("text")).as("tk"))
@@ -89,7 +89,7 @@ object TextQueries {
   /** t8's oracle WITH-chain, reused verbatim by c5 so the two stages
     * cannot diverge: `surv` = the cleaned (doc_id, lang, n_tokens).
     */
-  private def survCte = s"""WITH m AS (
+  private[queries] def survCte = s"""WITH m AS (
     |  SELECT doc_id, lang,
     |    CAST(len(tk) AS BIGINT) AS n_tokens,
     |    ${votesSql(stopEn)} AS n_stop,
