@@ -736,6 +736,55 @@ object AggQueries {
              |   WHERE l_orderkey = o_orderkey) AS max_line_price
              |FROM orders
              |WHERE o_totalprice > 450000
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // G24 — mergeable QUANTILE sketch: per-group median estimated
+    // from a deterministic hash-bottom-k sample. The sample IS the
+    // bounded k-heap aggregate (k smallest md5-derived keys — an
+    // associative, partition-independent uniform sample, the quantile
+    // sibling of g17's KMV distinct sketch: same bottom-k-by-hash
+    // state, different extractor); the estimate is the exact median
+    // of that sample, so unlike t-digest/GK the result is a pure
+    // function of the row SET and replays cell-for-cell in SQL.
+    // Shuffle carries ≤ partitions×groups×k rows, never the table.
+    // 48-bit hash keys stay exact through the heap's double scores.
+    Q("g24_sample_quantile",
+      (s, d) => {
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val h48 = conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 12),
+          16, 10).cast(LongType)
+        val base = Tables.orders(s, d).select(
+          col("o_orderpriority").as("grp"), col("o_orderkey").as("cand_id"),
+          cents.as("cents"), (-h48.cast(DoubleType)).as("score"))
+        val sample = graft.operators.TopK.perGroup(
+            base.select("grp", "cand_id", "score"), "grp", "cand_id", "score", 64)
+          .join(base.select(col("cand_id"), col("cents")), "cand_id")
+        val wv = Window.partitionBy("grp").orderBy(col("cents"), col("cand_id"))
+        val wn = Window.partitionBy("grp")
+        sample
+          .withColumn("vrn", row_number().over(wv))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("vrn") === floor((col("n") + 1) / 2).cast(IntegerType))
+          .select(col("grp"), col("n").as("sample_n"),
+            col("cents").as("est_median_cents"))
+          .orderBy("grp")
+      },
+      Some("""WITH hh AS (
+             |  SELECT o_orderpriority AS grp, o_orderkey,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+             |  FROM orders),
+             |smp AS (SELECT grp, o_orderkey, cents FROM (
+             |    SELECT grp, o_orderkey, cents,
+             |      row_number() OVER (PARTITION BY grp ORDER BY hv, o_orderkey) AS srn
+             |    FROM hh) WHERE srn <= 64),
+             |r AS (SELECT grp, cents,
+             |        row_number() OVER (PARTITION BY grp
+             |          ORDER BY cents, o_orderkey) AS vrn,
+             |        count(*) OVER (PARTITION BY grp) AS n
+             |      FROM smp)
+             |SELECT grp, CAST(n AS BIGINT) AS sample_n,
+             |  cents AS est_median_cents
+             |FROM r WHERE vrn = (n + 1) // 2 ORDER BY grp""".stripMargin))
   )
 }
