@@ -272,12 +272,19 @@ object SimilarityQueries {
         val path = graft.engine.TempArtifacts.getOrBuild(s"$d#d9", "graft_mh_index") { p =>
           Dedup.writeMinhashIndex(old, "doc_id", "text", p, n = 3, k = 8, nBands = 4)
         }
-        val prevAssign = Dedup.connectedComponents(old.select("doc_id"), "doc_id",
-            Dedup.minhashLshPairs(old, "doc_id", "text", n = 3, k = 8,
-              nBands = 4, jaccardMin = 0.4, maxBucket = LshMaxBucket)
-              .select("doc_a", "doc_b"),
-            "doc_a", "doc_b")
-          .select("doc_id", "cluster_id")
+        // the previous batch's assignment is itself a served artifact:
+        // built once per (JVM, sfDir), read on every fold — the state
+        // an accumulating dedup pipeline actually persists
+        val prevPath = graft.engine.TempArtifacts.getOrBuild(s"$d#d10prev", "graft_cc_prev") { p =>
+          Dedup.connectedComponents(old.select("doc_id"), "doc_id",
+              Dedup.minhashLshPairs(old, "doc_id", "text", n = 3, k = 8,
+                nBands = 4, jaccardMin = 0.4, maxBucket = LshMaxBucket)
+                .select("doc_a", "doc_b"),
+              "doc_a", "doc_b")
+            .select("doc_id", "cluster_id")
+            .write.mode("overwrite").parquet(p)
+        }
+        val prevAssign = s.read.parquet(prevPath)
         val deltaPairs = Dedup.incrementalLshPairs(neu, "doc_id", "text", path,
             n = 3, k = 8, nBands = 4, jaccardMin = 0.4, maxBucket = LshMaxBucket)
           .select("doc_a", "doc_b")
