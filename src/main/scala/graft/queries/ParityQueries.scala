@@ -653,6 +653,37 @@ object ParityQueries {
       },
       Some("""SELECT event_id, user_id, event_type FROM events
              |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // J11 (completeness): NULL-SAFE equi join (`<=>` / IS NOT
+    // DISTINCT FROM) — the join where NULL keys MATCH each other
+    // instead of dropping, the semantics a dimension keyed by an
+    // optional attribute needs. Nulls are derived deterministically
+    // (clerk bucket 0 → NULL) so both engines join the identical
+    // relation; Catalyst plans <=> as an ordinary hash join on the
+    // null-wrapped key, not a nested loop.
+    Q("j11_nullsafe_join",
+      (s, d) => {
+        val bucket = when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey") % 7)
+        val left = Tables.orders(s, d)
+          .select(col("o_orderkey"), bucket.as("bkt"))
+        val dim = Tables.orders(s, d)
+          .select(bucket.as("bkt")).distinct()
+          .withColumn("bkt_name",
+            coalesce(col("bkt").cast(StringType), lit("none")))
+        left.join(dim, left("bkt") <=> dim("bkt"))
+          .select(col("o_orderkey"), col("bkt_name"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |  CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 7 END AS bkt
+             |  FROM orders),
+             |dim AS (SELECT DISTINCT bkt,
+             |          coalesce(CAST(bkt AS VARCHAR), 'none') AS bkt_name
+             |        FROM b)
+             |SELECT o_orderkey, bkt_name
+             |FROM b JOIN dim ON b.bkt IS NOT DISTINCT FROM dim.bkt
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
