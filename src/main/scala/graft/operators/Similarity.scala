@@ -363,6 +363,93 @@ object Similarity {
     probeTopK(exact, idCol, k)
   }
 
+  /** Deterministic product-quantization codebook: `m` subspaces ×
+    * `ksub` centroids × `subDims` integer weights in [-1000, 1000],
+    * derived from md5 exactly like [[srpPlanes]] — data-independent,
+    * identical in any engine, computed once on the driver and embedded
+    * as literals. A production deployment would TRAIN per-subspace
+    * centroids (k-means per subspace, as [[trainIvfCentroids]] trains
+    * cells); the codebook stays hash-derived here so the oracle is a
+    * pure arithmetic replay rather than a 2×m-round training
+    * transcript — the encode/ADC/rerank mechanics are identical either
+    * way.
+    */
+  def pqCodebook(m: Int, ksub: Int, subDims: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(m, ksub, subDims) { (s, c, j) =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"pq_${s}_${c}_$j".getBytes(StandardCharsets.UTF_8))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+
+  /** PQ code array of a vector: for each subspace, the codebook row
+    * maximizing the inner product with that slice of the vector (ties
+    * → lowest code, via the same struct-argmax trick as
+    * [[ivfAssign]]). MAP-ONLY inside whole-stage codegen — m×ksub
+    * literal dot products per row, no shuffle, no UDF.
+    */
+  private[operators] def pqEncode(vec: Column, cb: Array[Array[Array[Long]]]): Column = {
+    val subDims = cb(0)(0).length
+    array(cb.zipWithIndex.map { case (rows, s) =>
+      val sub = slice(vec, s * subDims + 1, subDims)
+      val cands = array(rows.zipWithIndex.map { case (w, c) =>
+        struct(dot(typedlit(w.toSeq), sub).as("d"), lit(-c.toLong).as("neg_c"))
+      }: _*)
+      (-array_max(cands).getField("neg_c")).cast(IntegerType)
+    }: _*)
+  }
+
+  /** Reconstructed (decoded) vector from a PQ code array: the
+    * concatenation of the selected codebook rows — a pure literal
+    * lookup per subspace, so decoding costs m `element_at`s, never a
+    * join.
+    */
+  private[operators] def pqReconstruct(codes: Column, cb: Array[Array[Array[Long]]]): Column =
+    concat(cb.zipWithIndex.map { case (rows, s) =>
+      element_at(typedlit(rows.map(_.toSeq).toSeq),
+        element_at(codes, s + 1) + 1)
+    }: _*)
+
+  /** Product-quantized two-stage top-k: the EXTREME-compression end of
+    * the quantized-search spectrum ([[sqTopK]] is the moderate end).
+    * Each corpus vector is encoded ONCE as `m` small codes (≤ 1 byte
+    * each for ksub ≤ 256) — m bytes at rest versus dims bytes for
+    * int8 SQ and 4·dims for float32: a 64-dim corpus scans 16× fewer
+    * bytes than SQ in stage 1. Stage 1 ranks by the asymmetric
+    * distance (ADC): the probe's float vector against each candidate's
+    * RECONSTRUCTION `concat_s cb[s][code_s]`, whose inner product
+    * equals the classic per-subspace lookup-table sum
+    * `Σ_s dot(p_sub_s, cb[s][code_s])` — here computed as one fused
+    * codegen'd fold, keeping a bounded `rerankK` pool per probe via
+    * the same k-heap aggregate as every other search. Stage 2
+    * re-scores ONLY that pool with exact float cosine (identical join
+    * shape to [[sqTopK]]). Encoding, lookup, and both folds are
+    * order-stable integer/double arithmetic, so the full pipeline is
+    * oracle-replayable. Composing the codes into the cell-partitioned
+    * [[IvfIndex]] (IVF-PQ) is the same plumbing as v10's SQ codes —
+    * the code column rides `keep`.
+    */
+  def pqTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, k: Int, rerankK: Int,
+             m: Int = 4, ksub: Int = 8, dims: Int = 64): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val cb = pqCodebook(m, ksub, dims / m)
+    val codes = candidates.select(col(idCol), pqEncode(col(vecCol), cb).as("codes"))
+    val p = probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))
+    val approx = codes.crossJoin(broadcast(p))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol),
+        dot(col("p_vec"), pqReconstruct(col("codes"), cb)).as("adc"))
+    val pool = TopK.perGroup(approx, "p_id", idCol, "adc", rerankK)
+      .select(col("p_id"), col(idCol))
+    val exact = candidates.select(col(idCol), col(vecCol))
+      .join(broadcast(pool), Seq(idCol))
+      .join(broadcast(p), Seq("p_id"))
+      .select(col("p_id"), col(idCol), cosine(col("p_vec"), col(vecCol)).as("cos_raw"))
+    probeTopK(exact, idCol, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join —
     * vectors meet only within their bucket (sign agreement on every
     * plane ⇒ small angle is likely), candidates verified by the exact

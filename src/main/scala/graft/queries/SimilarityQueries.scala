@@ -890,6 +890,65 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
+    // V15 — PRODUCT-QUANTIZED two-stage top-k: the extreme-compression
+    // end of the quantized-search spectrum (v9 SQ = dims bytes/vector;
+    // PQ = m bytes/vector — 16× fewer stage-1 bytes at m=4 over 64
+    // dims). Encode is a map-only argmax over m×ksub literal dot
+    // products; stage 1 ranks by the asymmetric distance (probe float
+    // vector · candidate reconstruction ≡ the classic per-subspace
+    // lookup-table sum) into a bounded rerankK pool; stage 2 re-scores
+    // only the pool with exact float cosine. The codebook is
+    // hash-derived (data-independent, like the SRP planes) so the
+    // oracle replays encode → ADC → rerank as pure arithmetic.
+    Q("v15_pq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", k = 5, rerankK = 20)
+          .orderBy("p_id", "rn")
+      },
+      {
+        val cb = Similarity.pqCodebook(4, 8, 16)
+        def rowLit(s: Int, c: Int) = cb(s)(c).mkString("[", ",", "]")
+        def cbLit(s: Int) = (0 until 8).map(rowLit(s, _)).mkString("[", ",", "]")
+        def dsSql(s: Int) = {
+          val sub = s"embedding[${s * 16 + 1}:${(s + 1) * 16}]"
+          (0 until 8).map(c => dotSql(rowLit(s, c), sub))
+            .mkString("[", ",\n             |    ", "]")
+        }
+        val dsCols = (0 until 4).map(s => s"${dsSql(s)} AS ds$s")
+          .mkString(",\n             |  ")
+        val codeCols = (0 until 4)
+          .map(s => s"list_position(ds$s, list_max(ds$s)) - 1 AS k$s")
+          .mkString(", ")
+        val reconSql = (0 until 4)
+          .map(s => s"(${cbLit(s)})[k$s + 1]").mkString(" || ")
+        Some(s"""WITH dsrc AS (
+               |  SELECT vec_id, embedding,
+               |  $dsCols
+               |  FROM embeddings),
+               |codes AS (SELECT vec_id, $codeCols FROM dsrc),
+               |rec AS (SELECT vec_id, $reconSql AS recon FROM codes),
+               |pr AS (SELECT vec_id AS p_id, embedding AS p_vec
+               |       FROM embeddings WHERE vec_id < 10),
+               |a AS (SELECT p_id, rec.vec_id, ${dotSql("p_vec", "recon")} AS adc
+               |      FROM rec CROSS JOIN pr WHERE rec.vec_id <> p_id),
+               |pool AS (SELECT p_id, vec_id FROM (
+               |    SELECT p_id, vec_id,
+               |      row_number() OVER (PARTITION BY p_id ORDER BY adc DESC, vec_id) AS rn
+               |    FROM a) WHERE rn <= 20),
+               |ex AS (SELECT pool.p_id, pool.vec_id,
+               |         ${cosSql("pr.p_vec", "e.embedding")} AS cos_raw
+               |       FROM pool JOIN embeddings e ON e.vec_id = pool.vec_id
+               |            JOIN pr ON pr.p_id = pool.p_id),
+               |r AS (SELECT p_id, vec_id, cos_raw,
+               |        row_number() OVER (PARTITION BY p_id
+               |          ORDER BY cos_raw DESC, vec_id) AS rn
+               |      FROM ex)
+               |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
+      }),
+
     // SQL2 — vector search through the plain SQL front-end: the same
     // top-k semantics as v1 written entirely in SQL against a view,
     // ranking with the natively registered cosine_sim extension

@@ -84,6 +84,28 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r > 0.8, s"SQ rerank recall $r is uselessly low")
   }
 
+  test("PQ two-stage: full-pool degenerates to exact; bounded pool keeps useful recall") {
+    val probes = vecs.filter(col("vec_id") < 10)
+    // rerankK >= |corpus| → the ADC stage keeps everything → stage 2
+    // IS the exact search, cell for cell. This also proves every code
+    // stays inside [0, ksub): an out-of-range code would make the
+    // reconstruction lookup null, null the ADC score, drop the row
+    // from stage 1, and break this equality.
+    val degen = Similarity.pqTopK(probes, vecs, "vec_id", "embedding",
+        k, rerankK = 300, m = 4, ksub = 8, dims = dims)
+      .select("p_id", "rn", "vec_id").as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.cosineTopK(probes, vecs, "vec_id", "embedding", k)
+      .select("p_id", "rn", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(degen == exact)
+    // m-byte codes are a far coarser sketch than int8 SQ (m=4 vs 16
+    // bytes here), so the floor is proportionally lower; the value of
+    // the row is that a hash-derived (untrained) codebook still ranks
+    // usefully — a trained codebook only raises this
+    val r = recallOf(Similarity.pqTopK(probes, vecs, "vec_id", "embedding",
+      k, rerankK = 4 * k, m = 4, ksub = 8, dims = dims))
+    assert(r > 0.2, s"PQ rerank recall $r is uselessly low")
+  }
+
   test("indexed SQ search (v10 shape) keeps useful recall with a bounded pool") {
     import graft.operators.IvfIndex
     val cents = vecs.filter(col("vec_id") < 16)
