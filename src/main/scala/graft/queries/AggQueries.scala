@@ -710,6 +710,42 @@ object AggQueries {
              |             ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // SQL6 — correlated LATERAL subquery with per-row ORDER BY +
+    // LIMIT: each customer's top-2 orders by price — per-group top-k
+    // (g3's semantics) written as the SQL-standard lateral derived
+    // table. Catalyst decorrelates the limited-and-ordered inner query
+    // into a rank-window over one shuffle rather than a per-row
+    // re-scan, the same plan family the DataFrame window gets. Price
+    // exported as exact cents (floor arithmetic) and the tie order
+    // pinned by (price DESC, orderkey), so the row set is total.
+    Q("sql6_lateral_topk",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_sql")
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        s.sql("""SELECT c_custkey, o_orderkey, price_cents
+                |FROM customer_sql c,
+                |  LATERAL (SELECT o_orderkey,
+                |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                |               AS price_cents
+                |           FROM orders_sql
+                |           WHERE o_custkey = c.c_custkey
+                |           ORDER BY o_totalprice DESC, o_orderkey
+                |           LIMIT 2) t
+                |WHERE c_custkey < 200
+                |ORDER BY c_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o_orderkey, price_cents
+             |FROM customer c,
+             |  LATERAL (SELECT o_orderkey,
+             |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |               AS price_cents
+             |           FROM orders
+             |           WHERE o_custkey = c.c_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey
+             |           LIMIT 2) t
+             |WHERE c_custkey < 200
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
     // SQL5 — correlated SCALAR subquery through the SQL front-end:
     // each high-value order's line count and peak line price as
     // per-row subqueries. Catalyst decorrelates both into ONE
