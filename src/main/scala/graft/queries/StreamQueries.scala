@@ -162,6 +162,47 @@ object StreamQueries {
              |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
 
+    // ST12 — stream-stream LEFT OUTER interval join: st6's funnel
+    // join plus the unmatched-view arm. Matched rows emit as they
+    // form; an unmatched view emits (view, NULL) only once the
+    // watermark proves no qualifying click can still arrive
+    // (view_ts + 10 min strictly before the final watermark) — the
+    // state-expiry contract that keeps outer streaming-join state
+    // bounded. Views too new for that proof stay withheld at drain,
+    // so the oracle applies the same cutoff to its unmatched arm.
+    // Null click ids sort FIRST on both engines (Spark ASC default;
+    // DuckDB pinned explicitly).
+    Q("st12_stream_outer_join",
+      (s, d) => Streaming.eventsStream(s, d, "append") { df =>
+        val wm = df.withWatermark("ts", "1 hour")
+        val views = wm.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val clicks = wm.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        views.join(clicks,
+          col("user_id") === col("c_user_id") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+          .select(col("user_id"), col("view_id"), col("click_id"))
+      }.orderBy("user_id", "view_id", "click_id"),
+      Some("""WITH wm AS (
+             |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+             |  FROM events),
+             |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+             |      FROM events WHERE event_type = 'view'),
+             |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+             |      FROM events WHERE event_type = 'click'),
+             |j AS (SELECT v.user_id, v.view_id, v.view_ts, c.click_id
+             |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |        AND c.click_ts >= v.view_ts
+             |        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE)
+             |SELECT user_id, view_id, click_id FROM j, wm
+             |WHERE click_id IS NOT NULL
+             |   OR view_ts + INTERVAL 10 MINUTE < w
+             |ORDER BY user_id, view_id, click_id NULLS FIRST""".stripMargin)),
+
     // ST7 — stream-static enrichment: the event stream joins a STATIC
     // per-user profile frame (computed batch-side); the static side
     // is re-planned per micro-batch, the streaming side needs no
