@@ -369,6 +369,54 @@ object TextQueries {
              |          ORDER BY n DESC, token) AS rn
              |      FROM c)
              |SELECT lang, rn, token, n FROM r WHERE rn <= 20
-             |ORDER BY lang, rn""".stripMargin))
+             |ORDER BY lang, rn""".stripMargin)),
+
+    // T11 — per-document KEYWORD extraction: top-5 tokens per doc by
+    // tf-idf. The idf is the exactly-rational surrogate N/df rather
+    // than ln(N/df): the score is then ONE multiply + ONE divide
+    // (both correctly-rounded IEEE ops, bit-identical in any engine)
+    // instead of a transcendental whose last ulp is
+    // library-dependent — same determinism doctrine as the floor
+    // arithmetic in the v-queries, and N/df is monotone in ln(N/df)
+    // so the ranking is the classic one. (A production corpus would
+    // also drop df > N/2 stopwords; this corpus' 31-token synthetic
+    // vocabulary is nearly all df > N/2, so the cutoff would
+    // degenerate the row — the idf weighting alone is the semantics
+    // under test.) Plan shape at scale: the shuffle carries
+    // (doc, token) partial counts, the df side is a |vocab|-row
+    // aggregate of those counts (never a second corpus scan), and
+    // the ranking window runs over per-doc distinct tokens, not
+    // token instances.
+    Q("t11_keywords",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfTok = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(dfTok, "token").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tkSql) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, token, tf, df,
+             |         CAST(tf AS DOUBLE) * n_docs / df AS score
+             |       FROM tf JOIN dft USING (token), n),
+             |r AS (SELECT doc_id, token, tf, df,
+             |        row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY score DESC, token) AS rn
+             |      FROM sc)
+             |SELECT doc_id, rn, token, tf, df FROM r WHERE rn <= 5
+             |ORDER BY doc_id, rn""".stripMargin))
   )
 }
