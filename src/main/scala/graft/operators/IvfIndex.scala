@@ -38,11 +38,17 @@ object IvfIndex {
     * dimension).
     */
   private def assigned(corpus: DataFrame, idCol: String, vecCol: String,
-                       centroids: DataFrame, keep: Seq[String]): DataFrame = {
+                       centroids: DataFrame, keep: Seq[String],
+                       pqCb: Option[Array[Array[Array[Long]]]]): DataFrame = {
     val amax = Similarity.amaxOf(col(vecCol))
-    Similarity.ivfAssign(corpus, idCol, vecCol, centroids, keep)
+    val base = Similarity.ivfAssign(corpus, idCol, vecCol, centroids, keep)
       .withColumn("qv", when(amax > 0,
         Similarity.quantize(col(vecCol), amax).cast("array<tinyint>")))
+    // optional third representation: m-byte PQ codes (one tinyint per
+    // subspace for ksub <= 128) — the cheapest stage-1 bytes the index
+    // can serve; searches that don't use them column-prune them away
+    pqCb.fold(base)(cb =>
+      base.withColumn("pqc", Similarity.pqEncode(col(vecCol), cb).cast("array<tinyint>")))
   }
 
   /** Assign `corpus` to its nearest-centroid cells and write the
@@ -56,8 +62,9 @@ object IvfIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, path: String,
-            keep: Seq[String] = Nil): Unit =
-    assigned(corpus, idCol, vecCol, centroids, keep)
+            keep: Seq[String] = Nil,
+            pqCb: Option[Array[Array[Array[Long]]]] = None): Unit =
+    assigned(corpus, idCol, vecCol, centroids, keep, pqCb)
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
   /** INCREMENTAL index maintenance: assign a batch of new vectors to
@@ -77,9 +84,10 @@ object IvfIndex {
     */
   def foldBatch(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, path: String,
-                overwrite: Boolean, keep: Seq[String] = Nil): Unit =
+                overwrite: Boolean, keep: Seq[String] = Nil,
+                pqCb: Option[Array[Array[Array[Long]]]] = None): Unit =
     graft.io.BatchedIndex.fold(corpus.sparkSession, path,
-      Seq("cells" -> assigned(corpus, idCol, vecCol, centroids, keep)),
+      Seq("cells" -> assigned(corpus, idCol, vecCol, centroids, keep, pqCb)),
       overwrite, partitionBy = Map("cells" -> Seq("cell_id")))
 
   /** The stored index rows, whichever layout the path holds: a
@@ -179,13 +187,61 @@ object IvfIndex {
     Similarity.probeTopK(exact, idCol, k)
   }
 
+  /** Product-quantized two-stage top-k over a built index that stores
+    * PQ codes (`build` with `pqCb`) — IVF-PQ, the highest-compression
+    * production ANN shape: stage 1 reads ONLY the probed cell
+    * partitions (static partition pruning, as [[search]]) and ONLY the
+    * m-byte code column (column pruning — m bytes/vector versus dims
+    * bytes for [[searchSq]]'s int8 codes), ranks by the asymmetric
+    * distance against the literal-lookup reconstruction
+    * ([[Similarity.pqTopK]]'s stage 1), and keeps a bounded `rerankK`
+    * pool; stage 2 re-scores only the pool with exact float cosine
+    * from the same pruned cells. Encode/lookup/fold are order-stable
+    * arithmetic, so the composed search is oracle-checkable
+    * (`v16_pq_indexed`). The same `cb` must be passed at build and
+    * search time — it is a driver-bounded constant, like the
+    * centroids.
+    */
+  def searchPq(spark: SparkSession, path: String, probes: DataFrame,
+               idCol: String, vecCol: String, k: Int, rerankK: Int,
+               centroids: DataFrame, cb: Array[Array[Array[Long]]],
+               nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    // same two-consumer pin as [[search]]
+    val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = pCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = indexFrame(spark, path)
+    val pruned =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell_id").isin(cells: _*))
+    val stage1 = pruned.filter(col("pqc").isNotNull)
+      .join(broadcast(pCells), Seq("cell_id"))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol),
+        Similarity.dot(col("p_vec"),
+          Similarity.pqReconstruct(col("pqc").cast("array<int>"), cb)).as("adc"))
+    val pool = TopK.perGroup(stage1, "p_id", idCol, "adc", rerankK)
+      .select(col("p_id"), col(idCol))
+    val exact = pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(pool), Seq(idCol))
+      .join(broadcast(probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))),
+        Seq("p_id"))
+      .select(col("p_id"), col(idCol),
+        Similarity.cosine(col("p_vec"), col(vecCol)).as("cos_raw"))
+    Similarity.probeTopK(exact, idCol, k)
+  }
+
   /** Build-once memo for repeated same-process searches; see
     * [[graft.engine.TempArtifacts]] for the identity/lifecycle
     * contract.
     */
   def builtFor(key: String, corpus: DataFrame, idCol: String, vecCol: String,
-               centroids: DataFrame, keep: Seq[String] = Nil): String =
+               centroids: DataFrame, keep: Seq[String] = Nil,
+               pqCb: Option[Array[Array[Array[Long]]]] = None): String =
     graft.engine.TempArtifacts.getOrBuild(key, "graft_ivf_index") { path =>
-      build(corpus, idCol, vecCol, centroids, path, keep)
+      build(corpus, idCol, vecCol, centroids, path, keep, pqCb)
     }
 }

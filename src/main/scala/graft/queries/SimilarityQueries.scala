@@ -68,6 +68,34 @@ object SimilarityQueries {
       s"(CASE WHEN ${dotSql(wLit, vecCol)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** The ONE product-quantization codebook shared by v15's full-scan
+    * search, the indexed v16 build+search, and both oracles: m=4
+    * subspaces × ksub=8 centroids × 16 dims, hash-derived
+    * ([[Similarity.pqCodebook]]) so the SQL replay embeds the same
+    * literals.
+    */
+  private[queries] val pqCb = Similarity.pqCodebook(4, 8, 16)
+  private def pqRowLit(s: Int, c: Int) = pqCb(s)(c).mkString("[", ",", "]")
+  private def pqCbLit(s: Int) = (0 until 8).map(pqRowLit(s, _)).mkString("[", ",", "]")
+  /** Per-subspace candidate inner products of `embedding` against all
+    * ksub codebook rows, as one SQL list (the encode argmax scans it).
+    */
+  private def pqDsSql(s: Int) = {
+    val sub = s"embedding[${s * 16 + 1}:${(s + 1) * 16}]"
+    (0 until 8).map(c => dotSql(pqRowLit(s, c), sub))
+      .mkString("[", ",\n             |    ", "]")
+  }
+  private lazy val pqDsCols = (0 until 4).map(s => s"${pqDsSql(s)} AS ds$s")
+    .mkString(",\n             |  ")
+  /** Encode: first index of the max inner product (1-based list_position
+    * − 1) ≡ the Spark struct-argmax tie-break (ties → lowest code).
+    */
+  private lazy val pqCodeCols = (0 until 4)
+    .map(s => s"list_position(ds$s, list_max(ds$s)) - 1 AS k$s")
+    .mkString(", ")
+  private lazy val pqReconSql = (0 until 4)
+    .map(s => s"(${pqCbLit(s)})[k$s + 1]").mkString(" || ")
+
   /** v4 AND v8 oracle: IVF cell-restricted top-k over the 16
     * stand-in centroids. One definition for both because the live
     * `ivfTopK` and the materialized `IvfIndex` search must agree
@@ -637,7 +665,8 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
-        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
+          pqCb = Some(pqCb))
         IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, centroids = cent)
           .orderBy("p_id", "rn")
@@ -848,7 +877,8 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
-        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
+          pqCb = Some(pqCb))
         IvfIndex.searchSq(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, rerankK = 20, centroids = cent)
           .orderBy("p_id", "rn")
@@ -890,6 +920,64 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
+    // V16 — IVF-PQ: v15's product-quantized search INSIDE v8's
+    // cell-partitioned index — the highest-compression production ANN
+    // shape. The SAME memoized artifact serves exact (v8), int8-SQ
+    // (v10) and PQ (v16) search: the build stores all three
+    // representations and each search column-prunes to what it reads —
+    // stage 1 here reads the probed cell partitions only (partition
+    // pruning) and only the m-byte code column (m=4 bytes/vector,
+    // 16× fewer stage-1 bytes than v10's int8 codes). Stage 2
+    // re-scores a bounded pool with exact float cosine from the same
+    // pruned cells. Oracle = the full composition: cell assignment →
+    // in-cell encode/ADC ranking → bounded exact rerank.
+    Q("v16_pq_indexed",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
+          pqCb = Some(pqCb))
+        IvfIndex.searchPq(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, rerankK = 20, centroids = cent,
+            cb = pqCb)
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |asg AS (
+             |  SELECT vec_id, embedding, cell_id FROM (
+             |    SELECT e.vec_id, e.embedding, c.cell_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |    FROM embeddings e CROSS JOIN cent c)
+             |  WHERE crn = 1),
+             |dsrc AS (
+             |  SELECT vec_id, cell_id, embedding,
+             |  $pqDsCols
+             |  FROM asg),
+             |codes AS (SELECT vec_id, cell_id, $pqCodeCols FROM dsrc),
+             |rec AS (SELECT vec_id, cell_id, $pqReconSql AS recon FROM codes),
+             |qp AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+             |       FROM asg WHERE vec_id < 10),
+             |a AS (SELECT p_id, rec.vec_id, ${dotSql("p_vec", "recon")} AS adc
+             |      FROM rec JOIN qp USING (cell_id) WHERE rec.vec_id <> p_id),
+             |pool AS (SELECT p_id, vec_id FROM (
+             |    SELECT p_id, vec_id,
+             |      row_number() OVER (PARTITION BY p_id ORDER BY adc DESC, vec_id) AS rn
+             |    FROM a) WHERE rn <= 20),
+             |prv AS (SELECT vec_id AS p_id, embedding AS p_vec
+             |        FROM embeddings WHERE vec_id < 10),
+             |ex AS (SELECT pool.p_id, pool.vec_id,
+             |         ${cosSql("prv.p_vec", "e.embedding")} AS cos_raw
+             |       FROM pool JOIN embeddings e ON e.vec_id = pool.vec_id
+             |            JOIN prv ON prv.p_id = pool.p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id
+             |          ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM ex)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
+
     // V15 — PRODUCT-QUANTIZED two-stage top-k: the extreme-compression
     // end of the quantized-search spectrum (v9 SQ = dims bytes/vector;
     // PQ = m bytes/vector — 16× fewer stage-1 bytes at m=4 over 64
@@ -907,28 +995,12 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 5, rerankK = 20)
           .orderBy("p_id", "rn")
       },
-      {
-        val cb = Similarity.pqCodebook(4, 8, 16)
-        def rowLit(s: Int, c: Int) = cb(s)(c).mkString("[", ",", "]")
-        def cbLit(s: Int) = (0 until 8).map(rowLit(s, _)).mkString("[", ",", "]")
-        def dsSql(s: Int) = {
-          val sub = s"embedding[${s * 16 + 1}:${(s + 1) * 16}]"
-          (0 until 8).map(c => dotSql(rowLit(s, c), sub))
-            .mkString("[", ",\n             |    ", "]")
-        }
-        val dsCols = (0 until 4).map(s => s"${dsSql(s)} AS ds$s")
-          .mkString(",\n             |  ")
-        val codeCols = (0 until 4)
-          .map(s => s"list_position(ds$s, list_max(ds$s)) - 1 AS k$s")
-          .mkString(", ")
-        val reconSql = (0 until 4)
-          .map(s => s"(${cbLit(s)})[k$s + 1]").mkString(" || ")
-        Some(s"""WITH dsrc AS (
+      Some(s"""WITH dsrc AS (
                |  SELECT vec_id, embedding,
-               |  $dsCols
+               |  $pqDsCols
                |  FROM embeddings),
-               |codes AS (SELECT vec_id, $codeCols FROM dsrc),
-               |rec AS (SELECT vec_id, $reconSql AS recon FROM codes),
+               |codes AS (SELECT vec_id, $pqCodeCols FROM dsrc),
+               |rec AS (SELECT vec_id, $pqReconSql AS recon FROM codes),
                |pr AS (SELECT vec_id AS p_id, embedding AS p_vec
                |       FROM embeddings WHERE vec_id < 10),
                |a AS (SELECT p_id, rec.vec_id, ${dotSql("p_vec", "recon")} AS adc
@@ -946,8 +1018,7 @@ object SimilarityQueries {
                |          ORDER BY cos_raw DESC, vec_id) AS rn
                |      FROM ex)
                |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
-               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)
-      }),
+               |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
     // SQL2 — vector search through the plain SQL front-end: the same
     // top-k semantics as v1 written entirely in SQL against a view,

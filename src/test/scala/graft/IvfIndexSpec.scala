@@ -147,6 +147,45 @@ class IvfIndexSpec extends AnyFunSuite {
       s"no float-only scan (rerank would read codes too): $schemas")
   }
 
+  test("PQ search degenerates to exact with a full pool and reads only the code column in stage 1") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val probes = corpus.filter(col("vec_id").isin(10L, 21L, 33L))
+    val cb = Similarity.pqCodebook(2, 4, 4) // 2 subspaces over 8 dims
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path, pqCb = Some(cb))
+    // rerankK ≥ |corpus| ⇒ the ADC stage keeps every in-cell
+    // candidate, so the exact rerank must reproduce ivfTopK
+    // row-for-row (and an out-of-range code would null the ADC score
+    // and break this equality — the same implicit range proof as
+    // AnnRecallSpec's flat-PQ law)
+    for (nprobe <- Seq(1, 2)) {
+      val live = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+          k = 5, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      val pq = IvfIndex.searchPq(spark, path, probes, "vec_id", "embedding",
+          k = 5, rerankK = 64, centroids = cent, cb = cb, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      assert(pq == live, s"nprobe=$nprobe")
+    }
+    // the bytes story: stage 1 reads the m-byte codes only — neither
+    // the float vectors nor the int8 SQ codes ride along
+    val res = IvfIndex.searchPq(spark, path,
+      corpus.filter(col("vec_id") === 10L), "vec_id", "embedding",
+      k = 3, rerankK = 8, centroids = cent, cb = cb)
+    val schemas = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains(path.split('/').last)) =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(schemas.exists(s =>
+      s.contains("pqc") && !s.contains("embedding") && !s.contains("qv")),
+      s"no code-only stage-1 scan: $schemas")
+    assert(schemas.exists(s => s.contains("embedding") && !s.contains("pqc")),
+      s"no float-only rerank scan: $schemas")
+  }
+
   test("incremental fold-in equals the one-shot build and still prunes per batch") {
     val corpus = vecs(64)
     val cent = corpus.filter(col("vec_id") < 4)
