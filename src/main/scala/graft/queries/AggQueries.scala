@@ -821,6 +821,37 @@ object AggQueries {
              |      FROM smp)
              |SELECT grp, CAST(n AS BIGINT) AS sample_n,
              |  cents AS est_median_cents
-             |FROM r WHERE vrn = (n + 1) // 2 ORDER BY grp""".stripMargin))
+             |FROM r WHERE vrn = (n + 1) // 2 ORDER BY grp""".stripMargin)),
+
+    // G25 — last-observation-carried-forward: per customer, the most
+    // recent URGENT order price carried forward across subsequent
+    // orders via `last(..., ignoreNulls)` over a running ROWS frame —
+    // the IGNORE NULLS window family (gap-filling / sparse-sensor
+    // forward-fill) the plain frames g7/g22 don't exercise. One
+    // shuffle on the partition key; rows before the first urgent
+    // order stay NULL on both engines.
+    Q("g25_locf",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("urgent_cents", when(col("o_orderpriority") === "1-URGENT",
+            floor(col("o_totalprice") * 100 + 0.5).cast(LongType)))
+          .withColumn("locf_cents",
+            last(col("urgent_cents"), ignoreNulls = true).over(w))
+          .select("o_custkey", "o_orderkey", "urgent_cents", "locf_cents")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, urgent_cents,
+             |  last_value(urgent_cents IGNORE NULLS) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+             |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             |        CASE WHEN o_orderpriority = '1-URGENT'
+             |             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |        END AS urgent_cents
+             |      FROM orders)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }
