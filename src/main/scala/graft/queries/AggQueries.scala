@@ -823,6 +823,49 @@ object AggQueries {
              |  cents AS est_median_cents
              |FROM r WHERE vrn = (n + 1) // 2 ORDER BY grp""".stripMargin)),
 
+    // SQL7 — RECURSIVE CTE through the SQL front-end (Spark 4's
+    // WITH RECURSIVE): each customer's orders walked as a linked
+    // chain from their first order, depth accumulated per recursion
+    // step — the iterative-closure SQL family (org charts, BOM
+    // explosions, graph reachability) that until Spark 4 required
+    // driver-side loops. The engine iterates the recursive arm to a
+    // fixpoint (bounded here by the longest per-customer chain), and
+    // the oracle runs the IDENTICAL recursion in DuckDB. depth is
+    // pinned equal to the rank it chains over, so correctness of the
+    // recursion is cell-checkable, not just row-countable.
+    Q("sql7_recursive_chain",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        s.sql("""WITH RECURSIVE nxt AS (
+                |  SELECT o_custkey, o_orderkey,
+                |    row_number() OVER (PARTITION BY o_custkey
+                |      ORDER BY o_orderdate, o_orderkey) AS rn
+                |  FROM orders_sql WHERE o_custkey < 100),
+                |chain AS (
+                |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
+                |  FROM nxt WHERE rn = 1
+                |  UNION ALL
+                |  SELECT n.o_custkey, n.o_orderkey, n.rn, c.depth + 1
+                |  FROM chain c JOIN nxt n
+                |    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1)
+                |SELECT o_custkey, o_orderkey, depth FROM chain
+                |ORDER BY o_custkey, depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE nxt AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders WHERE o_custkey < 100),
+             |chain AS (
+             |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
+             |  FROM nxt WHERE rn = 1
+             |  UNION ALL
+             |  SELECT n.o_custkey, n.o_orderkey, n.rn, c.depth + 1
+             |  FROM chain c JOIN nxt n
+             |    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1)
+             |SELECT o_custkey, o_orderkey, depth FROM chain
+             |ORDER BY o_custkey, depth""".stripMargin)),
+
     // G25 — last-observation-carried-forward: per customer, the most
     // recent URGENT order price carried forward across subsequent
     // orders via `last(..., ignoreNulls)` over a running ROWS frame —
