@@ -832,15 +832,21 @@ object AggQueries {
     // fixpoint (bounded here by the longest per-customer chain), and
     // the oracle runs the IDENTICAL recursion in DuckDB. depth is
     // pinned equal to the rank it chains over, so correctness of the
-    // recursion is cell-checkable, not just row-countable.
+    // recursion is cell-checkable, not just row-countable. The walk
+    // is capped at depth 10 — the bounded-recursion guard every
+    // production recursive query carries (Spark's own engine cap is
+    // spark.sql.cteRecursionLevelLimit), and each level is a full
+    // Spark job, so the cap also bounds the fixpoint's round count.
     Q("sql7_recursive_chain",
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("orders_sql")
         s.sql("""WITH RECURSIVE nxt AS (
-                |  SELECT o_custkey, o_orderkey,
-                |    row_number() OVER (PARTITION BY o_custkey
-                |      ORDER BY o_orderdate, o_orderkey) AS rn
-                |  FROM orders_sql WHERE o_custkey < 100),
+                |  SELECT * FROM (
+                |    SELECT o_custkey, o_orderkey,
+                |      row_number() OVER (PARTITION BY o_custkey
+                |        ORDER BY o_orderdate, o_orderkey) AS rn
+                |    FROM orders_sql WHERE o_custkey < 100)
+                |  WHERE rn <= 10),
                 |chain AS (
                 |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
                 |  FROM nxt WHERE rn = 1
@@ -852,10 +858,12 @@ object AggQueries {
                 |ORDER BY o_custkey, depth""".stripMargin)
       },
       Some("""WITH RECURSIVE nxt AS (
-             |  SELECT o_custkey, o_orderkey,
-             |    row_number() OVER (PARTITION BY o_custkey
-             |      ORDER BY o_orderdate, o_orderkey) AS rn
-             |  FROM orders WHERE o_custkey < 100),
+             |  SELECT * FROM (
+             |    SELECT o_custkey, o_orderkey,
+             |      row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey) AS rn
+             |    FROM orders WHERE o_custkey < 100)
+             |  WHERE rn <= 10),
              |chain AS (
              |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
              |  FROM nxt WHERE rn = 1
