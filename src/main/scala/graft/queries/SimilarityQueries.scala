@@ -175,6 +175,52 @@ object SimilarityQueries {
     s.read.parquet(path)
   }
 
+  /** The embedding near-dup cluster assignment (v12's result table),
+    * built ONCE per (JVM, sfDir) and persisted parquet — v12 and the
+    * semantic-dedup d11 read the one artifact, exactly as d8/c6/c8
+    * share [[simhashClusters]]. Deterministic, so memoization is
+    * invisible to both oracles.
+    */
+  private def embeddingClusters(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.engine.TempArtifacts.getOrBuild(s"$d#embclusters", "graft_embcc") { p =>
+      val e = Tables.embeddings(s, d)
+      val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          minCos = 0.4, nPlanes = 4, dims = 64, maxBucket = 100000)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(e.select("vec_id"), "vec_id",
+          pairs, "id_a", "id_b")
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The v12/d11 oracle's shared WITH-chain: SRP-bucketed cosine
+    * pairs → symmetric edges → recursive reachability → per-id min
+    * root (`g`: vec_id, cluster_id) + cluster sizes (`sz`). One
+    * definition so the cluster query and the semantic-dedup corpus
+    * filter cannot diverge.
+    */
+  private lazy val embClusterCte: String = {
+    val bucketSql = srpBucketSql(4, 64, "embedding")
+    s"""WITH RECURSIVE b0 AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |okb AS (SELECT bucket FROM b0 GROUP BY bucket
+       |        HAVING count(*) <= 100000),
+       |b AS (SELECT b0.* FROM b0 JOIN okb USING (bucket)),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |      WHERE CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) >= 4000000),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+       |reach(id, root) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+       |g AS (SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM g GROUP BY 1)""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // D1 — exact dedup by content-hash groupBy: canonical id = min id
@@ -1144,37 +1190,37 @@ object SimilarityQueries {
     // generator differs (SRP-bucketed cosine pairs instead of SimHash
     // Hamming pairs).
     Q("v12_embedding_clusters",
+      (s, d) => embeddingClusters(s, d).orderBy("vec_id"),
+      Some(s"""$embClusterCte
+             |SELECT vec_id, cluster_id, cluster_size,
+             |       vec_id = cluster_id AS is_canonical
+             |FROM g JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin)),
+
+    // D11 — SEMANTIC dedup of the document corpus: documents whose
+    // EMBEDDINGS are near-duplicates (same v12 cluster) collapse to
+    // one representative — the cross-modal training-data op (paraphrase
+    // / re-render dedup) that text-hash dedup (d1/d8) cannot see. The
+    // survivor rule is the same min-id canonicality as every dedup
+    // here; the cluster assignment is the SHARED memoized artifact
+    // (one component computation serves v12 and this corpus filter),
+    // and the documents join is a broadcast of the |corpus|-row
+    // assignment — at 100 TB the assignment table is ids+labels, tiny
+    // beside the text it filters.
+    Q("d11_semantic_dedup",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
-            minCos = 0.4, nPlanes = 4, dims = 64, maxBucket = 100000)
-          .select("id_a", "id_b")
-        Dedup.connectedComponents(e.select("vec_id"), "vec_id",
-            pairs, "id_a", "id_b")
-          .orderBy("vec_id")
+        val cl = embeddingClusters(s, d)
+        Tables.documents(s, d)
+          .join(cl.filter(col("is_canonical")),
+            col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("cluster_size"), col("lang"))
+          .orderBy("doc_id")
       },
-      {
-        val bucketSql = srpBucketSql(4, 64, "embedding")
-        Some(s"""WITH RECURSIVE b0 AS (
-               |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-               |okb AS (SELECT bucket FROM b0 GROUP BY bucket
-               |        HAVING count(*) <= 100000),
-               |b AS (SELECT b0.* FROM b0 JOIN okb USING (bucket)),
-               |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-               |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-               |      WHERE CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1e7) AS BIGINT) >= 4000000),
-               |e AS (SELECT id_a AS src, id_b AS dst FROM p
-               |      UNION SELECT id_b AS src, id_a AS dst FROM p),
-               |reach(id, root) AS (
-               |  SELECT vec_id, vec_id FROM embeddings
-               |  UNION
-               |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
-               |g AS (SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY 1),
-               |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM g GROUP BY 1)
-               |SELECT vec_id, cluster_id, cluster_size,
-               |       vec_id = cluster_id AS is_canonical
-               |FROM g JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin)
-      }),
+      Some(s"""$embClusterCte
+             |SELECT d.doc_id, sz.cluster_size, d.lang
+             |FROM g JOIN sz USING (cluster_id)
+             |     JOIN documents d ON d.doc_id = g.vec_id
+             |WHERE g.vec_id = g.cluster_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ST9 — ONLINE embedding ingest probe: vectors ≥ 400 arrive as a
     // real file-source stream and each is flagged against the same
