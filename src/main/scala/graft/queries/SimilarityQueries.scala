@@ -628,6 +628,78 @@ object SimilarityQueries {
              |      FROM corpus)
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // C9 — the FULL training-data recipe: c8's pipeline with t9's
+    // benchmark DECONTAMINATION composed in — the one stage c8 lacked.
+    // The final corpus is cleaned (t8) ∧ leakage-safe train split
+    // (c6/d8) ∧ NOT sharing ≥3 distinct 3-grams with the eval set
+    // (t9, as a left-anti join against the inverted-index hits) →
+    // per-language token packing (c3). Still ONE declarative plan;
+    // the anti join's right side is the (tiny) contaminated-id set,
+    // broadcast against the surviving corpus. The oracle concatenates
+    // the four stages' standalone WITH-chains (decontamination CTEs
+    // d-prefixed to avoid name capture), so the composition cannot
+    // diverge from its parts.
+    Q("c9_decontaminated_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val contaminated = Dedup.ngramContamination(
+            docs.filter(col("doc_id") >= 20), "doc_id", "text",
+            docs.filter(col("doc_id") < 20),
+            n = 3, minShared = 3, maxDf = 1000)
+          .select("doc_id").distinct()
+        val h = conv(substring(md5(col("cluster_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType)
+        val train = simhashClusters(s, d)
+          .filter(h % 10 >= 2)
+          .select("doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        TextQueries.cleanDocs(s, d).join(train, "doc_id")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""${TextQueries.survCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |$simhashCandCte,
+             |pp AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 6),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+             |      UNION SELECT doc_b AS src, doc_a AS dst FROM pp),
+             |reach(id, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+             |cg AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1),
+             |tr AS (SELECT doc_id FROM cg
+             |       WHERE CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 >= 2),
+             |dtok AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |dshs AS (SELECT doc_id, $shinglesSql AS shingles FROM dtok),
+             |dsh AS (SELECT doc_id,
+             |  list_distinct(list_transform(shingles, s -> ${hash60Sql("s")})) AS hs
+             |  FROM dshs),
+             |dcx AS (SELECT doc_id, h FROM dsh, unnest(hs) AS t(h) WHERE doc_id >= 20),
+             |dokh AS (SELECT h FROM dcx GROUP BY h HAVING count(*) <= 1000),
+             |dex AS (SELECT doc_id AS eval_id, h FROM dsh, unnest(hs) AS t(h)
+             |        WHERE doc_id < 20),
+             |dcp AS (SELECT dcx.doc_id, dex.eval_id, count(*) AS n_shared
+             |        FROM dcx JOIN dokh USING (h) JOIN dex USING (h)
+             |        GROUP BY 1, 2),
+             |contaminated AS (SELECT DISTINCT doc_id FROM dcp WHERE n_shared >= 3),
+             |corpus AS (SELECT surv.doc_id, surv.lang, surv.n_tokens
+             |           FROM surv JOIN tr USING (doc_id)
+             |           WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+             |                             WHERE c.doc_id = surv.doc_id))
+             |SELECT lang, doc_id, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+             |FROM (SELECT lang, doc_id, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM corpus)
+             |ORDER BY lang, doc_id""".stripMargin)),
+
     // D7 — edit-distance fuzzy matching: candidate pairs meet only
     // inside a (brand, size) blocking bucket — classic blocking-key
     // record linkage, never an all-pairs Levenshtein.
