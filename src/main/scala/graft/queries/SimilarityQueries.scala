@@ -1328,6 +1328,38 @@ object SimilarityQueries {
                |ORDER BY vec_id, matched_id""".stripMargin)
       }),
 
+    // ST13 — STREAMING index maintenance: the served IVF index kept
+    // current from a live stream — vectors ≥ 400 arrive as a real
+    // file-source stream and every micro-batch folds into the index
+    // through `foreachBatch` + the same atomic `foldBatch` manifest
+    // commit v13 uses (a crash between micro-batches leaves the index
+    // serving every batch committed so far; the checkpointed source
+    // replays nothing). The closing search over the maintained index
+    // must equal the one-shot v4/v8 build — shared oracle verbatim.
+    // The production loop this pins: readStream → foreachBatch(fold)
+    // is the entire ingest side of a continuously-served ANN index.
+    Q("st13_stream_index_maintenance",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#ivfstream", "graft_ivf_stream") { p =>
+          IvfIndex.foldBatch(e.filter(col("vec_id") < 400), "vec_id", "embedding",
+            cent, p, overwrite = true)
+          graft.streaming.Streaming.runForeachBatch(s, s"$d/embeddings.parquet",
+            "append") { df =>
+            df.filter(col("vec_id") >= 400)
+          } { (batch, _) =>
+            if (!batch.isEmpty)
+              IvfIndex.foldBatch(batch, "vec_id", "embedding", cent, p,
+                overwrite = false)
+          }
+        }
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cent)
+          .orderBy("p_id", "rn")
+      },
+      Some(ivfStandInOracle)),
+
     // MM4 — multimodal features FEED the ANN surface: the stub media
     // features (mm2's 8 integer digest slices) become an 8-dim vector
     // and run through the SAME SRP-bucketed top-k as real embeddings.
