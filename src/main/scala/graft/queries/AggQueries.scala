@@ -903,6 +903,38 @@ object AggQueries {
              |             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
              |        END AS urgent_cents
              |      FROM orders)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // G27 — DATE-SPINE gap fill: a contiguous calendar generated from
+    // the data's own [min, max] date bounds (`sequence` exploded from
+    // a one-row aggregate — no driver loop, no static literal), left-
+    // joined to the daily rollup with zero-fill — the shape every
+    // time-series report needs so days with no orders appear as 0
+    // instead of vanishing. The spine is tiny (one row per day) and
+    // broadcast against the aggregated side; the raw table is touched
+    // exactly once, by the rollup.
+    Q("g27_date_spine",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val spine = o
+          .agg(min(to_date(col("o_orderdate"))).as("d0"),
+            max(to_date(col("o_orderdate"))).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+        val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("day")
+      },
+      Some("""WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             |                  max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+             |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |          FROM b),
+             |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+             |          FROM orders GROUP BY 1)
+             |SELECT spine.day, coalesce(daily.n_orders, 0) AS n_orders
+             |FROM spine LEFT JOIN daily USING (day)
+             |ORDER BY day""".stripMargin))
   )
 }
