@@ -162,6 +162,33 @@ object StreamQueries {
              |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
 
+    // ST14 — streaming → JDBC warehouse refresh: a complete-mode
+    // per-user aggregation drained through `foreachBatch` into Derby
+    // with K2's truncate-and-reload — the idempotent-refresh loop the
+    // runForeachBatch contract promises (every micro-batch rewrites
+    // the target with the aggregation-so-far, so the final table is
+    // the batch answer NO MATTER how the source split into
+    // micro-batches, and a replayed batch is harmless). The query
+    // returns the Derby table read back, so the oracle checks the
+    // composed streaming→sink→scan round trip cell-for-cell, not just
+    // the in-memory aggregation.
+    Q("st14_stream_jdbc_refresh",
+      (s, d) => {
+        val props = new java.util.Properties()
+        val url = "jdbc:derby:memory:graft_st14;create=true"
+        graft.streaming.Streaming.runForeachBatch(s, s"$d/events.parquet",
+          "complete") { df =>
+          df.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        } { (batch, _) =>
+          graft.io.Sinks.truncateReload(batch, url, "st14_totals", props)
+        }
+        s.read.jdbc(url, "st14_totals", props)
+          .select(col("user_id"), col("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events FROM events
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // ST12 — stream-stream LEFT OUTER interval join: st6's funnel
     // join plus the unmatched-view arm. Matched rows emit as they
     // form; an unmatched view emits (view, NULL) only once the
