@@ -97,4 +97,49 @@ class StreamingSpec extends AnyFunSuite {
     val rows = out.as[(java.sql.Timestamp, Long)].collect().toSeq
     assert(rows == Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 30L)))
   }
+
+  test("outer stream-stream join: unmatched rows emit on expiry, boundary rows are withheld") {
+    // st12's state-expiry contract at the exact boundary the sf0.01
+    // oracle cannot exercise (no testdata view sits precisely at
+    // watermark − 10 min). Watermark delay 1h, join window 10 min,
+    // max ts 06:00 → final watermark 05:00:
+    //  - view 00:00, click 00:05      → matched row emits
+    //  - view 01:00, no click         → 01:10 < 05:00 proves expiry →
+    //                                   (view, NULL) emits
+    //  - view 04:50, no click         → 05:00 == watermark: NOT
+    //                                   strictly past, withheld (the
+    //                                   strict `<` the st12 oracle
+    //                                   mirrors)
+    //  - view 05:55, no click         → newer than watermark, withheld
+    val dir = Files.createTempDirectory("graft_outer_join_fixture")
+    val p = s"$dir/ev.parquet"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, "view",  ts("2024-01-01 00:00:00"), 100L),
+      (1L, "click", ts("2024-01-01 00:05:00"), 101L),
+      (2L, "view",  ts("2024-01-01 01:00:00"), 200L),
+      (3L, "view",  ts("2024-01-01 04:50:00"), 300L),
+      (4L, "view",  ts("2024-01-01 05:55:00"), 400L),
+      (5L, "other", ts("2024-01-01 06:00:00"), 500L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.parquet(p)
+    val out = Streaming.runAvailableNow(spark, p, "append") { df =>
+      val wm = df.withWatermark("ts", "1 hour")
+      val views = wm.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = wm.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select(col("user_id"), col("view_id"), col("click_id"))
+    }
+    val rows = out.orderBy("view_id")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, 100L, Some(101L)), (2L, 200L, None)),
+      s"got $rows — boundary/fresh views must stay withheld, expired view must null-emit")
+  }
 }
