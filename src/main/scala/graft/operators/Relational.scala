@@ -120,6 +120,42 @@ object Relational {
       .drop("_rj_bucket")
   }
 
+  /** Bucketized INTERVAL-OVERLAP join (scale extension): every pair
+    * of rows whose `[lStart, lEnd]` and `[rStart, rEnd]` intervals
+    * OVERLAP, endpoints inclusive (`lStart <= rEnd AND rStart <=
+    * lEnd`) — the range-RANGE sibling of [[rangeJoin]]'s point-range
+    * containment, and like it a BroadcastNestedLoop replacement:
+    * BOTH sides explode to every bucket their interval covers, the
+    * join becomes a bucket equi-join, and the exact predicate filters
+    * residually. Unlike the point case a pair can meet in SEVERAL
+    * shared buckets, so each pair is kept only in the FIRST bucket
+    * both intervals cover — `greatest(startBucket_l, startBucket_r)`,
+    * which overlapping intervals always share — making the dedup a
+    * pure codegen'd filter instead of a DISTINCT shuffle over the
+    * pair set. Shuffle volume = Σ ⌈span/bucket⌉ over both sides; pick
+    * `bucketSeconds` near the typical interval span.
+    *
+    * Contract: all four columns are timestamps (UTC session), the two
+    * inputs share no column names, and every interval has start <=
+    * end (violating rows match nothing, as with the naive predicate).
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          bucketSeconds: Long = 7L * 86400): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / bucketSeconds).cast(LongType)
+    val lb = left.withColumn("_oj_bucket",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right.withColumn("_oj_bucket",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    lb.join(rb, Seq("_oj_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_oj_bucket") ===
+        greatest(bucketOf(col(lStart)), bucketOf(col(rStart))))
+      .drop("_oj_bucket")
+  }
+
   /** Skew-salted equi-join (scale extension): the big (skewed) side
     * gets a deterministic salt derived from `saltFrom`; the small
     * side is replicated once per salt value; the join key becomes

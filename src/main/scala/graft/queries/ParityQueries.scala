@@ -308,6 +308,42 @@ object ParityQueries {
              |WHERE l.l_quantity = 50 AND o.o_totalprice > 400000
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // J12 (scale extension): interval-OVERLAP join — shipping windows
+    // [shipdate, shipdate + quantity days] (1–50-day spans, so
+    // intervals genuinely cover several week buckets) overlapping
+    // order-activity windows [orderdate, orderdate + 7d], no key in
+    // common: the range-RANGE sibling of j9. Both sides
+    // bucket-explode, the join is a bucket equi-join, and the
+    // first-common-bucket filter dedups pairs without a DISTINCT
+    // shuffle. Oracle = the naive overlap theta join. Output ordered
+    // by every column (duplicate lineitem rows make no shorter key
+    // total).
+    Q("j12_interval_overlap_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_partkey") < 10)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_shipdate"),
+            expr("l_shipdate + make_interval(0, 0, 0, CAST(l_quantity AS INT), 0, 0, 0)")
+              .as("l_shipend"))
+        val o = Tables.orders(s, d).filter(col("o_custkey") < 5)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+        graft.operators.Relational.intervalOverlapJoin(
+            li, "l_shipdate", "l_shipend", o, "o_orderdate", "o_end")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "o_orderkey")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "o_orderkey")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate,
+             |                  l_shipdate + INTERVAL (CAST(l_quantity AS INT)) DAY AS l_shipend
+             |            FROM lineitem WHERE l_partkey < 10),
+             |o AS (SELECT o_orderkey, o_orderdate,
+             |        o_orderdate + INTERVAL 7 DAY AS o_end
+             |      FROM orders WHERE o_custkey < 5)
+             |SELECT l_orderkey, l_linenumber, l_partkey, o_orderkey
+             |FROM li JOIN o
+             |  ON l_shipdate <= o_end AND o_orderdate <= l_shipend
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, o_orderkey""".stripMargin)),
+
     // J5 (scale extension): as-of join — each click attributed to the
     // user's latest prior (or simultaneous) view. Composed as
     // union + running last() — one shuffle on the key; the oracle

@@ -110,6 +110,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(bucketed.distinct == bucketed)
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, one row per pair") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // bucketSeconds = 100: pairs that share one bucket, SEVERAL
+    // buckets (the dedup case the point join never hits), touch only
+    // at an endpoint, and overlap only across a bucket boundary
+    val left = Seq(
+      (1L, ts(10), ts(50)),     // inside bucket 0
+      (2L, ts(90), ts(310)),    // spans buckets 0-3
+      (3L, ts(200), ts(200)),   // degenerate instant
+      (4L, ts(500), ts(600))    // far right
+    ).toDF("l_id", "l_start", "l_end")
+    val right = Seq(
+      (10L, ts(50), ts(95)),    // touches 1 at its endpoint, overlaps 2
+      (11L, ts(100), ts(320)),  // shares buckets 1-3 with 2 → must emit ONCE
+      (12L, ts(200), ts(210)),  // contains 3's instant
+      (13L, ts(601), ts(700))   // gap of 1s to 4 — no overlap
+    ).toDF("r_id", "r_start", "r_end")
+    val naive = left.join(right,
+        col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    val bucketed = Relational.intervalOverlapJoin(left, "l_start", "l_end",
+        right, "r_start", "r_end", bucketSeconds = 100L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketed == naive)
+    assert(naive.contains((1L, 10L)), "endpoint-touching intervals must overlap")
+    assert(naive.contains((2L, 11L)) && bucketed.count(_ == (2L, 11L)) == 1,
+      "a multi-bucket pair must emit exactly once")
+    assert(!naive.contains((4L, 13L)), "1s gap must not match")
+  }
+
   test("asofJoin attaches the latest right value at-or-before each left ts, null when none") {
     val clicks = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
       .toDF("user_id", "ts", "click_id")
