@@ -905,6 +905,50 @@ object AggQueries {
              |      FROM orders)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // SQL8 — GROUP BY ALL / ORDER BY ALL sugar through the SQL
+    // front-end: every non-aggregate select item becomes a grouping
+    // key and the output orders by all columns — the modern
+    // exploratory-SQL shorthand both engines resolve identically
+    // (Spark 3.4+/DuckDB). Ordering by all columns is also exactly
+    // the totality contract the oracle hash needs.
+    Q("sql8_group_by_all",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  count(*) AS n, min(o_orderkey) AS first_key
+                |FROM orders_sql
+                |GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  count(*) AS n, min(o_orderkey) AS first_key
+             |FROM orders
+             |GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // G28 — per-group MODE (most frequent value): the most common
+    // order priority per status via count-then-struct-argmax — two
+    // partial-aggregated shuffles, never a sort of raw rows. Tie
+    // contract: the LARGEST priority string wins (max over
+    // (cnt, value) structs), mirrored exactly by the oracle's
+    // (cnt DESC, value DESC) rank — deterministic where SQL `mode()`
+    // leaves ties unspecified.
+    Q("g28_mode",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("m"))
+        .select(col("o_orderstatus"), col("m.o_orderpriority").as("mode_priority"),
+          col("m.cnt").as("mode_n"))
+        .orderBy("o_orderstatus"),
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |          FROM orders GROUP BY 1, 2),
+             |r AS (SELECT o_orderstatus, o_orderpriority, cnt,
+             |        row_number() OVER (PARTITION BY o_orderstatus
+             |          ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+             |      FROM c)
+             |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_n
+             |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // G27 — DATE-SPINE gap fill: a contiguous calendar generated from
     // the data's own [min, max] date bounds (`sequence` exploded from
     // a one-row aggregate — no driver loop, no static literal), left-
