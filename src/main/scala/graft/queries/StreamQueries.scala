@@ -198,7 +198,12 @@ object StreamQueries {
     // bounded. Views too new for that proof stay withheld at drain,
     // so the oracle applies the same cutoff to its unmatched arm.
     // Null click ids sort FIRST on both engines (Spark ASC default;
-    // DuckDB pinned explicitly).
+    // DuckDB pinned explicitly). Watermark subtlety (caught by an
+    // sf0.1 cross-check, one row off): Catalyst pushes the view/click
+    // filters BELOW the EventTimeWatermark collector, so the
+    // watermark advances on the max ts of the view∪click rows only —
+    // an 'other'-typed event with the globally latest ts does NOT
+    // move it. The oracle's cutoff mirrors that filtered max.
     Q("st12_stream_outer_join",
       (s, d) => Streaming.eventsStream(s, d, "append") { df =>
         val wm = df.withWatermark("ts", "1 hour")
@@ -216,7 +221,7 @@ object StreamQueries {
       }.orderBy("user_id", "view_id", "click_id"),
       Some("""WITH wm AS (
              |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
-             |  FROM events),
+             |  FROM events WHERE event_type IN ('view', 'click')),
              |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
              |      FROM events WHERE event_type = 'view'),
              |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts

@@ -101,16 +101,22 @@ class StreamingSpec extends AnyFunSuite {
   test("outer stream-stream join: unmatched rows emit on expiry, boundary rows are withheld") {
     // st12's state-expiry contract at the exact boundary the sf0.01
     // oracle cannot exercise (no testdata view sits precisely at
-    // watermark − 10 min). Watermark delay 1h, join window 10 min,
-    // max ts 06:00 → final watermark 05:00:
+    // watermark − 10 min). Subtlety this fixture also pins: Catalyst
+    // pushes the view/click filters BELOW the watermark collector, so
+    // the watermark advances on view∪click rows ONLY — the 'other'
+    // row at 06:00 (the globally latest event) must NOT move it.
+    // Watermark delay 1h, join window 10 min → wm = 05:55 − 1h =
+    // 04:55, expiry cutoff = 04:45:
     //  - view 00:00, click 00:05      → matched row emits
-    //  - view 01:00, no click         → 01:10 < 05:00 proves expiry →
+    //  - view 01:00, no click         → 01:10 < 04:55 proves expiry →
     //                                   (view, NULL) emits
-    //  - view 04:50, no click         → 05:00 == watermark: NOT
+    //  - view 04:45, no click         → 04:55 == watermark: NOT
     //                                   strictly past, withheld (the
     //                                   strict `<` the st12 oracle
-    //                                   mirrors)
-    //  - view 05:55, no click         → newer than watermark, withheld
+    //                                   mirrors); would WRONGLY emit
+    //                                   if the 06:00 'other' row
+    //                                   advanced the watermark to 05:00
+    //  - view 05:55, no click         → sets the watermark; withheld
     val dir = Files.createTempDirectory("graft_outer_join_fixture")
     val p = s"$dir/ev.parquet"
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
@@ -118,7 +124,7 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "view",  ts("2024-01-01 00:00:00"), 100L),
       (1L, "click", ts("2024-01-01 00:05:00"), 101L),
       (2L, "view",  ts("2024-01-01 01:00:00"), 200L),
-      (3L, "view",  ts("2024-01-01 04:50:00"), 300L),
+      (3L, "view",  ts("2024-01-01 04:45:00"), 300L),
       (4L, "view",  ts("2024-01-01 05:55:00"), 400L),
       (5L, "other", ts("2024-01-01 06:00:00"), 500L))
       .toDF("user_id", "event_type", "ts", "event_id")
