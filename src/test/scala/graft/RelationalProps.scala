@@ -77,4 +77,35 @@ object RelationalProps extends Properties("Relational") {
           }
       }
     }
+
+  // intervalOverlapJoin law: for ARBITRARY interval sets and bucket
+  // widths, the bucketized plan returns exactly the naive overlap
+  // theta join's pair multiset — each overlapping pair once,
+  // regardless of how many buckets the pair shares (the dedup-filter
+  // subtlety a fixed fixture can only spot-check)
+  property("intervalOverlapJoin == naive overlap join for arbitrary intervals") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2000L), Gen.choose(0L, 1500L)))
+        .map(_.take(8)),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2000L), Gen.choose(0L, 1500L)))
+        .map(_.take(8)),
+      Gen.choose(50L, 700L)) { (ls, rs, bucketSecs) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      def mk(xs: List[(Long, Long)], s: String, e: String, id: String) =
+        xs.zipWithIndex.map { case ((a, span), i) => (i.toLong, a, a + span) }
+          .toDF(id, "s_in", "e_in")
+          .withColumn(s, timestamp_seconds(col("s_in")))
+          .withColumn(e, timestamp_seconds(col("e_in")))
+          .drop("s_in", "e_in")
+      val l = mk(ls, "l_s", "l_e", "l_id")
+      val r = mk(rs, "r_s", "r_e", "r_id")
+      val naive = l.join(r, col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+        .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+      val bucketed = Relational.intervalOverlapJoin(l, "l_s", "l_e", r, "r_s", "r_e",
+          bucketSeconds = bucketSecs)
+        .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+      bucketed == naive
+    }
 }
