@@ -40,6 +40,12 @@ object IvfIndex {
   private def assigned(corpus: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, keep: Seq[String],
                        pqCb: Option[Array[Array[Array[Long]]]]): DataFrame = {
+    // the stored code column is array<tinyint>; a subspace codebook
+    // with > 128 rows would produce codes the non-ANSI cast silently
+    // wraps/nulls, corrupting every later searchPq — fail at build time
+    pqCb.foreach(cb => require(cb.forall(_.length <= 128),
+      s"PQ codebook ksub=${cb.map(_.length).max} exceeds 128, the largest " +
+        "code the index's tinyint storage can hold"))
     val amax = Similarity.amaxOf(col(vecCol))
     val base = Similarity.ivfAssign(corpus, idCol, vecCol, centroids, keep)
       .withColumn("qv", when(amax > 0,
@@ -101,6 +107,30 @@ object IvfIndex {
     else spark.read.parquet(path)
   }
 
+  /** The probe→cell assignment, materialized ONCE to the driver and
+    * re-exposed as a local relation: (assignment frame, distinct cell
+    * ids). Driver-bounded by contract — probes are the small broadcast
+    * side of every search, so this is ≤ |probes| × nprobe rows, the
+    * same boundedness as the pruning list itself. Replaces the former
+    * MEMORY_AND_DISK pin of the assignment plan (its two consumers —
+    * the collected pruning list and the join's broadcast side — each
+    * re-ran the job unpinned), which was never unpersisted and leaked
+    * one cached plan per search call in a long-lived session; a local
+    * relation needs no cache and no cleanup.
+    */
+  private def collectedProbeCells(probes: DataFrame, idCol: String,
+                                  vecCol: String, centroids: DataFrame,
+                                  nprobe: Int): (DataFrame, Seq[Long]) = {
+    val pc = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
+    val rows = pc.collect()
+    val ci = pc.schema.fieldIndex("cell_id")
+    val cells = rows.iterator.filterNot(_.isNullAt(ci)).map(_.getLong(ci))
+      .toSeq.distinct
+    val local = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pc.schema)
+    (local, cells)
+  }
+
   /** Top-k cosine search over a built index. Reads ONLY the cell
     * partitions the probes hash to (static partition pruning via the
     * collected probe-cell list); ranking is the same bounded k-heap
@@ -111,15 +141,7 @@ object IvfIndex {
              nprobe: Int = 1,
              candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    // pinned because the probe plan feeds two consumers — the
-    // collected pruning list and the join's broadcast side — and
-    // without the pin the assignment job would execute twice
-    val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // driver-bounded by contract: probes are the small broadcast side,
-    // so |cells| ≤ |probes| × nprobe
-    val cells = pCells.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
     val idx = indexFrame(spark, path)
     val prunedCells =
       if (cells.isEmpty) idx.filter(lit(false))
@@ -157,11 +179,7 @@ object IvfIndex {
                centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
-    // same two-consumer pin as [[search]]
-    val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = pCells.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
     val idx = indexFrame(spark, path)
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))
@@ -208,11 +226,7 @@ object IvfIndex {
                nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
-    // same two-consumer pin as [[search]]
-    val pCells = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = pCells.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
     val idx = indexFrame(spark, path)
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))

@@ -137,7 +137,11 @@ object Relational {
     *
     * Contract: all four columns are timestamps (UTC session), the two
     * inputs share no column names, and every interval has start <=
-    * end (violating rows match nothing, as with the naive predicate).
+    * end. Rows violating start <= end behave exactly as under the
+    * naive `lStart <= rEnd AND rStart <= lEnd` predicate — an
+    * inverted interval can still satisfy it, and `sequence()`
+    * descends when start > stop, so the bucketized join reproduces
+    * those naive matches rather than dropping them.
     */
   def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
                           right: DataFrame, rStart: String, rEnd: String,

@@ -435,8 +435,18 @@ object Similarity {
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val cb = pqCodebook(m, ksub, dims / m)
-    val codes = candidates.select(col(idCol), pqEncode(col(vecCol), cb).as("codes"))
-    val p = probes.select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))
+    // a vector whose length ≠ dims would slice/zip into NULL ADC
+    // scores, which the k-heap silently EXCLUDES — wrong results, not
+    // an error. assert_true is codegen'd and returns null when the
+    // check passes, so the filter keeps every valid row and the scan
+    // FAILS (never drops) on the first mismatched vector.
+    def dimsChecked(df: DataFrame): DataFrame = df.filter(
+      assert_true(size(col(vecCol)) === dims,
+        lit(s"pqTopK: $vecCol length != dims=$dims")).isNull)
+    val codes = dimsChecked(candidates)
+      .select(col(idCol), pqEncode(col(vecCol), cb).as("codes"))
+    val p = dimsChecked(probes)
+      .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"))
     val approx = codes.crossJoin(broadcast(p))
       .filter(col("p_id") =!= col(idCol))
       .select(col("p_id"), col(idCol),
