@@ -176,6 +176,43 @@ object Dedup {
       .select("band", "bh")
   }
 
+  /** Verified near-dup pairs among ALL docs of an indexed corpus,
+    * computed ENTIRELY from the persisted index parts — bands for
+    * candidates, `bucket_counts` for the skew valve, `sigs` for the
+    * Jaccard verification. Output is identical to
+    * `minhashLshPairs(indexed docs)` with the index's n/k/nBands
+    * (the index stores exactly that run's signatures and band keys),
+    * but never re-reads or re-tokenizes the text — at corpus scale
+    * the signature kernel is the dominant cost, and it was already
+    * paid when the index was built. This is how a pipeline derives
+    * its initial cluster assignment from the same state
+    * [[incrementalLshPairs]] probes.
+    */
+  def indexedLshPairs(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idCol: String,
+                      jaccardMin: Double = 0.4,
+                      maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
+    val snap = graft.io.BatchedIndex.committed(spark, indexPath)
+    val bands = graft.io.BatchedIndex.read(spark, indexPath, "bands", snap)
+    val okBuckets = okBucketsFromCounts(spark, indexPath, snap, None, maxBucket)
+    val bounded = bands.join(okBuckets, Seq("band", "bh"))
+    val cand = bounded.as("a").join(bounded.as("b"), Seq("band", "bh"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sigs = graft.io.BatchedIndex.read(spark, indexPath, "sigs", snap)
+    val shA = sigs.select(col(idCol).as("doc_a"), col("hs").as("sh_a"))
+    val shB = sigs.select(col(idCol).as("doc_b"), col("hs").as("sh_b"))
+    val ni = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val nu = (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - ni
+    val jac = ni.cast(DoubleType) / nu.cast(DoubleType)
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), ni.as("ni"), nu.as("nu"),
+        floor(jac * 1e6).cast(LongType).as("jac_e6"))
+      .filter(col("jac_e6") >= (jaccardMin * 1e6).toLong)
+  }
+
   /** Near-dup pairs of a NEW batch against an indexed corpus — the
     * incremental form of [[minhashLshPairs]]. Returns every verified
     * pair with at least one member in `newDocs` (new↔old and
@@ -454,10 +491,18 @@ object Dedup {
     * SET (min is associative/commutative, stars are per-node local),
     * so partitioning and scheduling cannot change any result cell.
     */
+  /** Largest dup-graph edge count the driver resolves locally (~16 MB
+    * of (Long, Long) pairs): below it, [[connectedComponents]] skips
+    * the distributed star loop for a single collect + union-find. See
+    * the scale-adaptive note on that method.
+    */
+  val localCcMaxEdges: Long = 500000L
+
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          localEdgeMax: Long = localCcMaxEdges): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -490,6 +535,40 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var edges = edges0.distinct().persist(lvl)
     var (eCount, eHash) = fingerprint(edges)
+
+    val labels: DataFrame = if (eCount <= localEdgeMax) {
+      // SCALE-ADAPTIVE fast path: the iteration always runs over the
+      // dup SUBGRAPH, and when that subgraph fits on the driver (≤
+      // [[localCcMaxEdges]] (hi, lo) pairs — the same boundedness
+      // class as a broadcast side) a single collect + union-find
+      // resolves it exactly, replacing O(log n) rounds × ~7 tiny jobs
+      // of driver barriers with ONE job. Union-by-min keeps every
+      // tree's root = its component minimum, so the labeling is
+      // bit-identical to the star loop (both are pure functions of
+      // the edge set). Web-scale dup graphs exceed the cap and take
+      // the distributed loop below unchanged.
+      val local = edges.collect()
+      edges.unpersist(blocking = false)
+      val parent = new scala.collection.mutable.LongMap[Long](local.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) x = parent(x)
+        var y = x0 // path compression
+        while (y != x) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      local.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = parent.keys.toArray // snapshot: find() mutates values
+      spark.createDataset(ids.map(id => (id, find(id))).toSeq)
+        .toDF(idCol, "cluster_id")
+    } else {
 
     // one shared partitioner: reduceByKey and join co-partition, so
     // each star op shuffles once for the min-agg and once for the
@@ -547,7 +626,9 @@ object Dedup {
     require(bad.isEmpty,
       s"connected components fixpoint is not a star forest at node ${bad.headOption.map(_._1)}")
 
-    val labels = edges.toDF(idCol, "cluster_id")
+    edges.toDF(idCol, "cluster_id")
+    }
+
     val all = nodes.select(col(idCol)).join(labels, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))

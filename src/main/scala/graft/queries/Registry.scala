@@ -27,9 +27,19 @@ object Registry {
     qs
   }
 
+  /** Definition-ordered (VectorMap): Bench/Verify iterate this map, so
+    * ordering is part of the measurement contract — every shared
+    * artifact ([[SimilarityQueries]] memoized indexes/clusterings) is
+    * DEFINED before its readers (d9 before d10/st8, d8 before
+    * c6/c8/c9, t9 before c9, v12 before d11), so the query that owns
+    * a build pays for it and every later row measures steady-state
+    * cost. A hash-ordered Map made one-time builds land on arbitrary
+    * rows (r8: d10 carried d9's index build).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    scala.collection.immutable.VectorMap.from(all.map(q => q.name -> q.fn))
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    scala.collection.immutable.VectorMap.from(
+      all.flatMap(q => q.oracle.map(q.name -> _)))
 }

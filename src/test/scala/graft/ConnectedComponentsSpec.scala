@@ -67,6 +67,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val want = unionFind(n, pairs)
       val got = run((0L until n.toLong), pairs).map { case (id, (c, _, _)) => id -> c }
       assert(got == want, s"seed=$seed mismatch")
+      // the driver-local fast path and the distributed star loop must
+      // produce the identical labeling (both are pure functions of
+      // the edge set); localEdgeMax = 0 forces the loop
+      val gotLoop = Dedup.connectedComponents(
+          (0L until n.toLong).toDF("id"), "id",
+          pairs.toDF("a", "b"), "a", "b", localEdgeMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop == want, s"seed=$seed loop-path mismatch")
     }
   }
 
@@ -83,7 +91,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = Dedup.connectedComponents(
         (0L until chainN).toDF("id"), "id",
         (0L until chainN - 1).map(i => (i + 1, i)).toDF("a", "b"), "a", "b",
-        maxIters = logBound(chainN))
+        maxIters = logBound(chainN), localEdgeMax = 0L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert((0L until chainN).forall(chain(_)._1 == 0L))
     assert(chain(0L)._2 == chainN)
@@ -97,7 +105,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val hub = Dedup.connectedComponents(
         (0L until hubN).toDF("id"), "id",
         hubPairs.toDF("a", "b"), "a", "b",
-        maxIters = logBound(hubN))
+        maxIters = logBound(hubN), localEdgeMax = 0L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert((0L until hubN).forall(hub(_)._1 == 0L))
     assert(hub(0L)._2 == hubN)
@@ -109,7 +117,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val nodes = (0L to 4000L).toDF("id")
     val pairs = (0L until 4000L).map(i => (i + 1, i)).toDF("a", "b")
     val err = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIters = 1).collect()
+      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIters = 1,
+        localEdgeMax = 0L).collect()
     }
     assert(err.getMessage.contains("converge"))
   }
@@ -121,7 +130,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val nodes = (0L to 600L).toDF("id")
     val pairs = (0L until 600L).map(i => (i + 1, i)).toDF("a", "b")
     val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b",
-        maxIters = 40, checkpointDir = Some(dir))
+        maxIters = 40, checkpointDir = Some(dir), localEdgeMax = 0L)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 600L).forall(got(_) == 0L))
