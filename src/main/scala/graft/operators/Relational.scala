@@ -198,15 +198,23 @@ object Relational {
     * integral (sketch hashes longs); `expectedItems`/`fpp` size the
     * sketch — an undersized filter only raises the pass-through rate,
     * never breaks correctness.
+    *
+    * The probe is the native `bloom_might_contain` Catalyst predicate
+    * ([[graft.expressions.BloomMightContain]]), not a UDF: the
+    * filtered scan stays inside whole-stage codegen, and the sketch
+    * rides the plan as a binary literal deserialized once per task —
+    * the same shape as Spark's internal `BloomFilterMightContain`.
+    * A NULL fact key probes FALSE (a null never equi-joins), so the
+    * pruned result is still exactly the plain semi join.
     */
   def bloomPrunedSemiJoin(fact: DataFrame, factKey: String,
                           dim: DataFrame, dimKey: String,
                           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val sketch = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(sketch)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    fact.filter(call_function("bloom_might_contain",
+        lit(bos.toByteArray), col(factKey).cast(LongType)))
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 
