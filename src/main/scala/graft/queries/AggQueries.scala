@@ -28,6 +28,42 @@ object AggQueries {
   private def sumDec(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
+  /** sql7's bounded-recursion depth. Semantic, not tuning: chains
+    * longer than the cap TRUNCATE at this depth (each recursion level
+    * is a full Spark job, so the cap also bounds the fixpoint's round
+    * count — raising it buys depth at one job per level). Rendered
+    * into BOTH engines' SQL by [[recursiveChainSql]] so the plan and
+    * the oracle cannot disagree.
+    */
+  val Sql7RecursionCap: Int = 10
+
+  /** The sql7 recursion over `table`, capped at `cap`: per customer,
+    * orders walked as a linked chain from the first order (rank 1) to
+    * at most rank `cap`, depth accumulated per step and pinned equal
+    * to the rank it chains over. One string serves Spark and DuckDB —
+    * identical dialect-neutral SQL is the decisive argument for the
+    * cap living here and not inline.
+    */
+  def recursiveChainSql(table: String, cap: Int): String = {
+    require(cap >= 1, s"recursion cap must be >= 1, got $cap")
+    s"""WITH RECURSIVE nxt AS (
+       |  SELECT * FROM (
+       |    SELECT o_custkey, o_orderkey,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate, o_orderkey) AS rn
+       |    FROM $table WHERE o_custkey < 100)
+       |  WHERE rn <= $cap),
+       |chain AS (
+       |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
+       |  FROM nxt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.o_custkey, n.o_orderkey, n.rn, c.depth + 1
+       |  FROM chain c JOIN nxt n
+       |    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1)
+       |SELECT o_custkey, o_orderkey, depth FROM chain
+       |ORDER BY o_custkey, depth""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // G1 — TPC-H Q1-style pricing rollup over lineitem.
@@ -833,46 +869,20 @@ object AggQueries {
     // the oracle runs the IDENTICAL recursion in DuckDB. depth is
     // pinned equal to the rank it chains over, so correctness of the
     // recursion is cell-checkable, not just row-countable. The walk
-    // is capped at depth 10 — the bounded-recursion guard every
-    // production recursive query carries (Spark's own engine cap is
-    // spark.sql.cteRecursionLevelLimit), and each level is a full
-    // Spark job, so the cap also bounds the fixpoint's round count.
+    // is capped at depth [[Sql7RecursionCap]] — the bounded-recursion
+    // guard every production recursive query carries (Spark's own
+    // engine cap is spark.sql.cteRecursionLevelLimit), and each level
+    // is a full Spark job, so the cap also bounds the fixpoint's round
+    // count. The cap is a SEMANTIC parameter: rows past it truncate
+    // (pinned by Sql7RecursionCapSpec), and the ONE builder below
+    // renders both engines' SQL so the cap can never drift between
+    // plan and oracle.
     Q("sql7_recursive_chain",
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("orders_sql")
-        s.sql("""WITH RECURSIVE nxt AS (
-                |  SELECT * FROM (
-                |    SELECT o_custkey, o_orderkey,
-                |      row_number() OVER (PARTITION BY o_custkey
-                |        ORDER BY o_orderdate, o_orderkey) AS rn
-                |    FROM orders_sql WHERE o_custkey < 100)
-                |  WHERE rn <= 10),
-                |chain AS (
-                |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
-                |  FROM nxt WHERE rn = 1
-                |  UNION ALL
-                |  SELECT n.o_custkey, n.o_orderkey, n.rn, c.depth + 1
-                |  FROM chain c JOIN nxt n
-                |    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1)
-                |SELECT o_custkey, o_orderkey, depth FROM chain
-                |ORDER BY o_custkey, depth""".stripMargin)
+        s.sql(recursiveChainSql("orders_sql", Sql7RecursionCap))
       },
-      Some("""WITH RECURSIVE nxt AS (
-             |  SELECT * FROM (
-             |    SELECT o_custkey, o_orderkey,
-             |      row_number() OVER (PARTITION BY o_custkey
-             |        ORDER BY o_orderdate, o_orderkey) AS rn
-             |    FROM orders WHERE o_custkey < 100)
-             |  WHERE rn <= 10),
-             |chain AS (
-             |  SELECT o_custkey, o_orderkey, rn, 1 AS depth
-             |  FROM nxt WHERE rn = 1
-             |  UNION ALL
-             |  SELECT n.o_custkey, n.o_orderkey, n.rn, c.depth + 1
-             |  FROM chain c JOIN nxt n
-             |    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1)
-             |SELECT o_custkey, o_orderkey, depth FROM chain
-             |ORDER BY o_custkey, depth""".stripMargin)),
+      Some(recursiveChainSql("orders", Sql7RecursionCap))),
 
     // G25 — last-observation-carried-forward: per customer, the most
     // recent URGENT order price carried forward across subsequent
