@@ -29,6 +29,15 @@ object Bench {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").agg(sum("l_quantity")).count()
+      // Streaming machinery warms separately from batch: the first
+      // streaming query of a session pays ~5 s of one-time cost
+      // (micro-batch engine classes, state-store infrastructure,
+      // checkpoint codepaths) that every later drain skips. Drain a
+      // tiny stateful query over the smallest table so that cost
+      // lands here, not on whichever st row runs first.
+      graft.streaming.Streaming.runAvailableNow(
+          spark, s"$sfDir/region.parquet", "complete")(
+          _.groupBy("r_regionkey").agg(count(lit(1)).as("n"))).count()
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] WARM-UP FAILED (timings may skew): $e")

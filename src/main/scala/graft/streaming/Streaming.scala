@@ -56,6 +56,49 @@ object Streaming {
     }
   }
 
+  /** Ephemeral checkpoint root for drained AvailableNow queries: a
+    * RAM disk when the host has one (`/dev/shm`), else the JVM temp
+    * dir. A drained-and-discarded query's checkpoint (offset log,
+    * commit log, per-partition state deltas — dozens of small fsynced
+    * files per micro-batch) has no durability requirement AT ALL: the
+    * query object is gone when the method returns. Paying ext4 fsyncs
+    * for it was pure fixed overhead on every streaming row — this is
+    * a harness-lifetime choice exactly like the memory sink; a
+    * production job passes its own durable `checkpoint` location (the
+    * resume property StreamingSpec pins).
+    */
+  private lazy val ephemeralCkptRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+               else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_stream_ckpt_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  private def withEphemeralCheckpoint[T](body: String => T): T = {
+    val dir = s"$ephemeralCkptRoot/ckpt_${ctr.incrementAndGet()}"
+    try body(dir)
+    finally deleteRec(new java.io.File(dir))
+  }
+
+  /** Source schemas, resolved once per (session, path): streaming
+    * sources need an explicit schema, and inferring it re-reads the
+    * parquet footer (a listing + a driver job) on EVERY query over
+    * the same table — 14 streaming queries over one events table paid
+    * it 14×. Keyed on the session too: schemas die with the session
+    * that read them.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  private def sourceSchema(spark: SparkSession, path: String) =
+    schemaCache.computeIfAbsent((spark, path),
+      { case (s, p) => s.read.parquet(p).schema })
+
   /** The file stream source requires a directory (or glob) path — a
     * single-file path fails basePath validation. Rewrite the last
     * path segment as a one-character glob so the parent dir becomes
@@ -87,12 +130,14 @@ object Streaming {
     */
   def runAvailableNow(spark: SparkSession, path: String,
                       mode: String)(transform: DataFrame => DataFrame): DataFrame = drained(spark) {
-    val schema = spark.read.parquet(path).schema
+    withEphemeralCheckpoint { ckpt =>
+    val schema = sourceSchema(spark, path)
     val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val q = transform(src).writeStream
       .format("memory").queryName(name)
       .outputMode(mode)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -109,6 +154,7 @@ object Streaming {
     spark.catalog.dropTempView(name)
     spark.streams.resetTerminated()
     out
+    }
   }
 
   /** Drain a streaming transform into an arbitrary batch sink via
@@ -130,14 +176,19 @@ object Streaming {
                       checkpoint: Option[String] = None)
                      (transform: DataFrame => DataFrame)
                      (batchFn: (DataFrame, Long) => Unit): Unit = drained(spark) {
-    val schema = spark.read.parquet(path).schema
-    val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
-    val writer = transform(src).writeStream
-      .foreachBatch(batchFn)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
-    q.awaitTermination()
+    withEphemeralCheckpoint { tmpCkpt =>
+      val schema = sourceSchema(spark, path)
+      val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
+      val q = transform(src).writeStream
+        .foreachBatch(batchFn)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        // caller-provided = durable (resume contract above); absent =
+        // the drain is one-shot and the checkpoint is RAM-disk scratch
+        .option("checkpointLocation", checkpoint.getOrElse(tmpCkpt))
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** The `events` table as a stream: ts arrives as raw nanos (the
