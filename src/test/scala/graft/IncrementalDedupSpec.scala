@@ -63,6 +63,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incremental.exists { case (a, b, _) => (a, b) == ((8L, 10L)) })
   }
 
+  test("indexedLshPairs equals the from-text recompute over the indexed corpus") {
+    val docs = allDocs
+    val path = tmp()
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", path)
+    // derived entirely from the persisted parts (bands, counts, sigs:
+    // text never re-read) yet must be pair-for-pair the from-text run
+    val fromIndex = Dedup.indexedLshPairs(spark, path, "doc_id")
+      .select("doc_a", "doc_b", "jac_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    val fromText = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "jac_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromIndex == fromText)
+    assert(fromText.nonEmpty) // fixture sanity: 2≈3 at minimum
+  }
+
   test("appending a resolved batch makes it visible to the next batch") {
     val docs = allDocs
     val path = tmp()
