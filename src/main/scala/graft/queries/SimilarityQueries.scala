@@ -802,12 +802,15 @@ object SimilarityQueries {
     // of a served index), search reads only the probed cell
     // partitions via static partition pruning. Shares v4's oracle
     // verbatim: the two paths must be cell-for-cell identical.
+    // ONE artifact (floats + int8 codes + PQ codes + metadata) serves
+    // v8/v10/v14/v16 — exactly how a production index is deployed;
+    // each search column-prunes the representations it doesn't use.
     Q("v8_ivf_indexed",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
         val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
-          pqCb = Some(pqCb))
+          keep = Seq("label"), pqCb = Some(pqCb))
         IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, centroids = cent)
           .orderBy("p_id", "rn")
@@ -854,8 +857,8 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
-        val path = IvfIndex.builtFor(s"$d#ivflbl", e, "vec_id", "embedding",
-          cent, keep = Seq("label"))
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding",
+          cent, keep = Seq("label"), pqCb = Some(pqCb))
         IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, centroids = cent,
             candidateFilter = Some(col("label") <= 2))
@@ -1019,7 +1022,7 @@ object SimilarityQueries {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
         val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
-          pqCb = Some(pqCb))
+          keep = Seq("label"), pqCb = Some(pqCb))
         IvfIndex.searchSq(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, rerankK = 20, centroids = cent)
           .orderBy("p_id", "rn")
@@ -1077,7 +1080,7 @@ object SimilarityQueries {
         val e = Tables.embeddings(s, d)
         val cent = e.filter(col("vec_id") < 16)
         val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
-          pqCb = Some(pqCb))
+          keep = Seq("label"), pqCb = Some(pqCb))
         IvfIndex.searchPq(s, path, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, rerankK = 20, centroids = cent,
             cb = pqCb)
