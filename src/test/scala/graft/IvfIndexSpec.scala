@@ -263,6 +263,33 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(filtered.nonEmpty)
   }
 
+  test("filtered search pushes the predicate into the partition-pruned scan") {
+    // the doc contract of metadata-filtered ANN: the candidateFilter
+    // lands on the index scan as an ordinary pushable parquet DATA
+    // filter, alongside (not instead of) the static cell_id partition
+    // filter — a filtered search reads only the probed cells, and of
+    // those only the row groups the predicate survives
+    val corpus = vecs(64).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val cent = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path,
+      keep = Seq("label"))
+    val probe = corpus.filter(col("vec_id") === 10L)
+    val res = IvfIndex.search(spark, path, probe, "vec_id", "embedding",
+      k = 3, centroids = cent, candidateFilter = Some(col("label") === 1))
+    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val indexScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(path.split('/').last)))
+    assert(indexScans.nonEmpty, "no file scan over the index path found")
+    val s = indexScans.head
+    assert(s.partitionFilters.exists(_.toString.contains("cell_id")),
+      s"no static cell_id partition filter: ${s.partitionFilters}")
+    assert(s.metadata.get("PushedFilters").exists(_.contains("label")),
+      s"label predicate not pushed to the parquet scan: ${s.metadata.get("PushedFilters")}")
+  }
+
   test("empty probe set returns an empty, well-typed frame") {
     val corpus = vecs(16)
     val cent = corpus.filter(col("vec_id") < 4)
