@@ -70,10 +70,17 @@ object ParityQueries {
           Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
             "l_returnflag", "l_shipdate", "l_orderkey"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — sort on every output column so tie order can't
+        // diverge between engines (first seen at the sf1 sweep scale)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_shipdate"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
              |  l_extendedprice, l_discount, l_tax, l_returnflag, l_shipdate
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+             |  l_shipdate""".stripMargin)),
 
     // P4+P5 (LAT:47,178; LAT:254-255): column drop incl. conditional
     // drop of a column that may not exist.

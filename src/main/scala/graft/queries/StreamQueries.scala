@@ -116,8 +116,13 @@ object StreamQueries {
           .select(col("user_id"), col("sw.start").as("s_start"),
             col("sw.end").as("s_end"), col("n_events"))
       }.orderBy("user_id", "s_start"),
+      // the running sum assigning session ids must order by the SAME
+      // total order as the gap flag — ts alone ties under duplicate
+      // timestamps and DuckDB's ROWS frame then accumulates in
+      // arbitrary tie order, absorbing rows into the wrong session
+      // (caught by the sf1 sweep, where replication duplicates ts)
       Some("""WITH l AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, ts, event_id,
              |    CASE WHEN lag(ts) OVER w IS NULL
              |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
              |         THEN 1 ELSE 0 END AS new_s
@@ -125,7 +130,7 @@ object StreamQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id, ts,
-             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |                     ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM l),
              |g AS (
