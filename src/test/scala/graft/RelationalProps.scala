@@ -108,4 +108,36 @@ object RelationalProps extends Properties("Relational") {
         .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
       bucketed == naive
     }
+
+  // saltedJoin law: for ARBITRARY rows (null join keys, null salt
+  // sources, duplicate keys both sides), any nSalts, and both join
+  // types, the salted plan returns exactly the plain equi-join's row
+  // multiset — the null-saltFrom→bucket-0 edge and the
+  // null-keys-never-match contract the fixed oracle fixture can only
+  // spot-check
+  property("saltedJoin == plain equi-join for arbitrary rows and salts") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.option(Gen.choose(0L, 4L)),     // join key (nullable)
+        Gen.option(Gen.choose(0L, 99L)),    // salt source (nullable)
+        Gen.choose(0L, 9L))).map(_.take(12)),
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.option(Gen.choose(0L, 4L)),     // join key (nullable, dups ok)
+        Gen.choose(0L, 9L))).map(_.take(8)),
+      Gen.choose(1, 5),
+      Gen.oneOf("inner", "left")) { (bigRows, smallRows, nSalts, joinType) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val big = bigRows.toDF("k", "salt_src", "bv")
+      val small = smallRows.toDF("k", "sv")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "salt_src", "bv", "sv")
+          .as[(Option[Long], Option[Long], Long, Option[Long])]
+          .collect().sortBy(_.toString).toSeq
+      val plain = canon(big.join(small, Seq("k"), joinType))
+      val salted = canon(Relational.saltedJoin(big, small, Seq("k"),
+        joinType, nSalts, col("salt_src")))
+      salted == plain
+    }
 }
