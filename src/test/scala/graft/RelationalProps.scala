@@ -140,4 +140,59 @@ object RelationalProps extends Properties("Relational") {
         joinType, nSalts, col("salt_src")))
       salted == plain
     }
+
+  // bloomPrunedSemiJoin law: an UNDERSIZED sketch (expectedItems 1,
+  // high fpp) floods the probe with false positives, and the result
+  // must still be exactly the plain left-semi join — the
+  // fp-removal-join contract the fixed j10 oracle (one sketch size)
+  // can only spot-check; null fact keys drop on both paths
+  property("bloomPrunedSemiJoin == plain semi join even undersized") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.option(Gen.choose(0L, 30L)), Gen.choose(0L, 9L))).map(_.take(14)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.take(6)),
+      Gen.oneOf(0.01, 0.5)) { (factRows, dimKeys, fpp) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val fact = factRows.toDF("fk", "fv")
+      val dim = dimKeys.toDF("dk")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("fk", "fv").as[(Option[Long], Long)]
+          .collect().sortBy(_.toString).toSeq
+      val plain = canon(fact.join(dim.select(col("dk").as("fk")),
+        Seq("fk"), "left_semi"))
+      val pruned = canon(Relational.bloomPrunedSemiJoin(fact, "fk", dim, "dk",
+        expectedItems = 1L, fpp = fpp))
+      pruned == plain
+    }
+
+  // asofJoin law: for arbitrary event sets, each left row's matched
+  // value equals the naive per-row lookup — the LATEST right row with
+  // ts <= left.ts on the key, ties at equal ts resolving to the
+  // highest value (the documented window tie rule)
+  property("asofJoin == naive latest-right-row lookup") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 2L), Gen.choose(0L, 30L))).map(_.take(10)),
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 2L), Gen.choose(0L, 30L),
+        Gen.choose(0L, 9L))).map(_.take(10))) { (ls, rs) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("l_id", "k", "ts")
+      val right = rs.toDF("k", "ts", "v")
+      val got = Relational.asofJoin(left, right, Seq("k"), "ts", "v")
+        .select("l_id", "v").as[(Long, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter(r => r._1 == k && r._2 <= t)
+        (i.toLong,
+          if (cands.isEmpty) None
+          else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.sortBy(_._1)
+      got == want
+    }
 }
