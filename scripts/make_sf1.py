@@ -9,7 +9,13 @@ touching /root/testdata. Construction:
 
 - dims + documents + embeddings: copied verbatim (their oracles are
   the quadratic ones, already swept at sf0.1 — replicating documents
-  would also blow up the pairwise recompute oracles).
+  would also blow up the pairwise recompute oracles). With
+  --scale-docs, documents/embeddings replicate 10x too (doc_id/vec_id
+  offset, text suffixed per copy so contents stay distinct,
+  embeddings identical across copies — each vector gains 9 exact
+  twins, a deliberate worst-case density stress for the LSH/ANN/
+  dedup surface). That variant is for BENCH-ONLY scaling runs: the
+  quadratic DuckDB oracles are impractical at 10x documents.
 - facts (orders, lineitem, events): 10 copies each, primary key
   offset by 10,000,000 per copy so keys never collide; every other
   column (FKs into dims, user_id, ts, measures) is unchanged. This
@@ -35,13 +41,38 @@ COPIES = 10
 OFF = 10_000_000
 
 
-def main(src, out):
+def main(src, out, scale_docs=False):
     os.makedirs(out, exist_ok=True)
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "documents", "embeddings"]:
+    copied = ["region", "nation", "customer", "supplier", "part"]
+    if not scale_docs:
+        copied += ["documents", "embeddings"]
+    for t in copied:
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
 
     con = duckdb.connect()
+    if scale_docs:
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/documents.parquet')"
+        ).fetchall()]
+        sel = ", ".join(
+            "doc_id + i * %d AS doc_id" % OFF if c == "doc_id"
+            else "text || ' copy' || i AS text" if c == "text"
+            else c for c in cols)
+        con.execute(f"""
+            COPY (
+              SELECT {sel}
+              FROM read_parquet('{src}/documents.parquet'),
+                   (SELECT unnest(range({COPIES})) AS i)
+              ORDER BY i, doc_id
+            ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (
+              SELECT vec_id + i * {OFF} AS vec_id,
+                     * EXCLUDE (vec_id)
+              FROM read_parquet('{src}/embeddings.parquet'),
+                   (SELECT unnest(range({COPIES})) AS i)
+              ORDER BY i, vec_id
+            ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     for t, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
@@ -67,6 +98,7 @@ def main(src, out):
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    main(src, out)
+    args = [a for a in sys.argv[1:] if a != "--scale-docs"]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/sf1"
+    main(src, out, scale_docs="--scale-docs" in sys.argv[1:])
