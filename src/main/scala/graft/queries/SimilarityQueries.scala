@@ -909,12 +909,17 @@ object SimilarityQueries {
     // makes the per-cell mean a fixed scan-order fold — the exact
     // sequence DuckDB's avg() executes. The OPERATOR is partition-
     // agnostic (means are correct at any parallelism, ulps aside);
-    // only this cell-exact replay needs the pin. Training input here
-    // is oracle-scale tiny; real corpora train on a sample anyway.
+    // only this cell-exact replay needs the pin. Training reads a
+    // DETERMINISTIC SAMPLE (vec_id < 1000), not the corpus — the
+    // production IVF recipe (train on a bounded sample, deploy the
+    // codebook to everything), which also makes the training cost
+    // independent of corpus size; the oracle's training CTEs carry
+    // the same bound, so the trainer stays cell-level verified.
     Q("v7_ivf_trained",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cb = Similarity.trainIvfCentroids(e.coalesce(1), "vec_id", "embedding",
+        val cb = Similarity.trainIvfCentroids(
+          e.filter(col("vec_id") < 1000).coalesce(1), "vec_id", "embedding",
           k = 8, iters = 2)
         Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
             "vec_id", "embedding", k = 5, centroids = cb)
@@ -942,7 +947,7 @@ object SimilarityQueries {
         Some(s"""WITH clean AS (
                |  SELECT vec_id, embedding,
                |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${normSql("embedding")}) AS uv
-               |  FROM embeddings WHERE ${normSql("embedding")} > 0),
+               |  FROM embeddings WHERE vec_id < 1000 AND ${normSql("embedding")} > 0),
                |cent0 AS (
                |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_vec
                |  FROM clean ORDER BY vec_id LIMIT 8),
