@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
@@ -29,6 +29,13 @@ import graft.io.Sources.{JdkHttpTransport, RestRequest, Transport}
   *  - **limit pushdown** (`SupportsPushDownLimit`): `LIMIT n` becomes
   *    the server-side `limitParam` (the reference's datatable
   *    `length`, LAT:78);
+  *  - **top-N pushdown** (`SupportsPushDownTopN`): `ORDER BY c
+  *    [DESC] LIMIT n` collapses into the request as the datatable
+  *    ordering vocabulary (`order[i][column]` / `columns[i][data]` /
+  *    `order[i][dir]` + `limitParam`, LAT:78) — the server sorts and
+  *    caps, so only n rows ever cross the wire; Spark re-applies the
+  *    exact sort + limit on top (partial pushdown), so a server that
+  *    ignores or botches the ordering still yields correct results;
   *  - **filter pushdown** (`SupportsPushDownFilters`): equality
   *    predicates become query params (the reference's
   *    `deleted=false` / date-range URL predicates, SER:93-96) —
@@ -84,11 +91,16 @@ final case class RestConf(url: String, transportKey: String, root: Option[String
                           pages: Int, pageParam: String, fieldsParam: Option[String],
                           limitParam: String, baseParams: Map[String, String]) {
   def request(page: Option[Int], fields: Option[Seq[String]], limit: Option[Int],
-              eqFilters: Map[String, String] = Map.empty): RestRequest =
+              eqFilters: Map[String, String] = Map.empty,
+              sort: Seq[(String, Boolean)] = Nil): RestRequest =
     RestRequest(url, baseParams ++ eqFilters ++
       page.map(p => pageParam -> p.toString) ++
       fields.flatMap(fs => fieldsParam.map(_ -> fs.mkString(","))) ++
-      limit.map(n => limitParam -> n.toString))
+      limit.map(n => limitParam -> n.toString) ++
+      sort.zipWithIndex.flatMap { case ((col, desc), i) =>
+        Seq(s"order[$i][column]" -> i.toString, s"columns[$i][data]" -> col,
+          s"order[$i][dir]" -> (if (desc) "desc" else "asc"))
+      })
 }
 
 object RestConf {
@@ -134,10 +146,12 @@ class RestTable(schema: StructType, conf: RestConf) extends Table with SupportsR
 
 class RestScanBuilder(fullSchema: StructType, conf: RestConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownFilters {
 
   private var pruned: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var sort: Seq[(String, Boolean)] = Nil
   private var pushedEq: Array[Filter] = Array.empty
 
   /** Equality predicates on top-level columns travel to the server as
@@ -168,18 +182,45 @@ class RestScanBuilder(fullSchema: StructType, conf: RestConf)
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** `ORDER BY … LIMIT n` → the datatable ordering vocabulary
+    * (LAT:78). Accepted only when every key is a bare top-level
+    * column (computed keys and nested fields have no server-side
+    * name to sort by). Null ordering is deliberately not encoded:
+    * this is PARTIAL pushdown — Spark re-sorts and re-limits
+    * exactly, so the server's ordering only decides which ≤n rows
+    * ship, never their final order or the null placement.
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val cols = orders.toSeq.map { o =>
+      o.expression match {
+        case ref: NamedReference if ref.fieldNames.length == 1 =>
+          Some(ref.fieldNames.head -> (o.direction == SortDirection.DESCENDING))
+        case _ => None
+      }
+    }
+    if (cols.isEmpty || cols.exists(_.isEmpty)) false
+    else {
+      sort = cols.flatten
+      limit = Some(n)
+      true
+    }
+  }
+
   override def build(): Scan = new RestScan(pruned, conf, limit,
-    pushedEq.collect { case EqualTo(a, v) => a -> String.valueOf(v) }.toMap)
+    pushedEq.collect { case EqualTo(a, v) => a -> String.valueOf(v) }.toMap, sort)
 }
 
 class RestScan(schema: StructType, conf: RestConf, limit: Option[Int],
-               eqFilters: Map[String, String] = Map.empty)
+               eqFilters: Map[String, String] = Map.empty,
+               sort: Seq[(String, Boolean)] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-rest ${conf.url} fields=${schema.fieldNames.mkString(",")} " +
-      s"limit=$limit eqFilters=${eqFilters.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}"
+      s"limit=$limit eqFilters=${eqFilters.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}" +
+      (if (sort.isEmpty) ""
+       else s" pushedTopN=${sort.map { case (c, d) => s"$c ${if (d) "DESC" else "ASC"}" }.mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] =
     (if (conf.pages <= 1) Array(None: Option[Int])
@@ -187,17 +228,18 @@ class RestScan(schema: StructType, conf: RestConf, limit: Option[Int],
       .map(p => RestInputPartition(p): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    RestReaderFactory(schema, conf, limit, eqFilters)
+    RestReaderFactory(schema, conf, limit, eqFilters, sort)
 }
 
 final case class RestInputPartition(page: Option[Int]) extends InputPartition
 
 final case class RestReaderFactory(schema: StructType, conf: RestConf,
                                    limit: Option[Int],
-                                   eqFilters: Map[String, String])
+                                   eqFilters: Map[String, String],
+                                   sort: Seq[(String, Boolean)] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RestPartitionReader(schema, conf, limit, eqFilters,
+    new RestPartitionReader(schema, conf, limit, eqFilters, sort,
       partition.asInstanceOf[RestInputPartition].page)
 }
 
@@ -211,11 +253,12 @@ final case class RestReaderFactory(schema: StructType, conf: RestConf,
   */
 class RestPartitionReader(schema: StructType, conf: RestConf, limit: Option[Int],
                           eqFilters: Map[String, String],
+                          sort: Seq[(String, Boolean)],
                           page: Option[Int]) extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val payload = TransportRegistry.get(conf.transportKey)(
-      conf.request(page, Some(schema.fieldNames.toSeq), limit, eqFilters))
+      conf.request(page, Some(schema.fieldNames.toSeq), limit, eqFilters, sort))
     val body = conf.root match {
       case Some(r) =>
         // envelope: extract the root array subtree verbatim

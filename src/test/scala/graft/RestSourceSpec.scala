@@ -62,8 +62,34 @@ object RestSourceFixture {
       s"""{"total": 6, "data": ${CursorTransport(req)}}"""
   }
 
+  /** Honors the datatable ordering vocabulary + length: sorts its 6
+    * rows by the requested column/direction, then caps — the server
+    * side of the TopN pushdown contract (the pushed top-n decides
+    * WHICH rows ship; Spark re-sorts them exactly).
+    */
+  object OrderedTransport extends Transport {
+    def apply(req: RestRequest): String = {
+      requests.add(req)
+      val all = Seq(0, 3, 1, 5, 2, 4) // deliberately unsorted by id
+      val sorted = (req.params.get("columns[0][data]"), req.params.get("order[0][dir]")) match {
+        case (Some(c), dir) =>
+          val key: Int => Int = c match {
+            case "id"    => identity
+            case "score" => _ * 10
+            case other   => sys.error(s"unknown sort column $other")
+          }
+          if (dir.contains("desc")) all.sortBy(key).reverse else all.sortBy(key)
+        case _ => all
+      }
+      val capped = req.params.get("length").map(_.toInt).fold(sorted)(sorted.take)
+      capped.map(i => s"""{"id": $i, "name": "user$i", "score": ${i * 10}}""")
+        .mkString("[", ",", "]")
+    }
+  }
+
   TransportRegistry.register("paged", PagedTransport)
   TransportRegistry.register("envelope", EnvelopeTransport)
+  TransportRegistry.register("ordered", OrderedTransport)
 }
 
 class RestSourceSpec extends AnyFunSuite {
@@ -113,6 +139,40 @@ class RestSourceSpec extends AnyFunSuite {
     assert(df.select("id").as[Long].collect().toSeq == Seq(3L))
     val reqs = RestSourceFixture.requests.asScala.filter(_.params.contains("page"))
     assert(reqs.nonEmpty && reqs.forall(_.params.get("id").contains("3")))
+  }
+
+  private def orderedReader = {
+    RestSourceFixture.requests.clear()
+    spark.read.format("graft-rest")
+      .option("url", "https://api.test/ordered")
+      .option("transport", "ordered")
+      .schema("id LONG, name STRING, score LONG")
+  }
+
+  test("ORDER BY + LIMIT collapses into the request as a pushed TopN") {
+    val df = orderedReader.load().orderBy(col("score").desc).limit(3)
+    // plan carries the pushed sort spec + limit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTopN=score DESC") && plan.contains("limit=Some(3)"),
+      s"TopN not pushed:\n$plan")
+    // only 3 rows crossed the wire, and they are the right 3
+    assert(df.select("id").as[Long].collect().toSeq == Seq(5L, 4L, 3L))
+    // the request itself asked the server to sort desc and cap at 3
+    val reqs = RestSourceFixture.requests.asScala.toSeq
+    assert(reqs.nonEmpty && reqs.forall { r =>
+      r.params.get("columns[0][data]").contains("score") &&
+        r.params.get("order[0][dir]").contains("desc") &&
+        r.params.get("length").contains("3")
+    }, s"order params missing: ${reqs.map(_.params)}")
+  }
+
+  test("TopN on a computed key is refused — nothing pushed, result still exact") {
+    val df = orderedReader.load().orderBy((col("score") % 7).desc, col("id")).limit(2)
+    val reqs = { df.collect(); RestSourceFixture.requests.asScala.toSeq }
+    assert(reqs.nonEmpty && reqs.forall(r => !r.params.contains("order[0][dir]")),
+      "computed sort key must not reach the server")
+    // score % 7 per id 0..5 = 0,3,6,2,5,1 → desc top-2 = ids 2, 4
+    assert(df.select("id").as[Long].collect().toSeq == Seq(2L, 4L))
   }
 
   test("envelope root option unwraps the payload array") {
