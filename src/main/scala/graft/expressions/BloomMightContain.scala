@@ -50,11 +50,15 @@ case class BloomMightContain(filterExpr: Expression, keyExpr: Expression)
         s"bloom_might_contain key must be BIGINT, got ${keyExpr.dataType.simpleString}")
     else TypeCheckResult.TypeCheckSuccess
 
-  /** Deserialized once per closure instance: on the driver when the
-    * plan constant-folds, on each executor when the serialized plan
-    * arrives — never per row. Marked transient so the task closure
-    * ships the compact serialized bytes (the child literal), not the
-    * expanded bit array twice.
+  /** Interpreted-path sketch, deserialized once per closure instance
+    * — never per row. Transient: the interpreted task closure ships
+    * only the child literal's serialized bytes; each executor
+    * re-expands them on first eval. The codegen path below has its
+    * own lazy per-instance deserialization for the same reason — in
+    * BOTH paths the task binary carries the sketch bytes exactly
+    * once (the codegen references array points at the SAME byte
+    * array object as the child literal, so Java serialization
+    * back-references it rather than writing it twice).
     */
   @transient private lazy val sketch: BloomFilter = {
     val bytes = filterExpr.eval(null).asInstanceOf[Array[Byte]]
@@ -68,17 +72,30 @@ case class BloomMightContain(filterExpr: Expression, keyExpr: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // reference the deserialized sketch, not the bytes: one
-    // readFrom() on the driver at codegen time, then the references
-    // array carries the (Serializable) filter to each task
-    val bloomRef = ctx.addReferenceObj("bloomFilter", sketch, classOf[BloomFilter].getName)
+    // reference the compact serialized BYTES (the same array object
+    // the child literal holds, so the task binary carries them once),
+    // and expand them lazily, once per generated-class instance — the
+    // expanded bit array is never serialized at all, and the driver
+    // pays no readFrom() at codegen-compile time
+    val bytes = filterExpr.eval(null).asInstanceOf[Array[Byte]]
+    require(bytes != null, "bloom_might_contain filter bytes are null")
+    val bytesRef = ctx.addReferenceObj("bloomBytes", bytes, "byte[]")
+    val bloomCls = classOf[BloomFilter].getName
+    val bloomVar = ctx.addMutableState(bloomCls, "bloomFilter")
     val keyGen = keyExpr.genCode(ctx)
     ev.copy(
       code = code"""
         |${keyGen.code}
         |boolean ${ev.value} = false;
         |if (!${keyGen.isNull}) {
-        |  ${ev.value} = $bloomRef.mightContainLong(${keyGen.value});
+        |  if ($bloomVar == null) {
+        |    try {
+        |      $bloomVar = $bloomCls.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+        |    } catch (java.io.IOException e) {
+        |      throw new RuntimeException("bloom_might_contain: corrupt sketch bytes", e);
+        |    }
+        |  }
+        |  ${ev.value} = $bloomVar.mightContainLong(${keyGen.value});
         |}
       """.stripMargin,
       isNull = FalseLiteral)

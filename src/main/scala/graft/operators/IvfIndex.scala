@@ -118,11 +118,24 @@ object IvfIndex {
     * one cached plan per search call in a long-lived session; a local
     * relation needs no cache and no cleanup.
     */
+  /** Hard valve on the probe-side collect: probes × nprobe rows, each
+    * carrying its embedding. An oversized probe frame should fail with
+    * this contract message, not a driver OOM.
+    */
+  val maxProbeCellRows: Int = 1 << 20
+
   private def collectedProbeCells(probes: DataFrame, idCol: String,
                                   vecCol: String, centroids: DataFrame,
                                   nprobe: Int): (DataFrame, Seq[Long]) = {
     val pc = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
-    val rows = pc.collect()
+    // limit(max+1) bounds the collect itself; below the valve it
+    // returns every row, so no second job is needed
+    val rows = pc.limit(maxProbeCellRows + 1).collect()
+    require(rows.length <= maxProbeCellRows,
+      s"probe frame exceeds the driver-side bound for IVF search: > " +
+        s"$maxProbeCellRows probe-cell rows (probes x nprobe). The probe " +
+        s"side of a search is contractually the small side - reduce the " +
+        s"probe batch or nprobe, or flip the join and index the probes.")
     val ci = pc.schema.fieldIndex("cell_id")
     val cells = rows.iterator.filterNot(_.isNullAt(ci)).map(_.getLong(ci))
       .toSeq.distinct
@@ -250,12 +263,20 @@ object IvfIndex {
 
   /** Build-once memo for repeated same-process searches; see
     * [[graft.engine.TempArtifacts]] for the identity/lifecycle
-    * contract.
+    * contract. The build PARAMETERS (kept metadata columns, PQ
+    * codebook) are folded into the memo key, so two call sites
+    * sharing a name but diverging in params build separate artifacts
+    * instead of silently serving whichever built first — callers that
+    * want ONE shared artifact (v8/v10/v14/v16) share it by passing
+    * identical params, not by racing.
     */
   def builtFor(key: String, corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, keep: Seq[String] = Nil,
-               pqCb: Option[Array[Array[Array[Long]]]] = None): String =
-    graft.engine.TempArtifacts.getOrBuild(key, "graft_ivf_index") { path =>
+               pqCb: Option[Array[Array[Array[Long]]]] = None): String = {
+    // structural hash (nested arrays hash by identity, Seqs by value)
+    val paramsKey = (keep, pqCb.map(_.map(_.map(_.toSeq).toSeq).toSeq)).hashCode()
+    graft.engine.TempArtifacts.getOrBuild(s"$key@$paramsKey", "graft_ivf_index") { path =>
       build(corpus, idCol, vecCol, centroids, path, keep, pqCb)
     }
+  }
 }

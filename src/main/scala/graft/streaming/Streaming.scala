@@ -89,15 +89,23 @@ object Streaming {
     * sources need an explicit schema, and inferring it re-reads the
     * parquet footer (a listing + a driver job) on EVERY query over
     * the same table — 14 streaming queries over one events table paid
-    * it 14×. Keyed on the session too: schemas die with the session
-    * that read them.
+    * it 14×. WEAKLY keyed by session, so a stopped and dropped
+    * session's entries are collectable — the cache never pins a dead
+    * SparkSession in a long-lived multi-session process.
+    * CONTRACT: a source's schema is assumed immutable for the life of
+    * the session that first read it (the same assumption the file
+    * stream source itself makes about its user-supplied schema);
+    * rewriting a path with a different schema mid-session requires a
+    * new session.
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.types.StructType]()
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]]())
 
   private def sourceSchema(spark: SparkSession, path: String) =
-    schemaCache.computeIfAbsent((spark, path),
-      { case (s, p) => s.read.parquet(p).schema })
+    schemaCache
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
   /** The file stream source requires a directory (or glob) path — a
     * single-file path fails basePath validation. Rewrite the last
