@@ -165,9 +165,25 @@ object Relational {
     * side is replicated once per salt value; the join key becomes
     * (keys, salt) so one hot key spreads over `nSalts` reducers.
     * Result is EXACTLY the plain equi-join (oracle-checked) — only
-    * the shuffle distribution changes. AQE's skew-join handles most
-    * cases automatically; this is the manual fallback when a single
-    * key exceeds what one task can hold.
+    * the shuffle distribution changes.
+    *
+    * WHEN TO USE (measured in `AqeSkewSpec`, which drives a 50%-hot
+    * key through both paths): reach for the rungs in this order.
+    * (1) `broadcast(small)` — no big-side shuffle at all, so skew is
+    * irrelevant; always first when the small side fits. (2) AQE's
+    * skew-join (`spark.sql.adaptive.skewJoin.enabled`, on by
+    * default) — at runtime it splits an oversized sort-merge
+    * partition into multiple tasks and duplicates the matching other
+    * side, handling single hot keys with ZERO code; it engages when
+    * the partition exceeds `skewedPartitionThresholdInBytes` (256 MB
+    * default) AND `skewedPartitionFactor`× the median. (3) This
+    * manual salt, ONLY where AQE can't act: stateful streaming joins
+    * (no adaptive re-planning of stateful shuffles), shuffled-hash
+    * joins or plans whose required output partitioning forbids the
+    * split, or pre-planned salting decided before any runtime stats
+    * exist. The salt also changes the AGGREGATION story (a salted
+    * groupBy two-phases a hot group), which AQE's join split does
+    * not address.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  joinType: String, nSalts: Int, saltFrom: Column): DataFrame = {

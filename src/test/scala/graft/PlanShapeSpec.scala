@@ -54,6 +54,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  /** The scaladoc single-shuffle claims, pinned: the DATA shuffle
+    * count must be exactly one (the hash partitioning on the key that
+    * the stacked windows / running-last share); the only other
+    * exchange allowed is the final RangePartitioning the query's
+    * presentation ORDER BY adds for the oracle compare.
+    */
+  private def assertSingleHashShuffle(name: String): Unit = {
+    // exchanges only exist after EnsureRequirements, so read the
+    // executedPlan's string form (the AQE wrapper prints its full
+    // initial plan; its children are inaccessible until execution)
+    val plan = graft.queries.Registry.queries(name)(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+    val all = "Exchange ".r.findAllIn(plan).size
+    assert(hash == 1,
+      s"$name must shuffle its data exactly once, found $hash:\n$plan")
+    assert(all == hash + range && range <= 1,
+      s"$name has unexpected exchanges:\n$plan")
+  }
+
+  test("j5 as-of join is union + running last over ONE shuffle") {
+    assertSingleHashShuffle("j5_asof_join")
+  }
+
+  test("g20 sessionize stacks both windows AND the rollup over ONE shuffle") {
+    assertSingleHashShuffle("g20_sessionize")
+  }
+
   /** Exercises the generated code path end-to-end (doGenCode, not just
     * the interpreted eval the unit spec hits via collect on tiny
     * frames): count through the full j10 plan at sf0.001 and compare
