@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Sessions, Tables}
+import graft.operators.Similarity
+
+/** Recall harness for the approximate-similarity surface: recall@k of
+  * each ANN variant against the exact scan (v1) over the REAL
+  * embeddings table at a given scale dir — the quality number a user
+  * tunes nPlanes/nprobe against, complementing the oracle checks
+  * (which prove each variant matches its own replayed definition,
+  * not how close the approximation is to the truth).
+  *
+  * Usage: runMain graft.AnnRecall <sfDir> [nProbesRows] [k]
+  * Prints one `name recall elapsed_s` row per setting plus a JSON
+  * summary line; results are deterministic (hash-seeded planes,
+  * fixed centroid convention vec_id < 16 — same as the v-queries).
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nProbes = args.lift(1).map(_.toInt).getOrElse(20)
+    val k = args.lift(2).map(_.toInt).getOrElse(50)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    import spark.implicits._
+
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < nProbes)
+    val dims = e.select(size(col("embedding"))).as[Int].head()
+    val cents = e.filter(col("vec_id") < 16)
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("p_id", "vec_id").as[(Long, Long)].collect().toSet
+
+    val exact = pairs(Similarity.cosineTopK(probes, e, "vec_id", "embedding", k))
+
+    val settings: Seq[(String, () => DataFrame)] =
+      Seq(4, 6, 8).map(p => (s"srp_planes$p", () =>
+        Similarity.srpAnnTopK(probes, e, "vec_id", "embedding", k, p, dims))) ++
+      Seq(4, 6, 8).map(p => (s"srp_multiprobe_planes$p", () =>
+        Similarity.srpMultiProbeTopK(probes, e, "vec_id", "embedding", k, p, dims))) ++
+      Seq(1, 2, 4, 8).map(np => (s"ivf_nprobe$np", () =>
+        Similarity.ivfTopK(probes, e, "vec_id", "embedding", k, cents, np)))
+
+    val rows = settings.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val got = pairs(fn())
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      println(f"$name%-28s recall@$k%-3d ${recall}%.3f  ${secs}%.1fs")
+      s""""$name":${f"$recall%.3f"}"""
+    }
+    println(s"""{"recall_at":$k,"probes":$nProbes,"dims":$dims,"sf":"$dir",${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}
