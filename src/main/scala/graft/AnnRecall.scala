@@ -27,7 +27,10 @@ object AnnRecall {
     import spark.implicits._
 
     val e = Tables.embeddings(spark, dir)
-    val probes = e.filter(col("vec_id") < nProbes)
+    // probes DISJOINT from the vec_id < 16 centroid convention: a
+    // probe that IS a centroid has its own cell centered on itself,
+    // which flatters hash-picked-centroid recall vs trained codebooks
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nProbes)
     val dims = e.select(size(col("embedding"))).as[Int].head()
     val cents = e.filter(col("vec_id") < 16)
 
@@ -36,21 +39,51 @@ object AnnRecall {
 
     val exact = pairs(Similarity.cosineTopK(probes, e, "vec_id", "embedding", k))
 
+    // v7's production recipe: train on a deterministic sample, same
+    // cell count as the hash-picked convention for a fair comparison
+    lazy val trained = Similarity.trainIvfCentroids(
+      e.filter(col("vec_id") < 1000).coalesce(1), "vec_id", "embedding",
+      k = 16, iters = 2)
+
     val settings: Seq[(String, () => DataFrame)] =
       Seq(4, 6, 8).map(p => (s"srp_planes$p", () =>
         Similarity.srpAnnTopK(probes, e, "vec_id", "embedding", k, p, dims))) ++
       Seq(4, 6, 8).map(p => (s"srp_multiprobe_planes$p", () =>
         Similarity.srpMultiProbeTopK(probes, e, "vec_id", "embedding", k, p, dims))) ++
       Seq(1, 2, 4, 8).map(np => (s"ivf_nprobe$np", () =>
-        Similarity.ivfTopK(probes, e, "vec_id", "embedding", k, cents, np)))
+        Similarity.ivfTopK(probes, e, "vec_id", "embedding", k, cents, np))) ++
+      Seq(1, 2, 4).map(np => (s"ivf_trained_nprobe$np", () =>
+        Similarity.ivfTopK(probes, e, "vec_id", "embedding", k, trained, np)))
+
+    // recall alone misleads across codebooks: a balanced (trained)
+    // codebook reads FEWER candidates per probe than skewed hash-
+    // picked cells, so report the corpus fraction each IVF setting
+    // actually examines (probe-cell sizes / probes×corpus)
+    val corpusN = e.count().toDouble
+    def ivfReadFrac(centroids: DataFrame, nprobe: Int): Double = {
+      val sizes = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+        .groupBy("cell_id").count()
+      Similarity.probeCells(probes, "vec_id", "embedding", centroids, nprobe)
+        .join(sizes, "cell_id")
+        .agg(sum("count")).as[Long].head() / (nProbes * corpusN)
+    }
 
     val rows = settings.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val got = pairs(fn())
       val secs = (System.nanoTime() - t0) / 1e9
       val recall = got.intersect(exact).size.toDouble / exact.size
-      println(f"$name%-28s recall@$k%-3d ${recall}%.3f  ${secs}%.1fs")
-      s""""$name":${f"$recall%.3f"}"""
+      val frac = name match {
+        case s if s.startsWith("ivf_trained_nprobe") =>
+          f"${ivfReadFrac(trained, s.stripPrefix("ivf_trained_nprobe").toInt)}%.3f"
+        case s if s.startsWith("ivf_nprobe") =>
+          f"${ivfReadFrac(cents, s.stripPrefix("ivf_nprobe").toInt)}%.3f"
+        case _ => ""
+      }
+      val fracCol = if (frac.isEmpty) "" else s"  read=$frac"
+      println(f"$name%-28s recall@$k%-3d ${recall}%.3f  ${secs}%.1fs$fracCol")
+      s""""$name":${f"$recall%.3f"}""" +
+        (if (frac.isEmpty) "" else s""","${name}_read":$frac""")
     }
     println(s"""{"recall_at":$k,"probes":$nProbes,"dims":$dims,"sf":"$dir",${rows.mkString(",")}}""")
     spark.stop()

@@ -187,9 +187,9 @@ object Similarity {
     * search paths cannot diverge on assignment or tie-break).
     * `cell_id` is LongType on both branches.
     */
-  private[operators] def probeCells(probes: DataFrame, idCol: String,
-                                    vecCol: String, centroids: DataFrame,
-                                    nprobe: Int): DataFrame =
+  private[graft] def probeCells(probes: DataFrame, idCol: String,
+                                vecCol: String, centroids: DataFrame,
+                                nprobe: Int): DataFrame =
     if (nprobe == 1)
       ivfAssign(probes, idCol, vecCol, centroids)
         .select(col(idCol).as("p_id"), col(vecCol).as("p_vec"), col("cell_id"))
