@@ -120,9 +120,13 @@ object IvfIndex {
     */
   /** Hard valve on the probe-side collect: probes × nprobe rows, each
     * carrying its embedding. An oversized probe frame should fail with
-    * this contract message, not a driver OOM.
+    * this contract message, not a driver OOM. Overridable via the
+    * `graft.ivf.maxProbeCellRows` system property (read per call, so a
+    * long-lived session can tune it; also what the spec uses to
+    * exercise the valve without a million-row probe frame).
     */
-  val maxProbeCellRows: Int = 1 << 20
+  def maxProbeCellRows: Int =
+    sys.props.get("graft.ivf.maxProbeCellRows").map(_.toInt).getOrElse(1 << 20)
 
   private def collectedProbeCells(probes: DataFrame, idCol: String,
                                   vecCol: String, centroids: DataFrame,

@@ -301,4 +301,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(res.columns.toSeq == Seq("p_id", "rn", "vec_id", "cos_e7"))
     assert(res.count() == 0)
   }
+
+  test("oversized probe frame trips the driver-side valve with the contract message") {
+    val corpus = vecs(16)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    IvfIndex.build(corpus, "vec_id", "embedding", cent, path)
+    // 3 probes x nprobe=2 = 6 probe-cell rows; valve at 4 must refuse
+    val probes = corpus.filter(col("vec_id").isin(10L, 11L, 12L))
+    sys.props("graft.ivf.maxProbeCellRows") = "4"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.search(spark, path, probes, "vec_id", "embedding",
+          k = 3, centroids = cent, nprobe = 2).collect()
+      }
+      assert(e.getMessage.contains("probe frame exceeds"), e.getMessage)
+    } finally sys.props -= "graft.ivf.maxProbeCellRows"
+    // same call under the default valve succeeds
+    assert(IvfIndex.search(spark, path, probes, "vec_id", "embedding",
+      k = 3, centroids = cent, nprobe = 2).count() > 0)
+  }
+
+  test("builtFor keys the memoized artifact by build params, not name alone") {
+    val corpus = vecs(32).withColumn("lang", lit("en"))
+    val cent = corpus.filter(col("vec_id") < 4)
+    // the ADVICE-flagged hazard: same key string, diverging keep params
+    // must build SEPARATE artifacts instead of serving whichever built
+    // first; identical params must memoize to the same path
+    val plain = IvfIndex.builtFor("spec_params", corpus, "vec_id", "embedding", cent)
+    val kept = IvfIndex.builtFor("spec_params", corpus, "vec_id", "embedding", cent,
+      keep = Seq("lang"))
+    assert(plain != kept, "diverging keep params must not share an artifact")
+    assert(IvfIndex.builtFor("spec_params", corpus, "vec_id", "embedding", cent) == plain)
+    assert(IvfIndex.builtFor("spec_params", corpus, "vec_id", "embedding", cent,
+      keep = Seq("lang")) == kept)
+    // and the artifacts really differ: only the kept one stores lang
+    assert(!spark.read.parquet(plain).columns.contains("lang"))
+    assert(spark.read.parquet(kept).columns.contains("lang"))
+  }
 }
