@@ -133,11 +133,13 @@ object IvfIndex {
                                   nprobe: Int): (DataFrame, Seq[Long]) = {
     val pc = Similarity.probeCells(probes, idCol, vecCol, centroids, nprobe)
     // limit(max+1) bounds the collect itself; below the valve it
-    // returns every row, so no second job is needed
-    val rows = pc.limit(maxProbeCellRows + 1).collect()
-    require(rows.length <= maxProbeCellRows,
+    // returns every row, so no second job is needed (valve read once
+    // so limit and check always agree)
+    val maxRows = maxProbeCellRows
+    val rows = pc.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
       s"probe frame exceeds the driver-side bound for IVF search: > " +
-        s"$maxProbeCellRows probe-cell rows (probes x nprobe). The probe " +
+        s"$maxRows probe-cell rows (probes x nprobe). The probe " +
         s"side of a search is contractually the small side - reduce the " +
         s"probe batch or nprobe, or flip the join and index the probes.")
     val ci = pc.schema.fieldIndex("cell_id")
