@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-construction operators shared by the c-family queries:
+  * the packing step that turns a cleaned, deduplicated document set
+  * into fixed-budget training sequences.
+  */
+object Corpus {
+
+  /** Token-budget sequence packing via the running-offset rule: walk
+    * each stratum's documents in `orderCol` order and assign a
+    * document starting at running token offset `o` to pack
+    * `floor(o / budget)` — i.e. a pack boundary falls every `budget`
+    * tokens of cumulative length. This is the order-deterministic,
+    * SQL-expressible form of sequence packing (equivalent to a
+    * sequential fold over the sorted stratum — the law pinned in
+    * `CorpusProps`), chosen over bin-packing heuristics because the
+    * assignment is a pure function of the row set: every engine and
+    * every rerun packs identically, which is what makes a 100 TB
+    * corpus build resumable and auditable.
+    *
+    * Plan shape: ONE shuffle on the stratum key; the cumulative sum
+    * is a single running-frame window pass, and the pack id is a
+    * scalar projection on top of it — no second exchange, no
+    * self-join. A document longer than `budget` keeps its own start
+    * offset (it overflows its pack rather than splitting), matching
+    * the common pack-then-truncate training recipe.
+    *
+    * Returns the input columns plus `packCol` (LongType).
+    */
+  def packByBudget(df: DataFrame, stratumCol: String, orderCol: String,
+      tokensCol: String, budget: Long,
+      packCol: String = "pack_id"): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = Window.partitionBy(stratumCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokensCol)).over(w)
+    df.withColumn(packCol,
+      ((cum - col(tokensCol)) / budget).cast(LongType))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.Tables
 import graft.functions.TextFns
-import graft.operators.TopK
+import graft.operators.{Corpus, TopK}
 
 /** Corpus-construction operators (LLM-data-pipeline surface): the
   * sampling / mixing / packing decisions a training-data pipeline
@@ -96,17 +96,13 @@ object CorpusQueries {
     // form of sequence packing; one shuffle on the stratum key, the
     // cumulative sum is a single window pass.
     Q("c3_token_packing",
-      (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"),
-            size(TextFns.toks(col("text"))).cast(LongType).as("n_tokens"))
-          .withColumn("cum", sum("n_tokens").over(w))
-          .select(col("lang"), col("doc_id"), col("n_tokens"),
-            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
-          .orderBy("lang", "doc_id")
-      },
+      (s, d) => Corpus.packByBudget(
+          Tables.documents(s, d)
+            .select(col("lang"), col("doc_id"),
+              size(TextFns.toks(col("text"))).cast(LongType).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", budget = 2048L)
+        .select("lang", "doc_id", "n_tokens", "pack_id")
+        .orderBy("lang", "doc_id"),
       Some(raw"""SELECT lang, doc_id, n_tokens,
              |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
              |FROM (SELECT lang, doc_id, n_tokens,
@@ -128,7 +124,7 @@ object CorpusQueries {
     // bottleneck), exactly like the z-order write path.
     Q("c7_epoch_shuffle",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("epoch")
+        val w = Window.partitionBy("epoch")
           .orderBy(col("h"), col("doc_id"))
         Tables.documents(s, d)
           .select(col("doc_id"),

@@ -623,14 +623,10 @@ object SimilarityQueries {
         val train = simhashClusters(s, d)
           .filter(h % 10 >= 2)
           .select("doc_id")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        TextQueries.cleanDocs(s, d).join(train, "doc_id")
-          .withColumn("cum", sum("n_tokens").over(w))
-          .select(col("lang"), col("doc_id"), col("n_tokens"),
-            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
+        graft.operators.Corpus
+          .packByBudget(TextQueries.cleanDocs(s, d).join(train, "doc_id"),
+            "lang", "doc_id", "n_tokens", budget = 2048L)
+          .select("lang", "doc_id", "n_tokens", "pack_id")
           .orderBy("lang", "doc_id")
       },
       Some(s"""${TextQueries.survCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -675,15 +671,12 @@ object SimilarityQueries {
         val train = simhashClusters(s, d)
           .filter(h % 10 >= 2)
           .select("doc_id")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        TextQueries.cleanDocs(s, d).join(train, "doc_id")
-          .join(contaminated, Seq("doc_id"), "left_anti")
-          .withColumn("cum", sum("n_tokens").over(w))
-          .select(col("lang"), col("doc_id"), col("n_tokens"),
-            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
+        graft.operators.Corpus
+          .packByBudget(
+            TextQueries.cleanDocs(s, d).join(train, "doc_id")
+              .join(contaminated, Seq("doc_id"), "left_anti"),
+            "lang", "doc_id", "n_tokens", budget = 2048L)
+          .select("lang", "doc_id", "n_tokens", "pack_id")
           .orderBy("lang", "doc_id")
       },
       Some(s"""${TextQueries.survCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -270,17 +270,11 @@ object TextQueries {
     // WITH-chain verbatim, so the composed stages can never diverge
     // from their standalone counterparts.
     Q("c5_clean_pack",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        cleanDocs(s, d)
-          .withColumn("cum", sum("n_tokens").over(w))
-          .select(col("lang"), col("doc_id"), col("n_tokens"),
-            ((col("cum") - col("n_tokens")) / 2048).cast(LongType).as("pack_id"))
-          .orderBy("lang", "doc_id")
-      },
+      (s, d) => graft.operators.Corpus
+        .packByBudget(cleanDocs(s, d), "lang", "doc_id", "n_tokens",
+          budget = 2048L)
+        .select("lang", "doc_id", "n_tokens", "pack_id")
+        .orderBy("lang", "doc_id"),
       Some(s"""$survCte
              |SELECT lang, doc_id, n_tokens,
              |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
