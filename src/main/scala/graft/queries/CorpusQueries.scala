@@ -23,7 +23,7 @@ object CorpusQueries {
     * work and identical in any engine.
     */
   private def sampleHash(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    TextFns.hash60Col(c.cast(StringType))
 
   private val sampleHashSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"

@@ -579,8 +579,8 @@ object SimilarityQueries {
     // here to share the d8 CTE chain.
     Q("c6_leakage_safe_splits",
       (s, d) => {
-        val h = conv(substring(md5(col("cluster_id").cast(StringType)), 1, 15),
-          16, 10).cast(LongType)
+        val h = graft.functions.TextFns.hash60Col(
+          col("cluster_id").cast(StringType))
         simhashClusters(s, d)
           .select(col("doc_id"), col("cluster_id"))
           .withColumn("split",
@@ -618,8 +618,8 @@ object SimilarityQueries {
     // from its parts.
     Q("c8_pipeline_train_pack",
       (s, d) => {
-        val h = conv(substring(md5(col("cluster_id").cast(StringType)), 1, 15),
-          16, 10).cast(LongType)
+        val h = graft.functions.TextFns.hash60Col(
+          col("cluster_id").cast(StringType))
         val train = simhashClusters(s, d)
           .filter(h % 10 >= 2)
           .select("doc_id")
@@ -666,8 +666,8 @@ object SimilarityQueries {
       (s, d) => {
         val contaminated = contaminationHits(s, d)
           .select("doc_id").distinct()
-        val h = conv(substring(md5(col("cluster_id").cast(StringType)), 1, 15),
-          16, 10).cast(LongType)
+        val h = graft.functions.TextFns.hash60Col(
+          col("cluster_id").cast(StringType))
         val train = simhashClusters(s, d)
           .filter(h % 10 >= 2)
           .select("doc_id")

@@ -83,6 +83,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("g20_sessionize")
   }
 
+  test("c3 packByBudget runs its packing window over ONE shuffle") {
+    assertSingleHashShuffle("c3_token_packing")
+  }
+
   /** Exercises the generated code path end-to-end (doGenCode, not just
     * the interpreted eval the unit spec hits via collect on tiny
     * frames): count through the full j10 plan at sf0.001 and compare
