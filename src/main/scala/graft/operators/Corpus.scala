@@ -30,6 +30,18 @@ object Corpus {
     * offset (it overflows its pack rather than splitting), matching
     * the common pack-then-truncate training recipe.
     *
+    * CONTRACT: `orderCol` must be unique within each stratum. The
+    * running window (and therefore the pack id) is only deterministic
+    * for a total per-stratum order — with duplicate order values the
+    * cumulative sum depends on physical row order, the same defect
+    * class the repo's ORDER BY totality audit closes for the oracles.
+    * Every in-repo caller passes the unique `doc_id`.
+    *
+    * The pack id uses integral division (`div`), not double `/`, so
+    * the fold law holds for ALL Long offsets — a double mantissa
+    * would silently round once a stratum's cumulative offset passed
+    * 2^53 tokens (real territory for a 100 TB corpus in one stratum).
+    *
     * Returns the input columns plus `packCol` (LongType).
     */
   def packByBudget(df: DataFrame, stratumCol: String, orderCol: String,
@@ -40,6 +52,6 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(tokensCol)).over(w)
     df.withColumn(packCol,
-      ((cum - col(tokensCol)) / budget).cast(LongType))
+      call_function("div", (cum - col(tokensCol)).cast(LongType), lit(budget)))
   }
 }

@@ -22,7 +22,12 @@ object CorpusProps extends Properties("Corpus") {
     forAll(
       Gen.nonEmptyListOf(Gen.zip(
         Gen.choose(1, 3),            // stratum
-        Gen.choose(0L, 500L)))       // token count (0 and >budget both legal)
+        // token counts: mostly small, sometimes past 2^53 — cumulative
+        // offsets beyond the double mantissa are exactly where the
+        // integral-div pack id diverges from a double `/` (advisor r10)
+        Gen.frequency(
+          4 -> Gen.choose(0L, 500L), // 0 and >budget both legal
+          1 -> Gen.choose(1L << 53, 1L << 56))))
         .map(_.take(24)),
       Gen.choose(1L, 300L)) { (rows, budget) =>
       val spark = TestSpark.spark
