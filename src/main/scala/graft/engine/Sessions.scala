@@ -33,6 +33,13 @@ object Sessions {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet timestamp[us] with isAdjustedToUTC=false,
+      // which Spark 4 infers as TIMESTAMP_NTZ by default. Watermarks
+      // (and every streaming query here) require TimestampType, so
+      // infer the legacy LTZ type instead — an exact identity under
+      // the UTC session zone above, and the same local field values
+      // the DuckDB oracle reads from the file.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // keep saveAsTable warehouses (bucketed-join tests) out of cwd
       .config("spark.sql.warehouse.dir",
