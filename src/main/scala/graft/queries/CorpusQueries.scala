@@ -148,6 +148,39 @@ object CorpusQueries {
              |          ORDER BY h, doc_id) AS pos
              |      FROM h)
              |SELECT epoch, pos, doc_id FROM r WHERE pos <= 30
-             |ORDER BY epoch, pos""".stripMargin))
+             |ORDER BY epoch, pos""".stripMargin)),
+
+    // C10 — integer repeat-factor UPSAMPLING: the other half of the
+    // mixture recipe. c4 thins over-represented sources by hash rate
+    // (keep-rate < 1); c10 multiplies under-represented ones by an
+    // integer epochs-per-language factor (rate > 1, the "epochs"
+    // column of a published data-mixture table), tagging each copy
+    // with its epoch index so downstream packing/shuffling (c3/c7)
+    // can treat copies as distinct schedulable rows. Deterministic by
+    // construction — replication is a pure function of (doc, factor),
+    // no RNG — so the oracle and any rerun produce the identical
+    // multiset. Plan shape at scale: map-only explode of a ≤factor-
+    // element sequence literal per row — no shuffle, no join against
+    // a factor table (the recipe is a CASE literal, exactly how c4
+    // inlines its rates); output size is sum(factor_lang × n_lang),
+    // the number a mixture designer already budgeted for.
+    Q("c10_repeat_upsample",
+      (s, d) => {
+        val factors: Map[String, Long] = Map( // epochs per language
+          "en" -> 1L, "es" -> 2L, "fr" -> 3L, "de" -> 3L)
+        val factor = factors.foldLeft(lit(2L)) { case (acc, (lang, f)) =>
+          when(col("lang") === lang, lit(f)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .withColumn("epoch", explode(sequence(lit(1L), factor)))
+          .select("doc_id", "lang", "epoch")
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""SELECT doc_id, lang,
+             |  unnest(generate_series(1, CASE lang
+             |    WHEN 'en' THEN 1 WHEN 'es' THEN 2
+             |    WHEN 'fr' THEN 3 WHEN 'de' THEN 3 ELSE 2 END)) AS epoch
+             |FROM documents
+             |ORDER BY doc_id, epoch""".stripMargin))
   )
 }

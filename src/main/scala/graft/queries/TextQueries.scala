@@ -411,6 +411,56 @@ object TextQueries {
              |          ORDER BY score DESC, token) AS rn
              |      FROM sc)
              |SELECT doc_id, rn, token, tf, df FROM r WHERE rn <= 5
-             |ORDER BY doc_id, rn""".stripMargin))
+             |ORDER BY doc_id, rn""".stripMargin)),
+
+    // T12 — repetition metrics (the Gopher/MassiveText repetition
+    // filter family): per document, the count of the single most
+    // frequent token and the number of repeated bigrams, with a
+    // keep/drop flag from integer cross-multiplied thresholds (top
+    // token ≤ 10% of tokens AND duplicate bigrams < 10% of bigrams —
+    // splits this corpus 305/500). Complements t6's distinct-ratio
+    // gate: that catches wholesale copy-paste, the top-token fraction
+    // catches degenerate "the the the" loops it misses.
+    //
+    // Plan shape at scale: map-ONLY — the per-doc mode is an
+    // array-local lambda (O(tokens × distinct) per row), never an
+    // explode, so nothing shuffles and the pass pipelines with the
+    // parquet scan. The explode+groupBy alternative reshuffles every
+    // token INSTANCE in the corpus to compute a per-doc scalar —
+    // the wrong trade at 100 TB for bounded-length documents (and
+    // post-chunking every training document is bounded).
+    Q("t12_repetition",
+      (s, d) => {
+        val freqs = transform(array_distinct(col("tk")),
+          x => size(filter(col("tk"), y => y === x)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFns.toks(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"), bigramsOf(col("tk")).as("bg"))
+          .select(col("doc_id"),
+            size(col("tk")).cast(LongType).as("n_tokens"),
+            coalesce(array_max(freqs), lit(0)).cast(LongType).as("top_tok"),
+            size(col("bg")).cast(LongType).as("n_bigrams"),
+            (size(col("bg")) - size(array_distinct(col("bg"))))
+              .cast(LongType).as("n_dup_bigrams"))
+          .withColumn("repetition_ok",
+            col("top_tok") * 10 <= col("n_tokens") &&
+              col("n_dup_bigrams") * 10 < col("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens, top_tok, n_bigrams, n_dup_bigrams,
+             |  (top_tok * 10 <= n_tokens AND n_dup_bigrams * 10 < n_bigrams)
+             |    AS repetition_ok
+             |FROM (SELECT doc_id,
+             |        CAST(len(tk) AS BIGINT) AS n_tokens,
+             |        CAST(coalesce(list_max(list_transform(list_distinct(tk),
+             |          x -> len(list_filter(tk, y -> y = x)))), 0) AS BIGINT)
+             |          AS top_tok,
+             |        CAST(len(bg) AS BIGINT) AS n_bigrams,
+             |        CAST(len(bg) - len(list_distinct(bg)) AS BIGINT)
+             |          AS n_dup_bigrams
+             |      FROM (SELECT doc_id, tk, $bigramsSql AS bg
+             |            FROM (SELECT doc_id, text, $tkSql AS tk
+             |                  FROM documents)))
+             |ORDER BY doc_id""".stripMargin))
   )
 }
