@@ -181,6 +181,57 @@ object CorpusQueries {
              |    WHEN 'en' THEN 1 WHEN 'es' THEN 2
              |    WHEN 'fr' THEN 3 WHEN 'de' THEN 3 ELSE 2 END)) AS epoch
              |FROM documents
-             |ORDER BY doc_id, epoch""".stripMargin))
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
+    // C11 — sliding-window document CHUNKING: split every document
+    // into fixed-token-budget training chunks with overlap (budget 64,
+    // stride 48 ⇒ 16 tokens of overlap), the step that turns cleaned
+    // documents into model-length sequences. Rule: chunk starts are
+    // 1, 1+stride, 1+2·stride, … while start ≤ n_tokens; each chunk is
+    // the next `budget` tokens from its start, so trailing chunks may
+    // be short and every token is covered (the final ≤overlap-length
+    // tail chunks are kept — a trainer that wants to drop them filters
+    // on n_chunk_tokens, the rule stays total and engine-agnostic).
+    //
+    // Plan shape at scale: map-ONLY — starts are a per-row sequence,
+    // chunks are array-local slices riding the explode, so nothing
+    // shuffles but the deterministic output sort; output rows =
+    // Σ ceil(n_i/stride), the corpus text is read once and never
+    // re-joined to itself. (doc_id, chunk_id) is a total key.
+    Q("c11_chunk_documents",
+      (s, d) => {
+        val (budget, stride) = (64, 48)
+        val tk = TextFns.toks(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), tk.as("tk"))
+          .select(col("doc_id"), col("tk"),
+            posexplode(sequence(lit(1), size(col("tk")), lit(stride)))
+              .as(Seq("chunk_id", "start_tok")))
+          .select(col("doc_id"),
+            col("chunk_id").cast(LongType).as("chunk_id"),
+            col("start_tok").cast(LongType).as("start_tok"),
+            size(slice(col("tk"), col("start_tok"), lit(budget)))
+              .cast(LongType).as("n_chunk_tokens"),
+            concat_ws(" ", slice(col("tk"), col("start_tok"), lit(budget)))
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |        regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+             |      FROM documents),
+             |st AS (SELECT doc_id, tk,
+             |        unnest(generate_series(1, len(tk), 48)) AS start_tok
+             |      FROM t),
+             |c AS (SELECT doc_id,
+             |        (start_tok - 1) // 48 AS chunk_id, start_tok,
+             |        list_slice(tk, start_tok,
+             |          least(start_tok + 63, len(tk))) AS chunk
+             |      FROM st)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(chunk, ' ') AS chunk_text
+             |FROM c
+             |ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -87,6 +87,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("c3_token_packing")
   }
 
+  /** The map-ONLY scaladoc claims, pinned: zero data shuffles — the
+    * only exchange allowed is the final RangePartitioning from the
+    * presentation ORDER BY. If a per-doc scalar ever regresses to an
+    * explode+groupBy (reshuffling every token instance) or the chunk
+    * explode picks up a join, a hash exchange appears and this fails.
+    */
+  private def assertMapOnly(name: String): Unit = {
+    val plan = graft.queries.Registry.queries(name)(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+    val all = "Exchange ".r.findAllIn(plan).size
+    assert(hash == 0,
+      s"$name must not shuffle its data, found $hash hash exchanges:\n$plan")
+    assert(all == range && range <= 1,
+      s"$name has unexpected exchanges:\n$plan")
+  }
+
+  test("t12 repetition metrics stay map-only (array-local mode, no token reshuffle)") {
+    assertMapOnly("t12_repetition")
+  }
+
+  test("c10 repeat upsampling stays map-only (sequence explode, no factor-table join)") {
+    assertMapOnly("c10_repeat_upsample")
+  }
+
+  test("c11 chunking stays map-only (array-local slices riding the explode)") {
+    assertMapOnly("c11_chunk_documents")
+  }
+
   /** Exercises the generated code path end-to-end (doGenCode, not just
     * the interpreted eval the unit spec hits via collect on tiny
     * frames): count through the full j10 plan at sf0.001 and compare
