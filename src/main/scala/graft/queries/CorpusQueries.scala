@@ -232,6 +232,48 @@ object CorpusQueries {
              |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |  array_to_string(chunk, ' ') AS chunk_text
              |FROM c
-             |ORDER BY doc_id, chunk_id""".stripMargin))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // C12 — TEMPERATURE-scaled mixture sampling (τ = 0.5): keep-rate
+    // per language ∝ 1/√n_lang, so expected kept counts go as √n_lang
+    // — the standard temperature downweighting of over-represented
+    // languages (multilingual-sampling / DoReMi family). Unlike c4,
+    // whose rates are a hand-written recipe literal, c12's rates are
+    // computed FROM the corpus — the canonical two-pass "global
+    // statistics drive the per-row policy" shape: pass 1 is a tiny
+    // per-language count (column-pruned to `lang`, partial-aggregated
+    // map-side), broadcast back; pass 2 filters rows against the
+    // broadcast threshold, map-only. Nothing shuffles but |langs|
+    // partial counts and the output sort; the corpus never self-joins.
+    //
+    // Determinism across engines: thresholds stay integral —
+    // floor(8e6/√n) with IEEE-correctly-rounded sqrt and division is
+    // bit-identical in Spark and DuckDB, and the kept set is then a
+    // pure integer hash comparison (no order-dependent float sums,
+    // the repo's oracle float rule).
+    Q("c12_temperature_mixture",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+          .withColumn("keep_thr",
+            least(lit(1000000L),
+              floor(lit(8000000.0) / sqrt(col("n_lang")))))
+          .select("lang", "keep_thr")
+        Tables.documents(s, d)
+          .join(broadcast(counts), Seq("lang"))
+          .filter(sampleHash(col("doc_id")) % 1000000L < col("keep_thr"))
+          .select("doc_id", "lang", "keep_thr")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT lang, count(*) AS n_lang
+             |           FROM documents GROUP BY lang),
+             |t AS (SELECT lang, least(1000000,
+             |        CAST(floor(8000000 / sqrt(n_lang)) AS BIGINT))
+             |          AS keep_thr
+             |      FROM n)
+             |SELECT d.doc_id, d.lang, t.keep_thr
+             |FROM documents d JOIN t USING (lang)
+             |WHERE $sampleHashSql % 1000000 < t.keep_thr
+             |ORDER BY doc_id""".stripMargin))
   )
 }

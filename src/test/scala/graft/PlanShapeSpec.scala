@@ -117,6 +117,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assertMapOnly("c11_chunk_documents")
   }
 
+  test("c12 temperature mixture shuffles only the tiny lang counts and broadcasts the policy") {
+    // two-pass global-stats shape: the ONLY hash exchange is the
+    // per-language count aggregate (|langs| partial rows), the policy
+    // comes back as a broadcast, and the corpus rows themselves never
+    // shuffle except the presentation sort. A sort-merge join here
+    // would mean the full corpus shuffles on lang — the 100 TB defect.
+    val plan = graft.queries.Registry.queries("c12_temperature_mixture")(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val bcast = "BroadcastExchange".r.findAllIn(plan).size
+    assert(hash == 1,
+      s"c12 must shuffle only the lang counts, found $hash hash exchanges:\n$plan")
+    assert(bcast >= 1 && plan.contains("BroadcastHashJoin"),
+      s"c12 policy join must broadcast:\n$plan")
+  }
+
   /** Exercises the generated code path end-to-end (doGenCode, not just
     * the interpreted eval the unit spec hits via collect on tiny
     * frames): count through the full j10 plan at sf0.001 and compare
