@@ -86,6 +86,57 @@ object Relational {
       .select((lcols.map(col) :+ col("_matched").as(valueCol)): _*)
   }
 
+  /** NEAREST-event join (scale extension): for each left row, the
+    * right row on the same key whose `tsCol` is CLOSEST in either
+    * direction — the direction-agnostic sibling of [[asofJoin]]
+    * (pandas `merge_asof(direction='nearest')`).
+    *
+    * Composed as tag → union-by-name → TWO running window passes over
+    * the SAME partitioning and sort: a backward `last(…, ignoreNulls)`
+    * (latest right row at-or-before) and a forward `first(…,
+    * ignoreNulls)` (earliest right row strictly after — equal-ts right
+    * rows sort before the left row, so they land in the backward arm
+    * with distance 0), then a row-local argmin of the two candidate
+    * distances. ONE shuffle, one sort, no range self-join or per-row
+    * subquery. Ties: equal distance on both sides prefers the
+    * BACKWARD candidate; ties at equal ts within an arm resolve to
+    * the highest `valueCol` backward / lowest forward (the window
+    * orderings, pinned, so results are deterministic).
+    *
+    * Contract: both inputs contain `keys` and `tsCol` (TimestampType
+    * — distances compare in microseconds — or any integral type);
+    * `valueCol` is a non-null right-side column absent on the left.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, valueCol: String): DataFrame = {
+    val lcols = left.columns.toSeq
+    val l = left
+      .withColumn("_nj_side", lit(1))
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select((keys :+ tsCol :+ valueCol).map(col): _*)
+      .withColumn("_nj_side", lit(0))
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("_nj_side"), col(valueCol))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cand = when(col("_nj_side") === 0,
+      struct(col(tsCol).as("ts"), col(valueCol).as("v")))
+    def num(c: Column): Column =
+      if (left.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType) unix_micros(c)
+      else c.cast(org.apache.spark.sql.types.LongType)
+    val chosen = when(col("_nj_b").isNull, col("_nj_f.v"))
+      .when(col("_nj_f").isNull, col("_nj_b.v"))
+      .when(num(col(tsCol)) - num(col("_nj_b.ts")) <=
+        num(col("_nj_f.ts")) - num(col(tsCol)), col("_nj_b.v"))
+      .otherwise(col("_nj_f.v"))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_nj_b", last(cand, ignoreNulls = true).over(wb))
+      .withColumn("_nj_f", first(cand, ignoreNulls = true).over(wf))
+      .filter(col("_nj_side") === 1)
+      .select((lcols.map(col) :+ chosen.as(valueCol)): _*)
+  }
+
   /** Bucketized RANGE (interval) join (scale extension): match each
     * point row to every range row whose `[startCol, endCol]` interval
     * contains its `pointCol` — inclusive on both ends. Spark plans a

@@ -383,6 +383,52 @@ object ParityQueries {
              |SELECT click_id, user_id, view_id FROM w
              |WHERE click_id IS NOT NULL ORDER BY click_id""".stripMargin)),
 
+    // J13 (scale extension): NEAREST-event join — each click
+    // attributed to the user's closest view in EITHER direction
+    // (pandas merge_asof direction='nearest'), completing the as-of
+    // family. One shuffle: backward last() + forward first() share
+    // the same partitioning and sort, then a row-local argmin picks
+    // the closer candidate (equal distance prefers backward; the
+    // window orderings pin all in-arm ties). The oracle replays the
+    // identical two-window algebra in SQL.
+    Q("j13_nearest_event_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        graft.operators.Relational.nearestJoin(clicks, views,
+            Seq("user_id"), "ts", "view_id")
+          .select("click_id", "user_id", "view_id")
+          .orderBy("click_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id AS click_id,
+             |         CAST(NULL AS BIGINT) AS view_id, 1 AS side
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, event_id, 0
+             |  FROM events WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT user_id, ts, click_id,
+             |    last_value(CASE WHEN side = 0
+             |        THEN {'ts': ts, 'v': view_id} END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, side, view_id
+             |      ROWS UNBOUNDED PRECEDING) AS b,
+             |    first_value(CASE WHEN side = 0
+             |        THEN {'ts': ts, 'v': view_id} END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, side, view_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+             |  FROM u)
+             |SELECT click_id, user_id,
+             |  CASE WHEN b IS NULL THEN f.v
+             |       WHEN f IS NULL THEN b.v
+             |       WHEN ts - b.ts <= f.ts - ts THEN b.v
+             |       ELSE f.v END AS view_id
+             |FROM w WHERE click_id IS NOT NULL
+             |ORDER BY click_id""".stripMargin)),
+
     // A1 (LAT:241): n-ary UNION ALL aligned by name with null fill for
     // columns missing on one side (pandas concat semantics).
     Q("a1_union_by_name",

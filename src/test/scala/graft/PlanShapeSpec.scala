@@ -79,6 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("j5_asof_join")
   }
 
+  test("j13 nearest join runs both window arms over ONE shuffle") {
+    // backward last() and forward first() share partitioning AND sort
+    // order, so the second Window stacks on the first without a new
+    // exchange — the whole direction-agnostic lookup is one shuffle
+    assertSingleHashShuffle("j13_nearest_event_join")
+  }
+
   test("g20 sessionize stacks both windows AND the rollup over ONE shuffle") {
     assertSingleHashShuffle("g20_sessionize")
   }

@@ -195,4 +195,42 @@ object RelationalProps extends Properties("Relational") {
       }.sortBy(_._1)
       got == want
     }
+
+  // nearestJoin law: each left row's matched value equals the naive
+  // closest-|Δts| lookup over the key's right rows, with the
+  // documented tie chain — equal distance prefers the backward
+  // (ts <= left.ts) candidate; within the backward arm equal ts
+  // resolves to the highest value, within the forward arm to the
+  // lowest (the two window orderings)
+  property("nearestJoin == naive closest-row lookup incl. tie chain") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 2L), Gen.choose(0L, 30L))).map(_.take(10)),
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 2L), Gen.choose(0L, 30L),
+        Gen.choose(0L, 9L))).map(_.take(10))) { (ls, rs) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("l_id", "k", "ts")
+      val right = rs.toDF("k", "ts", "v")
+      val got = Relational.nearestJoin(left, right, Seq("k"), "ts", "v")
+        .select("l_id", "v").as[(Long, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val back = rs.filter(r => r._1 == k && r._2 <= t)
+        val fwd = rs.filter(r => r._1 == k && r._2 > t)
+        val b = if (back.isEmpty) None else Some(back.maxBy(r => (r._2, r._3)))
+        val f = if (fwd.isEmpty) None else Some(fwd.minBy(r => (r._2, r._3)))
+        val v = (b, f) match {
+          case (None, None) => None
+          case (Some(bb), None) => Some(bb._3)
+          case (None, Some(ff)) => Some(ff._3)
+          case (Some(bb), Some(ff)) =>
+            if (t - bb._2 <= ff._2 - t) Some(bb._3) else Some(ff._3)
+        }
+        (i.toLong, v)
+      }.sortBy(_._1)
+      got == want
+    }
 }

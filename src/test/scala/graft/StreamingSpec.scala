@@ -26,6 +26,20 @@ class StreamingSpec extends AnyFunSuite {
     p
   }
 
+  test("events.ts reads as TimestampType — the watermark-compatible type") {
+    // the driver has regenerated events.parquet with BOTH physical
+    // types across rounds: timestamp[ns] (read via nanosAsLong + an
+    // explicit convert) and timestamp[us]/isAdjustedToUTC=false (which
+    // Spark 4 would infer as TIMESTAMP_NTZ — a type every watermark
+    // rejects — unless inferTimestampNTZ is disabled in Sessions).
+    // Pin the contract at the table boundary so the next re-typing
+    // fails here, not as six broken streaming queries at round open.
+    val t = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .schema("ts").dataType
+    assert(t == org.apache.spark.sql.types.TimestampType,
+      s"events.ts must surface as TimestampType, got $t")
+  }
+
   test("runAvailableNow drains a single-file path via the glob rewrite (complete mode)") {
     val out = Streaming.runAvailableNow(spark, dataPath, "complete") { df =>
       df.groupBy(window(col("ts"), "1 hour").as("w")).agg(sum("v").as("s"))
