@@ -235,6 +235,45 @@ object Similarity {
       idCol, k)
   }
 
+  /** Distributed KNN JOIN: the k nearest corpus neighbours for EVERY
+    * query row — the batch-enrichment shape (kNN classification,
+    * label propagation, corpus linking) where the query side is
+    * itself a large table. [[cosineTopK]]/[[ivfTopK]] replicate a
+    * broadcast probe side — right for interactive probe sets, a
+    * non-starter when queries are 10^9 rows. Here NEITHER side
+    * broadcasts: both sides cell-assign map-only against the bounded
+    * codebook ([[ivfAssign]] literal argmax), then meet in a SHUFFLED
+    * hash equi-join keyed on cell_id — the corpus exchanges once
+    * keyed by cell, the query side ×nprobe — and the bounded k-heap
+    * ([[probeTopK]]) partial-aggregates each query's candidates
+    * before the final exchange. Result is IDENTICAL to [[ivfTopK]]
+    * with the same arguments (spec-pinned law); only the exchange
+    * strategy differs. The shuffle_hash hint on the query side pins
+    * the plan: without it, test-scale stats (or AQE) would demote the
+    * join to a broadcast of the query side — the exact plan this
+    * operator exists to avoid — and at scale both sides arrive
+    * hash-partitioned on cell_id, where a sort-merge's sort is wasted
+    * work and the hinted build side (queries, the smaller per-cell
+    * stream) is the one a shuffled hash join should map.
+    *
+    * `excludeSelf` drops `p_id == id` pairs — for the self-join
+    * convention (query slice ⊆ corpus, ids shared); two genuinely
+    * distinct tables keep every pair.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: DataFrame,
+              nprobe: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cCells = ivfAssign(corpus, idCol, vecCol, centroids)
+    val pCells = probeCells(queries, idCol, vecCol, centroids, nprobe)
+    val cos = cosine(col("p_vec"), col(vecCol))
+    val joined = cCells.join(pCells.hint("shuffle_hash"), Seq("cell_id"))
+    val paired = if (excludeSelf) joined.filter(col("p_id") =!= col(idCol))
+                 else joined
+    probeTopK(paired.select(col("p_id"), col(idCol), cos.as("cos_raw")),
+      idCol, k)
+  }
+
   /** Element-wise running mean over `array<double>` as a real
     * aggregate: map-side partial sums mean one (dims+1)-wide buffer
     * per (partition, group) crosses the exchange, never the member

@@ -890,6 +890,41 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin)),
 
+    // V17 — distributed KNN JOIN: every 7th embedding (a LARGE query
+    // slice standing in for a query TABLE, not an interactive probe
+    // set) gets its 3 nearest corpus neighbours. Same cell semantics
+    // as v6 (nprobe=2, stand-in centroids), but the query side is
+    // NEVER broadcast — both sides cell-assign map-only and meet in a
+    // SHUFFLED hash join on cell_id (spec-pinned; the plan v1–v16
+    // can't provide once the probe side outgrows a broadcast).
+    Q("v17_knn_join",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnJoin(e.filter(col("vec_id") % 7 === 0), e,
+            "vec_id", "embedding", k = 3,
+            centroids = e.filter(col("vec_id") < 16), nprobe = 2,
+            excludeSelf = true)
+          .orderBy("p_id", "rn")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |rk AS (
+             |  SELECT e.vec_id, e.embedding, c.cell_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |  FROM embeddings e CROSS JOIN cent c),
+             |asg AS (SELECT vec_id, embedding, cell_id FROM rk WHERE crn = 1),
+             |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+             |       FROM rk WHERE vec_id % 7 = 0 AND crn <= 2),
+             |dst AS (SELECT p_id, a.vec_id, ${cosSql("p_vec", "a.embedding")} AS cos_raw
+             |      FROM asg a JOIN pr USING (cell_id) WHERE a.vec_id <> p_id),
+             |r AS (SELECT p_id, vec_id, cos_raw,
+             |        row_number() OVER (PARTITION BY p_id
+             |          ORDER BY cos_raw DESC, vec_id) AS rn
+             |      FROM dst)
+             |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM r WHERE rn <= 3 ORDER BY p_id, rn""".stripMargin)),
+
     // V7 — IVF search over a TRAINED codebook: 2 spherical-k-means
     // rounds (k=8, deterministic lowest-id seeding, argmax ties →
     // lowest cell) then the same cell search as v4. The oracle REPLAYS

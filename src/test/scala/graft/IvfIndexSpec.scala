@@ -45,6 +45,37 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin equals ivfTopK row-for-row — only the exchange strategy differs") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    // a LARGE query slice (every 3rd vector), the shape knnJoin exists
+    // for; excludeSelf matches ivfTopK's built-in self-pair filter
+    val queries = corpus.filter(col("vec_id") % 3 === 0)
+    for (nprobe <- Seq(1, 2)) {
+      val viaBroadcast = Similarity.ivfTopK(queries, corpus, "vec_id",
+          "embedding", k = 4, centroids = cent, nprobe = nprobe)
+        .orderBy("p_id", "rn").collect().toSeq
+      val viaShuffle = Similarity.knnJoin(queries, corpus, "vec_id",
+          "embedding", k = 4, centroids = cent, nprobe = nprobe,
+          excludeSelf = true)
+        .orderBy("p_id", "rn").collect().toSeq
+      assert(viaShuffle == viaBroadcast, s"nprobe=$nprobe")
+    }
+  }
+
+  test("knnJoin keeps cross-table self-id pairs unless excludeSelf") {
+    val corpus = vecs(16)
+    val cent = corpus.filter(col("vec_id") < 4)
+    // two "different tables" that happen to share ids: with
+    // excludeSelf=false the identical-id pair must SURVIVE (cos=1 →
+    // it ranks first for its own query)
+    val out = Similarity.knnJoin(corpus, corpus, "vec_id", "embedding",
+        k = 1, centroids = cent, nprobe = 1)
+      .collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(2)),
+      "rank-1 neighbour of a vector present in both tables must be itself")
+  }
+
   test("search reads only the probed cell partitions") {
     val corpus = vecs(64)
     val cent = corpus.filter(col("vec_id") < 4)

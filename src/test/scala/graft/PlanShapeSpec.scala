@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.Exchange
-import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape pins for the three join rewrites whose entire
@@ -138,6 +138,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"c12 must shuffle only the lang counts, found $hash hash exchanges:\n$plan")
     assert(bcast >= 1 && plan.contains("BroadcastHashJoin"),
       s"c12 policy join must broadcast:\n$plan")
+  }
+
+  test("v17 knn join meets the corpus in a SHUFFLED hash join on cell_id, probe side never broadcast") {
+    // the entire point of knnJoin vs ivfTopK: the query side is a
+    // large table, so the cell_id join must be a shuffled hash join —
+    // a broadcast of the probe side here is the 10^9-queries defect
+    // this operator exists to avoid. (The only broadcasts allowed are
+    // the BOUNDED centroid artifacts inside probeCells/probe-side
+    // plumbing — never a join keyed on cell_id.)
+    val plan = planOf("v17_knn_join")
+    val cellShuffled = plan.collect {
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "cell_id")) => j
+    }
+    assert(cellShuffled.nonEmpty,
+      s"v17's cell_id join is not a shuffled hash join:\n$plan")
+    val cellBroadcast = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "cell_id")) => j
+    }
+    assert(cellBroadcast.isEmpty,
+      s"v17's cell_id join regressed to a broadcast:\n$plan")
   }
 
   /** Exercises the generated code path end-to-end (doGenCode, not just
