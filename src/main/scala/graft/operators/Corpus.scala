@@ -54,4 +54,27 @@ object Corpus {
     df.withColumn(packCol,
       call_function("div", (cum - col(tokensCol)).cast(LongType), lit(budget)))
   }
+
+  /** [[packByBudget]] plus the in-pack START OFFSET of each document:
+    * `posCol` = (cumulative offset) mod budget — where the doc's
+    * first token lands inside its pack's token buffer. This is the
+    * other half of what a packed-pretraining data loader consumes:
+    * `pack_id` says WHICH sequence a document joins, `pack_pos` says
+    * WHERE, and together they let the loader materialize the packed
+    * batch (and its attention-mask segment boundaries) without
+    * re-scanning neighbours. Same single window pass — the offset is
+    * one more scalar projection over the identical cumulative sum, so
+    * the plan (one stratum shuffle) and the determinism contract
+    * (`orderCol` total per stratum) are unchanged.
+    */
+  def packWithOffsets(df: DataFrame, stratumCol: String, orderCol: String,
+      tokensCol: String, budget: Long, packCol: String = "pack_id",
+      posCol: String = "pack_pos"): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = Window.partitionBy(stratumCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = (sum(col(tokensCol)).over(w) - col(tokensCol)).cast(LongType)
+    df.withColumn(packCol, call_function("div", off, lit(budget)))
+      .withColumn(posCol, pmod(off, lit(budget)).cast(LongType))
+  }
 }

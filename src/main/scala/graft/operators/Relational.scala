@@ -310,6 +310,33 @@ object Relational {
       .drop("_new_sess")
   }
 
+  /** SCD Type-2 dimension build: turn a change log (one row per
+    * version of a key) into validity intervals — `valid_from` = the
+    * change's own timestamp, `valid_to` = the NEXT change's timestamp
+    * for the same key (null while current), `is_current` = no
+    * successor. The warehouse-dimension shape the reference's
+    * incremental merge (SER:309-365) feeds: its upsert keeps only the
+    * latest row per key, SCD2 keeps the full history queryable by
+    * as-of interval (pairs with [[rangeJoin]] for point-in-validity
+    * lookups).
+    *
+    * ONE shuffle on the key; `lead` and the successor test ride the
+    * same window pass. `tieCol` must make (tsCol, tieCol) a total
+    * order per key — same determinism contract as [[sessionize]] and
+    * `Corpus.packByBudget`. All payload columns pass through.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           tieCol: String, validFrom: String = "valid_from",
+           validTo: String = "valid_to",
+           currentCol: String = "is_current"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn(validFrom, col(tsCol))
+      .withColumn(validTo, lead(col(tsCol), 1).over(w))
+      .withColumn(currentCol, col(validTo).isNull)
+  }
+
   /** P9 (LAT:184) — drop rows where any of the listed key columns is
     * null (pandas `dropna(subset, how='any')`).
     */

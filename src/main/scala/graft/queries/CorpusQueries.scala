@@ -113,6 +113,31 @@ object CorpusQueries {
              |            FROM documents))
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // C13 — packing WITH in-pack offsets: pack_pos = where each doc's
+    // first token lands inside its pack's buffer — what the packed-
+    // pretraining loader needs to materialize the batch and its
+    // attention-mask segment boundaries without re-scanning
+    // neighbours. Same one-window-pass plan as c3: pack_id and
+    // pack_pos are two scalar projections over ONE cumulative sum.
+    Q("c13_pack_offsets",
+      (s, d) => Corpus.packWithOffsets(
+          Tables.documents(s, d)
+            .select(col("lang"), col("doc_id"),
+              size(TextFns.toks(col("text"))).cast(LongType).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", budget = 2048L)
+        .select("lang", "doc_id", "n_tokens", "pack_id", "pack_pos")
+        .orderBy("lang", "doc_id"),
+      Some(raw"""SELECT lang, doc_id, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+             |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_pos
+             |FROM (SELECT lang, doc_id, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM (SELECT lang, doc_id,
+             |              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |            FROM documents))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
     // C7 — deterministic per-epoch reshuffle: every training epoch
     // orders the corpus by hash(doc_id ":" epoch) — a reproducible,
     // RNG-free permutation that changes per epoch, and any shard of

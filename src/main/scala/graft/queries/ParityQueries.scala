@@ -429,6 +429,34 @@ object ParityQueries {
              |FROM w WHERE click_id IS NOT NULL
              |ORDER BY click_id""".stripMargin)),
 
+    // J14 — SCD Type-2 dimension build (extension): the events change
+    // log becomes validity intervals per user — valid_from = the
+    // change's ts, valid_to = the NEXT change's ts (null while
+    // current). The full-history sibling of the reference's
+    // latest-row-wins merge (SER:309-365); one shuffle on user_id,
+    // lead + successor test in a single window pass. Interval bounds
+    // surface as epoch MICROS so the compare is exact.
+    Q("j14_scd2",
+      (s, d) => {
+        val e = Tables.events(s, d).select("user_id", "event_id", "ts", "value")
+        graft.operators.Relational.scd2(e, keys = Seq("user_id"),
+            tsCol = "ts", tieCol = "event_id")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("valid_from")).as("valid_from_us"),
+            unix_micros(col("valid_to")).as("valid_to_us"),
+            col("is_current"), col("value"))
+          .orderBy("user_id", "valid_from_us", "event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, value,
+             |    epoch_us(ts) AS valid_from_us,
+             |    epoch_us(lead(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+             |  FROM events)
+             |SELECT user_id, event_id, valid_from_us, valid_to_us,
+             |  valid_to_us IS NULL AS is_current, value
+             |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
     // A1 (LAT:241): n-ary UNION ALL aligned by name with null fill for
     // columns missing on one side (pandas concat semantics).
     Q("a1_union_by_name",

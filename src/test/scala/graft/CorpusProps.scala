@@ -50,4 +50,34 @@ object CorpusProps extends Properties("Corpus") {
         }.sortBy(r => (r._1, r._2))
       got == want
     }
+
+  property("packWithOffsets: pack_id matches packByBudget, pack_pos == fold offset mod budget") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(1, 3),
+        Gen.frequency(
+          4 -> Gen.choose(0L, 500L),
+          1 -> Gen.choose(1L << 53, 1L << 56))))
+        .map(_.take(24)),
+      Gen.choose(1L, 300L)) { (rows, budget) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((st, n), i) => (s"s$st", i.toLong, n) }
+        .toDF("stratum", "doc_id", "n_tokens")
+      val got = Corpus.packWithOffsets(df, "stratum", "doc_id", "n_tokens", budget)
+        .select("stratum", "doc_id", "pack_id", "pack_pos")
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val want = rows.zipWithIndex
+        .map { case ((st, n), i) => (s"s$st", i.toLong, n) }
+        .groupBy(_._1).toSeq.flatMap { case (st, docs) =>
+          var offset = 0L
+          docs.sortBy(_._2).map { case (_, id, n) =>
+            val out = (st, id, offset / budget, offset % budget)
+            offset += n
+            out
+          }
+        }.sortBy(r => (r._1, r._2))
+      got == want
+    }
 }

@@ -94,6 +94,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("c3_token_packing")
   }
 
+  test("c13 pack offsets share c3's single window pass — still ONE shuffle") {
+    assertSingleHashShuffle("c13_pack_offsets")
+  }
+
+  test("j14 SCD2 build runs lead + successor test over ONE shuffle") {
+    assertSingleHashShuffle("j14_scd2")
+  }
+
   /** The map-ONLY scaladoc claims, pinned: zero data shuffles — the
     * only exchange allowed is the final RangePartitioning from the
     * presentation ORDER BY. If a per-doc scalar ever regresses to an

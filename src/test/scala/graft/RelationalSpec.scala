@@ -176,4 +176,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L),
       (2L, 4L, 1L)))
   }
+
+  test("scd2: intervals chain per key, exactly one current version, ties break on tieCol") {
+    val base = 1700000000L
+    val rows = Seq(
+      // key 1: three versions, the middle two share a timestamp (tie
+      // resolved by event_id — version 2 precedes version 3)
+      (1L, 1L, base, "a"), (1L, 2L, base + 10L, "b"), (1L, 3L, base + 10L, "c"),
+      // key 2: single version — current from its own ts
+      (2L, 4L, base + 5L, "d"))
+      .toDF("k", "event_id", "es_in", "payload")
+      .withColumn("ts", timestamp_seconds(col("es_in"))).drop("es_in")
+    val out = Relational.scd2(rows, Seq("k"), "ts", "event_id")
+      .select(col("k"), col("event_id"),
+        unix_timestamp(col("valid_from")).as("vf"),
+        unix_timestamp(col("valid_to")).as("vt"),
+        col("is_current"), col("payload"))
+      .as[(Long, Long, Long, Option[Long], Boolean, String)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, base, Some(base + 10L), false, "a"),
+      (1L, 2L, base + 10L, Some(base + 10L), false, "b"),
+      (1L, 3L, base + 10L, None, true, "c"),
+      (2L, 4L, base + 5L, None, true, "d")))
+    // interval chain: within a key, each non-current valid_to equals
+    // SOME successor's valid_from (abutting history, no gaps)
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (_, vs) =>
+      assert(vs.count(_._5) == 1, "exactly one current version per key")
+      vs.filterNot(_._5).foreach { v =>
+        assert(vs.exists(s => s._3 == v._4.get), s"dangling valid_to in $v")
+      }
+    }
+  }
 }
