@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -461,6 +462,76 @@ object TextQueries {
              |      FROM (SELECT doc_id, tk, $bigramsSql AS bg
              |            FROM (SELECT doc_id, text, $tkSql AS tk
              |                  FROM documents)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T13 — per-language PERCENTILE quality filter: the threshold is
+    // not a fixed constant (t2's shape) but computed FROM the corpus —
+    // keep docs at or above their language's median stopword density.
+    // The two-pass global-stats-drive-per-row-policy shape of c12,
+    // with g24's deterministic quantile as the policy: a hash-bottom-64
+    // sample per language (exact function of the row set — replays
+    // cell-for-cell where t-digest/GK sketches cannot), its median as
+    // the per-lang threshold, |langs| thresholds broadcast back over
+    // the corpus filter. Density is integral milli-units (div), so
+    // both engines agree bit-for-bit. At 100 TB: the corpus never
+    // shuffles — the sample heap partial-aggregates (≤ parts×langs×64
+    // rows exchange), the sampled ids pull their values through a
+    // broadcast join, and the closing filter is map-only under the
+    // broadcast policy.
+    Q("t13_quality_percentile",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tk).cast(LongType).as("n_tokens"),
+            TextFns.vocabHits(tk, stopEn).as("n_stop"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("q_milli",
+            call_function("div", col("n_stop") * 1000L, col("n_tokens")))
+        val h48 = conv(substring(md5(col("doc_id").cast(StringType)), 1, 12),
+          16, 10).cast(LongType)
+        val scored = base.select(col("lang"), col("doc_id").as("cand_id"),
+          (-h48.cast(DoubleType)).as("score"))
+        val sample = graft.operators.TopK.perGroup(
+            scored, "lang", "cand_id", "score", 64)
+          .join(base.select(col("doc_id").as("cand_id"), col("q_milli")),
+            "cand_id")
+        val wv = Window.partitionBy("lang").orderBy(col("q_milli"), col("cand_id"))
+        val wn = Window.partitionBy("lang")
+        val thr = sample
+          .withColumn("vrn", row_number().over(wv))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("vrn") === floor((col("n") + 1) / 2).cast(IntegerType))
+          .select(col("lang"), col("q_milli").as("thr"))
+        base.join(broadcast(thr), "lang")
+          .filter(col("q_milli") >= col("thr"))
+          .select("doc_id", "lang", "q_milli", "thr")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    len($tkSql) AS n_tokens,
+             |    ${votesSql(stopEn)} AS n_stop
+             |  FROM documents),
+             |b2 AS (SELECT doc_id, lang,
+             |         (n_stop * 1000) // n_tokens AS q_milli
+             |       FROM b WHERE n_tokens > 0),
+             |hh AS (SELECT doc_id, lang, q_milli,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+             |  FROM b2),
+             |smp AS (SELECT lang, doc_id, q_milli FROM (
+             |    SELECT lang, doc_id, q_milli,
+             |      row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS srn
+             |    FROM hh) WHERE srn <= 64),
+             |r AS (SELECT lang, doc_id, q_milli,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY q_milli, doc_id) AS vrn,
+             |        count(*) OVER (PARTITION BY lang) AS n
+             |      FROM smp),
+             |thr AS (SELECT lang, q_milli AS thr FROM r WHERE vrn = (n + 1) // 2)
+             |SELECT b2.doc_id, b2.lang, b2.q_milli, thr.thr
+             |FROM b2 JOIN thr USING (lang)
+             |WHERE q_milli >= thr
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -148,6 +148,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"c12 policy join must broadcast:\n$plan")
   }
 
+  test("t13 percentile filter shuffles only the bounded sample heap; the corpus never shuffles") {
+    // two-pass global-stats shape with a quantile policy: the ONLY
+    // hash exchange is the per-lang bottom-64 sample aggregate (the
+    // median windows reuse its lang partitioning), the sampled ids
+    // pull their values through a broadcast, the |langs| thresholds
+    // broadcast back over a map-only corpus filter. A second hash
+    // exchange here means the corpus shuffled — the 100 TB defect.
+    val plan = graft.queries.Registry.queries("t13_quality_percentile")(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hash == 1,
+      s"t13 must shuffle only the sample heap, found $hash hash exchanges:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2 &&
+      !plan.contains("SortMergeJoin"),
+      s"t13 sample pull + policy must both broadcast:\n$plan")
+  }
+
   test("v17 knn join meets the corpus in a SHUFFLED hash join on cell_id, probe side never broadcast") {
     // the entire point of knnJoin vs ivfTopK: the query side is a
     // large table, so the cell_id join must be a shuffled hash join —
