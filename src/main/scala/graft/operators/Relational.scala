@@ -337,6 +337,37 @@ object Relational {
       .withColumn(currentCol, col(validTo).isNull)
   }
 
+  /** Incremental [[scd2]] maintenance: fold a DELTA of new change
+    * rows into an existing SCD2 dimension without recomputing
+    * history. Per-batch work scales with the delta (the d9/v13
+    * incremental contract, applied to the warehouse dim): keys the
+    * delta never mentions pass through UNTOUCHED — their rows are
+    * never re-windowed — while touched keys' history (old versions ∪
+    * delta rows) re-runs [[scd2]], which re-closes the previously
+    * current version if a newer change arrived. Because scd2 is a
+    * pure per-key function of that key's change set, the fold equals
+    * the one-shot build over all changes — the law the spec and the
+    * j15 oracle pin.
+    *
+    * The touched-key semi/anti joins are planned by stats: a typical
+    * incremental batch touches few keys (broadcast), a backfill-sized
+    * delta degrades to a hash join — both linear. `dim` must be a
+    * [[scd2]] output (the interval columns are dropped before the
+    * re-window); `delta` carries the change-log columns only.
+    */
+  def scd2Fold(dim: DataFrame, delta: DataFrame, keys: Seq[String],
+               tsCol: String, tieCol: String,
+               validFrom: String = "valid_from", validTo: String = "valid_to",
+               currentCol: String = "is_current"): DataFrame = {
+    val touched = delta.select(keys.map(col): _*).distinct()
+    val untouched = dim.join(touched, keys, "left_anti")
+    val reopened = dim.join(touched, keys, "left_semi")
+      .drop(validFrom, validTo, currentCol)
+    untouched.unionByName(
+      scd2(reopened.unionByName(delta), keys, tsCol, tieCol,
+        validFrom, validTo, currentCol))
+  }
+
   /** P9 (LAT:184) — drop rows where any of the listed key columns is
     * null (pandas `dropna(subset, how='any')`).
     */

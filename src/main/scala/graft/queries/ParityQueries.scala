@@ -457,6 +457,41 @@ object ParityQueries {
              |  valid_to_us IS NULL AS is_current, value
              |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
 
+    // J15 — INCREMENTAL SCD2 maintenance: yesterday's dimension
+    // (changes before Jan 21) folds in the newer changes WITHOUT
+    // recomputing history — untouched keys pass through, touched
+    // keys' history re-windows, per-batch work scales with the delta
+    // (the d9/v13 incremental contract on the warehouse dim). The
+    // oracle is the FULL one-shot rebuild over all changes: the fold
+    // must equal it row-for-row — the equivalence the operator
+    // guarantees, and exactly how j14's oracle checks the one-shot
+    // path, so fold and build are held to the same answer.
+    Q("j15_scd2_fold",
+      (s, d) => {
+        val e = Tables.events(s, d).select("user_id", "event_id", "ts", "value")
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        val dim = graft.operators.Relational.scd2(
+          e.filter(col("ts") < cutoff), keys = Seq("user_id"),
+          tsCol = "ts", tieCol = "event_id")
+        graft.operators.Relational.scd2Fold(dim,
+            e.filter(col("ts") >= cutoff), keys = Seq("user_id"),
+            tsCol = "ts", tieCol = "event_id")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("valid_from")).as("valid_from_us"),
+            unix_micros(col("valid_to")).as("valid_to_us"),
+            col("is_current"), col("value"))
+          .orderBy("user_id", "valid_from_us", "event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, value,
+             |    epoch_us(ts) AS valid_from_us,
+             |    epoch_us(lead(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+             |  FROM events)
+             |SELECT user_id, event_id, valid_from_us, valid_to_us,
+             |  valid_to_us IS NULL AS is_current, value
+             |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
     // A1 (LAT:241): n-ary UNION ALL aligned by name with null fill for
     // columns missing on one side (pandas concat semantics).
     Q("a1_union_by_name",

@@ -209,4 +209,29 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scd2Fold == one-shot scd2, incl. re-closing a previously current version") {
+    val base = 1700000000L
+    // key 1 has pre-cutoff history (its last version is current in the
+    // old dim, and MUST re-close when the delta brings a newer one);
+    // key 2 is untouched by the delta; key 3 is delta-only (new key)
+    val pre = Seq((1L, 1L, base), (1L, 2L, base + 10L), (2L, 3L, base + 5L))
+    val post = Seq((1L, 4L, base + 20L), (3L, 5L, base + 30L))
+    def df(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("k", "event_id", "es_in")
+      .withColumn("ts", timestamp_seconds(col("es_in"))).drop("es_in")
+    def canon(out: org.apache.spark.sql.DataFrame) = out
+      .select(col("k"), col("event_id"),
+        unix_timestamp(col("valid_from")).as("vf"),
+        unix_timestamp(col("valid_to")).as("vt"), col("is_current"))
+      .as[(Long, Long, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val folded = canon(Relational.scd2Fold(
+      Relational.scd2(df(pre), Seq("k"), "ts", "event_id"),
+      df(post), Seq("k"), "ts", "event_id"))
+    val oneShot = canon(Relational.scd2(df(pre ++ post), Seq("k"), "ts", "event_id"))
+    assert(folded == oneShot)
+    // and the previously-current (1, 2) really did re-close
+    assert(folded.exists(r => r._1 == 1L && r._2 == 2L && r._4 == Some(base + 20L) && !r._5))
+  }
 }
