@@ -475,9 +475,9 @@ object TextQueries {
     // the corpus filter. Density is integral milli-units (div), so
     // both engines agree bit-for-bit. At 100 TB: the corpus never
     // shuffles — the sample heap partial-aggregates (≤ parts×langs×64
-    // rows exchange), the sampled ids pull their values through a
-    // broadcast join, and the closing filter is map-only under the
-    // broadcast policy.
+    // rows exchange), the sampled VALUES ride the heap inside the
+    // packed score (no join back to the corpus to recover them), and
+    // the closing filter is map-only under the broadcast policy.
     Q("t13_quality_percentile",
       (s, d) => {
         val tk = TextFns.toks(col("text"))
@@ -488,14 +488,22 @@ object TextQueries {
           .filter(col("n_tokens") > 0)
           .withColumn("q_milli",
             call_function("div", col("n_stop") * 1000L, col("n_tokens")))
-        val h48 = conv(substring(md5(col("doc_id").cast(StringType)), 1, 12),
+        // the sampled VALUE rides the heap: pack q_milli (≤ 1000, so
+        // 10 bits) into the low bits of a 40-bit doc hash — 50 bits
+        // total, exact in the score double's 53-bit mantissa. Ranking
+        // by the packed score is ranking by hash (q_milli only breaks
+        // exact-hash ties), and the sampled rows need NO join back to
+        // the corpus to recover their value — one fewer corpus scan,
+        // one fewer join (the previous shape re-tokenized the corpus
+        // a third time just to pull 64×|langs| values).
+        val hv40 = conv(substring(md5(col("doc_id").cast(StringType)), 1, 10),
           16, 10).cast(LongType)
         val scored = base.select(col("lang"), col("doc_id").as("cand_id"),
-          (-h48.cast(DoubleType)).as("score"))
+          (-(hv40 * 1024L + col("q_milli"))).cast(DoubleType).as("score"))
         val sample = graft.operators.TopK.perGroup(
             scored, "lang", "cand_id", "score", 64)
-          .join(base.select(col("doc_id").as("cand_id"), col("q_milli")),
-            "cand_id")
+          .withColumn("q_milli",
+            pmod((-col("score")).cast(LongType), lit(1024L)))
         val wv = Window.partitionBy("lang").orderBy(col("q_milli"), col("cand_id"))
         val wn = Window.partitionBy("lang")
         val thr = sample
@@ -517,11 +525,12 @@ object TextQueries {
              |         (n_stop * 1000) // n_tokens AS q_milli
              |       FROM b WHERE n_tokens > 0),
              |hh AS (SELECT doc_id, lang, q_milli,
-             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS hv
              |  FROM b2),
              |smp AS (SELECT lang, doc_id, q_milli FROM (
              |    SELECT lang, doc_id, q_milli,
-             |      row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS srn
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY hv * 1024 + q_milli, doc_id) AS srn
              |    FROM hh) WHERE srn <= 64),
              |r AS (SELECT lang, doc_id, q_milli,
              |        row_number() OVER (PARTITION BY lang

@@ -151,18 +151,19 @@ class PlanShapeSpec extends AnyFunSuite {
   test("t13 percentile filter shuffles only the bounded sample heap; the corpus never shuffles") {
     // two-pass global-stats shape with a quantile policy: the ONLY
     // hash exchange is the per-lang bottom-64 sample aggregate (the
-    // median windows reuse its lang partitioning), the sampled ids
-    // pull their values through a broadcast, the |langs| thresholds
-    // broadcast back over a map-only corpus filter. A second hash
-    // exchange here means the corpus shuffled — the 100 TB defect.
+    // median windows reuse its lang partitioning), the sampled VALUES
+    // ride the heap inside the packed score (no join back to the
+    // corpus), the |langs| thresholds broadcast back over a map-only
+    // corpus filter. A second hash exchange here means the corpus
+    // shuffled — the 100 TB defect.
     val plan = graft.queries.Registry.queries("t13_quality_percentile")(spark, d)
       .queryExecution.executedPlan.toString
     val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hash == 1,
       s"t13 must shuffle only the sample heap, found $hash hash exchanges:\n$plan")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2 &&
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1 &&
       !plan.contains("SortMergeJoin"),
-      s"t13 sample pull + policy must both broadcast:\n$plan")
+      s"t13 policy join must be the only (broadcast) join:\n$plan")
   }
 
   test("v17 knn join meets the corpus in a SHUFFLED hash join on cell_id, probe side never broadcast") {
