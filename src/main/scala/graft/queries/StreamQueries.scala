@@ -194,6 +194,71 @@ object StreamQueries {
       Some("""SELECT user_id, count(*) AS n_events FROM events
              |GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // ST15 — streaming CDC MERGE into the warehouse: the streaming
+    // half of E2. The dimension table is seeded with the STALE
+    // pre-Jan-21 latest-event-per-user snapshot (K2), then the
+    // post-cutoff changes stream in and every micro-batch MERGES:
+    // per-key latest of the batch → J2/J3 mergeSplit against the live
+    // warehouse (key, version) snapshot → K5 batched UPDATEs for
+    // newer versions + K1 INSERTs for unseen keys. st14 is the
+    // truncate-and-reload refresh; this is the incremental-merge
+    // sibling — per-batch sink work scales with the batch's keys, not
+    // the dimension. The version is epoch-micros (BIGINT end to end,
+    // so the Derby round trip and the compare are exact), ties inside
+    // a batch resolve by the (ts, event_id) struct argmax — the same
+    // total order the oracle replays. End state = latest event per
+    // user over ALL events: pre-only users survive from the seed,
+    // changed users update (a post-cutoff version is always strictly
+    // newer), new users insert — checked cell-for-cell through the
+    // full streaming→merge→scan round trip.
+    Q("st15_stream_cdc_merge",
+      (s, d) => {
+        val props = new java.util.Properties()
+        val url = "jdbc:derby:memory:graft_st15;create=true"
+        val table = "st15_dim"
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        def latest(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts_us").as("ts_us"),
+            col("m.event_id").as("last_event_id"),
+            col("m.value").as("last_value"))
+        val pre = Tables.events(s, d).filter(col("ts") < cutoff)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value"))
+        graft.io.Sinks.truncateReload(latest(pre), url, table, props)
+        graft.streaming.Streaming.runForeachBatch(s, s"$d/events.parquet",
+          "append") { raw =>
+          val withTs =
+            if (raw.schema("ts").dataType == LongType)
+              raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            else raw
+          withTs.filter(col("ts") >= cutoff)
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_id"), col("value"))
+        } { (batch, _) =>
+          val delta = latest(batch)
+          val snap = s.read.jdbc(url, table, props)
+            .select(col("user_id"), col("ts_us"))
+          val split = graft.operators.Cdc.mergeSplit(delta, snap,
+            "user_id", "ts_us")
+          graft.io.Sinks.applyMerge(split, url, table, props,
+            keyCol = "user_id",
+            updateCols = Seq("ts_us", "last_event_id", "last_value"))
+        }
+        s.read.jdbc(url, table, props)
+          .select(col("user_id"), col("last_event_id"), col("ts_us"),
+            col("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |  epoch_us(ts) AS ts_us, value AS last_value
+             |FROM (SELECT user_id, event_id, ts, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // ST12 — stream-stream LEFT OUTER interval join: st6's funnel
     // join plus the unmatched-view arm. Matched rows emit as they
     // form; an unmatched view emits (view, NULL) only once the
