@@ -368,6 +368,35 @@ object Relational {
         validFrom, validTo, currentCol))
   }
 
+  /** Point-in-time (temporal) join: attach to each fact row the
+    * `versionCol` of the [[scd2]] dimension version whose validity
+    * interval contains the fact's `tsCol` — the lookup every
+    * warehouse fact load against a versioned dimension needs, and the
+    * consumer of [[scd2]]/[[scd2Fold]].
+    *
+    * Result is row-for-row the naive interval join (`valid_from <= ts
+    * AND (valid_to IS NULL OR ts < valid_to)`, left outer) — which is
+    * exactly what the j16 oracle replays — but the PLAN is
+    * [[asofJoin]]'s union + one running-window pass: ONE shuffle on
+    * the key, never the BroadcastNestedLoop a bare interval predicate
+    * plans to. The equivalence holds because scd2 intervals are
+    * contiguous per key (`valid_to` = the next `valid_from`), so
+    * interval containment ≡ "the LATEST version with valid_from <=
+    * ts"; facts before a key's first version get null, like the outer
+    * join. Duplicate-timestamp change rows yield an empty interval
+    * `[t, t)` that the naive join skips — the as-of tie rule (highest
+    * `versionCol` at equal ts) picks the surviving interval, PROVIDED
+    * `versionCol` is the same column the dim was built with as scd2's
+    * `tieCol` (the contract).
+    */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+              tsCol: String, versionCol: String,
+              validFrom: String = "valid_from"): DataFrame =
+    asofJoin(facts,
+      dim.select((keys.map(col) :+ col(validFrom).as(tsCol)
+        :+ col(versionCol)): _*),
+      keys, tsCol, versionCol)
+
   /** P9 (LAT:184) — drop rows where any of the listed key columns is
     * null (pandas `dropna(subset, how='any')`).
     */

@@ -492,6 +492,44 @@ object ParityQueries {
              |  valid_to_us IS NULL AS is_current, value
              |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
 
+    // J16 — POINT-IN-TIME join (extension): each click looks up the
+    // purchase-history version (the j14 SCD2 dim over purchases)
+    // valid at its own timestamp — the fact-against-versioned-
+    // dimension lookup that closes the SCD2 family (build j14 →
+    // fold j15 → consume j16). The plan is the as-of union + ONE
+    // running-window pass over one shuffle; the ORACLE is the naive
+    // interval LEFT JOIN itself (valid_from <= ts < valid_to), a
+    // genuinely independent algebra — the equivalence is the
+    // operator's correctness law, not a replay.
+    Q("j16_pit_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val dim = graft.operators.Relational.scd2(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("version_id")),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "version_id")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.operators.Relational.pitJoin(clicks, dim,
+            Seq("user_id"), "ts", "version_id")
+          .select("click_id", "user_id", "version_id")
+          .orderBy("click_id")
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, event_id AS version_id, ts AS valid_from,
+             |    lead(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT f.click_id, f.user_id, d.version_id
+             |FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+             |  AND d.valid_from <= f.ts
+             |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+             |ORDER BY click_id""".stripMargin)),
+
     // A1 (LAT:241): n-ary UNION ALL aligned by name with null fill for
     // columns missing on one side (pandas concat semantics).
     Q("a1_union_by_name",

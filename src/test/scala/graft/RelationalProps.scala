@@ -196,6 +196,37 @@ object RelationalProps extends Properties("Relational") {
       got == want
     }
 
+  // pitJoin law: for an scd2 dim over an arbitrary change log
+  // (duplicate timestamps included — they create empty [t, t)
+  // intervals the naive join skips), each fact row's looked-up
+  // version equals the naive interval-containment lookup
+  // (valid_from <= ts AND (valid_to IS NULL OR ts < valid_to))
+  property("pitJoin == naive interval containment over the scd2 dim") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 2L), Gen.choose(0L, 30L))).map(_.take(10)),
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 2L), Gen.choose(0L, 30L))).map(_.take(10))) { (fs, cs) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val facts = fs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("f_id", "k", "ts")
+      val changes = cs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val dim = Relational.scd2(changes.toDF("k", "ts", "vid"),
+        Seq("k"), "ts", "vid")
+      val got = Relational.pitJoin(facts, dim, Seq("k"), "ts", "vid")
+        .select("f_id", "vid").as[(Long, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      val want = fs.zipWithIndex.map { case ((k, t), i) =>
+        val vers = changes.filter(_._1 == k).sortBy(c => (c._2, c._3))
+        val hit = vers.zipWithIndex.find { case ((_, from, _), j) =>
+          from <= t && vers.lift(j + 1).forall(t < _._2)
+        }
+        (i.toLong, hit.map(_._1._3))
+      }.sortBy(_._1)
+      got == want
+    }
+
   // nearestJoin law: each left row's matched value equals the naive
   // closest-|Δts| lookup over the key's right rows, with the
   // documented tie chain — equal distance prefers the backward
