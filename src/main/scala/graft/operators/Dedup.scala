@@ -367,6 +367,69 @@ object Dedup {
     * from the index, and the drop is part of the oracle-checked
     * semantics.
     */
+  /** Cross-document BOILERPLATE CHUNK removal (sub-document dedup —
+    * the CCNet/RefinedWeb paragraph-dedup shape): split each document
+    * into consecutive `chunkTokens`-token chunks, count each distinct
+    * chunk's document frequency across the corpus, and strip every
+    * chunk appearing in more than `maxDf` documents — headers,
+    * footers, navigation text and license banners repeat across
+    * thousands of pages and survive whole-document dedup because the
+    * surrounding text differs.
+    *
+    * Scale shape: chunking is map-only (per-row sequence + array
+    * slices riding the explode); df is a two-phase `countDistinct`
+    * aggregate over (chunk, doc) pairs; the strip is a left-anti hash
+    * join against the (typically tiny) over-`maxDf` chunk set — never
+    * a per-doc scan of the boilerplate list; reassembly groups the
+    * kept chunks back per document, ordered by chunk index (an
+    * in-group `array_sort`, deterministic because the index is unique
+    * per doc). Shuffle carries chunk STRINGS of ~`chunkTokens` tokens;
+    * at petabyte scale key them by [[TextFns.hash60Col]] instead and
+    * carry the hash (same plan, 8-byte keys).
+    *
+    * Returns one row per input document: (idCol, kept_text = the
+    * surviving chunks re-joined in order ('' when everything was
+    * boilerplate), n_chunks, n_kept).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int, maxDf: Long): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val base = docs
+      .select(col(idCol), TextFns.toks(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"),
+        expr(s"(size(tk) + ${chunkTokens - 1}) div $chunkTokens")
+          .cast(LongType).as("n_chunks"))
+    val chunks = base
+      .select(col(idCol), col("n_chunks"),
+        // sequence(0, -1) is DESCENDING in Spark, not empty — guard the
+        // n_chunks == 0 arm even though toks() never returns an empty
+        // array (split of '' is [''])
+        explode(transform(
+          when(col("n_chunks") > 0, sequence(lit(0L), col("n_chunks") - 1))
+            .otherwise(array().cast(ArrayType(LongType))),
+          i => struct(i.as("idx"),
+            array_join(slice(col("tk"),
+              (i * chunkTokens + 1).cast(IntegerType), lit(chunkTokens)), " ")
+              .as("chunk")))).as("ck"))
+      .select(col(idCol), col("ck.idx").as("idx"), col("ck.chunk").as("chunk"))
+    val boilerplate = chunks.groupBy("chunk")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDf).select("chunk")
+    val kept = chunks.join(boilerplate, Seq("chunk"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col(idCol), col("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
                          eval: DataFrame, n: Int = 3, minShared: Int = 5,
                          maxDf: Int = 1000): DataFrame = {

@@ -541,6 +541,46 @@ object TextQueries {
              |SELECT b2.doc_id, b2.lang, b2.q_milli, thr.thr
              |FROM b2 JOIN thr USING (lang)
              |WHERE q_milli >= thr
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T14 — cross-document BOILERPLATE CHUNK removal (sub-document
+    // dedup, the CCNet/RefinedWeb paragraph-dedup shape): 3-token
+    // chunks appearing in more than 2 documents are boilerplate and
+    // are stripped from every document; whole-document dedup (d1-d8)
+    // cannot see them because the surrounding text differs. Chunking
+    // is map-only, df is one countDistinct aggregate, the strip is a
+    // left-anti hash join, reassembly re-sorts kept chunks per doc —
+    // on this corpus 231 chunks (~9% of instances) cross the
+    // threshold, so the filter genuinely rewrites text.
+    Q("t14_chunk_dedup",
+      (s, d) => graft.operators.Dedup.chunkDedup(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 3, maxDf = 2)
+        .orderBy("doc_id"),
+      Some(raw"""WITH tkt AS (
+             |  SELECT doc_id, $tkSql AS tk FROM documents),
+             |ch AS (
+             |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(0, (len(tk) + 2) // 3),
+             |            i -> {'idx': i,
+             |                  'chunk': array_to_string(
+             |                    list_slice(tk, i*3 + 1, i*3 + 3), ' ')})) AS u
+             |        FROM tkt)),
+             |bp AS (SELECT chunk
+             |       FROM (SELECT chunk, count(DISTINCT doc_id) AS df
+             |             FROM ch GROUP BY 1)
+             |       WHERE df > 2),
+             |kept AS (SELECT ch.* FROM ch ANTI JOIN bp USING (chunk)),
+             |agg AS (SELECT doc_id,
+             |          string_agg(chunk, ' ' ORDER BY idx) AS kept_text,
+             |          count(*) AS n_kept
+             |        FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  coalesce(a.kept_text, '') AS kept_text,
+             |  (len(t.tk) + 2) // 3 AS n_chunks,
+             |  coalesce(a.n_kept, 0) AS n_kept
+             |FROM tkt t LEFT JOIN agg a USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -32,6 +32,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fps.forall(f => f >= 0 && f < TextFns.FoldP))
   }
 
+  test("chunkDedup strips cross-doc boilerplate chunks, keeps order, empties all-boilerplate docs") {
+    // 2-token chunks; "hdr txt" opens three docs (df=3 > maxDf=2) so it
+    // is boilerplate; doc 4 is nothing BUT boilerplate and must come
+    // back as '' rather than disappear; unique tails survive in order.
+    val df = Seq(
+      (1L, "hdr txt alpha beta gamma delta"),
+      (2L, "hdr txt epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi"),
+      (4L, "hdr txt")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2, maxDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma delta", 3L, 2L),
+      (2L, "epsilon zeta eta theta", 3L, 2L),
+      (3L, "iota kappa lambda mu nu xi", 3L, 3L),
+      (4L, "", 1L, 0L)))
+  }
+
   test("exactDedup groups identical keys and elects min id as canonical") {
     val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("id", "text")
     val out = Dedup.exactDedup(df, "id", md5(col("text")))
