@@ -152,6 +152,18 @@ object BatchedIndex {
   def read(spark: SparkSession, path: String, part: String): DataFrame =
     read(spark, path, part, committed(spark, path))
 
+  /** The subset of `ids` whose batch dir exists for `part` — for parts
+    * only SOME batches carry (a delete-only batch writes just its
+    * `tombstones` part; an ingest batch writes just `cells`). A batch
+    * is still atomic: its marker makes every part it DID write visible
+    * at once; parts it never wrote contribute nothing.
+    */
+  def presentIds(spark: SparkSession, path: String, part: String,
+                 ids: Seq[String]): Seq[String] = {
+    val fs = fsOf(spark, path)
+    ids.filter(id => fs.exists(new HPath(s"$path/$part/batch=$id")))
+  }
+
   /** [[read]] pinned to an explicit batch-id snapshot. */
   def read(spark: SparkSession, path: String, part: String,
            ids: Seq[String]): DataFrame = {
@@ -235,9 +247,12 @@ object BatchedIndex {
         .map(_.getPath.getName).sorted
       // lazy reads pinned to the pre-compact snapshot; fold writes the
       // merged batch into NEW batch dirs, so the reads scan only old
-      // files while the write runs
-      fold(spark, path, parts.map(p => p -> read(spark, path, p, ids)),
-        overwrite = true, partitionBy)
+      // files while the write runs. Per-part id filtering keeps parts
+      // only some batches carry (tombstones) compactable too.
+      fold(spark, path, parts.flatMap { p =>
+        val present = presentIds(spark, path, p, ids)
+        if (present.isEmpty) None else Some(p -> read(spark, path, p, present))
+      }, overwrite = true, partitionBy)
       ids.size
     }
   }

@@ -96,15 +96,51 @@ object IvfIndex {
       Seq("cells" -> assigned(corpus, idCol, vecCol, centroids, keep, pqCb)),
       overwrite, partitionBy = Map("cells" -> Seq("cell_id")))
 
+  /** Tombstone DELETES: fold a batch of vector ids OUT of the served
+    * index — the right-to-be-forgotten / retraction half of the index
+    * lifecycle ([[foldBatch]] adds, this masks). The batch commits
+    * through the same single-marker manifest as an ingest fold, so a
+    * delete is atomic and per-batch work scales with the delete set,
+    * never the index: nothing is rewritten — every search anti-joins
+    * the (typically tiny) tombstone part against the partition-pruned
+    * cells, planned as a broadcast anti join while the set is small.
+    * Semantics: a tombstoned id is masked across ALL batches, earlier
+    * AND later — re-inserting a deleted id requires an `overwrite`
+    * rebuild (which starts a new generation and drops every
+    * tombstone). [[graft.io.BatchedIndex.compact]] preserves
+    * tombstones; a rebuild physically reclaims the masked rows.
+    * `ids` must carry `idCol`, matching the indexed id column's type.
+    */
+  def deleteBatch(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    require(graft.io.BatchedIndex.committed(spark, path).nonEmpty,
+      s"no committed index under $path to delete from - build or fold first")
+    graft.io.BatchedIndex.fold(spark, path,
+      Seq("tombstones" -> ids.select(col(idCol).as("del_id")).distinct()),
+      overwrite = false)
+  }
+
   /** The stored index rows, whichever layout the path holds: a
     * manifest-committed incremental index ([[foldBatch]] — committed
-    * batches only, one snapshot per call) or a one-shot [[build]]
-    * directory.
+    * batches only, one snapshot per call; [[deleteBatch]] tombstones
+    * anti-joined away, so masked vectors never reach a ranking) or a
+    * one-shot [[build]] directory.
     */
-  private def indexFrame(spark: SparkSession, path: String): DataFrame = {
+  private def indexFrame(spark: SparkSession, path: String,
+                         idCol: String): DataFrame = {
     val ids = graft.io.BatchedIndex.committed(spark, path)
-    if (ids.nonEmpty) graft.io.BatchedIndex.read(spark, path, "cells", ids)
-    else spark.read.parquet(path)
+    if (ids.isEmpty) spark.read.parquet(path)
+    else {
+      val cellIds = graft.io.BatchedIndex.presentIds(spark, path, "cells", ids)
+      require(cellIds.nonEmpty,
+        s"no vector batches committed under $path - only deletes were folded")
+      val cells = graft.io.BatchedIndex.read(spark, path, "cells", cellIds)
+      val tombIds = graft.io.BatchedIndex.presentIds(spark, path, "tombstones", ids)
+      if (tombIds.isEmpty) cells
+      else cells.join(
+        graft.io.BatchedIndex.read(spark, path, "tombstones", tombIds),
+        col(idCol) === col("del_id"), "left_anti")
+    }
   }
 
   /** The probe→cell assignment, materialized ONCE to the driver and
@@ -161,7 +197,7 @@ object IvfIndex {
              candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
-    val idx = indexFrame(spark, path)
+    val idx = indexFrame(spark, path, idCol)
     val prunedCells =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))
@@ -199,7 +235,7 @@ object IvfIndex {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
     val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
-    val idx = indexFrame(spark, path)
+    val idx = indexFrame(spark, path, idCol)
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))
@@ -246,7 +282,7 @@ object IvfIndex {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
     val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
-    val idx = indexFrame(spark, path)
+    val idx = indexFrame(spark, path, idCol)
     val pruned =
       if (cells.isEmpty) idx.filter(lit(false))
       else idx.filter(col("cell_id").isin(cells: _*))

@@ -835,6 +835,31 @@ object SimilarityQueries {
       },
       Some(ivfStandInOracle)),
 
+    // V18 — ANN index DELETES: the retraction half of the index
+    // lifecycle (right-to-be-forgotten, licensing takedowns, bad-data
+    // rollback). A delete batch folds a tombstone set through the
+    // same single-marker manifest commit as ingest; search anti-joins
+    // the tombstones against the partition-pruned cells, so a search
+    // over the index-with-deletes equals a search over an index built
+    // WITHOUT the deleted vectors — which is exactly what the oracle
+    // replays (the stand-in oracle with the deleted ids filtered out
+    // of the candidate side). Per-delete work scales with the delete
+    // set; nothing is rewritten.
+    Q("v18_deleted_ann",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#ivfdel", "graft_ivf_del") { p =>
+          IvfIndex.foldBatch(e, "vec_id", "embedding", cent, p, overwrite = true)
+          IvfIndex.deleteBatch(e.filter(col("vec_id") % 10 === 7).select("vec_id"),
+            "vec_id", p)
+        }
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cent)
+          .orderBy("p_id", "rn")
+      },
+      Some(ivfStandInOracleWhere(" AND a.vec_id % 10 <> 7"))),
+
     // V14 — metadata-FILTERED ANN: the production "search within a
     // slice" shape (same-language neighbours, licensed-subset
     // retrieval). ONE index serves both plain and filtered search:

@@ -45,6 +45,35 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteBatch masks vectors: search == index built without them, incl. across compact") {
+    val corpus = vecs(64)
+    val cent = corpus.filter(col("vec_id") < 4)
+    val probes = corpus.filter(col("vec_id").isin(10L, 21L, 33L))
+    val deleted = corpus.filter(col("vec_id") % 5 === 2)
+    def results(p: String) =
+      IvfIndex.search(spark, p, probes, "vec_id", "embedding",
+        k = 5, centroids = cent, nprobe = 2).orderBy("p_id", "rn").collect().toSeq
+    // reference: an index that never contained the deleted vectors
+    val cleanPath = tmp()
+    IvfIndex.foldBatch(corpus.join(deleted.select("vec_id"), Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", cent, cleanPath, overwrite = true)
+    val want = results(cleanPath)
+    // index with everything, then a tombstone fold
+    val path = tmp()
+    IvfIndex.foldBatch(corpus, "vec_id", "embedding", cent, path, overwrite = true)
+    IvfIndex.deleteBatch(deleted.select("vec_id"), "vec_id", path)
+    assert(results(path) == want)
+    // tombstones mask LATER batches too (global-mask contract): fold a
+    // batch that re-inserts two deleted ids — they must stay invisible
+    IvfIndex.foldBatch(corpus.filter(col("vec_id").isin(2L, 7L)),
+      "vec_id", "embedding", cent, path, overwrite = false)
+    assert(results(path) == want)
+    // compaction rewrites the batches but preserves the mask
+    assert(graft.io.BatchedIndex.compact(spark, path,
+      partitionBy = Map("cells" -> Seq("cell_id"))) == 3)
+    assert(results(path) == want)
+  }
+
   test("knnJoin equals ivfTopK row-for-row — only the exchange strategy differs") {
     val corpus = vecs(64)
     val cent = corpus.filter(col("vec_id") < 4)
