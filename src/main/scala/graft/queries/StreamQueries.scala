@@ -402,6 +402,83 @@ object StreamQueries {
              |      ORDER BY value DESC, event_id) AS rn
              |  FROM events
              |  WHERE value IS NOT NULL AND NOT isnan(value))
-             |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin))
+             |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin)),
+
+    // ST16 — STREAMING sample-quantile: daily median event value per
+    // type over an unbounded stream. An exact streaming median is
+    // impossible (state = every value seen); the g24 deterministic
+    // hash-bottom-64 sample IS streamable because it is a bounded
+    // mergeable heap — and the sampled VALUE rides the heap in a
+    // packed score (t13's trick: 36-bit event hash × 2^16 + cents,
+    // 52 bits, exact in the double mantissa; cents ≤ 65535 by the
+    // packing guard, mirrored in the oracle), so the streaming state
+    // is exactly 64 (id, score) slots per (day, type) group forever
+    // and the drained sample needs NO join back to the stream. The
+    // heap's (score desc, id asc) tie rule makes the sample a pure
+    // function of the event set — cell-level oracle-checkable where
+    // t-digest/GK streaming quantiles are not.
+    Q("st16_stream_sample_median",
+      (s, d) => {
+        val agg = org.apache.spark.sql.functions.udaf(
+          new graft.operators.TopK.TopKAgg(64),
+          org.apache.spark.sql.Encoders.product[graft.operators.TopK.Scored])
+        val drained = Streaming.eventsStream(s, d, "complete") { df =>
+          val h36 = conv(substring(md5(col("event_id").cast(StringType)), 1, 9),
+            16, 10).cast(LongType)
+          df.filter(col("value").isNotNull && !isnan(col("value")))
+            .select(col("ts"), col("event_type"), col("event_id"),
+              centsSpark.as("cents"), h36.as("hv"))
+            .filter(col("cents") <= 65535L)
+            .withColumn("score",
+              (-(col("hv") * 65536L + col("cents"))).cast(DoubleType))
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+            .agg(agg(col("event_id"), col("score")).as("tk"))
+        }
+        // post-drain: unpack cents from the heap scores and take the
+        // lower-median of each group's ≤ 64 sampled values (batch-side
+        // windows over the tiny drained sample)
+        val sample = drained
+          .select(col("w.start").as("w_start"), col("event_type"),
+            posexplode(col("tk.ids")).as(Seq("pos", "event_id")),
+            col("tk.scores").as("_s"))
+          .select(col("w_start"), col("event_type"), col("event_id"),
+            pmod((-element_at(col("_s"), col("pos") + 1)).cast(LongType),
+              lit(65536L)).as("cents"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start", "event_type")
+          .orderBy(col("cents"), col("event_id"))
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start", "event_type")
+        sample
+          .withColumn("vrn", row_number().over(wv))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("vrn") === floor((col("n") + 1) / 2).cast(IntegerType))
+          .select(col("w_start"), col("event_type"),
+            col("n").as("sample_n"), col("cents").as("est_median_cents"))
+          .orderBy("w_start", "event_type")
+      },
+      Some(s"""WITH hh AS (
+             |  SELECT make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 * 1000000 AS BIGINT)) AS w_start,
+             |    event_type, event_id,
+             |    $centsSql AS cents,
+             |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 9)) AS BIGINT) AS hv
+             |  FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)),
+             |h2 AS (SELECT * FROM hh WHERE cents <= 65535),
+             |smp AS (SELECT w_start, event_type, event_id, cents FROM (
+             |    SELECT w_start, event_type, event_id, cents,
+             |      row_number() OVER (PARTITION BY w_start, event_type
+             |        ORDER BY hv * 65536 + cents, event_id) AS srn
+             |    FROM h2) WHERE srn <= 64),
+             |r AS (SELECT w_start, event_type, cents,
+             |        row_number() OVER (PARTITION BY w_start, event_type
+             |          ORDER BY cents, event_id) AS vrn,
+             |        count(*) OVER (PARTITION BY w_start, event_type) AS n
+             |      FROM smp)
+             |SELECT w_start, event_type, CAST(n AS BIGINT) AS sample_n,
+             |  cents AS est_median_cents
+             |FROM r WHERE vrn = (n + 1) // 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 }
