@@ -138,6 +138,44 @@ object Multimodal {
 
     /** STUB duration: 40 ms of "video" per payload byte. */
     def durationMs(bytes: Array[Byte]): Long = 40L * bytes.length
+
+    /** 8×8 AVERAGE HASH (aHash) over the REAL decoded raster — the
+      * classic perceptual image fingerprint: sample the image at the
+      * 64 cell centers `x_i = (2i+1)·W/16`, `y_j = (2j+1)·H/16`,
+      * gray = (r+g+b)/3, and emit bit k = 8j+i as '1' iff
+      * gray > floor(Σgray/64). All-integer arithmetic, so a SQL
+      * oracle replays it exactly. CENTER sampling makes the hash
+      * exactly scale-invariant for band-constant images (the center
+      * of cell i lands in band i for any W ≥ 16 — the floor algebra
+      * in the mm5 scaladoc), which is what lets resized copies
+      * collapse to one hash while their byte checksums differ.
+      * Returned as a 64-char '0'/'1' string: the oracle compare is
+      * signedness-free and band prefixes slice trivially.
+      */
+    def aHash(bytes: Array[Byte]): String = {
+      val img = readPng(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val gs = new Array[Int](64)
+      var sum = 0L
+      var k = 0
+      var j = 0
+      while (j < 8) {
+        val y = ((2 * j + 1) * h) / 16
+        var i = 0
+        while (i < 8) {
+          val x = ((2 * i + 1) * w) / 16
+          val p = img.getRGB(x, y)
+          val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          gs(k) = g; sum += g; k += 1; i += 1
+        }
+        j += 1
+      }
+      val mean = sum / 64
+      val sb = new java.lang.StringBuilder(64)
+      k = 0
+      while (k < 64) { sb.append(if (gs(k) > mean) '1' else '0'); k += 1 }
+      sb.toString
+    }
   }
 
   /** The synthetic image fixtures' ground truth: dimensions and fill
@@ -175,6 +213,81 @@ object Multimodal {
         if (pngCache.size < pngCacheMax) pngCache.putIfAbsent(id, bytes)
         bytes
       }
+    }
+  }
+
+  /** Block-gradient fixtures for the perceptual-hash surface: an 8×8
+    * grid of grayscale bands whose level is a pure function of
+    * (id % 7, band coords) — so ids sharing `id % 7` render the SAME
+    * visual content at DIFFERENT pixel dimensions (the [[Fixture]]
+    * size arithmetic), i.e. resized copies: different encoded bytes,
+    * different md5, same picture. That is the duplicate class a
+    * byte-level checksum can never catch and [[Codec.aHash]] must.
+    */
+  object BandFixture {
+    def gray(id: Long, bx: Int, by: Int): Int =
+      (((id % 7) * 31 + bx * 13L + by * 29L) % 256).toInt
+
+    private def encode(id: Long): Array[Byte] = {
+      val w = Fixture.width(id); val h = Fixture.height(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val v = gray(id, x * 8 / w, by)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+    private val cacheMax = 1 << 18
+
+    /** Memoized like [[Fixture.png]], same boundedness contract. */
+    def png(id: Long): Array[Byte] = {
+      val hit = cache.get(id)
+      if (hit != null) hit
+      else {
+        val bytes = encode(id)
+        if (cache.size < cacheMax) cache.putIfAbsent(id, bytes)
+        bytes
+      }
+    }
+  }
+
+  /** One perceptual fingerprint per image. */
+  final case class PHash(media_id: Long, ahash: String)
+
+  /** The image rows of the corpus re-rendered as band-gradient PNGs
+    * (doc_id % 3 = 0, like [[mediaTable]]'s image arm) — the input to
+    * the perceptual-dedup surface.
+    */
+  def bandImageTable(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // Column filter: pushed to the scan
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => Media(id, "image", BandFixture.png(id))))
+  }
+
+  /** Perceptual-hash pass: REAL decode + [[Codec.aHash]] per image,
+    * per-partition batch loop like [[decodeMeta]]. Map-only — the
+    * payload never shuffles; downstream grouping shuffles only
+    * (id, 64-char hash) rows.
+    */
+  def perceptualHash(media: Dataset[Media]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m =>
+        PHash(m.media_id, Codec.aHash(m.content))))
     }
   }
 

@@ -96,6 +96,46 @@ object MultimodalQueries {
              |FROM documents,
              |  unnest(range(0, (40 * $nBytesSql) // 1000 + 1)) AS t(i)
              |WHERE doc_id % 3 = 2
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // MM5 — PERCEPTUAL image dedup (aHash): the image rows re-render
+    // as 8×8 band-gradient PNGs whose visual content is a pure
+    // function of media_id % 7 but whose pixel DIMENSIONS (and thus
+    // encoded bytes and md5) differ per id — resized copies, the
+    // duplicate class byte checksums (mm1) can never catch. The
+    // engine REALLY decodes each PNG and computes the 8×8 average
+    // hash from the raster at cell centers (exactly scale-invariant
+    // for band images — floor algebra in Codec.aHash); grouping by
+    // the hash collapses every resize family to one canonical id.
+    // The oracle recomputes the hash from the fixture arithmetic, so
+    // a match proves the raster round trip, and grouping is checked
+    // end to end. Decode is map-only; only (id, 64-char hash) rows
+    // shuffle.
+    Q("mm5_phash_groups",
+      (s, d) => {
+        val ph = Multimodal.perceptualHash(Multimodal.bandImageTable(s, d)).toDF()
+        val g = ph.groupBy("ahash").agg(
+          min("media_id").as("canonical_id"),
+          count(lit(1)).as("group_n"))
+        ph.join(g, "ahash")
+          .select("media_id", "ahash", "canonical_id", "group_n")
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (
+             |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+             |s AS (SELECT media_id,
+             |        list_transform(range(0, 64),
+             |          k -> ((media_id % 7) * 31 + (k % 8) * 13 + (k // 8) * 29) % 256) AS gs
+             |      FROM img),
+             |m AS (SELECT media_id, gs, list_sum(gs) // 64 AS mn FROM s),
+             |hb AS (SELECT media_id,
+             |         array_to_string(list_transform(gs,
+             |           g -> CASE WHEN g > mn THEN '1' ELSE '0' END), '') AS ahash
+             |       FROM m),
+             |gr AS (SELECT ahash, min(media_id) AS canonical_id,
+             |              count(*) AS group_n
+             |       FROM hb GROUP BY 1)
+             |SELECT hb.media_id, hb.ahash, gr.canonical_id, gr.group_n
+             |FROM hb JOIN gr USING (ahash) ORDER BY media_id""".stripMargin))
   )
 }

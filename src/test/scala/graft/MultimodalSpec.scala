@@ -67,6 +67,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert((r, g, b) == ((0x40L, 0x60L, 0x80L)))
   }
 
+  test("aHash is identical for resized copies and distinct for different content") {
+    // ids 0 and 21 share id % 7 = 0 (same band pattern) but differ in
+    // Fixture dimensions — resized copies: the encoded BYTES differ
+    // (md5 dedup misses them) while the perceptual hash collapses them
+    val a0 = Multimodal.BandFixture.png(0L)
+    val a21 = Multimodal.BandFixture.png(21L)
+    assert(Multimodal.Codec.md5Hex(a0) != Multimodal.Codec.md5Hex(a21))
+    assert(Multimodal.Codec.aHash(a0) == Multimodal.Codec.aHash(a21))
+    // id 3 renders a different pattern (3 % 7 = 3) → different hash
+    assert(Multimodal.Codec.aHash(a0) !=
+      Multimodal.Codec.aHash(Multimodal.BandFixture.png(3L)))
+    assert(Multimodal.Codec.aHash(a0).length == 64)
+  }
+
   test("extractFeatures is deterministic and 16-bit bounded") {
     val f1 = Multimodal.extractFeatures(media((1L, "audio", "same bytes"))).collect().head
     val f2 = Multimodal.extractFeatures(media((9L, "audio", "same bytes"))).collect().head
