@@ -452,6 +452,48 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Pairwise SOURCE-overlap matrix — the corpus diagnostic behind
+    * mixture design: how much of source A's content does source B
+    * duplicate? (Common-crawl dumps overlap release-to-release;
+    * curated sets embed each other; the matrix says which sources are
+    * redundant BEFORE sampling weights are chosen.) Overlap is
+    * measured on distinct n-gram shingle hashes per source: n_shared
+    * = |shingles(A) ∩ shingles(B)|, with a Jaccard in exact integral
+    * millionths.
+    *
+    * Scale shape: per-source shingle sets reduce the corpus to
+    * (group, hash) pairs BEFORE any join — the self-join meets only
+    * on equal hashes, and each hash carries at most `maxGroupDf`
+    * group rows (shingles in more groups than that are corpus-wide
+    * boilerplate and excluded — the t9 valve at group granularity),
+    * so the join fans out ≤ maxGroupDf² rows per hash, never
+    * docs². Sizes and the intersection both count the valve-passing
+    * universe, so the ratios are internally consistent.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, n: Int, maxGroupDf: Int): DataFrame = {
+    require(maxGroupDf >= 2, s"maxGroupDf must be >= 2, got $maxGroupDf")
+    val sh = graft.functions.TextKernels.shingleHashTable(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("hs")).as("h"))
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .select(col(groupCol), col("h")).distinct()
+    val ok = sh.groupBy("h").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= maxGroupDf).select("h")
+    val shOk = sh.join(ok, Seq("h"))
+    val sizes = shOk.groupBy(groupCol).agg(count(lit(1)).as("ns"))
+    val pairs = shOk.select(col(groupCol).as("src_a"), col("h"))
+      .join(shOk.select(col(groupCol).as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col(groupCol).as("src_a"), col("ns").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col(groupCol).as("src_b"), col("ns").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        call_function("div", col("n_shared") * 1000000L,
+          col("n_a") + col("n_b") - col("n_shared")).as("jac_e6"))
+  }
+
   /** Exact n-gram Jaccard of every document against one probe document
     * — the brute-force similarity scan (linear, probe broadcast; the
     * scale path for many probes is [[minhashLshPairs]] bucketing).

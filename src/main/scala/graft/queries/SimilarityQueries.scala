@@ -498,6 +498,38 @@ object SimilarityQueries {
              |SELECT doc_id, eval_id, n_shared FROM p
              |WHERE n_shared >= 3 ORDER BY doc_id, eval_id""".stripMargin)),
 
+    // T15 — pairwise SOURCE-overlap matrix: how much of source A does
+    // source B duplicate? The mixture-design diagnostic run BEFORE
+    // sampling weights are chosen (crawl dumps overlap release-to-
+    // release; curated sets embed each other). The corpus reduces to
+    // DISTINCT (source, shingle-hash) pairs before any join; the
+    // self-join meets only on equal hashes, each carrying at most
+    // maxGroupDf=12 source rows (corpus-wide boilerplate shingles are
+    // excluded — t9's valve at group granularity), so fan-out is
+    // bounded per hash and never docs². Jaccard in exact integral
+    // millionths over the valve-passing universe.
+    Q("t15_source_overlap",
+      (s, d) => graft.operators.Dedup.sourceOverlap(Tables.documents(s, d),
+          "doc_id", "text", "source", n = 3, maxGroupDf = 12)
+        .orderBy("src_a", "src_b"),
+      Some(s"""WITH toksrc AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+             |shsrc AS (SELECT doc_id, source, $shinglesSql AS shingles FROM toksrc),
+             |shd AS (SELECT DISTINCT source, h
+             |        FROM (SELECT source, unnest(list_transform(shingles,
+             |                s -> ${hash60Sql("s")})) AS h FROM shsrc)),
+             |ok AS (SELECT h FROM shd GROUP BY h HAVING count(*) <= 12),
+             |s2 AS (SELECT shd.* FROM shd JOIN ok USING (h)),
+             |sizes AS (SELECT source, count(*) AS ns FROM s2 GROUP BY 1),
+             |p AS (SELECT a.source AS src_a, b.source AS src_b,
+             |        count(*) AS n_shared
+             |      FROM s2 a JOIN s2 b ON a.h = b.h AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT p.src_a, p.src_b, p.n_shared, sa.ns AS n_a, sb.ns AS n_b,
+             |  (p.n_shared * 1000000) // (sa.ns + sb.ns - p.n_shared) AS jac_e6
+             |FROM p JOIN sizes sa ON p.src_a = sa.source
+             |       JOIN sizes sb ON p.src_b = sb.source
+             |ORDER BY src_a, src_b""".stripMargin)),
+
     // D4 — SimHash sketch: 60-bit majority-vote signature over the
     // token multiset; Hamming-close sketches ⇒ near-dup candidates.
     Q("d4_simhash",
