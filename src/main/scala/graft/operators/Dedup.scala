@@ -452,6 +452,47 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric duplicate class
+    * Jaccard-based LSH structurally misses: a short document quoted
+    * or embedded inside a much longer one has containment
+    * |sh(A)∩sh(B)| / |sh(A)| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so its
+    * MinHash signatures almost never collide ([[minhashLshPairs]]
+    * buckets on Jaccard-uniform signatures). The scale shape for
+    * containment is the t9 inverted-index join turned on the corpus
+    * itself: explode to distinct (doc, shingle-hash) postings, drop
+    * hashes with df > `maxDf` (boilerplate — the quadratic fan-out
+    * term, and the same valve the oracle mirrors), self-join on the
+    * hash, and count shared postings per ordered pair; pairs are
+    * DIRECTED (A-in-B and B-in-A differ — both emit when above
+    * threshold). `minShingles` floors the denominator so trivial
+    * docs can't report 100% containment off 2 shingles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minShingles: Int, minContainmentE6: Long,
+                       maxDf: Int = 1000): DataFrame = {
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    // pinned like ngramContamination: the shingle kernel feeds the df
+    // count, the sizes, and both join sides
+    val cx = graft.functions.TextKernels.shingleHashTable(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okH = cx.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val cxOk = cx.join(okH, Seq("h"))
+    val sizes = cxOk.groupBy(idCol).agg(count(lit(1)).as("ns"))
+    val pairs = cxOk.select(col(idCol).as("id_a"), col("h"))
+      .join(cxOk.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("ns").as("n_a")), Seq("id_a"))
+      .filter(col("n_a") >= minShingles)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        call_function("div", col("n_shared") * 1000000L, col("n_a"))
+          .as("containment_e6"))
+      .filter(col("containment_e6") >= minContainmentE6)
+  }
+
   /** Pairwise SOURCE-overlap matrix — the corpus diagnostic behind
     * mixture design: how much of source A's content does source B
     * duplicate? (Common-crawl dumps overlap release-to-release;

@@ -498,6 +498,38 @@ object SimilarityQueries {
              |SELECT doc_id, eval_id, n_shared FROM p
              |WHERE n_shared >= 3 ORDER BY doc_id, eval_id""".stripMargin)),
 
+    // D13 — CONTAINMENT near-dup pairs: the asymmetric duplicate
+    // class Jaccard LSH structurally misses — a short doc quoted
+    // inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B|,
+    // so MinHash bands almost never collide. The t9 inverted-index
+    // join turned on the corpus itself: distinct (doc, shingle)
+    // postings, df-valved, self-joined on the hash; directed pairs
+    // (A-in-B ≠ B-in-A) with exact integral-millionths containment.
+    Q("d13_containment",
+      (s, d) => graft.operators.Dedup.containmentPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, minShingles = 5,
+          minContainmentE6 = 800000L)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |shsrc AS (SELECT doc_id, $shinglesSql AS shingles FROM toksrc),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(list_transform(shingles, s -> ${hash60Sql("s")})) AS hs
+             |  FROM shsrc),
+             |cx AS (SELECT doc_id, h FROM sh, unnest(hs) AS t(h)),
+             |okh AS (SELECT h FROM cx GROUP BY h HAVING count(*) <= 1000),
+             |cxok AS (SELECT cx.* FROM cx JOIN okh USING (h)),
+             |sizes AS (SELECT doc_id, count(*) AS ns FROM cxok GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        count(*) AS n_shared
+             |      FROM cxok a JOIN cxok b
+             |        ON a.h = b.h AND a.doc_id <> b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_shared, sa.ns AS n_a,
+             |  (n_shared * 1000000) // sa.ns AS containment_e6
+             |FROM p JOIN sizes sa ON p.id_a = sa.doc_id
+             |WHERE sa.ns >= 5 AND (n_shared * 1000000) // sa.ns >= 800000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // T15 — pairwise SOURCE-overlap matrix: how much of source A does
     // source B duplicate? The mixture-design diagnostic run BEFORE
     // sampling weights are chosen (crawl dumps overlap release-to-
