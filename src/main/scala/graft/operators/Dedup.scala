@@ -535,6 +535,61 @@ object Dedup {
           col("n_a") + col("n_b") - col("n_shared")).as("jac_e6"))
   }
 
+  /** Duplicated-SPAN statistics — the position-level exact-substring
+    * duplication measure (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of
+    * its length-`spanTokens` token windows (stride 1) also occur in
+    * at least one OTHER document. Doc-level dedup (d1/d3) misses
+    * partially-copied text; chunk dedup ([[chunkDedup]]) only sees
+    * aligned fixed chunks — stride-1 windows catch a copied span at
+    * ANY offset, which is why span coverage is the metric dedup
+    * papers report. The suffix-array algorithm the paper uses is a
+    * single-machine construction; the shuffle-native equivalent is
+    * windowed hashing: every span of length ≥ spanTokens contains a
+    * length-spanTokens window, so cross-doc span sharing ⇒ cross-doc
+    * window-hash sharing.
+    *
+    * Scale shape: windows explode map-only off the token array (≈ one
+    * row per token — the same inflation class as the t10/t11 token
+    * pipelines), then immediately reduce to (doc, hash, cnt) with
+    * map-side combine; document frequency is a count over those
+    * ALREADY-distinct (doc, hash) rows (never a countDistinct over
+    * instances), and the dup flag joins back on the reduced table.
+    * Nothing pairwise, nothing driver-side; the big shuffle carries
+    * one row per distinct (doc, window-hash), not per occurrence.
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toked = docs.select(col(idCol), TextFns.toks(col(textCol)).as("tk"))
+    // sequence(0, -1) is DESCENDING in Spark, not empty — guard short docs
+    val wins = toked.select(col(idCol),
+      when(size(col("tk")) >= spanTokens,
+        transform(
+          sequence(lit(0), size(col("tk")) - spanTokens),
+          i => TextFns.hash60Col(
+            array_join(slice(col("tk"), (i + 1).cast(IntegerType),
+              lit(spanTokens)), " "))))
+        .otherwise(array().cast(ArrayType(LongType))).as("ws"))
+    val perDocHash = wins.select(col(idCol), explode(col("ws")).as("h"))
+      .groupBy(idCol, "h").agg(count(lit(1)).as("cnt"))
+    // (doc, hash) rows are distinct by construction, so count(*) IS
+    // the document frequency
+    val dupHashes = perDocHash.groupBy("h")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") > 1).select("h")
+    val dupPerDoc = perDocHash.join(dupHashes, Seq("h"))
+      .groupBy(idCol).agg(sum("cnt").as("n_dup"))
+    wins.select(col(idCol), size(col("ws")).cast(LongType).as("n_windows"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          call_function("div",
+            coalesce(col("n_dup"), lit(0L)) * 1000L, col("n_windows")))
+          .otherwise(lit(0L)).as("dup_milli"))
+  }
+
   /** Exact n-gram Jaccard of every document against one probe document
     * — the brute-force similarity scan (linear, probe broadcast; the
     * scale path for many probes is [[minhashLshPairs]] bucketing).

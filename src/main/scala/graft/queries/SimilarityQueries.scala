@@ -498,6 +498,35 @@ object SimilarityQueries {
              |SELECT doc_id, eval_id, n_shared FROM p
              |WHERE n_shared >= 3 ORDER BY doc_id, eval_id""".stripMargin)),
 
+    // D12 — duplicated-SPAN statistics: the position-level exact-
+    // substring duplication metric (Lee et al.) — per document, how
+    // many of its 8-token stride-1 windows also occur in another
+    // document. Doc-level dedup misses partial copies and t14's
+    // aligned chunks miss offsets; stride-1 windows catch a copied
+    // span at any offset. Windows explode map-only then immediately
+    // reduce to (doc, hash, cnt); df is a count over the already-
+    // distinct reduced rows; nothing pairwise anywhere.
+    Q("d12_dup_spans",
+      (s, d) => graft.operators.Dedup.duplicateSpanStats(
+          Tables.documents(s, d), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |w AS (SELECT doc_id,
+             |        list_transform(range(0, greatest(len(tk) - 7, 0)),
+             |          i -> ${hash60Sql("array_to_string(tk[i+1:i+8], ' ')")}) AS ws
+             |      FROM toksrc),
+             |e AS (SELECT doc_id, h FROM w, unnest(ws) AS t(h)),
+             |pdh AS (SELECT doc_id, h, count(*) AS cnt FROM e GROUP BY 1, 2),
+             |dfh AS (SELECT h FROM pdh GROUP BY h HAVING count(*) > 1),
+             |dup AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup
+             |        FROM pdh JOIN dfh USING (h) GROUP BY 1)
+             |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_windows,
+             |  COALESCE(n_dup, 0) AS n_dup_windows,
+             |  CASE WHEN len(ws) > 0
+             |       THEN (COALESCE(n_dup, 0) * 1000) // len(ws)
+             |       ELSE 0 END AS dup_milli
+             |FROM w LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // D13 — CONTAINMENT near-dup pairs: the asymmetric duplicate
     // class Jaccard LSH structurally misses — a short doc quoted
     // inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B|,

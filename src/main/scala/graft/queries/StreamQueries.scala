@@ -479,6 +479,33 @@ object StreamQueries {
              |SELECT w_start, event_type, CAST(n AS BIGINT) AS sample_n,
              |  cents AS est_median_cents
              |FROM r WHERE vrn = (n + 1) // 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ST17 — at-least-once DELIVERY dedup with WATERMARK-BOUNDED
+    // state. st5's plain dropDuplicates keeps every key it has EVER
+    // seen — state grows with the stream and a 100 TB/day topic kills
+    // it; `dropDuplicatesWithinWatermark` is the production form:
+    // each key's state carries an expiry of event-time + delay, and
+    // the watermark sweep evicts it, so state is O(events per delay
+    // window), not O(stream). The duplicate-delivery guarantee this
+    // trades away — redeliveries SEPARATED by more than the delay may
+    // re-emit — is exactly the at-least-once broker contract
+    // (redeliveries are near-immediate), and StreamingSpec pins both
+    // arms (in-window dup collapsed, post-expiry dup re-emitted).
+    // Here every event arrives twice in-batch (a map-only explode
+    // simulating broker redelivery — same ts, so always in-window);
+    // the drained output must be exactly the original events, which
+    // is what the oracle checks. Dedup keys on event_id: state is one
+    // (id, expiry) slot per event in the delay window.
+    Q("st17_stream_delivery_dedup",
+      (s, d) => Streaming.eventsStream(s, d, "append") { df =>
+        df.select(col("ts"), col("event_id"), col("user_id"), col("event_type"),
+            explode(array(lit(1), lit(2))).as("attempt"))
+          .drop("attempt")
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+      }.orderBy("event_id"),
+      Some("""SELECT ts, event_id, user_id, event_type FROM events
+             |ORDER BY event_id""".stripMargin))
   )
 }

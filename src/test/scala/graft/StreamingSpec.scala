@@ -162,4 +162,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 100L, Some(101L)), (2L, 200L, None)),
       s"got $rows — boundary/fresh views must stay withheld, expired view must null-emit")
   }
+
+  test("dropDuplicatesWithinWatermark: in-window dup collapses, post-expiry dup re-emits") {
+    // st17's bounded-state contract, both arms. Delay 1h. Batch 1
+    // delivers id=1 @00:00 and id=99 @10:00 → watermark after the
+    // batch = 09:00; id=1's dedup state (expiry 01:00) is swept,
+    // id=99's (expiry 11:00) survives. Batch 2 redelivers both —
+    // id=1 at a fresh ts 09:30 (not late) MUST re-emit (its state is
+    // gone: the eviction that keeps state O(delay window), the whole
+    // point of the operator), id=99 at its original ts MUST stay
+    // collapsed (state still live). Plain dropDuplicates would
+    // suppress both — and retain both keys forever.
+    val dataDir = Files.createTempDirectory("graft_ddww_src").toString + "/ev.parquet"
+    val ckpt = Files.createTempDirectory("graft_ddww_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    def drain(): Seq[(Long, java.sql.Timestamp)] = {
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp)]()
+      Streaming.runForeachBatch(spark, dataDir, "append", Some(ckpt)) { df =>
+        df.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("id")
+      } { (batch, _) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        synchronized { rows ++= got }
+      }
+      rows.toSeq.sortBy(_._1)
+    }
+
+    Seq((1L, ts("2024-01-01 00:00:00")), (99L, ts("2024-01-01 10:00:00")))
+      .toDF("id", "ts").coalesce(1).write.parquet(dataDir)
+    val first = drain()
+    assert(first.map(_._1) == Seq(1L, 99L), s"first delivery must emit both: $first")
+
+    Seq((1L, ts("2024-01-01 09:30:00")), (99L, ts("2024-01-01 10:00:00")))
+      .toDF("id", "ts").coalesce(1).write.mode("append").parquet(dataDir)
+    val second = drain()
+    assert(second == Seq((1L, ts("2024-01-01 09:30:00"))),
+      s"post-expiry dup must re-emit and in-window dup must collapse, got $second")
+  }
 }
