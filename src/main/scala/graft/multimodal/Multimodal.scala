@@ -3,7 +3,7 @@ package graft.multimodal
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -390,5 +390,57 @@ object Multimodal {
       lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
     meta.withColumn("out_width", floor(col("width") * scale).cast("int"))
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Perceptual NEAR-dup pairs over a [[perceptualHash]] table — the
+    * Hamming-close image families mm5's exact-hash grouping can't
+    * connect (small crops/edits flip a few aHash bits; resizes flip
+    * none). Two-stage shape, and the staging IS the scale design:
+    * (1) collapse to DISTINCT hashes first — the sketch table is
+    * bounded by visual diversity, not corpus size, so every later
+    * stage is off the image count entirely; (2) band each 64-bit
+    * hash into 8×8-bit keys (the d6 SimHash machinery on image
+    * sketches) and bucket-join — never all-pairs, `maxBucket`
+    * capping any degenerate band; (3) exact Hamming ≤ `maxHamming`
+    * on the bit-parallel XOR of the survivors. Banding is the d6
+    * recall heuristic: pigeonhole guarantees a shared band only for
+    * hamming < 8, beyond that recall decays gracefully — the
+    * standard LSH trade, and the oracle replays the same bands so
+    * the contract is checked, not assumed. Pairs are emitted between
+    * CANONICAL ids (each side an entire exact-dup family, with its
+    * size), so downstream clustering unions families, not images.
+    */
+  def phashNearDupPairs(ph: DataFrame, maxHamming: Int,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
+    val gr = ph.groupBy("ahash").agg(
+      min("media_id").as("canonical_id"), count(lit(1)).as("group_n"))
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"), substring(col("ahash"), b * 8 + 1, 8).as("bv"))
+    }
+    val bands = gr.select(col("ahash"), col("canonical_id"), col("group_n"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("ahash"), col("canonical_id"), col("group_n"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val okBuckets = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket).select("band", "bv")
+    val bounded = bands.join(okBuckets, Seq("band", "bv"))
+    val cand = bounded.as("a").join(bounded.as("b"), Seq("band", "bv"))
+      .filter(col("a.canonical_id") < col("b.canonical_id"))
+      .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"),
+        col("a.canonical_id").as("id_a"), col("b.canonical_id").as("id_b"),
+        col("a.group_n").as("n_a"), col("b.group_n").as("n_b"))
+      .distinct()
+    // bit-parallel Hamming: 4×16-bit chunks → long → XOR → popcount
+    def chunk(c: Column, i: Int) =
+      conv(substring(c, i * 16 + 1, 16), 2, 10)
+        .cast(org.apache.spark.sql.types.LongType)
+    val ham = (0 until 4)
+      .map(i => bit_count(chunk(col("ha"), i).bitwiseXOR(chunk(col("hb"), i))))
+      .reduce(_ + _)
+    cand.select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        ham.cast(org.apache.spark.sql.types.LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -215,6 +215,39 @@ object IvfIndex {
       idCol, k)
   }
 
+  /** RANGE search over a built index: every indexed vector with
+    * cosine ≥ `minCos` of each probe — the retrieval mode behind
+    * near-dup candidate generation and threshold-based dedup, where
+    * "the k-th best" is the wrong contract (a probe inside a dense
+    * duplicate cluster has 500 qualifying neighbours; one in sparse
+    * space has none — top-k returns exactly the wrong set both
+    * times). Same partition-pruned scan as [[search]] (reads only
+    * the probed cells), but no k-heap: the threshold filter runs
+    * inside the scan's projected join, so the output is bounded by
+    * similarity mass, not a rank parameter, and NOTHING shuffles —
+    * the plan is scan → broadcast-join → filter, map-only end to
+    * end. Recall is the IVF contract: matches outside the probed
+    * `nprobe` cells are missed, tuned exactly like top-k search.
+    */
+  def searchRange(spark: SparkSession, path: String, probes: DataFrame,
+                  idCol: String, vecCol: String, minCos: Double,
+                  centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val (pCells, cells) = collectedProbeCells(probes, idCol, vecCol, centroids, nprobe)
+    val idx = indexFrame(spark, path, idCol)
+    val pruned =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell_id").isin(cells: _*))
+    val cos = Similarity.cosine(col("p_vec"), col(vecCol))
+    pruned.join(broadcast(pCells), Seq("cell_id"))
+      .filter(col("p_id") =!= col(idCol))
+      .select(col("p_id"), col(idCol), cos.as("cos_raw"))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("p_id"), col(idCol),
+        floor(col("cos_raw") * 1e7)
+          .cast(org.apache.spark.sql.types.LongType).as("cos_e7"))
+  }
+
   /** Scalar-quantized two-stage top-k over a built index — the
     * composition of [[Similarity.sqTopK]]'s memory story with this
     * index's partition pruning: the production ANN shape. Stage 1

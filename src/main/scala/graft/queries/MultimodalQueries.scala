@@ -136,6 +136,55 @@ object MultimodalQueries {
              |              count(*) AS group_n
              |       FROM hb GROUP BY 1)
              |SELECT hb.media_id, hb.ahash, gr.canonical_id, gr.group_n
-             |FROM hb JOIN gr USING (ahash) ORDER BY media_id""".stripMargin))
+             |FROM hb JOIN gr USING (ahash) ORDER BY media_id""".stripMargin)),
+
+    // MM6 — perceptual NEAR-dup pairs: the Hamming-close image
+    // families mm5's exact grouping can't connect (crops/edits flip
+    // a few aHash bits). Collapse to DISTINCT hashes FIRST — the
+    // sketch table is bounded by visual diversity, not corpus size —
+    // then 8×8-bit banding (d6's machinery on image sketches) with
+    // bounded buckets, then exact bit-parallel Hamming ≤ 16 on the
+    // candidates. The oracle replays the same bands, so the LSH
+    // recall contract (guaranteed < 8, heuristic above) is checked,
+    // not assumed. Pairs connect canonical ids with family sizes —
+    // downstream clustering unions whole resize families.
+    Q("mm6_phash_neardup",
+      (s, d) => Multimodal.phashNearDupPairs(
+          Multimodal.perceptualHash(Multimodal.bandImageTable(s, d)).toDF(),
+          maxHamming = 16)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH img AS (
+             |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+             |s AS (SELECT media_id,
+             |        list_transform(range(0, 64),
+             |          k -> ((media_id % 7) * 31 + (k % 8) * 13 + (k // 8) * 29) % 256) AS gs
+             |      FROM img),
+             |m AS (SELECT media_id, gs, list_sum(gs) // 64 AS mn FROM s),
+             |hb AS (SELECT media_id,
+             |         array_to_string(list_transform(gs,
+             |           g -> CASE WHEN g > mn THEN '1' ELSE '0' END), '') AS ahash
+             |       FROM m),
+             |gr AS (SELECT ahash, min(media_id) AS canonical_id,
+             |              count(*) AS group_n
+             |       FROM hb GROUP BY 1),
+             |bands AS (SELECT ahash, canonical_id, group_n, b,
+             |            substr(ahash, b * 8 + 1, 8) AS bv
+             |          FROM gr, unnest(range(0, 8)) AS t(b)),
+             |okb AS (SELECT b, bv FROM bands GROUP BY b, bv
+             |        HAVING count(*) <= 1000),
+             |bd AS (SELECT bands.* FROM bands JOIN okb USING (b, bv)),
+             |cand AS (SELECT DISTINCT a.ahash AS ha, b.ahash AS hb2,
+             |           a.canonical_id AS id_a, b.canonical_id AS id_b,
+             |           a.group_n AS n_a, b.group_n AS n_b
+             |         FROM bd a JOIN bd b
+             |           ON a.b = b.b AND a.bv = b.bv
+             |          AND a.canonical_id < b.canonical_id),
+             |h AS (SELECT id_a, id_b, n_a, n_b,
+             |        CAST(len(list_filter(range(1, 65),
+             |          i -> substr(ha, i, 1) <> substr(hb2, i, 1))) AS BIGINT)
+             |          AS hamming
+             |      FROM cand)
+             |SELECT id_a, id_b, n_a, n_b, hamming FROM h
+             |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -953,6 +953,43 @@ object SimilarityQueries {
       },
       Some(ivfStandInOracleWhere(" AND a.vec_id % 10 <> 7"))),
 
+    // V19 — RANGE search over the SAME shared index artifact: every
+    // vector with cosine ≥ 0.4 of each probe, nprobe=2. Top-k is the
+    // wrong contract for threshold dedup (dense clusters need all
+    // 500 qualifying neighbours, sparse probes need none); the range
+    // mode bounds output by similarity mass instead of rank. No
+    // k-heap, no shuffle — partition-pruned scan → broadcast probe
+    // join → filter, map-only end to end; misses outside the probed
+    // cells are the IVF recall contract, tuned like any search.
+    Q("v19_range_search",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
+          keep = Seq("label"), pqCb = Some(pqCb))
+        IvfIndex.searchRange(s, path, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", minCos = 0.4, centroids = cent, nprobe = 2)
+          .orderBy("p_id", "vec_id")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |rk AS (
+             |  SELECT e.vec_id, e.embedding, c.cell_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |  FROM embeddings e CROSS JOIN cent c),
+             |asg AS (SELECT vec_id, embedding, cell_id FROM rk WHERE crn = 1),
+             |pr AS (SELECT vec_id AS p_id, embedding AS p_vec, cell_id
+             |       FROM rk WHERE vec_id < 10 AND crn <= 2),
+             |dst AS (SELECT p_id, a.vec_id,
+             |          ${cosSql("p_vec", "a.embedding")} AS cos_raw
+             |        FROM asg a JOIN pr USING (cell_id)
+             |        WHERE a.vec_id <> p_id)
+             |SELECT p_id, vec_id,
+             |  CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
+             |FROM dst WHERE cos_raw >= 0.4
+             |ORDER BY p_id, vec_id""".stripMargin)),
+
     // V14 — metadata-FILTERED ANN: the production "search within a
     // slice" shape (same-language neighbours, licensed-subset
     // retrieval). ONE index serves both plain and filtered search:

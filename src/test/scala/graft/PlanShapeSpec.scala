@@ -166,6 +166,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t13 policy join must be the only (broadcast) join:\n$plan")
   }
 
+  test("v19 range search never shuffles: pruned scan, broadcast probe join, filter") {
+    // range search has no k-heap and therefore no aggregation: the
+    // plan must be scan → BroadcastHashJoin → filter → project with
+    // ZERO hash exchanges (the presentation sort's range exchange is
+    // the only allowed one). A hash exchange here means either the
+    // corpus shuffled for the join (broadcast regression) or an
+    // aggregate crept in — both 100 TB defects for a map-only scan.
+    val plan = graft.queries.Registry.queries("v19_range_search")(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hash == 0,
+      s"v19 must not hash-shuffle, found $hash:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"v19's probe join must broadcast the probe cells:\n$plan")
+  }
+
   test("v17 knn join meets the corpus in a SHUFFLED hash join on cell_id, probe side never broadcast") {
     // the entire point of knnJoin vs ivfTopK: the query side is a
     // large table, so the cell_id join must be a shuffled hash join —
