@@ -299,6 +299,47 @@ object CorpusQueries {
              |SELECT d.doc_id, d.lang, t.keep_thr
              |FROM documents d JOIN t USING (lang)
              |WHERE $sampleHashSql % 1000000 < t.keep_thr
+             |ORDER BY doc_id""".stripMargin)),
+
+    // C14 — quality-WEIGHTED soft sampling: per-document keep-rate
+    // rises with a quality signal instead of a hard cutoff — the
+    // DCLM/FineWeb-classifier recipe (hard filters discard the
+    // mid-quality mass that still teaches; soft sampling keeps it at
+    // reduced rate). Deterministic per-doc coin: keep iff
+    // hash(doc) mod 1000 < rate_milli where rate_milli =
+    // least(900, 100 + 2000·stopword_density) — floor 10% (coverage
+    // never hits zero), cap 90%, all integral `div` arithmetic so
+    // Spark and the oracle agree bit-for-bit. Unlike c12's two-pass
+    // corpus-statistic policy this rate is row-LOCAL: the whole
+    // query is map-only (spec-pinned), the 100 TB shape of a
+    // first-pass filter.
+    Q("c14_quality_weighted_sample",
+      (s, d) => {
+        val tk = TextFns.toks(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tk).cast(LongType).as("n_tokens"),
+            TextFns.vocabHits(tk, graft.queries.TextQueries.stopEn).as("n_stop"))
+          .withColumn("rate_milli",
+            least(lit(900L), lit(100L) + call_function("div",
+              col("n_stop") * 2000L, greatest(col("n_tokens"), lit(1L)))))
+          .filter(sampleHash(col("doc_id")) % 1000 < col("rate_milli"))
+          .select("doc_id", "lang", "rate_milli")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, rate_milli FROM (
+             |  SELECT doc_id, lang,
+             |    least(900, 100 + (n_stop * 2000) // greatest(n_tokens, 1))
+             |      AS rate_milli
+             |  FROM (SELECT doc_id, lang,
+             |          len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             |            AS n_tokens,
+             |          len(list_filter(
+             |            regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |            t -> list_contains(['the', 'a', 'of', 'and', 'is',
+             |                                'to', 'in'], t))) AS n_stop
+             |        FROM documents))
+             |WHERE $sampleHashSql % 1000 < rate_milli
              |ORDER BY doc_id""".stripMargin))
   )
 }

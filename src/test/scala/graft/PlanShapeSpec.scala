@@ -132,6 +132,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertMapOnly("c11_chunk_documents")
   }
 
+  test("c14 quality-weighted sample stays map-only (row-local rate, no policy join)") {
+    assertMapOnly("c14_quality_weighted_sample")
+  }
+
   test("c12 temperature mixture shuffles only the tiny lang counts and broadcasts the policy") {
     // two-pass global-stats shape: the ONLY hash exchange is the
     // per-language count aggregate (|langs| partial rows), the policy
