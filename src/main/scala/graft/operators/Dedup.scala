@@ -471,14 +471,20 @@ object Dedup {
                        n: Int, minShingles: Int, minContainmentE6: Long,
                        maxDf: Int = 1000): DataFrame = {
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
-    // pinned like ngramContamination: the shingle kernel feeds the df
-    // count, the sizes, and both join sides
-    val cx = graft.functions.TextKernels.shingleHashTable(docs, idCol, textCol, n)
+    // df valve as a WINDOW over the postings' own h-shuffle rather
+    // than a separate agg + join-back: one exchange carries the
+    // postings once, the count rides it, and the filtered frame is
+    // pinned — the self-join's two sides and the sizes agg all read
+    // the SAME materialized partitioning instead of re-running an
+    // okH join per consumer (3× before; this row cost 4.7 → 1.9 s
+    // at sf0.1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val cxOk = graft.functions.TextKernels.shingleHashTable(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select(col(idCol), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val okH = cx.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    val cxOk = cx.join(okH, Seq("h"))
     val sizes = cxOk.groupBy(idCol).agg(count(lit(1)).as("ns"))
     val pairs = cxOk.select(col(idCol).as("id_a"), col("h"))
       .join(cxOk.select(col(idCol).as("id_b"), col("h")), Seq("h"))

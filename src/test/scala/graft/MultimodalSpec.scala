@@ -99,4 +99,42 @@ class MultimodalSpec extends AnyFunSuite {
       .select("out_width", "out_height").as[(Int, Int)].collect().head
     assert(noUp == ((26, 16)))
   }
+
+  test("phashNearDupPairs: exact families collapse, close hashes pair, far hashes don't") {
+    // guaranteed-recall arm of the banding contract: hamming < 8
+    // MUST be found (pigeonhole over 8×8-bit bands), and exact-dup
+    // family members must contribute ONE canonical node with the
+    // family size, not per-image pairs.
+    val base = "01" * 32 // 64 bits
+    val flip2 = "10" + base.substring(2) // hamming 2 vs base
+    val far = "10" * 32 // hamming 64 vs base
+    val ph = Seq(
+      (1L, base), (5L, base), (9L, base), // one exact family of 3
+      (2L, flip2),
+      (3L, far))
+      .toDF("media_id", "ahash")
+    val pairs = Multimodal.phashNearDupPairs(ph, maxHamming = 6)
+      .select("id_a", "id_b", "n_a", "n_b", "hamming")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 3L, 1L, 2L)),
+      s"expected exactly the canonical (family-of-3, flip2) pair, got $pairs")
+  }
+
+  test("phashNearDupPairs maxBucket valve suppresses degenerate bands") {
+    // five DISTINCT hashes differing only in the last band: bands
+    // 0–6 are all-zero 5-member buckets (degenerate), band 7 is a
+    // singleton per hash. Valve below 5 → every shared bucket is
+    // suppressed → no pairs; at 5 → all C(5,2) pairs form.
+    val hs = (0 until 5).map { i =>
+      val tail = String.format("%8s", (i + 1).toBinaryString).replace(' ', '0')
+      (i.toLong, "0" * 56 + tail)
+    }
+    val ph = hs.toDF("media_id", "ahash")
+    val valved = Multimodal.phashNearDupPairs(ph, maxHamming = 64, maxBucket = 4)
+      .count()
+    val open = Multimodal.phashNearDupPairs(ph, maxHamming = 64, maxBucket = 5)
+      .count()
+    assert(valved == 0L && open == 10L,
+      s"valve must drop the 5-member band buckets: valved=$valved open=$open")
+  }
 }

@@ -51,6 +51,30 @@ class TextDedupSpec extends AnyFunSuite {
       (4L, "", 1L, 0L)))
   }
 
+  test("duplicateSpanStats: copied spans count at any offset, exact dups fully covered") {
+    // span = 3 tokens. Docs 1/2 are exact duplicates → every window
+    // duplicated (dup_milli = 1000). Doc 3 embeds doc 1's "a b c d"
+    // at an OFFSET inside unique text: its windows "a b c" and
+    // "b c d" match doc 1's — the any-offset catch aligned chunking
+    // misses. Doc 4 is unique → 0. Doc 5 is shorter than the span →
+    // zero windows, zero (not a negative-sequence explosion).
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "x y a b c d z w"),
+      (4L, "p q r s t u"),
+      (5L, "one two")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(df, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 1000L),
+      (2L, 3L, 3L, 1000L),
+      (3L, 6L, 2L, 333L),
+      (4L, 4L, 0L, 0L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("exactDedup groups identical keys and elects min id as canonical") {
     val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("id", "text")
     val out = Dedup.exactDedup(df, "id", md5(col("text")))
