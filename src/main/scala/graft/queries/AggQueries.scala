@@ -989,6 +989,77 @@ object AggQueries {
              |          FROM orders GROUP BY 1)
              |SELECT spine.day, coalesce(daily.n_orders, 0) AS n_orders
              |FROM spine LEFT JOIN daily USING (day)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // G29 — conversion FUNNEL: per user, first view → first click
+    // within 1 h of it → first purchase within 1 h of that — the
+    // ordered-sequence match (MATCH_RECOGNIZE's common case) no
+    // plain join or sessionization expresses. Three STACKED windows
+    // over ONE user shuffle (the g20 pattern): each stage is a
+    // conditional struct-min whose predicate reads the previous
+    // stage's window result on the same row, so the chain walks
+    // forward without re-scanning events per stage; the final
+    // per-user collapse reuses the window partitioning — a per-row
+    // self-join per stage (the naive shape) would shuffle events
+    // three times and explode on hot users. Ties broken by
+    // (ts, event_id) everywhere; oracle walks the same chain with
+    // rank-1 CTEs — an independent algebra for the same contract.
+    Q("g29_funnel",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id")
+        def firstOf(cond: org.apache.spark.sql.Column) =
+          min(when(cond, struct(col("ts"), col("event_id")))).over(wu)
+        Tables.events(s, d)
+          .select("user_id", "event_type", "ts", "event_id")
+          .withColumn("v", firstOf(col("event_type") === "view"))
+          .withColumn("c", firstOf(col("event_type") === "click" &&
+            col("ts") >= col("v.ts") &&
+            col("ts") <= col("v.ts") + expr("INTERVAL 1 HOUR")))
+          .withColumn("p", firstOf(col("event_type") === "purchase" &&
+            col("ts") >= col("c.ts") &&
+            col("ts") <= col("c.ts") + expr("INTERVAL 1 HOUR")))
+          .groupBy("user_id")
+          .agg(min(col("v.event_id")).as("view_id"),
+            min(col("c.event_id")).as("click_id"),
+            min(col("p.event_id")).as("purchase_id"))
+          .withColumn("funnel_depth",
+            when(col("view_id").isNull, lit(0))
+              .otherwise(lit(1) +
+                when(col("click_id").isNull, 0).otherwise(1) +
+                when(col("purchase_id").isNull, 0).otherwise(1)))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts AS v_ts, event_id AS view_id FROM (
+             |    SELECT user_id, ts, event_id,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS rn
+             |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+             |c AS (
+             |  SELECT user_id, ts AS c_ts, event_id AS click_id FROM (
+             |    SELECT e.user_id, e.ts, e.event_id,
+             |      row_number() OVER (PARTITION BY e.user_id
+             |        ORDER BY e.ts, e.event_id) AS rn
+             |    FROM events e JOIN v USING (user_id)
+             |    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+             |      AND e.ts <= v.v_ts + INTERVAL 1 HOUR) WHERE rn = 1),
+             |p AS (
+             |  SELECT user_id, event_id AS purchase_id FROM (
+             |    SELECT e.user_id, e.event_id,
+             |      row_number() OVER (PARTITION BY e.user_id
+             |        ORDER BY e.ts, e.event_id) AS rn
+             |    FROM events e JOIN c USING (user_id)
+             |    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+             |      AND e.ts <= c.c_ts + INTERVAL 1 HOUR) WHERE rn = 1),
+             |u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT u.user_id, v.view_id, c.click_id, p.purchase_id,
+             |  CASE WHEN v.view_id IS NULL THEN 0
+             |       ELSE 1 + CAST(c.click_id IS NOT NULL AS INT)
+             |              + CAST(p.purchase_id IS NOT NULL AS INT) END
+             |    AS funnel_depth
+             |FROM u LEFT JOIN v USING (user_id)
+             |       LEFT JOIN c USING (user_id)
+             |       LEFT JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -86,6 +86,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("j13_nearest_event_join")
   }
 
+  test("g29 funnel stacks all three stage windows AND the user collapse over ONE shuffle") {
+    assertSingleHashShuffle("g29_funnel")
+  }
+
   test("g20 sessionize stacks both windows AND the rollup over ONE shuffle") {
     assertSingleHashShuffle("g20_sessionize")
   }
