@@ -1060,6 +1060,97 @@ object AggQueries {
              |FROM u LEFT JOIN v USING (user_id)
              |       LEFT JOIN c USING (user_id)
              |       LEFT JOIN p USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // G30 — iterative graph CENTRALITY (PageRank, 3 unrolled rounds)
+    // over the bipartite customer–part purchase graph: which parts /
+    // customers sit at the center of the co-purchase structure — the
+    // Pregel-per-superstep shape (join scores to edges, aggregate
+    // contributions by destination) that d8's connected components
+    // share, expressed as plain joins + aggs so Catalyst plans every
+    // round. EXACT integral arithmetic end to end: scores in e6
+    // units, per-edge contribution = score div out-degree, damping
+    // as ·850000 div 1e6 — integer sums are accumulation-order-free,
+    // so the result replays cell-for-cell where float PageRank never
+    // could. Edges + degrees are pinned once (every round reads the
+    // same materialized frame); per-round cost is one bounded
+    // score-broadcast join + one contribution shuffle — at web scale
+    // the score frame IS the corpus, the join flips to sort-merge on
+    // the shared edge partitioning, same rounds, same algebra.
+    Q("g30_pagerank",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        // integer node keys through every superstep (2k = customer,
+        // 2k+1 = part — disjoint longs): the per-round shuffles carry
+        // 8-byte keys, not strings; the readable (type, id) pair is a
+        // map-only decode in the FINAL projection only
+        val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("cn"),
+            (col("l_partkey") * 2 + 1).as("pn"))
+          .distinct()
+        val edges = e0.select(col("cn").as("src"), col("pn").as("dst"))
+          .union(e0.select(col("pn").as("src"), col("cn").as("dst")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val degN = deg.withColumnRenamed("src", "node")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var score = degN.select(col("node"), lit(1000000L).as("score"))
+        val iters = sys.env.get("SPARK_GRAFT_G30_ITERS").map(_.toInt).getOrElse(3)
+        for (_ <- 1 to iters) {
+          // the node frame (customers + parts) is orders of magnitude
+          // smaller than the edge list — broadcast it so every round
+          // is a map-only pass over the pinned edges + ONE
+          // contribution shuffle (Catalyst can't infer the post-agg
+          // size and falls back to sorting the edges every round);
+          // on a graph whose node set rivals its edge count, drop
+          // the hint and the same algebra runs as sort-merge on the
+          // shared edge partitioning
+          val perSrc = score.join(broadcast(degN), Seq("node"))
+            .select(col("node").as("src"),
+              call_function("div", col("score"), col("deg")).as("contrib"))
+          score = edges.join(broadcast(perSrc), Seq("src"))
+            .select(col("dst").as("node"), col("contrib"))
+            .groupBy("node")
+            .agg((lit(150000L) + call_function("div",
+              sum("contrib") * 850000L, lit(1000000L))).as("score"))
+            // superstep barrier: each round materializes once and
+            // the next reads the RESULT, not the re-executed chain —
+            // without this, round N's broadcast re-runs rounds 1..N-1
+            // (the classic iterative-lineage blowup; GraphX/MLlib
+            // checkpoint for exactly this reason)
+            .localCheckpoint()
+        }
+        score.select(
+            when(col("node") % 2 === 0, lit("c")).otherwise(lit("p"))
+              .as("node_type"),
+            call_function("div", col("node"), lit(2L)).as("node_id"),
+            col("score"))
+          .orderBy("node_type", "node_id")
+      },
+      {
+        def iter(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT e.dst AS node,
+             |    CAST(150000 + (sum(s.score // d.deg) * 850000) // 1000000
+             |         AS BIGINT) AS score
+             |  FROM edges e JOIN $prev s ON e.src = s.node
+             |       JOIN deg d ON e.src = d.src
+             |  GROUP BY 1)"""
+        Some(s"""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey * 2 AS cn, l_partkey * 2 + 1 AS pn
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT cn AS src, pn AS dst FROM e0
+             |          UNION ALL SELECT pn, cn FROM e0),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
+             |       FROM deg),
+             |${iter("s0", "s1")},
+             |${iter("s1", "s2")},
+             |${iter("s2", "s3")}
+             |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 'p' END AS node_type,
+             |  node // 2 AS node_id, score
+             |FROM s3 ORDER BY node_type, node_id""".stripMargin)
+      })
   )
 }
