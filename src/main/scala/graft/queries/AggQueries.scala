@@ -934,6 +934,31 @@ object AggQueries {
              |FROM orders
              |GROUP BY ALL ORDER BY ALL""".stripMargin)),
 
+    // SQL9 — PIVOT through the SQL front-end: the SQL-standard
+    // syntax for g12's DataFrame pivot (wide per-returnflag line
+    // counts per line status). Catalyst rewrites the PIVOT clause into
+    // the same single-pass conditional aggregate the g12 plan uses —
+    // one shuffle, never one scan per pivot column; the oracle
+    // spells that rewrite out as FILTER aggregates, so the clause's
+    // semantics (not just its sugar) are what's checked. Explicit IN
+    // list, as at scale an inferred pivot domain is itself a full
+    // scan.
+    Q("sql9_pivot",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""SELECT * FROM (
+                |  SELECT l_linestatus, l_returnflag FROM lineitem_sql)
+                |PIVOT (count(*) AS n FOR l_returnflag IN ('A', 'N', 'R'))
+                |ORDER BY l_linestatus""".stripMargin)
+          .select(col("l_linestatus"), col("A").as("n_a"),
+            col("N").as("n_n"), col("R").as("n_r"))
+      },
+      Some("""SELECT l_linestatus,
+             |  count(*) FILTER (l_returnflag = 'A') AS n_a,
+             |  count(*) FILTER (l_returnflag = 'N') AS n_n,
+             |  count(*) FILTER (l_returnflag = 'R') AS n_r
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
     // G28 — per-group MODE (most frequent value): the most common
     // order priority per status via count-then-struct-argmax — two
     // partial-aggregated shuffles, never a sort of raw rows. Tie
