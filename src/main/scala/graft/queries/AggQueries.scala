@@ -1114,39 +1114,15 @@ object AggQueries {
           .select((col("o_custkey") * 2).as("cn"),
             (col("l_partkey") * 2 + 1).as("pn"))
           .distinct()
-        val edges = e0.select(col("cn").as("src"), col("pn").as("dst"))
-          .union(e0.select(col("pn").as("src"), col("cn").as("dst")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val degN = deg.withColumnRenamed("src", "node")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var score = degN.select(col("node"), lit(1000000L).as("score"))
+        // both directions ride ONE explode — a union here would run
+        // the join+distinct subtree twice when the persist inside
+        // pageRank materializes
+        val edges = e0.select(explode(array(
+            struct(col("cn").as("src"), col("pn").as("dst")),
+            struct(col("pn").as("src"), col("cn").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val iters = sys.env.get("SPARK_GRAFT_G30_ITERS").map(_.toInt).getOrElse(3)
-        for (_ <- 1 to iters) {
-          // the node frame (customers + parts) is orders of magnitude
-          // smaller than the edge list — broadcast it so every round
-          // is a map-only pass over the pinned edges + ONE
-          // contribution shuffle (Catalyst can't infer the post-agg
-          // size and falls back to sorting the edges every round);
-          // on a graph whose node set rivals its edge count, drop
-          // the hint and the same algebra runs as sort-merge on the
-          // shared edge partitioning
-          val perSrc = score.join(broadcast(degN), Seq("node"))
-            .select(col("node").as("src"),
-              call_function("div", col("score"), col("deg")).as("contrib"))
-          score = edges.join(broadcast(perSrc), Seq("src"))
-            .select(col("dst").as("node"), col("contrib"))
-            .groupBy("node")
-            .agg((lit(150000L) + call_function("div",
-              sum("contrib") * 850000L, lit(1000000L))).as("score"))
-            // superstep barrier: each round materializes once and
-            // the next reads the RESULT, not the re-executed chain —
-            // without this, round N's broadcast re-runs rounds 1..N-1
-            // (the classic iterative-lineage blowup; GraphX/MLlib
-            // checkpoint for exactly this reason)
-            .localCheckpoint()
-        }
-        score.select(
+        graft.operators.Graph.pageRank(edges, iters).select(
             when(col("node") % 2 === 0, lit("c")).otherwise(lit("p"))
               .as("node_type"),
             call_function("div", col("node"), lit(2L)).as("node_id"),

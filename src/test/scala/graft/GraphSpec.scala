@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Pins [[Graph.pageRank]]'s integral algebra against HAND-COMPUTED
+  * scores on a tiny graph — independent of the g30 oracle, which
+  * replays the same dataflow in SQL and so cannot catch a shared
+  * misunderstanding of the recurrence itself.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed integral recurrence on a star") {
+    // undirected star c—p2, c—p3 (node 1 = hub, degree 2; nodes 2, 3
+    // leaves, degree 1). By hand, scores in e6 units, damping 850000:
+    //   s0: all 1_000_000
+    //   iter1: hub ← 2 leaf contribs of 1_000_000:
+    //            150000 + (2_000_000·850000) div 1e6 = 1_850_000
+    //          leaf ← hub contrib 1_000_000 div 2 = 500_000:
+    //            150000 + (500_000·850000) div 1e6 = 575_000
+    //   iter2: hub: 150000 + (1_150_000·850000) div 1e6 = 1_127_500
+    //          leaf: 150000 + (925_000·850000) div 1e6 = 936_250
+    //   iter3: hub: 150000 + (1_872_500·850000) div 1e6 = 1_741_625
+    //          leaf: 150000 + (563_750·850000) div 1e6 = 629_187
+    //            (floor of 479_187.5 — the div truncation the float
+    //             formulation would round differently)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def run(iters: Int): Map[Long, Long] =
+      Graph.pageRank(edges, iters).as[(Long, Long)].collect().toMap
+    assert(run(0) == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    assert(run(1) == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    assert(run(3) == Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
+  }
+
+  test("pageRank conserves total mass up to truncation and teleport") {
+    // on a regular graph (a 4-cycle) every node keeps exactly the
+    // uniform score at every iteration: contrib = score div 1, one
+    // in-edge each, 150000 + score·850000 div 1e6 is a fixpoint at
+    // score = 1e6 — the damping normalization check
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val scores = Graph.pageRank(cyc, 3).as[(Long, Long)].collect().toMap
+    assert(scores == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L))
+  }
+}
