@@ -85,7 +85,31 @@ object AnnRecall {
       s""""$name":${f"$recall%.3f"}""" +
         (if (frac.isEmpty) "" else s""","${name}_read":$frac""")
     }
-    println(s"""{"recall_at":$k,"probes":$nProbes,"dims":$dims,"sf":"$dir",${rows.mkString(",")}}""")
+    // RANGE-search recall (v19's tuning metric): ground truth = every
+    // (probe, vector) pair with cosine >= tau from the exact scan;
+    // the IVF range search misses exactly the qualifying pairs whose
+    // vector sits outside the probed cells, so recall here traces the
+    // same nprobe curve as top-k — but weighted by similarity mass,
+    // not rank.
+    val tau = 0.4
+    val trueRange = probes.select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
+      .crossJoin(e.select(col("vec_id"), col("embedding")))
+      .filter(col("p_id") =!= col("vec_id"))
+      .filter(Similarity.cosine(col("p_vec"), col("embedding")) >= tau)
+      .select("p_id", "vec_id").as[(Long, Long)].collect().toSet
+    val idxPath = graft.operators.IvfIndex.builtFor(s"$dir#recall_range", e,
+      "vec_id", "embedding", cents)
+    val rangeRows = Seq(1, 2, 4, 8).map { np =>
+      val got = graft.operators.IvfIndex.searchRange(spark, idxPath, probes,
+        "vec_id", "embedding", tau, cents, np)
+        .select("p_id", "vec_id").as[(Long, Long)].collect().toSet
+      val recall =
+        if (trueRange.isEmpty) 1.0
+        else got.intersect(trueRange).size.toDouble / trueRange.size
+      println(f"range_tau${tau}_nprobe$np%-8s recall ${recall}%.3f  (true pairs ${trueRange.size})")
+      s""""range_nprobe$np":${f"$recall%.3f"}"""
+    }
+    println(s"""{"recall_at":$k,"probes":$nProbes,"dims":$dims,"sf":"$dir",${(rows ++ rangeRows).mkString(",")}}""")
     spark.stop()
   }
 }
