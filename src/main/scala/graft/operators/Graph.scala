@@ -49,18 +49,22 @@ object Graph {
     val degN = pinned.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var score = degN.select(col("node"), lit(1000000L).as("score"))
+    // deg rides INSIDE the score frame: the per-round broadcast side
+    // is then a pure projection of the checkpointed state (no
+    // score⋈deg collect chain per round), and deg re-attaches in the
+    // same job's broadcast join
+    var score = degN.select(col("node"), lit(1000000L).as("score"), col("deg"))
     for (_ <- 1 to iters) {
-      val perSrc = score.join(broadcast(degN), Seq("node"))
-        .select(col("node").as("src"),
-          call_function("div", col("score"), col("deg")).as("contrib"))
+      val perSrc = score.select(col("node").as("src"),
+        call_function("div", col("score"), col("deg")).as("contrib"))
       score = pinned.join(broadcast(perSrc), Seq("src"))
         .select(col("dst").as("node"), col("contrib"))
         .groupBy("node")
         .agg((lit(teleportE6) + call_function("div",
           sum("contrib") * dampE6, lit(1000000L))).as("score"))
+        .join(broadcast(degN), Seq("node"))
         .localCheckpoint()
     }
-    score
+    score.select(col("node"), col("score"))
   }
 }
