@@ -849,6 +849,64 @@ object SimilarityQueries {
              |SELECT p_id, rn, vec_id, CAST(floor(cos_raw * 1e7) AS BIGINT) AS cos_e7
              |FROM r WHERE rn <= 10 ORDER BY p_id, rn""".stripMargin)),
 
+    // V20 — HYBRID retrieval (reciprocal-rank fusion): the lexical
+    // BM25 top-10 (t16's integral scorer, shared kernel) fuses with
+    // the vector top-10 for the same query intent under the
+    // doc_id ≡ vec_id cross-modal convention (d11's) — the standard
+    // RAG-retrieval composition, where lexical catches exact-term
+    // matches dense vectors blur and vectors catch paraphrases
+    // lexical misses. RRF in EXACT integral e6: Σ sides
+    // 1000000 div (60 + rank) — rank fusion needs no score
+    // calibration between modalities, which is why it's the default
+    // fusion everywhere. Both top-10s come from bounded TakeOrdered/
+    // k-heap paths; the rank windows run on the ALREADY-bounded
+    // 10-row frames, so nothing here scales with the corpus beyond
+    // the two searches themselves.
+    Q("v20_hybrid_rrf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val vec = Similarity.cosineTopK(e.filter(col("vec_id") === 0), e,
+            "vec_id", "embedding", k = 10)
+          .select(col("vec_id").as("id"),
+            col("rn").cast(LongType).as("vec_rank"))
+        val w10 = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score_e3"), col("doc_id"))
+        val lex = TextQueries.bm25Scores(s, d)
+          .filter(col("score_e3") > 0)
+          .orderBy(desc("score_e3"), col("doc_id")).limit(10)
+          .withColumn("lex_rank", row_number().over(w10).cast(LongType))
+          .select(col("doc_id").as("id"), col("lex_rank"))
+        def rrf(rank: org.apache.spark.sql.Column) =
+          coalesce(call_function("div", lit(1000000L), rank + 60L), lit(0L))
+        vec.join(lex, Seq("id"), "full_outer")
+          .select(col("id"),
+            (rrf(col("vec_rank")) + rrf(col("lex_rank"))).as("rrf_e6"),
+            col("lex_rank"), col("vec_rank"))
+          .orderBy(desc("rrf_e6"), col("id"))
+      },
+      Some(s"""${TextQueries.bm25ScoreCte},
+             |lex AS (SELECT * FROM (
+             |    SELECT doc_id AS id,
+             |      row_number() OVER (ORDER BY score_e3 DESC, doc_id)
+             |        AS lex_rank
+             |    FROM sc WHERE score_e3 > 0) WHERE lex_rank <= 10),
+             |vecd AS (SELECT e.vec_id AS id,
+             |    row_number() OVER (ORDER BY
+             |      ${cosSql("p.embedding", "e.embedding")} DESC, e.vec_id)
+             |      AS vec_rank
+             |  FROM embeddings e,
+             |    (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+             |  WHERE e.vec_id <> 0),
+             |vec AS (SELECT * FROM vecd WHERE vec_rank <= 10)
+             |SELECT coalesce(l.id, v.id) AS id,
+             |  (CASE WHEN v.vec_rank IS NOT NULL
+             |        THEN 1000000 // (v.vec_rank + 60) ELSE 0 END +
+             |   CASE WHEN l.lex_rank IS NOT NULL
+             |        THEN 1000000 // (l.lex_rank + 60) ELSE 0 END) AS rrf_e6,
+             |  l.lex_rank, v.vec_rank
+             |FROM lex l FULL JOIN vec v ON l.id = v.id
+             |ORDER BY rrf_e6 DESC, id""".stripMargin)),
+
     // V3 — embedding-cosine near-dup pairs: SRP-bucketed self-join
     // proposes, exact fold cosine >= 0.4 verifies; never all-pairs.
     Q("v3_cosine_neardup",

@@ -63,6 +63,82 @@ object TextQueries {
     * non-cheap expressions un-inlined, so the chain survives
     * optimization; measured 6.6 → ~1 s/call at sf0.1).
     */
+  /** t16/v20 shared: integral BM25 (k1 = 1.2, b = 0.75) of every
+    * document against a fixed conjunctive term set, EXACT e3 integer
+    * arithmetic end to end — idf surrogate (N·1000) div df (the t11
+    * trick: monotone in ln(N/df), zero transcendental functions),
+    * tf saturation (tf·2200·1000) div (tf·1000 + 1200·dlnorm div
+    * 1000), length norm 250 + 750·(dl/avgdl) in e3. Integer term
+    * scores sum order-free, so the ranking replays cell-for-cell —
+    * float BM25 never does (Σ of doubles is accumulation-order-
+    * dependent and ln differs in ulps across engines).
+    *
+    * Scale shape: per-term tf is an ARRAY-LOCAL filter count (no
+    * token explode, no postings join — the term set is a literal),
+    * corpus stats (N, Σdl, per-term df) are ONE tiny aggregate
+    * broadcast back, scoring is map-only, and top-k is
+    * TakeOrdered — the full-scan scoring pass of a lexical search;
+    * the indexed path at web scale is the t9-style inverted index,
+    * which [[graft.operators.Dedup.ngramContamination]] already
+    * exercises.
+    */
+  private[queries] val bm25Terms = Seq("vector", "hash", "stream", "window")
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val tk = TextFns.toks(col("text"))
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      size(filter(tk, x => x === t)).cast(LongType).as(s"tf$i") }
+    val base = Tables.documents(s, d)
+      .select(Seq(col("doc_id"), size(tk).cast(LongType).as("dl")) ++ tfCols: _*)
+    val dfCols = bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      Seq(sum(col("dl")).as("tot")) ++ dfCols: _*)
+    val avgdlE3 = call_function("div", col("tot") * 1000L, col("n_docs"))
+    val dlnormE3 = lit(250L) + call_function("div",
+      lit(750L) * call_function("div", col("dl") * 1000000L, avgdlE3), lit(1000L))
+    def termScore(i: Int) = {
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      val idfE3 = call_function("div", col("n_docs") * 1000L, df)
+      val tfnormE3 = call_function("div", tf * 2200L * 1000L,
+        tf * 1000L + call_function("div", lit(1200L) * dlnormE3, lit(1000L)))
+      when(tf > 0 && df > 0,
+        call_function("div", idfE3 * tfnormE3, lit(1000L))).otherwise(lit(0L))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Terms.indices.map(termScore).reduce(_ + _).as("score_e3"))
+  }
+
+  /** DuckDB mirror of [[bm25Scores]] as a CTE chain ending in `sc
+    * (doc_id, score_e3)` — shared by t16 and v20 so the two oracles
+    * cannot diverge.
+    */
+  private[queries] val bm25ScoreCte: String = {
+    val tfS = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n       |    ")
+    val dfS = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n       |    ")
+    def termS(i: Int) =
+      s"(CASE WHEN tf$i > 0 AND df$i > 0 THEN " +
+        s"((n_docs * 1000 // df$i) * ((tf$i * 2200 * 1000) // " +
+        s"(tf$i * 1000 + (1200 * (250 + (750 * ((dl * 1000000) // " +
+        s"((tot * 1000) // n_docs))) // 1000)) // 1000))) // 1000 " +
+        s"ELSE 0 END)"
+    val sumS = bm25Terms.indices.map(termS).mkString(" +\n       |    ")
+    s"""WITH tks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+       |bm_base AS (SELECT doc_id, len(tk) AS dl,
+       |    $tfS
+       |  FROM tks),
+       |bm_st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot,
+       |    $dfS
+       |  FROM bm_base),
+       |sc AS (SELECT doc_id,
+       |    $sumS AS score_e3
+       |  FROM bm_base, bm_st)""".stripMargin
+  }
+
   private[queries] def cleanDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -581,6 +657,22 @@ object TextQueries {
              |  (len(t.tk) + 2) // 3 AS n_chunks,
              |  coalesce(a.n_kept, 0) AS n_kept
              |FROM tkt t LEFT JOIN agg a USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T16 — lexical SEARCH (integral BM25 top-10 for a fixed term
+    // set): the retrieval half the corpus surface was missing — t11
+    // scores keywords per doc, this ranks DOCS for a query. Exact e3
+    // integer arithmetic end to end (see [[bm25Scores]]); per-term
+    // tf is an array-local filter count (no token explode), corpus
+    // stats are one broadcast aggregate, scoring is map-only,
+    // top-10 is TakeOrdered.
+    Q("t16_bm25_search",
+      (s, d) => bm25Scores(s, d)
+        .filter(col("score_e3") > 0)
+        .orderBy(desc("score_e3"), col("doc_id"))
+        .limit(10),
+      Some(s"""$bm25ScoreCte
+             |SELECT doc_id, score_e3 FROM sc WHERE score_e3 > 0
+             |ORDER BY score_e3 DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -174,6 +174,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t13 policy join must be the only (broadcast) join:\n$plan")
   }
 
+  test("t16 BM25 scoring never shuffles the corpus: one broadcast stats agg + TakeOrdered") {
+    // the full-scan lexical search shape: per-term tf is array-local
+    // (no token explode), the ONLY aggregate is the one-row corpus
+    // stats frame that comes back as a broadcast, and top-k is
+    // TakeOrdered — a hash exchange here means the corpus shuffled
+    // for a map-only scoring pass
+    val plan = graft.queries.Registry.queries("t16_bm25_search")(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hash == 0,
+      s"t16 must not hash-shuffle the corpus, found $hash:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t16's top-10 must be TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("v19 range search never shuffles: pruned scan, broadcast probe join, filter") {
     // range search has no k-heap and therefore no aggregation: the
     // plan must be scan → BroadcastHashJoin → filter → project with
