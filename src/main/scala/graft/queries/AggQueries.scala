@@ -64,6 +64,44 @@ object AggQueries {
        |ORDER BY o_custkey, depth""".stripMargin
   }
 
+  /** g29 AND st18 oracle — the batch funnel and the streaming CEP
+    * funnel must agree row-for-row (the v4/v8 pattern: two execution
+    * paths, one contract), so there is exactly ONE SQL definition.
+    */
+  private[queries] val funnelOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, ts AS v_ts, event_id AS view_id FROM (
+      |    SELECT user_id, ts, event_id,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+      |c AS (
+      |  SELECT user_id, ts AS c_ts, event_id AS click_id FROM (
+      |    SELECT e.user_id, e.ts, e.event_id,
+      |      row_number() OVER (PARTITION BY e.user_id
+      |        ORDER BY e.ts, e.event_id) AS rn
+      |    FROM events e JOIN v USING (user_id)
+      |    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      |      AND e.ts <= v.v_ts + INTERVAL 1 HOUR) WHERE rn = 1),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id FROM (
+      |    SELECT e.user_id, e.event_id,
+      |      row_number() OVER (PARTITION BY e.user_id
+      |        ORDER BY e.ts, e.event_id) AS rn
+      |    FROM events e JOIN c USING (user_id)
+      |    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      |      AND e.ts <= c.c_ts + INTERVAL 1 HOUR) WHERE rn = 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id, v.view_id, c.click_id, p.purchase_id,
+      |  CASE WHEN v.view_id IS NULL THEN 0
+      |       ELSE 1 + CAST(c.click_id IS NOT NULL AS INT)
+      |              + CAST(p.purchase_id IS NOT NULL AS INT) END
+      |    AS funnel_depth
+      |FROM u LEFT JOIN v USING (user_id)
+      |       LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // G1 — TPC-H Q1-style pricing rollup over lineitem.
@@ -1054,38 +1092,7 @@ object AggQueries {
                 when(col("purchase_id").isNull, 0).otherwise(1)))
           .orderBy("user_id")
       },
-      Some("""WITH v AS (
-             |  SELECT user_id, ts AS v_ts, event_id AS view_id FROM (
-             |    SELECT user_id, ts, event_id,
-             |      row_number() OVER (PARTITION BY user_id
-             |        ORDER BY ts, event_id) AS rn
-             |    FROM events WHERE event_type = 'view') WHERE rn = 1),
-             |c AS (
-             |  SELECT user_id, ts AS c_ts, event_id AS click_id FROM (
-             |    SELECT e.user_id, e.ts, e.event_id,
-             |      row_number() OVER (PARTITION BY e.user_id
-             |        ORDER BY e.ts, e.event_id) AS rn
-             |    FROM events e JOIN v USING (user_id)
-             |    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
-             |      AND e.ts <= v.v_ts + INTERVAL 1 HOUR) WHERE rn = 1),
-             |p AS (
-             |  SELECT user_id, event_id AS purchase_id FROM (
-             |    SELECT e.user_id, e.event_id,
-             |      row_number() OVER (PARTITION BY e.user_id
-             |        ORDER BY e.ts, e.event_id) AS rn
-             |    FROM events e JOIN c USING (user_id)
-             |    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
-             |      AND e.ts <= c.c_ts + INTERVAL 1 HOUR) WHERE rn = 1),
-             |u AS (SELECT DISTINCT user_id FROM events)
-             |SELECT u.user_id, v.view_id, c.click_id, p.purchase_id,
-             |  CASE WHEN v.view_id IS NULL THEN 0
-             |       ELSE 1 + CAST(c.click_id IS NOT NULL AS INT)
-             |              + CAST(p.purchase_id IS NOT NULL AS INT) END
-             |    AS funnel_depth
-             |FROM u LEFT JOIN v USING (user_id)
-             |       LEFT JOIN c USING (user_id)
-             |       LEFT JOIN p USING (user_id)
-             |ORDER BY user_id""".stripMargin)),
+      Some(funnelOracle)),
 
     // G30 — iterative graph CENTRALITY (PageRank, 3 unrolled rounds)
     // over the bipartite customer–part purchase graph: which parts /

@@ -497,6 +497,34 @@ object StreamQueries {
     // the drained output must be exactly the original events, which
     // is what the oracle checks. Dedup keys on event_id: state is one
     // (id, expiry) slot per event in the delay window.
+    Q("st18_stream_funnel",
+      (s, d) => {
+        import s.implicits._
+        // ST18 — STREAMING funnel (the CEP pattern-detection shape):
+        // g29's view → click ≤ 1 h → purchase ≤ 1 h chain as keyed
+        // state in flatMapGroupsWithState — per-user state is THREE
+        // (ts, id) slots forever, advancing monotonically as stages
+        // match. Contract: stages only ADVANCE (an out-of-order view
+        // arriving after a click was already bound does not rebind —
+        // the at-most-once-advance trade every streaming CEP engine
+        // makes); under event-time-ordered replay — including this
+        // harness's single AvailableNow drain, where each user's
+        // batch slice is sorted before the walk — the result equals
+        // the batch g29 EXACTLY, which is why the two share one
+        // oracle (the v4/v8 pattern). Timestamps compared in epoch
+        // MICROS (getTime is millis and would blur the ±1 h window
+        // boundaries the oracle computes at full precision).
+        val out = Streaming.eventsStream(s, d, "update")(
+          graft.streaming.Funnel.transform)
+        out.withColumn("funnel_depth",
+            when(col("view_id").isNull, lit(0))
+              .otherwise(lit(1) +
+                when(col("click_id").isNull, 0).otherwise(1) +
+                when(col("purchase_id").isNull, 0).otherwise(1)))
+          .orderBy("user_id")
+      },
+      Some(AggQueries.funnelOracle)),
+
     Q("st17_stream_delivery_dedup",
       (s, d) => Streaming.eventsStream(s, d, "append") { df =>
         df.select(col("ts"), col("event_id"), col("user_id"), col("event_type"),

@@ -163,6 +163,49 @@ class StreamingSpec extends AnyFunSuite {
       s"got $rows — boundary/fresh views must stay withheld, expired view must null-emit")
   }
 
+  test("streaming funnel advances across batches and never rebinds on late views") {
+    // st18's cross-batch contract, both arms. Batch 1: user 1 views
+    // @00:00 and clicks @00:10 (funnel at stage 2, held in state).
+    // Batch 2 delivers (a) a purchase @00:30 — must bind to the
+    // click ALREADY IN STATE from batch 1 (stage advance across
+    // batches), and (b) an out-of-order EARLIER view @23:00 of the
+    // previous day — must NOT rebind the funnel (stages only
+    // advance; rebinding would require recomputing the click from
+    // events the state no longer holds — the at-most-once-advance
+    // trade the scaladoc pins).
+    val dataDir = Files.createTempDirectory("graft_funnel_src").toString + "/ev.parquet"
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    def drain(): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+      val rows = scala.collection.mutable.Map[Long, (Option[Long], Option[Long], Option[Long])]()
+      Streaming.runForeachBatch(spark, dataDir, "update", Some(ckpt))(
+        graft.streaming.Funnel.transform) { (batch, _) =>
+        batch.collect().foreach { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          synchronized { rows(r.getLong(0)) = (opt(1), opt(2), opt(3)) }
+        }
+      }
+      rows.toMap
+    }
+
+    Seq(
+      (1L, "view", ts("2024-01-02 00:00:00"), 10L),
+      (1L, "click", ts("2024-01-02 00:10:00"), 11L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.parquet(dataDir)
+    assert(drain() == Map(1L -> ((Some(10L), Some(11L), None))))
+
+    Seq(
+      (1L, "purchase", ts("2024-01-02 00:30:00"), 12L),
+      (1L, "view", ts("2024-01-01 23:00:00"), 9L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    val second = drain()
+    assert(second == Map(1L -> ((Some(10L), Some(11L), Some(12L)))),
+      s"purchase must bind to the state-held click and the late view must not rebind: $second")
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dup collapses, post-expiry dup re-emits") {
     // st17's bounded-state contract, both arms. Delay 1h. Batch 1
     // delivers id=1 @00:00 and id=99 @10:00 → watermark after the
