@@ -306,19 +306,29 @@ object StreamQueries {
              |ORDER BY user_id, view_id, click_id NULLS FIRST""".stripMargin)),
 
     // ST7 — stream-static enrichment: the event stream joins a STATIC
-    // per-user profile frame (computed batch-side); the static side
-    // is re-planned per micro-batch, the streaming side needs no
-    // state — the standard dimension-enrichment shape.
+    // per-user profile frame (computed batch-side); the streaming
+    // side needs no state — the standard dimension-enrichment shape.
+    // Stream-static semantics RE-EXECUTE the static subtree every
+    // micro-batch (it is re-planned per batch to pick up source
+    // changes) — harmless for one AvailableNow batch, but a
+    // multi-batch backlog drain would re-aggregate the full events
+    // table per batch. So the profile is persisted and FORCED once up
+    // front; every micro-batch then rejoins the materialized frame
+    // (the production shape for an expensive dimension), and the pin
+    // drops after the drain.
     Q("st7_stream_static_join",
       (s, d) => {
         val profile = graft.engine.Tables.events(s, d)
           .groupBy("user_id")
           .agg(count(lit(1)).as("user_events"))
-        Streaming.eventsStream(s, d, "append") { df =>
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        profile.count()
+        try Streaming.eventsStream(s, d, "append") { df =>
           df.filter(col("event_type") === "purchase")
             .select("event_id", "user_id")
             .join(profile, Seq("user_id"))
         }.orderBy("event_id")
+        finally profile.unpersist()
       },
       Some("""WITH profile AS (
              |  SELECT user_id, count(*) AS user_events FROM events GROUP BY 1)
@@ -481,6 +491,49 @@ object StreamQueries {
              |FROM r WHERE vrn = (n + 1) // 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ST18 — STREAMING funnel (the CEP pattern-detection shape):
+    // g29's view → click ≤ 1 h → purchase ≤ 1 h chain as keyed
+    // state in flatMapGroupsWithState — per-user state is THREE
+    // (ts, id) slots forever, advancing monotonically as stages
+    // match. Contract: stages only ADVANCE (an out-of-order view
+    // arriving after a click was already bound does not rebind —
+    // the at-most-once-advance trade every streaming CEP engine
+    // makes); under batch-granularity event-time order — including
+    // this harness's AvailableNow drain, where each user's batch
+    // slice gets a stage-priority bind over its sorted rows — the
+    // result equals the batch g29 EXACTLY, which is why the two
+    // share one oracle (the v4/v8 pattern). Timestamps compared in
+    // epoch MICROS (getTime is millis and would blur the ±1 h window
+    // boundaries the oracle computes at full precision).
+    Q("st18_stream_funnel",
+      (s, d) => {
+        import s.implicits._
+        val out = Streaming.eventsStream(s, d, "update")(
+            graft.streaming.Funnel.transform)
+          .withColumn("funnel_depth",
+            when(col("view_id").isNull, lit(0))
+              .otherwise(lit(1) +
+                when(col("click_id").isNull, 0).otherwise(1) +
+                when(col("purchase_id").isNull, 0).otherwise(1)))
+        // update mode emits one row per TOUCHED user PER MICRO-BATCH
+        // into the memory sink, so a multi-batch drain (source split
+        // across listings, maxFilesPerTrigger) leaves stale earlier
+        // snapshots alongside the final one. Depth only advances and
+        // each id binds at most once, so the max (depth, ids) struct
+        // per user IS the final state — collapse instead of assuming
+        // a single-batch drain (advisor r11).
+        out.groupBy("user_id")
+          .agg(max(struct(col("funnel_depth"), col("view_id"),
+            col("click_id"), col("purchase_id"))).as("m"))
+          .select(col("user_id"),
+            col("m.view_id").as("view_id"),
+            col("m.click_id").as("click_id"),
+            col("m.purchase_id").as("purchase_id"),
+            col("m.funnel_depth").as("funnel_depth"))
+          .orderBy("user_id")
+      },
+      Some(AggQueries.funnelOracle)),
+
     // ST17 — at-least-once DELIVERY dedup with WATERMARK-BOUNDED
     // state. st5's plain dropDuplicates keeps every key it has EVER
     // seen — state grows with the stream and a 100 TB/day topic kills
@@ -497,34 +550,6 @@ object StreamQueries {
     // the drained output must be exactly the original events, which
     // is what the oracle checks. Dedup keys on event_id: state is one
     // (id, expiry) slot per event in the delay window.
-    Q("st18_stream_funnel",
-      (s, d) => {
-        import s.implicits._
-        // ST18 — STREAMING funnel (the CEP pattern-detection shape):
-        // g29's view → click ≤ 1 h → purchase ≤ 1 h chain as keyed
-        // state in flatMapGroupsWithState — per-user state is THREE
-        // (ts, id) slots forever, advancing monotonically as stages
-        // match. Contract: stages only ADVANCE (an out-of-order view
-        // arriving after a click was already bound does not rebind —
-        // the at-most-once-advance trade every streaming CEP engine
-        // makes); under event-time-ordered replay — including this
-        // harness's single AvailableNow drain, where each user's
-        // batch slice is sorted before the walk — the result equals
-        // the batch g29 EXACTLY, which is why the two share one
-        // oracle (the v4/v8 pattern). Timestamps compared in epoch
-        // MICROS (getTime is millis and would blur the ±1 h window
-        // boundaries the oracle computes at full precision).
-        val out = Streaming.eventsStream(s, d, "update")(
-          graft.streaming.Funnel.transform)
-        out.withColumn("funnel_depth",
-            when(col("view_id").isNull, lit(0))
-              .otherwise(lit(1) +
-                when(col("click_id").isNull, 0).otherwise(1) +
-                when(col("purchase_id").isNull, 0).otherwise(1)))
-          .orderBy("user_id")
-      },
-      Some(AggQueries.funnelOracle)),
-
     Q("st17_stream_delivery_dedup",
       (s, d) => Streaming.eventsStream(s, d, "append") { df =>
         df.select(col("ts"), col("event_id"), col("user_id"), col("event_type"),

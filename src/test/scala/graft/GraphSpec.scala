@@ -45,4 +45,40 @@ class GraphSpec extends AnyFunSuite {
     assert(scores == Map(1L -> 1000000L, 2L -> 1000000L,
       3L -> 1000000L, 4L -> 1000000L))
   }
+
+  test("pageRank keeps pure-source nodes at the teleport term every round") {
+    // 1→2, 2→3, 3→2: node 1 has out-edges but NO in-edges. Advisor
+    // r11: the pre-fix superstep aggregated by dst only, so node 1
+    // dropped out of the score frame after round 1 and its teleport
+    // mass stopped feeding node 2 from round 2 on. Hand-computed:
+    //   iter1: s1 = 150000 (teleport only)
+    //          s2 = 150000 + (1e6+1e6)·0.85        = 1_850_000
+    //          s3 = 150000 + 1e6·0.85              = 1_000_000
+    //   iter2: s1 = 150000
+    //          s2 = 150000 + (150000+1_000_000)·0.85 = 1_127_500
+    //          s3 = 150000 + 1_850_000·0.85          = 1_722_500
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 1127500L, 3L -> 1722500L))
+  }
+
+  test("pageRank includeDangling widens the universe and redistributes") {
+    // single edge 1→2 with includeDangling: node 2 (out-degree 0)
+    // holds score and its damped mass spreads uniformly (dshare =
+    // dtot div 2). Hand-computed:
+    //   iter1: dshare = 1e6 div 2 = 500_000
+    //          s1 = 150000 + 500_000·0.85           = 575_000
+    //          s2 = 150000 + (1e6+500_000)·0.85     = 1_425_000
+    //   iter2: dshare = 1_425_000 div 2 = 712_500
+    //          s1 = 150000 + 712_500·0.85           = 755_625
+    //          s2 = 150000 + (575_000+712_500)·0.85 = 1_244_375
+    //          (total 2_000_000 — conserved exactly, no truncation)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 2, includeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 755625L, 2L -> 1244375L))
+    // default mode on the same edge list: universe is src-only {1}
+    val noDangling = Graph.pageRank(edges, 2).as[(Long, Long)].collect().toMap
+    assert(noDangling == Map(1L -> 150000L))
+  }
 }
