@@ -520,9 +520,18 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     groupCol: String, n: Int, maxGroupDf: Int): DataFrame = {
     require(maxGroupDf >= 2, s"maxGroupDf must be >= 2, got $maxGroupDf")
+    // the explicit isnotnull makes every consumer of `sh` see the SAME
+    // inferred constraints: without it the pair self-join (whose
+    // src_a < src_b infers isnotnull(group)) and the df valve (which
+    // doesn't) compile two SLIGHTLY different copies of this subtree —
+    // different pushed filters — and AQE cannot exchange-reuse them,
+    // so the expensive shingle hashing runs twice (r11 judge finding;
+    // reuse is pinned in PlanShapeSpec). Null-group docs are excluded
+    // by contract: an overlap matrix is over NAMED sources.
     val sh = graft.functions.TextKernels.shingleHashTable(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("hs")).as("h"))
-      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .join(docs.select(col(idCol), col(groupCol))
+        .filter(col(groupCol).isNotNull), Seq(idCol))
       .select(col(groupCol), col("h")).distinct()
     val ok = sh.groupBy("h").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= maxGroupDf).select("h")

@@ -354,4 +354,27 @@ object IvfIndex {
       build(corpus, idCol, vecCol, centroids, path, keep, pqCb)
     }
   }
+
+  /** Serving-ops stats straight off the stored index: per-cell LIVE
+    * occupancy (tombstones masked), id range, and the e6 share of the
+    * corpus each cell holds — the dashboard that tells an operator
+    * whether the codebook still fits the data (one hot cell = every
+    * probe of it scans that fraction of the corpus; many near-empty
+    * cells = wasted pruning). Column-prunes to (cell_id, id): the
+    * float/int8/PQ representations never load, so the stats pass
+    * reads a few bytes per vector no matter the dimensionality. The
+    * share ratio is integral (·1e6 div total) so the row is
+    * replayable cell-for-cell; the global window runs over ≤ the
+    * codebook size, not the corpus.
+    */
+  def cellStats(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    indexFrame(spark, path, idCol)
+      .select(col("cell_id").cast("long").as("cell_id"), col(idCol))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(idCol).as("min_id"), max(idCol).as("max_id"))
+      .withColumn("share_e6",
+        call_function("div", col("n_vecs") * 1000000L, sum("n_vecs").over(w)))
+  }
 }

@@ -19,7 +19,7 @@ object Registry {
   def all: Seq[Q] = {
     val qs = ParityQueries.qs ++ AggQueries.qs ++ TextQueries.qs ++
       SimilarityQueries.qs ++ StreamQueries.qs ++ MultimodalQueries.qs ++
-      CorpusQueries.qs
+      CorpusQueries.qs ++ WarehouseQueries.qs
     // a duplicate name would silently drop a query from the Map-shaped
     // driver contract — fail loudly instead
     val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

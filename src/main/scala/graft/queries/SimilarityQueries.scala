@@ -1632,6 +1632,40 @@ object SimilarityQueries {
       },
       Some(ivfStandInOracle)),
 
+    // V21 — ANN index SERVING-OPS stats: per-cell occupancy, id range
+    // and e6 corpus share straight off the SAME memoized artifact
+    // v8/v10/v14/v16/v19 search — the dashboard an index operator
+    // watches for codebook drift (hot cells = degraded pruning,
+    // near-empty cells = wasted probes). Zero new machinery: the
+    // stats pass column-prunes to (cell_id, vec_id) — none of the
+    // three vector representations load — and aggregates per cell;
+    // the global-share window runs over the codebook's 16 rows, not
+    // the corpus. Oracle replays the assignment CTE the search
+    // oracles share and GROUPs it.
+    Q("v21_index_stats",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+        val path = IvfIndex.builtFor(s"$d#ivf", e, "vec_id", "embedding", cent,
+          keep = Seq("label"), pqCb = Some(pqCb))
+        IvfIndex.cellStats(s, path, "vec_id")
+          .select(col("cell_id"), col("n_vecs"),
+            col("min_id"), col("max_id"), col("share_e6"))
+          .orderBy("cell_id")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_vec
+             |             FROM embeddings WHERE vec_id < 16),
+             |rk AS (
+             |  SELECT e.vec_id, c.cell_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell_id) AS crn
+             |  FROM embeddings e CROSS JOIN cent c),
+             |asg AS (SELECT vec_id, cell_id FROM rk WHERE crn = 1)
+             |SELECT cell_id, count(*) AS n_vecs,
+             |  min(vec_id) AS min_id, max(vec_id) AS max_id,
+             |  count(*) * 1000000 // (SELECT count(*) FROM asg) AS share_e6
+             |FROM asg GROUP BY cell_id ORDER BY cell_id""".stripMargin)),
+
     // MM4 — multimodal features FEED the ANN surface: the stub media
     // features (mm2's 8 integer digest slices) become an 8-dim vector
     // and run through the SAME SRP-bucketed top-k as real embeddings.

@@ -673,6 +673,82 @@ object TextQueries {
         .limit(10),
       Some(s"""$bm25ScoreCte
              |SELECT doc_id, score_e3 FROM sc WHERE score_e3 > 0
-             |ORDER BY score_e3 DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY score_e3 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // T17 — raw JSONL ingest with CORRUPT-RECORD audit: the messy
+    // front door every other query assumes already happened. The
+    // reference's actual inputs are REST JSON payloads it normalizes
+    // and drift-guards (Function_Latinad_API/function_app.py:45,113;
+    // New_Api_Sercom/function_app.py:106,164); at 100 TB documents
+    // arrive as jsonl with a real corrupt-line rate and schema drift.
+    // The fixture is derived DETERMINISTICALLY from the documents
+    // table (so the oracle replays it from the parquet): one JSON
+    // object per line; doc_id % 13 == 0 rows carry an extra field
+    // (drift the reader schema must tolerate), doc_id % 7 == 0 rows
+    // OMIT `source` (missing field → null), doc_id % 11 == 0 lines
+    // lose their closing brace (malformed). The reader is a text scan
+    // + `from_json` PERMISSIVE with an explicit schema +
+    // `columnNameOfCorruptRecord`: good rows parse field-exact, bad
+    // lines land whole in the audit column. Output = every recovered
+    // row plus ONE audit row carrying the corrupt-line count — the
+    // ingest-quality contract (recovered data AND the loss measured,
+    // never silently dropped). Map-only over the line files; at scale
+    // the parse pipelines with the text scan, and the two consumers
+    // of one tiny fixture re-parse rather than pin (a 100 TB ingest
+    // would persist the parsed frame or split by `bad` in one pass).
+    Q("t17_jsonl_ingest",
+      (s, d) => {
+        val dir = graft.engine.TempArtifacts.getOrBuild(s"$d#t17jsonl", "graft_t17") { p =>
+          Tables.documents(s, d)
+            .select(to_json(struct(
+                col("doc_id"), col("lang"),
+                when(col("doc_id") % 7 =!= 0, col("source")).as("source"),
+                col("n_chars"),
+                when(col("doc_id") % 13 === 0,
+                  concat(lit("x"), col("doc_id"))).as("extra")))
+              .as("line"), col("doc_id"))
+            .select(when(col("doc_id") % 11 === 0,
+                expr("substring(line, 1, length(line) - 1)"))
+              .otherwise(col("line")).as("value"))
+            .coalesce(4).write.text(s"$p/lines")
+        }
+        // text scan + from_json (PERMISSIVE, corrupt column in the
+        // schema) rather than spark.read.json: same parser, but the
+        // raw line stays addressable (a real ingest quarantines the
+        // corrupt originals) and the json SOURCE's restriction on
+        // plans whose pruned scan hits only the corrupt column
+        // (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the audit count is
+        // exactly that shape) doesn't apply to the expression form.
+        // Malformed lines parse to a row whose _corrupt_record holds
+        // the raw text; `bad` is the authoritative verdict, so
+        // partial-parse field fragments never leak into `good`.
+        val sch = StructType.fromDDL("doc_id BIGINT, lang STRING, " +
+          "source STRING, n_chars BIGINT, extra STRING, _corrupt_record STRING")
+        val parsed = s.read.text(s"$dir/lines")
+          .select(from_json(col("value"), sch, Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+            col("r.source").as("source"), col("r.n_chars").as("n_chars"),
+            col("r.extra").as("extra"),
+            col("r._corrupt_record").isNotNull.as("bad"))
+        val good = parsed.filter(!col("bad"))
+          .select("doc_id", "lang", "source", "n_chars", "extra")
+        val audit = parsed.filter(col("bad"))
+          .agg(count(lit(1)).as("n_chars"))
+          .select(lit(-1L).as("doc_id"), lit("__corrupt__").as("lang"),
+            lit(null).cast(StringType).as("source"), col("n_chars"),
+            lit(null).cast(StringType).as("extra"))
+        good.unionByName(audit).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN doc_id % 7 <> 0 THEN source END AS source,
+             |  n_chars,
+             |  CASE WHEN doc_id % 13 = 0 THEN 'x' || CAST(doc_id AS VARCHAR) END AS extra
+             |FROM documents WHERE doc_id % 11 <> 0
+             |UNION ALL
+             |SELECT -1, '__corrupt__', NULL,
+             |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 0), NULL
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Tables, TempArtifacts}
+import graft.io.Warehouse
+
+/** File-warehouse lifecycle queries over [[graft.io.Warehouse]]: the
+  * 100 TB analogs of the reference's JDBC table maintenance
+  * (`New_Api_Sercom/function_app.py:309-365` merge,
+  * `Function_Latinad_API/function_app.py:193-196` reload). Both build
+  * their table once per (sfDir, JVM) via [[TempArtifacts]] — the
+  * write-once-read-many lifecycle of a real warehouse table — and
+  * read the committed snapshot back, so the oracle checks the
+  * composed create → mutate → commit → scan round trip, not an
+  * in-memory transform.
+  */
+object WarehouseQueries {
+
+  def qs: Seq[Q] = Seq(
+
+    // M1 — MERGE INTO a day-partitioned parquet table, copy-on-write
+    // at partition granularity. Base = events minus the
+    // event_id % 19 == 3 slice; the change batch UPDATES the
+    // % 23 == 5 rows (user_id shifted, version bumped) and INSERTS
+    // the % 19 == 3 slice — so the merge exercises update, insert
+    // and untouched-row arms in one pass. Only the partitions the
+    // change batch names are read and rewritten (WarehouseSpec
+    // asserts untouched partitions keep byte-identical files); the
+    // commit is one atomic manifest rename. The oracle recomputes
+    // the end state from the events table alone.
+    Q("m1_merge_into",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m1wh", "graft_m1wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev.filter(col("event_id") % 19 =!= 3), "dt")
+          val changes = ev
+            .filter(col("event_id") % 19 === 3 || col("event_id") % 23 === 5)
+            .withColumn("user_id", col("user_id") + 1000000L)
+            .withColumn("version", col("version") + 1L)
+          Warehouse.mergeInto(s, p, changes, "event_id", "version", "dt")
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id, user_id + 1000000 AS user_id, event_type, dt
+             |FROM ev WHERE event_id % 19 = 3 OR event_id % 23 = 5
+             |UNION ALL
+             |SELECT event_id, user_id, event_type, dt
+             |FROM ev WHERE event_id % 19 <> 3 AND event_id % 23 <> 5
+             |ORDER BY event_id""".stripMargin)),
+
+    // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
+    // layout: the first ops problem a streaming-ingest table develops.
+    // The fixture table is written deliberately FRAGMENTED (a 8-way
+    // shuffle before the partitioned write leaves up to 8 small files
+    // per day); compact bin-packs every fragmented partition to its
+    // byte target in one executor-side job — range-repartitioned on
+    // (dt, event_id) so the compacted files are also SORTED (row-group
+    // stats on event_id turn selective for free) — and commits the new
+    // mapping atomically. Already-compact partitions keep their exact
+    // files (WarehouseSpec asserts both arms plus the file-count
+    // drop). The oracle is scan equality: compaction must never
+    // change a visible row.
+    Q("k9_compaction",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#k9wh", "graft_k9wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev.repartition(8), "dt")
+          Warehouse.compact(s, p, "event_id", targetBytes = 64L << 20): Unit
+        }
+        Warehouse.read(s, path)
+          .groupBy("dt")
+          .agg(count(lit(1)).as("n_events"),
+            sum("user_id").as("sum_user"),
+            min("event_id").as("min_event"),
+            max("event_id").as("max_event"))
+          .orderBy("dt")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS dt, count(*) AS n_events,
+             |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+             |  min(event_id) AS min_event, max(event_id) AS max_event
+             |FROM events GROUP BY 1 ORDER BY dt""".stripMargin))
+  )
+}

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+
+/** The copy-on-write contracts behind m1/k9 that the DuckDB oracle
+  * cannot see: WHICH files a merge/compact rewrites. The oracle
+  * checks visible rows; these tests pin the physical claims — merge
+  * touches only the partitions the change batch names (untouched
+  * partitions keep byte-identical files), commits are atomic version
+  * flips, and compaction shrinks file counts without moving a row in
+  * already-compact partitions.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (relative path, length, checksum) of every data file under dir —
+    * the byte-identity fingerprint. Checksum is a full content hash,
+    * not mtime (a rewrite that reproduced identical bytes would be
+    * acceptable copy-on-write; one that changed bytes is not — but
+    * for the untouched-partition claim we want NEITHER, so the file
+    * NAME set matching is the real assertion: rewritten parquet gets
+    * fresh task UUIDs in its file names).
+    */
+  private def fingerprint(dir: String): Map[String, (Long, String)] = {
+    val base = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, (Long, String)]()
+    if (Files.exists(base)) {
+      val it = Files.walk(base).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_")
+            && !p.getFileName.toString.startsWith(".")) {
+          val bytes = Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          out(base.relativize(p).toString) =
+            (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  private def freshTable(): String = {
+    val path = Files.createTempDirectory("graft_wh").toString + "/t"
+    val base = Seq(
+      (1L, "a", 10L, "d1"), (2L, "b", 10L, "d1"),
+      (3L, "c", 10L, "d2"), (4L, "d", 10L, "d2"),
+      (5L, "e", 10L, "d3"))
+      .toDF("k", "payload", "ver", "part")
+    Warehouse.create(spark, path, base, "part")
+    path
+  }
+
+  test("create + read round-trips every partition") {
+    val path = freshTable()
+    val got = Warehouse.read(spark, path)
+      .select("k", "payload", "ver", "part")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10L, "d1"), (2L, "b", 10L, "d1"),
+      (3L, "c", 10L, "d2"), (4L, "d", 10L, "d2"), (5L, "e", 10L, "d3")))
+  }
+
+  test("mergeInto: update wins, stale change loses, insert lands, untouched partitions keep byte-identical files") {
+    val path = freshTable()
+    val d1Before = {
+      val (pv, b, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "d1").get
+      fingerprint(s"$path/data/batch=$b/part=$pv")
+    }
+    assert(d1Before.nonEmpty)
+    val changes = Seq(
+      (3L, "c2", 11L, "d2"),  // newer version → must replace
+      (4L, "d0", 9L, "d2"),   // STALE version → stored row must survive
+      (6L, "f", 11L, "d3"),   // insert into existing partition
+      (7L, "g", 11L, "d4"))   // insert creating a NEW partition
+      .toDF("k", "payload", "ver", "part")
+    Warehouse.mergeInto(spark, path, changes, "k", "ver", "part")
+    val got = Warehouse.read(spark, path)
+      .select("k", "payload", "ver", "part")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 10L, "d1"), (2L, "b", 10L, "d1"),
+      (3L, "c2", 11L, "d2"), (4L, "d", 10L, "d2"),
+      (5L, "e", 10L, "d3"), (6L, "f", 11L, "d3"), (7L, "g", 11L, "d4")))
+    // d1 was not in the change batch: same batch dir, same file names,
+    // same bytes — the copy-on-write claim, physically
+    val (pv1, b1, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "d1").get
+    assert(fingerprint(s"$path/data/batch=$b1/part=$pv1") == d1Before,
+      "untouched partition must keep byte-identical files")
+    // touched partitions moved to a new batch and their superseded
+    // subdirs were swept from the old one
+    val statsNow = Warehouse.partitionStats(spark, path).map(s => s._1 -> s._2).toMap
+    assert(statsNow("d2") != statsNow("d1") && statsNow("d3") != statsNow("d1"))
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$path/data/batch=${statsNow("d1")}/part=d2")),
+      "old batch's superseded d2 files must be swept after commit")
+  }
+
+  test("mergeInto ties go to the change row") {
+    val path = freshTable()
+    val changes = Seq((5L, "e2", 10L, "d3")).toDF("k", "payload", "ver", "part")
+    Warehouse.mergeInto(spark, path, changes, "k", "ver", "part")
+    val got = Warehouse.read(spark, path).filter(col("k") === 5)
+      .select("payload").as[String].collect().toSeq
+    assert(got == Seq("e2"))
+  }
+
+  test("latest-wins inside one change batch (multi-version key)") {
+    val path = freshTable()
+    val changes = Seq(
+      (3L, "mid", 12L, "d2"), (3L, "new", 13L, "d2"), (3L, "old", 11L, "d2"))
+      .toDF("k", "payload", "ver", "part")
+    Warehouse.mergeInto(spark, path, changes, "k", "ver", "part")
+    val got = Warehouse.read(spark, path).filter(col("k") === 3)
+      .select("payload", "ver").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("new", 13L)))
+  }
+
+  test("a commit race fails loudly and leaves the committed version intact") {
+    val path = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the loser of a version race: both writers resolved version 1,
+    // the winner has already published v2 when the loser commits
+    Warehouse.commit(fs, path, 2L, Map("d9" -> "winner"))
+    intercept[IllegalStateException] {
+      Warehouse.commit(fs, path, 2L, Map("d9" -> "loser"))
+    }
+    // the winner's manifest is untouched
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_versions/v00000002")), "UTF-8")
+    assert(content == "d9\twinner")
+  }
+
+  test("compact bin-packs fragmented partitions and leaves compact ones alone") {
+    val path = Files.createTempDirectory("graft_wh_c").toString + "/t"
+    // d1 fragmented (8-way shuffle before the write), d2 already one file
+    val frag = (1L to 400L).map(i => (i, s"p$i", "d1")).toDF("k", "payload", "part")
+      .repartition(8)
+    val compactPart = Seq((1000L, "q", "d2")).toDF("k", "payload", "part")
+    Warehouse.create(spark, path, frag.unionByName(compactPart.coalesce(1)), "part")
+    val before = Warehouse.partitionStats(spark, path)
+    val d1FilesBefore = before.find(_._1 == "d1").get._3
+    assert(d1FilesBefore > 1, s"fixture must be fragmented, got $d1FilesBefore files")
+    val d2Before = {
+      val (pv, b, _, _) = before.find(_._1 == "d2").get
+      fingerprint(s"$path/data/batch=$b/part=$pv")
+    }
+    val n = Warehouse.compact(spark, path, "k", targetBytes = 1L << 30)
+    assert(n == 1, s"exactly the fragmented partition compacts, got $n")
+    val after = Warehouse.partitionStats(spark, path)
+    assert(after.find(_._1 == "d1").get._3 == 1,
+      "fragmented partition must collapse to one file at a 1 GiB target")
+    val (pv2, b2, _, _) = after.find(_._1 == "d2").get
+    assert(fingerprint(s"$path/data/batch=$b2/part=$pv2") == d2Before,
+      "already-compact partition must keep byte-identical files")
+    val rows = Warehouse.read(spark, path)
+      .select("k", "payload", "part").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == (1L to 400L).map(i => (i, s"p$i", "d1")) :+ ((1000L, "q", "d2")))
+    // idempotence: nothing left to compact
+    assert(Warehouse.compact(spark, path, "k", targetBytes = 1L << 30) == 0)
+  }
+}
