@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned parquet warehouse table with copy-on-write MERGE and
@@ -29,10 +29,18 @@ import org.apache.spark.sql.functions._
   * rename — the rename is the commit point, so the table flips from
   * version N to N+1 atomically: there is no window where a reader
   * sees half a merge, and a writer dying pre-rename leaves version N
-  * fully intact (its orphan batch dir is swept by the next committed
-  * writer). Untouched partitions keep their EXACT files — the
-  * byte-identity WarehouseSpec asserts — so merge I/O scales with the
-  * touched partitions, not the table.
+  * fully intact (its orphan batch dir falls to the next [[vacuum]]).
+  * Untouched partitions keep their EXACT files — the byte-identity
+  * WarehouseSpec asserts — so merge I/O scales with the touched
+  * partitions, not the table.
+  *
+  * Writers never delete data: every superseded version file and the
+  * batch dirs it references stay on disk, so [[readVersion]] serves
+  * any historical snapshot (TIME TRAVEL — audits, reproducible
+  * training runs pinned to the corpus-as-of-a-date, incident
+  * forensics) until the operator explicitly reclaims space with
+  * [[vacuum]] — the Delta/Iceberg retention contract: space is traded
+  * for replayability on the operator's cadence, never silently.
   *
   * Scale shape: the driver holds only the partition→batch mapping
   * (two short strings per partition — a 10-year daily table is ~3.6k
@@ -54,28 +62,33 @@ object Warehouse {
 
   private val VersionRe = "^v([0-9]{8})$".r
 
+  private def listVersions(fs: FileSystem, path: String): Seq[(Long, HPath)] = {
+    val vdir = new HPath(s"$path/_versions")
+    if (!fs.exists(vdir)) Seq.empty
+    else fs.listStatus(vdir).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case VersionRe(n) => Some((n.toLong, st.getPath))
+        case _            => None
+      })
+  }
+
+  private def readMapping(fs: FileSystem, p: HPath): Map[String, String] = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(part, batch) = line.split("\t", 2)
+      part -> batch
+    }.toMap
+  }
+
   /** (version number, partitionValue → batchId) of the newest commit. */
   private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] = {
-    val vdir = new HPath(s"$path/_versions")
-    if (!fs.exists(vdir)) None
+    val versions = listVersions(fs, path)
+    if (versions.isEmpty) None
     else {
-      val versions = fs.listStatus(vdir).toSeq.flatMap(st =>
-        st.getPath.getName match {
-          case VersionRe(n) => Some((n.toLong, st.getPath))
-          case _            => None
-        })
-      if (versions.isEmpty) None
-      else {
-        val (n, p) = versions.maxBy(_._1)
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        val mapping = text.split("\n").filter(_.nonEmpty).map { line =>
-          val Array(part, batch) = line.split("\t", 2)
-          part -> batch
-        }.toMap
-        Some((n, mapping))
-      }
+      val (n, p) = versions.maxBy(_._1)
+      Some((n, readMapping(fs, p)))
     }
   }
 
@@ -106,14 +119,14 @@ object Warehouse {
     }
   }
 
-  /** Best-effort sweep of data no committed version references: whole
-    * batch dirs owning nothing (orphans of writers that died
+  /** Physical sweep of data the given mapping does not reference:
+    * whole batch dirs owning nothing (orphans of writers that died
     * pre-commit, fully superseded merges), and partition subdirs
-    * inside still-live batches whose ownership moved to a newer batch
-    * (the touched partitions' OLD files after a merge). Runs after a
-    * successful commit, so a racing reader of the previous version
-    * may lose files mid-scan and should re-resolve + retry — the same
-    * trade [[BatchedIndex]] documents.
+    * inside still-live batches whose ownership moved to a newer
+    * batch. Called by [[vacuum]] with the NEWEST version's mapping —
+    * never automatically by a writer, so every superseded version
+    * stays fully readable ([[readVersion]] time travel) until the
+    * operator explicitly reclaims the space.
     */
   private def sweep(fs: FileSystem, path: String,
                     live: Map[String, String], partCol: String): Unit = {
@@ -171,6 +184,9 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val (_, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
+    require(mapping.nonEmpty,
+      s"table at $path has no live partitions (every row deleted) - " +
+        "no schema to serve; re-create() to repopulate")
     readMapped(spark, path, mapping, partColOf(fs, path, mapping))
   }
 
@@ -193,6 +209,57 @@ object Warehouse {
       }: _*)
       .drop("batch")
 
+  /** TIME TRAVEL: the table exactly as version `n` committed it.
+    * Writers never delete data (copy-on-write + retained version
+    * files), so every snapshot since the last [[vacuum]] is fully
+    * readable — pin a training run to the corpus-as-of-a-date, audit
+    * what a merge changed (diff two versions), or recover from a bad
+    * batch by re-merging version N's rows. Fails loudly when `n` was
+    * never committed or its files were vacuumed away.
+    */
+  def readVersion(spark: SparkSession, path: String, n: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val vf = listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version $n under $path"))
+    val mapping = readMapping(fs, vf)
+    require(mapping.nonEmpty, s"version $n of $path has no live partitions")
+    val partCol = partColOf(fs, path, mapping)
+    mapping.toSeq.sorted.foreach { case (pv, b) =>
+      if (!fs.exists(new HPath(s"$path/data/batch=$b/$partCol=$pv")))
+        throw new IllegalStateException(
+          s"version $n of $path references vacuumed data " +
+            s"(batch=$b/$partCol=$pv) - history before the last vacuum is gone")
+    }
+    readMapped(spark, path, mapping, partCol)
+  }
+
+  /** Reclaim history: delete every version file but the newest and
+    * every (batch, partition) dir the newest mapping does not
+    * reference — the explicit retention boundary ([[readVersion]]
+    * serves nothing older afterwards). Run on the operator's cadence,
+    * exactly like Delta VACUUM; also reclaims orphan batch dirs of
+    * writers that died pre-commit. Returns the number of superseded
+    * version files removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val versions = listVersions(fs, path)
+    require(versions.nonEmpty, s"no committed version under $path")
+    val (newest, newestPath) = versions.maxBy(_._1)
+    val mapping = readMapping(fs, newestPath)
+    val old = versions.filter(_._1 < newest)
+    // sweep data first: if we die between the two steps, the old
+    // version files reference missing dirs and readVersion fails
+    // loudly (never silently serves a partial snapshot)
+    if (mapping.nonEmpty) sweep(fs, path, mapping, partColOf(fs, path, mapping))
+    old.foreach { case (_, p) =>
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () }
+    }
+    old.size
+  }
+
   /** Latest-wins MERGE of `changes` into the table: per key, the row
     * with the highest `versionCol` survives, change rows winning ties
     * against stored rows (the CDC arrival order). Only the partitions
@@ -203,9 +270,18 @@ object Warehouse {
     * batch dir, and published with one atomic version commit. Driver
     * work is partition METADATA only (the touched-value list); rows
     * never pass through the driver.
+    *
+    * `deleteCol` names an optional boolean tombstone column in
+    * `changes` (never stored): a change row with it true DELETES the
+    * key when it wins the same latest-wins race every upsert runs —
+    * so a delete with a stale version correctly loses to a newer
+    * stored row, and a delete of an absent key is a no-op. This is
+    * MERGE's third arm (WHEN MATCHED AND ... THEN DELETE); physically
+    * the key simply doesn't appear in the rewritten partition.
     */
   def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
-                keyCol: String, versionCol: String, partCol: String): Unit = {
+                keyCol: String, versionCol: String, partCol: String,
+                deleteCol: Option[String] = None): Unit = {
     val fs = fsOf(spark, path)
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
@@ -214,32 +290,40 @@ object Warehouse {
     require(touched.nonEmpty, "empty change batch")
     val baseDirs = touched.flatMap(pv =>
       mapping.get(pv).map(b => s"$path/data/batch=$b/$partCol=$pv"))
-    val dataCols = changes.columns.filterNot(Set(keyCol, versionCol, partCol))
-    def pick(df: DataFrame, src: Int): DataFrame = df.select(
+    val dataCols = changes.columns
+      .filterNot(Set(keyCol, versionCol, partCol) ++ deleteCol)
+    def pick(df: DataFrame, src: Int, del: Column): DataFrame = df.select(
       col(keyCol),
-      struct((col(versionCol) +: lit(src).as("_src") +:
+      struct((col(versionCol) +: lit(src).as("_src") +: del.as("_del") +:
         col(partCol).as("_pv") +:
         dataCols.map(col).toSeq): _*).as("_m"))
     val base =
       if (baseDirs.isEmpty) None
       else Some(pick(
         spark.read.option("basePath", s"$path/data")
-          .parquet(baseDirs: _*).drop("batch"), 0))
+          .parquet(baseDirs: _*).drop("batch"), 0, lit(false)))
+    val changeDel = deleteCol.fold(lit(false))(c => coalesce(col(c), lit(false)))
     // latest wins; _src breaks version ties in favor of the change
-    // row (struct max compares field-by-field in order)
-    val merged = base.fold(pick(changes, 1))(_.unionByName(pick(changes, 1)))
+    // row (struct max compares field-by-field in order); a winning
+    // tombstone drops the key from the rewrite entirely
+    val merged = base.fold(pick(changes, 1, changeDel))(
+        _.unionByName(pick(changes, 1, changeDel)))
       .groupBy(keyCol)
       .agg(max(col("_m")).as("_m"))
+      .filter(!col("_m._del"))
       .select(col(keyCol) +: col(s"_m.$versionCol") +:
         col("_m._pv").as(partCol) +:
         dataCols.map(c => col(s"_m.$c")).toSeq: _*)
     val batchId = java.util.UUID.randomUUID().toString
     merged.write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$path/data/batch=$batchId")
-    val newMapping = mapping ++
-      partDirs(fs, path, batchId, partCol).map(_ -> batchId)
+    // a touched partition whose every row was tombstoned produces NO
+    // rewritten dir — it must leave the mapping entirely, or the old
+    // batch's rows would resurrect
+    val written = partDirs(fs, path, batchId, partCol).toSet
+    val newMapping = (mapping -- touched.filterNot(written)) ++
+      written.map(_ -> batchId)
     commit(fs, path, v + 1, newMapping)
-    sweep(fs, path, newMapping, partCol)
   }
 
   /** Per-partition (value, batchId, file count, bytes) off the
@@ -301,7 +385,6 @@ object Warehouse {
         .parquet(s"$path/data/batch=$batchId")
       val newMapping = mapping ++ frag.map(_._1 -> batchId)
       commit(fs, path, v + 1, newMapping)
-      sweep(fs, path, newMapping, partCol)
       frag.length
     }
   }

@@ -559,6 +559,63 @@ object StreamQueries {
           .dropDuplicatesWithinWatermark("event_id")
       }.orderBy("event_id"),
       Some("""SELECT ts, event_id, user_id, event_type FROM events
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ST19 — streaming CDC MERGE into the FILE warehouse: st15's
+    // composition with the JDBC dimension swapped for the
+    // copy-on-write parquet table (io.Warehouse) — the shape a
+    // 100 TB lakehouse actually runs (Delta/Iceberg-style MERGE fed
+    // by a stream, here over our own manifest). The dimension is
+    // keyed by user and partitioned by a STABLE user bucket
+    // (user_id % 8 — the key→partition-immutable contract), seeded
+    // with the stale pre-cutoff latest-per-user snapshot; post-cutoff
+    // changes stream in and every micro-batch folds its per-key
+    // latest through Warehouse.mergeInto — per-batch I/O = the
+    // touched buckets only, each commit one atomic version flip, so
+    // a reader mid-stream always sees a consistent snapshot. End
+    // state = latest event per user over ALL events, checked through
+    // the full streaming → merge → manifest → scan round trip.
+    Q("st19_stream_file_merge",
+      (s, d) => {
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        def latest(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts_us").as("ts_us"),
+            col("m.event_id").as("last_event_id"),
+            col("m.value").as("last_value"),
+            // int, matching what partition-dir inference reads back —
+            // the change and stored sides of the merge must agree
+            pmod(col("user_id"), lit(8L)).cast(IntegerType).as("bucket"))
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#st19wh", "graft_st19wh") { p =>
+          val pre = Tables.events(s, d).filter(col("ts") < cutoff)
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_id"), col("value"))
+          graft.io.Warehouse.create(s, p, latest(pre), "bucket")
+          Streaming.runForeachBatch(s, s"$d/events.parquet", "append") { raw =>
+            val withTs =
+              if (raw.schema("ts").dataType == LongType)
+                raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              else raw
+            withTs.filter(col("ts") >= cutoff)
+              .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+                col("event_id"), col("value"))
+          } { (batch, _) =>
+            graft.io.Warehouse.mergeInto(s, p, latest(batch),
+              "user_id", "ts_us", "bucket")
+          }
+        }
+        graft.io.Warehouse.read(s, path)
+          .select(col("user_id"), col("last_event_id"), col("ts_us"),
+            col("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |  epoch_us(ts) AS ts_us, value AS last_value
+             |FROM (SELECT user_id, event_id, ts, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -17,6 +17,24 @@ import graft.io.Warehouse
   */
 object WarehouseQueries {
 
+  /** m1's table, built once per (sfDir, JVM): version 1 = events minus
+    * the % 19 == 3 slice, version 2 = the merged end state. Shared by
+    * m1 (reads the current version) and m3 (time-travels to v1).
+    */
+  private def m1Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m1wh", "graft_m1wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"),
+          unix_micros(col("ts")).as("version"))
+      Warehouse.create(s, p, ev.filter(col("event_id") % 19 =!= 3), "dt")
+      val changes = ev
+        .filter(col("event_id") % 19 === 3 || col("event_id") % 23 === 5)
+        .withColumn("user_id", col("user_id") + 1000000L)
+        .withColumn("version", col("version") + 1L)
+      Warehouse.mergeInto(s, p, changes, "event_id", "version", "dt")
+    }
+
   def qs: Seq[Q] = Seq(
 
     // M1 — MERGE INTO a day-partitioned parquet table, copy-on-write
@@ -31,19 +49,7 @@ object WarehouseQueries {
     // the end state from the events table alone.
     Q("m1_merge_into",
       (s, d) => {
-        val path = TempArtifacts.getOrBuild(s"$d#m1wh", "graft_m1wh") { p =>
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              to_date(col("ts")).as("dt"),
-              unix_micros(col("ts")).as("version"))
-          Warehouse.create(s, p, ev.filter(col("event_id") % 19 =!= 3), "dt")
-          val changes = ev
-            .filter(col("event_id") % 19 === 3 || col("event_id") % 23 === 5)
-            .withColumn("user_id", col("user_id") + 1000000L)
-            .withColumn("version", col("version") + 1L)
-          Warehouse.mergeInto(s, p, changes, "event_id", "version", "dt")
-        }
-        Warehouse.read(s, path)
+        Warehouse.read(s, m1Table(s, d))
           .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
           .orderBy("event_id")
       },
@@ -54,6 +60,63 @@ object WarehouseQueries {
              |UNION ALL
              |SELECT event_id, user_id, event_type, dt
              |FROM ev WHERE event_id % 19 <> 3 AND event_id % 23 <> 5
+             |ORDER BY event_id""".stripMargin)),
+
+    // M3 — TIME TRAVEL: read m1's table AS OF version 1 — the
+    // snapshot BEFORE the merge — off the same artifact m1 reads at
+    // version 2. Copy-on-write + retained version manifests make
+    // every pre-vacuum snapshot a first-class read (pin a training
+    // run to the corpus-as-of-a-date, audit what a merge changed,
+    // recover from a bad batch); the oracle recomputes the pre-merge
+    // state from events alone, so this checks that the merge left
+    // version 1's files genuinely untouched, not just unread.
+    Q("m3_time_travel",
+      (s, d) => {
+        Warehouse.readVersion(s, m1Table(s, d), 1L)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id % 19 <> 3
+             |ORDER BY event_id""".stripMargin)),
+
+    // M2 — MERGE with the DELETE arm: the change batch mixes
+    // tombstones (event_id % 31 == 7, WHEN MATCHED THEN DELETE) with
+    // updates (event_id % 29 == 11 and not deleted, user_id shifted)
+    // in ONE batch — the full three-arm MERGE a CDC consumer needs
+    // (GDPR erasure rides the same path as upserts). A tombstone wins
+    // the same latest-wins race as any change row, so a stale delete
+    // loses to a newer stored version; physically the key just
+    // doesn't appear in the rewritten partition — nothing outside the
+    // touched partitions moves.
+    Q("m2_merge_delete",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m2wh", "graft_m2wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val dels = ev.filter(col("event_id") % 31 === 7)
+            .withColumn("version", col("version") + 1L)
+            .withColumn("is_del", lit(true))
+          val ups = ev.filter(col("event_id") % 29 === 11 &&
+              col("event_id") % 31 =!= 7)
+            .withColumn("user_id", col("user_id") + 2000000L)
+            .withColumn("version", col("version") + 1L)
+            .withColumn("is_del", lit(false))
+          Warehouse.mergeInto(s, p, dels.unionByName(ups),
+            "event_id", "version", "dt", deleteCol = Some("is_del"))
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 29 = 11 THEN user_id + 2000000
+             |       ELSE user_id END AS user_id,
+             |  event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id % 31 <> 7
              |ORDER BY event_id""".stripMargin)),
 
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned

@@ -92,13 +92,45 @@ class WarehouseSpec extends AnyFunSuite {
     val (pv1, b1, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "d1").get
     assert(fingerprint(s"$path/data/batch=$b1/part=$pv1") == d1Before,
       "untouched partition must keep byte-identical files")
-    // touched partitions moved to a new batch and their superseded
-    // subdirs were swept from the old one
+    // touched partitions moved to a new batch; the superseded d2
+    // files STAY on disk (time travel) until an explicit vacuum
     val statsNow = Warehouse.partitionStats(spark, path).map(s => s._1 -> s._2).toMap
     assert(statsNow("d2") != statsNow("d1") && statsNow("d3") != statsNow("d1"))
-    assert(!Files.exists(java.nio.file.Paths.get(
-      s"$path/data/batch=${statsNow("d1")}/part=d2")),
-      "old batch's superseded d2 files must be swept after commit")
+    val supersededD2 = java.nio.file.Paths.get(
+      s"$path/data/batch=${statsNow("d1")}/part=d2")
+    assert(Files.exists(supersededD2),
+      "superseded d2 files must survive the merge for time travel")
+    val removed = Warehouse.vacuum(spark, path)
+    assert(removed == 1, s"one superseded version to reclaim, got $removed")
+    assert(!Files.exists(supersededD2),
+      "vacuum must sweep the superseded d2 files")
+    // current read unaffected by the vacuum
+    assert(Warehouse.read(spark, path).count() == 7)
+  }
+
+  test("time travel: readVersion serves every pre-vacuum snapshot; vacuum closes it loudly") {
+    val path = freshTable()
+    val changes = Seq((3L, "c2", 11L, "d2"), (7L, "g", 11L, "d4"))
+      .toDF("k", "payload", "ver", "part")
+    Warehouse.mergeInto(spark, path, changes, "k", "ver", "part")
+    // version 1 = the pre-merge table, cell-exact
+    val v1 = Warehouse.readVersion(spark, path, 1L)
+      .select("k", "payload", "ver", "part")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(v1 == Seq((1L, "a", 10L, "d1"), (2L, "b", 10L, "d1"),
+      (3L, "c", 10L, "d2"), (4L, "d", 10L, "d2"), (5L, "e", 10L, "d3")))
+    // version 2 = the current table, same rows as read()
+    assert(Warehouse.readVersion(spark, path, 2L).count() ==
+      Warehouse.read(spark, path).count())
+    intercept[IllegalStateException] {
+      Warehouse.readVersion(spark, path, 9L)
+    }
+    Warehouse.vacuum(spark, path)
+    // the superseded snapshot is gone LOUDLY, not partially
+    intercept[IllegalStateException] {
+      Warehouse.readVersion(spark, path, 1L)
+    }
+    assert(Warehouse.readVersion(spark, path, 2L).count() == 6)
   }
 
   test("mergeInto ties go to the change row") {
@@ -119,6 +151,27 @@ class WarehouseSpec extends AnyFunSuite {
     val got = Warehouse.read(spark, path).filter(col("k") === 3)
       .select("payload", "ver").as[(String, Long)].collect().toSeq
     assert(got == Seq(("new", 13L)))
+  }
+
+  test("delete arm: winning tombstone removes, stale loses, absent-key no-op, emptied partition leaves the mapping") {
+    val path = freshTable()
+    val changes = Seq(
+      (3L, "x", 11L, "d2", true),   // newer tombstone → key 3 deleted
+      (4L, "x", 9L, "d2", false),   // stale update → stored row survives
+      (5L, "x", 9L, "d3", true),    // STALE tombstone → stored row survives
+      (99L, "x", 11L, "d2", true),  // delete of an absent key → no-op
+      (1L, "x", 11L, "d1", true),   // d1 fully emptied by these two...
+      (2L, "x", 11L, "d1", true))   // ...must drop from the mapping
+      .toDF("k", "payload", "ver", "part", "is_del")
+    Warehouse.mergeInto(spark, path, changes, "k", "ver", "part",
+      deleteCol = Some("is_del"))
+    val got = Warehouse.read(spark, path)
+      .select("k", "payload", "ver", "part")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((4L, "d", 10L, "d2"), (5L, "e", 10L, "d3")))
+    val live = Warehouse.partitionStats(spark, path).map(_._1)
+    assert(live.sorted == Seq("d2", "d3"),
+      s"emptied d1 must leave the mapping, got $live")
   }
 
   test("a commit race fails loudly and leaves the committed version intact") {
