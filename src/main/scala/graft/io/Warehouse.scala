@@ -201,9 +201,14 @@ object Warehouse {
         s"mapped partition $pv missing under batch $batch at $path"))
   }
 
+  // mergeSchema: batches written before a schema-widening merge lack
+  // the new columns — footer merging surfaces the union schema and
+  // old rows read null there (the widening contract); the extra
+  // footer pass is per-file metadata, not data
   private def readMapped(spark: SparkSession, path: String,
                          mapping: Map[String, String], partCol: String): DataFrame =
     spark.read.option("basePath", s"$path/data")
+      .option("mergeSchema", "true")
       .parquet(mapping.toSeq.sorted.map { case (pv, b) =>
         s"$path/data/batch=$b/$partCol=$pv"
       }: _*)
@@ -290,24 +295,42 @@ object Warehouse {
     require(touched.nonEmpty, "empty change batch")
     val baseDirs = touched.flatMap(pv =>
       mapping.get(pv).map(b => s"$path/data/batch=$b/$partCol=$pv"))
-    val dataCols = changes.columns
-      .filterNot(Set(keyCol, versionCol, partCol) ++ deleteCol)
+    val base0 =
+      if (baseDirs.isEmpty) None
+      else Some(spark.read.option("basePath", s"$path/data")
+        .option("mergeSchema", "true")
+        .parquet(baseDirs: _*).drop("batch"))
+    // SCHEMA EVOLUTION: the merged schema is the by-name UNION of the
+    // change batch's and the stored table's data columns — a change
+    // batch may WIDEN the table (new column: stored rows read null
+    // until rewritten) and may omit stored columns (its rows carry
+    // null there if they win), but can never silently DROP a stored
+    // column. Old files are never rewritten for a widening; readers
+    // merge footers (mergeSchema) so mixed-schema batches coexist.
+    val reserved = Set(keyCol, versionCol, partCol) ++ deleteCol
+    val dataCols = (changes.columns.filterNot(reserved) ++
+      base0.map(_.columns.filterNot(reserved)).getOrElse(Array.empty[String]))
+      .distinct
+    def dtypeOf(c: String) =
+      changes.schema.fields.find(_.name == c)
+        .orElse(base0.flatMap(_.schema.fields.find(_.name == c)))
+        .get.dataType
+    def aligned(df: DataFrame): DataFrame =
+      dataCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(dtypeOf(c))))
     def pick(df: DataFrame, src: Int, del: Column): DataFrame = df.select(
       col(keyCol),
       struct((col(versionCol) +: lit(src).as("_src") +: del.as("_del") +:
         col(partCol).as("_pv") +:
         dataCols.map(col).toSeq): _*).as("_m"))
-    val base =
-      if (baseDirs.isEmpty) None
-      else Some(pick(
-        spark.read.option("basePath", s"$path/data")
-          .parquet(baseDirs: _*).drop("batch"), 0, lit(false)))
+    val base = base0.map(b => pick(aligned(b), 0, lit(false)))
     val changeDel = deleteCol.fold(lit(false))(c => coalesce(col(c), lit(false)))
     // latest wins; _src breaks version ties in favor of the change
     // row (struct max compares field-by-field in order); a winning
     // tombstone drops the key from the rewrite entirely
-    val merged = base.fold(pick(changes, 1, changeDel))(
-        _.unionByName(pick(changes, 1, changeDel)))
+    val merged = base.fold(pick(aligned(changes), 1, changeDel))(
+        _.unionByName(pick(aligned(changes), 1, changeDel)))
       .groupBy(keyCol)
       .agg(max(col("_m")).as("_m"))
       .filter(!col("_m._del"))
@@ -324,6 +347,89 @@ object Warehouse {
     val newMapping = (mapping -- touched.filterNot(written)) ++
       written.map(_ -> batchId)
     commit(fs, path, v + 1, newMapping)
+  }
+
+  /** CHANGE DATA FEED: the row-level difference between committed
+    * versions `fromV` and `toV` as (key, change_type, data columns) —
+    * `change_type` ∈ insert | delete | update_preimage |
+    * update_postimage (updates emit BOTH images, the Delta CDF
+    * contract). Consumers build incremental downstream state from it
+    * (sync a search index, invalidate caches, audit a merge) without
+    * ever re-reading the table.
+    *
+    * Scale shape: the manifest diff does the pruning — only
+    * partitions whose OWNER BATCH moved between the two versions can
+    * carry changes (copy-on-write rewrites a whole partition or
+    * leaves it byte-identical), so the scan reads touched partitions
+    * only, never the table; at 100 TB a merge touches days, not
+    * years. Within those, one full-outer join on `keyCol` classifies
+    * rows; a rewritten-but-identical row (reconciled but not changed)
+    * emits nothing. Works across a widening merge: the two sides are
+    * by-name aligned, a pre-widening image reads the new column as
+    * null.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long,
+              keyCol: String): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val fs = fsOf(spark, path)
+    val byV = listVersions(fs, path).toMap
+    def mappingOf(n: Long) = readMapping(fs, byV.getOrElse(n,
+      throw new IllegalStateException(s"no committed version $n under $path")))
+    val mapFrom = mappingOf(fromV)
+    val mapTo = mappingOf(toV)
+    val anyMap = if (mapTo.nonEmpty) mapTo else mapFrom
+    require(anyMap.nonEmpty, s"versions $fromV and $toV of $path are both empty")
+    val partCol = partColOf(fs, path, anyMap)
+    val moved = (mapFrom.keySet ++ mapTo.keySet)
+      .filter(pv => mapFrom.get(pv) != mapTo.get(pv))
+    def side(m: Map[String, String]): Option[DataFrame] = {
+      val sub = m.filter { case (pv, _) => moved(pv) }
+      if (sub.isEmpty) None else Some(readMapped(spark, path, sub, partCol))
+    }
+    val oldS = side(mapFrom)
+    val newS = side(mapTo)
+    if (oldS.isEmpty && newS.isEmpty) {
+      // identical manifests: an EMPTY feed with the table's schema
+      val proto = readMapped(spark, path, anyMap, partCol).limit(0)
+      val rest = proto.columns.filterNot(_ == keyCol)
+      return proto.select(col(keyCol) +: lit("").as("change_type") +:
+        rest.map(col).toSeq: _*).filter(lit(false))
+    }
+    val allCols = (oldS.map(_.columns).getOrElse(Array.empty[String]) ++
+      newS.map(_.columns).getOrElse(Array.empty[String]))
+      .distinct.filterNot(_ == keyCol)
+    def dtypeOf(c: String) = oldS.flatMap(_.schema.fields.find(_.name == c))
+      .orElse(newS.flatMap(_.schema.fields.find(_.name == c))).get.dataType
+    def img(df: Option[DataFrame], name: String): Option[DataFrame] =
+      df.map { d0 =>
+        val d = allCols.foldLeft(d0)((d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(dtypeOf(c))))
+        d.select(col(keyCol), struct(allCols.map(col).toSeq: _*).as(name))
+      }
+    val j = (img(oldS, "_o"), img(newS, "_n")) match {
+      case (Some(a), Some(b)) => a.join(b, Seq(keyCol), "full_outer")
+      case (Some(a), None) =>
+        a.withColumn("_n", lit(null).cast(a.schema("_o").dataType))
+      case (None, Some(b)) =>
+        b.withColumn("_o", lit(null).cast(b.schema("_n").dataType))
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    // one pass: identical images drop, the rest explode into their
+    // tagged image rows (updates contribute two)
+    val tagged = j
+      .filter(col("_o").isNull || col("_n").isNull || !(col("_o") <=> col("_n")))
+      .select(col(keyCol), explode(
+        when(col("_o").isNull,
+          array(struct(lit("insert").as("t"), col("_n").as("img"))))
+        .when(col("_n").isNull,
+          array(struct(lit("delete").as("t"), col("_o").as("img"))))
+        .otherwise(array(
+          struct(lit("update_preimage").as("t"), col("_o").as("img")),
+          struct(lit("update_postimage").as("t"), col("_n").as("img"))))
+      ).as("_c"))
+    tagged.select(col(keyCol) +: col("_c.t").as("change_type") +:
+      allCols.map(c => col(s"_c.img.$c")).toSeq: _*)
   }
 
   /** Per-partition (value, batchId, file count, bytes) off the
@@ -377,7 +483,11 @@ object Warehouse {
         s"$path/data/batch=$b/$partCol=$pv"
       }
       val batchId = java.util.UUID.randomUUID().toString
-      spark.read.option("basePath", s"$path/data").parquet(dirs: _*)
+      // mergeSchema: fragmented partitions may span batches written
+      // on either side of a widening merge — the compacted rewrite
+      // must carry the union schema, not a sampled file's
+      spark.read.option("basePath", s"$path/data")
+        .option("mergeSchema", "true").parquet(dirs: _*)
         .drop("batch")
         .repartitionByRange(nOut, col(partCol), col(sortCol))
         .sortWithinPartitions(col(partCol), col(sortCol))

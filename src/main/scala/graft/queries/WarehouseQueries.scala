@@ -35,6 +35,30 @@ object WarehouseQueries {
       Warehouse.mergeInto(s, p, changes, "event_id", "version", "dt")
     }
 
+  /** m2's table, built once per (sfDir, JVM): version 1 = full
+    * events, version 2 = after the three-arm merge (deletes
+    * % 31 == 7, updates % 29 == 11 with user_id shifted). Shared by
+    * m2 (reads the end state) and m6 (diffs the two versions).
+    */
+  private def m2Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m2wh", "graft_m2wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"),
+          unix_micros(col("ts")).as("version"))
+      Warehouse.create(s, p, ev, "dt")
+      val dels = ev.filter(col("event_id") % 31 === 7)
+        .withColumn("version", col("version") + 1L)
+        .withColumn("is_del", lit(true))
+      val ups = ev.filter(col("event_id") % 29 === 11 &&
+          col("event_id") % 31 =!= 7)
+        .withColumn("user_id", col("user_id") + 2000000L)
+        .withColumn("version", col("version") + 1L)
+        .withColumn("is_del", lit(false))
+      Warehouse.mergeInto(s, p, dels.unionByName(ups),
+        "event_id", "version", "dt", deleteCol = Some("is_del"))
+    }
+
   def qs: Seq[Q] = Seq(
 
     // M1 — MERGE INTO a day-partitioned parquet table, copy-on-write
@@ -91,24 +115,7 @@ object WarehouseQueries {
     // touched partitions moves.
     Q("m2_merge_delete",
       (s, d) => {
-        val path = TempArtifacts.getOrBuild(s"$d#m2wh", "graft_m2wh") { p =>
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              to_date(col("ts")).as("dt"),
-              unix_micros(col("ts")).as("version"))
-          Warehouse.create(s, p, ev, "dt")
-          val dels = ev.filter(col("event_id") % 31 === 7)
-            .withColumn("version", col("version") + 1L)
-            .withColumn("is_del", lit(true))
-          val ups = ev.filter(col("event_id") % 29 === 11 &&
-              col("event_id") % 31 =!= 7)
-            .withColumn("user_id", col("user_id") + 2000000L)
-            .withColumn("version", col("version") + 1L)
-            .withColumn("is_del", lit(false))
-          Warehouse.mergeInto(s, p, dels.unionByName(ups),
-            "event_id", "version", "dt", deleteCol = Some("is_del"))
-        }
-        Warehouse.read(s, path)
+        Warehouse.read(s, m2Table(s, d))
           .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
           .orderBy("event_id")
       },
@@ -118,6 +125,92 @@ object WarehouseQueries {
              |  event_type, CAST(ts AS DATE) AS dt
              |FROM events WHERE event_id % 31 <> 7
              |ORDER BY event_id""".stripMargin)),
+
+    // M4 — SCHEMA EVOLUTION through the merge: the change batch
+    // carries a column the table never had (`score`) — the merged
+    // schema WIDENS by name, stored rows in untouched files read the
+    // new column as null (parquet footer merging), and nothing old
+    // rewrites. The update slice (event_id % 37 == 2) lands scored;
+    // every other row — including rows in the same partitions the
+    // merge rewrote — reads score IS NULL. The standard lakehouse
+    // evolution contract (Delta mergeSchema), on our own manifest.
+    Q("m4_schema_evolution",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m4wh", "graft_m4wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val changes = ev.filter(col("event_id") % 37 === 2)
+            .withColumn("version", col("version") + 1L)
+            .withColumn("score", (col("event_id") % 100).cast("long"))
+          Warehouse.mergeInto(s, p, changes, "event_id", "version", "dt")
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("dt"), col("score"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt,
+             |  CASE WHEN event_id % 37 = 2 THEN event_id % 100 END AS score
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // M5 — CHANGE DATA FEED, insert + update arms: the row-level diff
+    // between m1's version 1 (pre-merge) and version 2 (post-merge),
+    // straight off the manifest — only partitions whose owner batch
+    // MOVED between the versions are read (the copy-on-write
+    // invariant: an untouched partition is byte-identical, so it
+    // cannot carry a change), then one full-outer join classifies
+    // rows. Updates emit BOTH images (the Delta CDF contract);
+    // rewritten-but-identical rows emit nothing. The oracle recomputes
+    // the feed from the events table and m1's change recipe alone.
+    Q("m5_change_feed",
+      (s, d) => {
+        Warehouse.changes(s, m1Table(s, d), 1L, 2L, "event_id")
+          .select(col("event_id"), col("change_type"), col("user_id"),
+            col("event_type"), col("dt"))
+          .orderBy("event_id", "change_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id, 'insert' AS change_type,
+             |       user_id + 1000000 AS user_id, event_type, dt
+             |FROM ev WHERE event_id % 19 = 3
+             |UNION ALL
+             |SELECT event_id, 'update_preimage', user_id, event_type, dt
+             |FROM ev WHERE event_id % 23 = 5 AND event_id % 19 <> 3
+             |UNION ALL
+             |SELECT event_id, 'update_postimage',
+             |       user_id + 1000000, event_type, dt
+             |FROM ev WHERE event_id % 23 = 5 AND event_id % 19 <> 3
+             |ORDER BY event_id, change_type""".stripMargin)),
+
+    // M6 — CHANGE DATA FEED, delete arm: the diff across m2's
+    // three-arm merge surfaces its tombstones as 'delete' rows
+    // carrying the final preimage — the GDPR-erasure audit record and
+    // the signal a downstream index consumes to drop entries — plus
+    // both images of its updates, through the same manifest-pruned
+    // partition diff as m5.
+    Q("m6_change_feed_deletes",
+      (s, d) => {
+        Warehouse.changes(s, m2Table(s, d), 1L, 2L, "event_id")
+          .select(col("event_id"), col("change_type"), col("user_id"),
+            col("event_type"), col("dt"))
+          .orderBy("event_id", "change_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id, 'delete' AS change_type, user_id, event_type, dt
+             |FROM ev WHERE event_id % 31 = 7
+             |UNION ALL
+             |SELECT event_id, 'update_preimage', user_id, event_type, dt
+             |FROM ev WHERE event_id % 29 = 11 AND event_id % 31 <> 7
+             |UNION ALL
+             |SELECT event_id, 'update_postimage',
+             |       user_id + 2000000, event_type, dt
+             |FROM ev WHERE event_id % 29 = 11 AND event_id % 31 <> 7
+             |ORDER BY event_id, change_type""".stripMargin)),
 
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
     // layout: the first ops problem a streaming-ingest table develops.

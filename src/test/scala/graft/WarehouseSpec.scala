@@ -174,6 +174,97 @@ class WarehouseSpec extends AnyFunSuite {
       s"emptied d1 must leave the mapping, got $live")
   }
 
+  test("schema evolution: a widening merge adds the column by name; a narrow change batch cannot drop stored columns") {
+    val path = freshTable()
+    // widening: `score` never existed; only d2 is touched
+    val widen = Seq((3L, "c2", 11L, "d2", 77L))
+      .toDF("k", "payload", "ver", "part", "score")
+    Warehouse.mergeInto(spark, path, widen, "k", "ver", "part")
+    val got = Warehouse.read(spark, path)
+      .select("k", "payload", "score")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None), (3L, "c2", Some(77L)),
+      (4L, "d", None), (5L, "e", None)),
+      "stored rows (untouched AND rewritten-partition) must read the new column as null")
+    // narrowing attempt: a change batch WITHOUT `payload` must not
+    // drop it — its winning row carries null there instead
+    val narrow = Seq((4L, 12L, "d2", 88L)).toDF("k", "ver", "part", "score")
+    Warehouse.mergeInto(spark, path, narrow, "k", "ver", "part")
+    val after = Warehouse.read(spark, path)
+      .select("k", "payload", "score")
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(after.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(after(3) == ((4L, None, Some(88L))),
+      s"the narrow change's winning row carries null payload: ${after(3)}")
+    assert(after(2) == ((3L, Some("c2"), Some(77L))),
+      "other rows keep their stored payload")
+  }
+
+  test("change feed reads only moved partitions, suppresses identical rewrites, nulls pre-widening images") {
+    val path = freshTable()
+    val changes = Seq(
+      (3L, "c2", 11L, "d2", 5L),  // update (newer version) + WIDENING: score is new
+      (5L, "e", 10L, "d3", 6L),   // same version+payload as stored → change wins the
+                                  // tie but only score differs across the widening
+      (7L, "g", 11L, "d4", 7L))   // insert creating a new partition
+      .toDF("k", "payload", "ver", "part", "score")
+    Warehouse.mergeInto(spark, path, changes, "k", "ver", "part")
+    val feed = Warehouse.changes(spark, path, 1L, 2L, "k")
+    // physical claim: d1 never moved between the versions, so the
+    // feed's plan must not read a single d1 file
+    assert(feed.inputFiles.nonEmpty && feed.inputFiles.forall(!_.contains("part=d1")),
+      s"feed must scan only moved partitions, read: ${feed.inputFiles.toSeq}")
+    val got = feed.select("k", "change_type", "payload", "score")
+      .as[(Long, String, String, Option[Long])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (3L, "update_postimage", "c2", Some(5L)),
+      (3L, "update_preimage", "c", None),
+      (5L, "update_postimage", "e", Some(6L)),
+      (5L, "update_preimage", "e", None),
+      (7L, "insert", "g", Some(7L))),
+      s"got $got")
+    // the no-op case: a second merge that loses every race (stale
+    // versions) still commits a version whose rewritten partitions are
+    // row-identical — the feed across it is EMPTY
+    val stale = Seq((3L, "zzz", 1L, "d2", 99L))
+      .toDF("k", "payload", "ver", "part", "score")
+    Warehouse.mergeInto(spark, path, stale, "k", "ver", "part")
+    assert(Warehouse.changes(spark, path, 2L, 3L, "k").count() == 0,
+      "a merge that loses every race produces an empty feed")
+  }
+
+  test("compact carries the union schema across batches on either side of a widening merge") {
+    val path = Files.createTempDirectory("graft_wh_s").toString + "/t"
+    val base = ((1L to 200L).map(i => (i, s"p$i", 10L, "d1")) ++
+      (201L to 400L).map(i => (i, s"p$i", 10L, "d2")))
+      .toDF("k", "payload", "ver", "part")
+    // cap records/file so BOTH the create batch and the merge's
+    // rewrite land fragmented (AQE otherwise coalesces each to one
+    // file and nothing would compact)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 50L)
+    try {
+      Warehouse.create(spark, path, base, "part")
+      // widening merge touches ONLY d2: its new batch carries `score`,
+      // d1's create-batch files do not — so the compact below reads a
+      // MIXED-schema dir set and must resolve the union, not a sampled
+      // file's schema (which could silently drop `score` from the
+      // rewrite — data loss)
+      val widen = (201L to 400L).map(i => (i, s"w$i", 11L, "d2", i * 2))
+        .toDF("k", "payload", "ver", "part", "score")
+      Warehouse.mergeInto(spark, path, widen, "k", "ver", "part")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = Warehouse.partitionStats(spark, path)
+    assert(before.forall(_._3 > 1), s"both partitions must be fragmented: $before")
+    assert(Warehouse.compact(spark, path, "k", targetBytes = 1L << 30) == 2)
+    val got = Warehouse.read(spark, path).select("k", "payload", "score")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got.take(200) == (1L to 200L).map(i => (i, s"p$i", None)),
+      "pre-widening rows read score as null after compaction")
+    assert(got.drop(200) == (201L to 400L).map(i => (i, s"w$i", Some(i * 2))),
+      "widened rows keep their score through compaction")
+  }
+
   test("a commit race fails loudly and leaves the committed version intact") {
     val path = freshTable()
     val fs = new org.apache.hadoop.fs.Path(path)
