@@ -1159,6 +1159,41 @@ object AggQueries {
              |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 'p' END AS node_type,
              |  node // 2 AS node_id, score
              |FROM s3 ORDER BY node_type, node_id""".stripMargin)
-      })
+      }),
+
+    // G31 — per-node TRIANGLE counts over the part co-purchase graph
+    // (parts sharing an order are adjacent): the clustering-cohesion
+    // primitive. Degree-ordered orientation counts each triangle once
+    // at its lowest-(deg,id) corner and bounds the wedge join's
+    // per-key fan-out at O(√m) — hub parts close wedges instead of
+    // centering them, the property that survives a skewed 100 TB
+    // co-occurrence graph. The oracle enumerates the same triangles
+    // by the simpler id-ordering (orientation changes WHERE a
+    // triangle is counted, never WHETHER).
+    Q("g31_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        graft.operators.Graph.triangleCounts(pairs)
+          .orderBy("node")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey
+             |   AND x.l_partkey < y.l_partkey),
+             |tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1
+             |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+             |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+             |SELECT node, count(*) AS n_triangles FROM (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri) t
+             |GROUP BY node ORDER BY node""".stripMargin))
   )
 }

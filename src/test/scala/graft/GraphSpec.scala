@@ -81,4 +81,22 @@ class GraphSpec extends AnyFunSuite {
     val noDangling = Graph.pageRank(edges, 2).as[(Long, Long)].collect().toMap
     assert(noDangling == Map(1L -> 150000L))
   }
+
+  test("triangleCounts: hand-computed K4 + pendant, robust to duplicate/reversed/self-loop input") {
+    // K4 on {1,2,3,4} has C(4,3) = 4 triangles, each node in exactly
+    // 3; the pendant edge 4–5 and the disconnected path 6–7–8 add
+    // none. Input deliberately dirty: both orientations of (1,2),
+    // a duplicate (3,4), and a self-loop (2,2).
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (2L, 2L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $got")
+    // triangle-free graph: EMPTY output, not zero rows per node
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.triangleCounts(path).count() == 0)
+  }
 }
