@@ -337,6 +337,53 @@ object StreamQueries {
              |WHERE e.event_type = 'purchase'
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ST20 — streaming POINT-IN-TIME enrichment: each click in the
+    // stream binds to the SCD2 purchase-dimension version valid AT
+    // ITS EVENT TIME (valid_from <= ts < valid_to) — the streaming
+    // half of the j14/j15/j16 SCD2 family, and the shape every
+    // feature-serving pipeline needs (enrich a live stream with the
+    // dimension as-of the event, not as-of processing time, so a
+    // backlog replay produces identical features). The dim is built
+    // batch-side, persisted and FORCED once (the st7 contract: no
+    // per-micro-batch re-aggregation); the stream side carries no
+    // state — the interval predicate rides the stream-static join.
+    // Oracle = the naive interval join, independent algebra.
+    Q("st20_stream_pit_enrich",
+      (s, d) => {
+        val e = graft.engine.Tables.events(s, d)
+        val dim = graft.operators.Relational.scd2(
+            e.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"),
+                col("event_id").as("version_id")),
+            keys = Seq("user_id"), tsCol = "ts", tieCol = "version_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dim.count()
+        try Streaming.eventsStream(s, d, "append") { df =>
+          df.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+            .join(dim, col("c_user") === col("user_id") &&
+              col("valid_from") <= col("c_ts") &&
+              (col("valid_to").isNull || col("c_ts") < col("valid_to")))
+            .select(col("click_id"), col("c_user").as("user_id"),
+              col("version_id"))
+        }.orderBy("click_id")
+        finally dim.unpersist()
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, event_id AS version_id, ts AS valid_from,
+             |    lead(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT f.click_id, f.user_id, d.version_id
+             |FROM f JOIN dim d ON f.user_id = d.user_id
+             |  AND d.valid_from <= f.ts
+             |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+             |ORDER BY click_id""".stripMargin)),
+
     // ST5 — streaming dedup: dropDuplicates over the key pair inside
     // the stream (keyed state store holds seen keys; with a watermark
     // + event-time key this is the bounded-state production form).

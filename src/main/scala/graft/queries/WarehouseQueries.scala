@@ -212,6 +212,49 @@ object WarehouseQueries {
              |FROM ev WHERE event_id % 29 = 11 AND event_id % 31 <> 7
              |ORDER BY event_id, change_type""".stripMargin)),
 
+    // M7 — INCREMENTAL AGGREGATE MAINTENANCE off the change feed: the
+    // reason a CDF exists. A downstream per-(dt, event_type) rollup
+    // is maintained without re-reading the table — start from the
+    // aggregate of version 1 (the state a consumer already holds) and
+    // fold in the feed: insert/update_postimage rows add, delete/
+    // update_preimage rows subtract (count and sum are self-inverse,
+    // so the two update images cancel exactly where the group didn't
+    // change). The oracle recomputes version 2's rollup from scratch;
+    // equality proves the delta algebra — feed cost ∝ changes, not
+    // table size, the 100 TB materialized-view maintenance contract.
+    Q("m7_incremental_agg",
+      (s, d) => {
+        val path = m2Table(s, d)
+        val base = Warehouse.readVersion(s, path, 1L)
+          .groupBy("dt", "event_type")
+          .agg(count(lit(1)).as("n"), sum("user_id").as("su"))
+        val feed = Warehouse.changes(s, path, 1L, 2L, "event_id")
+          .select(col("dt"), col("event_type"),
+            when(col("change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L).as("sgn"),
+            col("user_id"))
+          .groupBy("dt", "event_type")
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn") * col("user_id")).as("dsu"))
+        base.join(feed, Seq("dt", "event_type"), "full_outer")
+          .select(col("dt"), col("event_type"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("su"), lit(0L)) + coalesce(col("dsu"), lit(0L)))
+              .as("sum_user"))
+          .filter(col("n_events") > 0)
+          .orderBy("dt", "event_type")
+      },
+      Some("""WITH ev2 AS (
+             |  SELECT CASE WHEN event_id % 29 = 11 THEN user_id + 2000000
+             |              ELSE user_id END AS user_id,
+             |         event_type, CAST(ts AS DATE) AS dt
+             |  FROM events WHERE event_id % 31 <> 7)
+             |SELECT dt, event_type, count(*) AS n_events,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_user
+             |FROM ev2 GROUP BY dt, event_type
+             |ORDER BY dt, event_type""".stripMargin)),
+
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
     // layout: the first ops problem a streaming-ingest table develops.
     // The fixture table is written deliberately FRAGMENTED (a 8-way
