@@ -45,10 +45,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: the driver holds only the partition→batch mapping
   * (two short strings per partition — a 10-year daily table is ~3.6k
   * lines) and the touched-partition list; all row movement is
-  * executor-side. Single-writer contract, like [[BatchedIndex]]: two
-  * concurrent merges can race the version create — the loser's rename
-  * fails loudly (rename-to-existing returns false) and its batch dir
-  * is swept later, never half-visible.
+  * executor-side. Writer concurrency: two concurrent merges can race
+  * the version create — the loser's rename fails loudly
+  * (rename-to-existing returns false) and its batch dir is swept
+  * later, never half-visible. [[mergeInto]] surfaces the race to the
+  * caller (single-writer deployments); [[mergeIntoRetrying]] rebases
+  * the loser onto the winner's snapshot and retries — optimistic
+  * concurrency control, the multi-writer contract.
   *
   * Contract: a key's partition value is IMMUTABLE (the standard
   * event-date fact-table shape). An update that moves a key across
@@ -286,7 +289,18 @@ object Warehouse {
     */
   def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
                 keyCol: String, versionCol: String, partCol: String,
-                deleteCol: Option[String] = None): Unit = {
+                deleteCol: Option[String] = None): Unit =
+    mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCol,
+      deleteCol, () => ())
+
+  /** [[mergeInto]] with a test seam fired between the partition
+    * rewrite and the version commit — the window a concurrent
+    * writer's commit lands in. Production code never passes a hook.
+    */
+  private[graft] def mergeIntoHooked(spark: SparkSession, path: String,
+                changes: DataFrame, keyCol: String, versionCol: String,
+                partCol: String, deleteCol: Option[String],
+                beforeCommit: () => Unit): Unit = {
     val fs = fsOf(spark, path)
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
@@ -346,7 +360,50 @@ object Warehouse {
     val written = partDirs(fs, path, batchId, partCol).toSet
     val newMapping = (mapping -- touched.filterNot(written)) ++
       written.map(_ -> batchId)
+    beforeCommit()
     commit(fs, path, v + 1, newMapping)
+  }
+
+  /** OPTIMISTIC-CONCURRENCY [[mergeInto]]: on a commit race (another
+    * writer published the version this merge resolved), re-snapshot
+    * and re-run the whole merge against the NEW current version —
+    * the Delta/Iceberg retry contract, upgrading the table from
+    * single-writer to multi-writer. Rebasing is semantically safe
+    * because the merge algebra is latest-wins on (version, change
+    * beats stored): replaying the same change batch onto the other
+    * writer's result yields exactly the serialized outcome, whichever
+    * order the writers land. Each failed attempt orphans its batch
+    * dir (swept by the next [[vacuum]]) — space, never correctness.
+    * Returns the number of attempts used; throws the last race error
+    * after `maxAttempts`.
+    */
+  def mergeIntoRetrying(spark: SparkSession, path: String, changes: DataFrame,
+                keyCol: String, versionCol: String, partCol: String,
+                deleteCol: Option[String] = None,
+                maxAttempts: Int = 5): Int =
+    mergeIntoRetryingHooked(spark, path, changes, keyCol, versionCol,
+      partCol, deleteCol, maxAttempts, _ => () => ())
+
+  /** [[mergeIntoRetrying]] with a per-attempt pre-commit test seam. */
+  private[graft] def mergeIntoRetryingHooked(spark: SparkSession, path: String,
+                changes: DataFrame, keyCol: String, versionCol: String,
+                partCol: String, deleteCol: Option[String], maxAttempts: Int,
+                hookFor: Int => () => Unit): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try {
+        mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCol,
+          deleteCol, hookFor(attempt))
+        return attempt
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    attempt // unreachable
   }
 
   /** CHANGE DATA FEED: the row-level difference between committed

@@ -265,6 +265,35 @@ class WarehouseSpec extends AnyFunSuite {
       "widened rows keep their score through compaction")
   }
 
+  test("optimistic concurrency: a racing merge rebases onto the winner and lands the serialized outcome") {
+    val path = freshTable()
+    // the competing writer's commit fires INSIDE our merge's race
+    // window (after our rewrite, before our commit) — the exact
+    // interleaving the single-shot mergeInto surfaces as an error
+    val competing = Seq((1L, "a9", 12L, "d1")).toDF("k", "payload", "ver", "part")
+    val ours = Seq((3L, "c9", 12L, "d2")).toDF("k", "payload", "ver", "part")
+    val attempts = Warehouse.mergeIntoRetryingHooked(spark, path, ours,
+      "k", "ver", "part", None, 3,
+      attempt => () => if (attempt == 1)
+        Warehouse.mergeInto(spark, path, competing, "k", "ver", "part"))
+    assert(attempts == 2, s"one rebase expected, used $attempts attempts")
+    val got = Warehouse.read(spark, path)
+      .select("k", "payload").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a9"), (2L, "b"), (3L, "c9"), (4L, "d"), (5L, "e")),
+      "BOTH writers' updates must land — the serialized outcome")
+    // history: v1 create, v2 the competing winner, v3 our rebased merge
+    assert(Warehouse.readVersion(spark, path, 2L)
+      .filter(col("k") === 3).select("payload").as[String].head() == "c",
+      "the winner's snapshot predates our merge")
+    // a writer that loses EVERY attempt surfaces the race after
+    // maxAttempts instead of spinning
+    intercept[IllegalStateException] {
+      Warehouse.mergeIntoRetryingHooked(spark, path, ours,
+        "k", "ver", "part", None, 2,
+        _ => () => Warehouse.mergeInto(spark, path, competing, "k", "ver", "part"))
+    }
+  }
+
   test("a commit race fails loudly and leaves the committed version intact") {
     val path = freshTable()
     val fs = new org.apache.hadoop.fs.Path(path)
