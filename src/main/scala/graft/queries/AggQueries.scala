@@ -1194,6 +1194,40 @@ object AggQueries {
              |  SELECT x AS node FROM tri
              |  UNION ALL SELECT y FROM tri
              |  UNION ALL SELECT z FROM tri) t
-             |GROUP BY node ORDER BY node""".stripMargin))
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // G32 — COHORT RETENTION: users grouped by first-activity week,
+    // counted per (cohort, weeks-since) cell — the product-analytics
+    // staple. ONE user-keyed shuffle does all the per-user work
+    // (cohort = min week and the distinct active-week set ride the
+    // same groupBy; the set is bounded by the timeline's week count,
+    // not the user's event count), then the exploded (cohort, offset)
+    // rows reduce in a second, output-sized aggregate. Offsets are
+    // exact integer arithmetic (both weeks are Monday-truncated, so
+    // the day difference is a multiple of 7).
+    Q("g32_cohort_retention",
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+          .groupBy("user_id")
+          .agg(min("wk").as("cohort_week"), collect_set("wk").as("wks"))
+        perUser.select(col("cohort_week"), explode(col("wks")).as("wk"))
+          .select(col("cohort_week"),
+            call_function("div", datediff(col("wk"), col("cohort_week")),
+              lit(7)).cast("long").as("weeks_since"))
+          .groupBy("cohort_week", "weeks_since")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "weeks_since")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events GROUP BY 1, 2),
+             |fw AS (SELECT user_id, min(wk) AS cohort_week FROM pu GROUP BY 1)
+             |SELECT f.cohort_week,
+             |  date_diff('day', f.cohort_week, p.wk) // 7 AS weeks_since,
+             |  count(*) AS n_users
+             |FROM pu p JOIN fw f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
