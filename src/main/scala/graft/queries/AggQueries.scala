@@ -1172,11 +1172,18 @@ object AggQueries {
     // triangle is counted, never WHETHER).
     Q("g31_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-        val pairs = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        // pair generation rides ONE order-keyed shuffle (per-order
+        // distinct part set, then array-local pair enumeration — the
+        // g33 shape); triangleCounts' canonical distinct dedups the
+        // cross-order repeats
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+            .as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
         graft.operators.Graph.triangleCounts(pairs)
           .orderBy("node")
       },
@@ -1228,6 +1235,67 @@ object AggQueries {
              |  date_diff('day', f.cohort_week, p.wk) // 7 AS weeks_since,
              |  count(*) AS n_users
              |FROM pu p JOIN fw f USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // G33 — ITEM-ITEM similarity top-3 (the collaborative-filtering
+    // "customers who bought X also bought Y" kernel): per part, the
+    // three most Jaccard-similar parts over order co-occurrence, in
+    // exact integral e6 (1e6·|A∩B| div |A∪B| — no float calibration,
+    // replays cell-for-cell). The candidate space is bounded by
+    // co-occurrence (pairs sharing an order — per-order fan-out is
+    // order-size², never parts²), degrees broadcast into the scoring
+    // join, and the per-part top-3 is the bounded k-heap aggregate
+    // (`TopK.perGroup`) — the shuffle carries parts×3 rows, never the
+    // full scored pair list through a rank window.
+    Q("g33_item_similarity",
+      (s, d) => {
+        // ONE order-keyed shuffle builds the per-order distinct part
+        // set; pair enumeration and the degree explode are then
+        // map-only off the pinned sets (the self-join alternative
+        // pays a distinct shuffle AND a re-shuffle of both join
+        // sides; per-order fan-out is order-size², bounded)
+        val sets = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = sets.select(explode(col("ps")).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("d"))
+        val co = sets.select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+            .as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val sym = co.unionByName(
+          co.select(col("b").as("a"), col("a").as("b"), col("c")))
+        val scored = sym
+          .join(broadcast(deg.select(col("p").as("a"), col("d").as("da"))), Seq("a"))
+          .join(broadcast(deg.select(col("p").as("b"), col("d").as("db"))), Seq("b"))
+          .select(col("a").as("part"), col("b").as("other"),
+            call_function("div", lit(1000000L) * col("c"),
+              col("da") + col("db") - col("c")).cast("double").as("score"))
+        graft.operators.TopK.perGroup(scored, "part", "other", "score", 3)
+          .select(col("part"), col("rn").cast("long").as("rk"), col("other"),
+            col("score").cast("long").as("jac_e6"))
+          .orderBy("part", "rk")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |deg AS (SELECT p, count(*) AS d FROM op GROUP BY 1),
+             |co AS (SELECT x.p AS a, y.p AS b, count(*) AS c
+             |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+             |       GROUP BY 1, 2),
+             |sym AS (SELECT a, b, c FROM co
+             |        UNION ALL SELECT b, a, c FROM co),
+             |sc AS (SELECT s.a AS part, s.b AS other,
+             |         (1000000 * s.c) // (da.d + db.d - s.c) AS jac_e6
+             |       FROM sym s JOIN deg da ON s.a = da.p
+             |            JOIN deg db ON s.b = db.p),
+             |r AS (SELECT part, other, jac_e6,
+             |        row_number() OVER (
+             |          PARTITION BY part ORDER BY jac_e6 DESC, other) AS rk
+             |      FROM sc)
+             |SELECT part, rk, other, CAST(jac_e6 AS BIGINT) AS jac_e6
+             |FROM r WHERE rk <= 3 ORDER BY part, rk""".stripMargin))
   )
 }
