@@ -106,6 +106,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("j14_scd2")
   }
 
+  test("g31 triangles never shuffles a join: every join is broadcast (no wedge mass on the wire)") {
+    // the edge-iterator's entire point: degree attach and adjacency
+    // intersect ride broadcast joins, so the Σout-deg² wedge/intersect
+    // mass is generated and consumed inside map stages — a
+    // SortMerge/ShuffledHash join here means candidate pairs are
+    // crossing an exchange again (the 35 s first cut)
+    val plan = graft.queries.Registry.queries("g31_triangles")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"g31 has a shuffled join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"g31 lost its broadcast joins:\n$plan")
+  }
+
+  test("g32 cohort retention: one user shuffle + one output-sized aggregate shuffle") {
+    val plan = graft.queries.Registry.queries("g32_cohort_retention")(spark, d)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+    val all = "Exchange ".r.findAllIn(plan).size
+    assert(hash == 2, s"g32 must shuffle exactly twice, found $hash:\n$plan")
+    assert(all == hash + range && range <= 1,
+      s"g32 has unexpected exchanges:\n$plan")
+  }
+
+  test("g33 item similarity ranks through the bounded k-heap, never a rank window over the pair list") {
+    val plan = graft.queries.Registry.queries("g33_item_similarity")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"g33 regressed to a rank window over the full scored pair list:\n$plan")
+    assert(plan.contains("TopKAgg") || plan.contains("topkagg"),
+      s"g33 lost the bounded k-heap aggregate:\n$plan")
+  }
+
   /** The map-ONLY scaladoc claims, pinned: zero data shuffles — the
     * only exchange allowed is the final RangePartitioning from the
     * presentation ORDER BY. If a per-doc scalar ever regresses to an
