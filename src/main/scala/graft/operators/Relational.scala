@@ -70,7 +70,8 @@ object Relational {
     * a right-side column not present on the left.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, valueCol: String): DataFrame = {
+               tsCol: String, valueCol: String,
+               toleranceMicros: Option[Long] = None): DataFrame = {
     val lcols = left.columns.toSeq
     val l = left
       .withColumn("_asof_side", lit(1))
@@ -80,9 +81,26 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("_asof_side"), col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val base = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_matched", last(col(valueCol), ignoreNulls = true).over(w))
-      .filter(col("_asof_side") === 1)
+    // TOLERANCE (pandas merge_asof): a backward match older than the
+    // bound is dropped, not substituted. The matched row's OWN ts
+    // rides a second last() stacked on the SAME window (right-side
+    // rows carry both columns non-null, so both aggregates resolve to
+    // the same row) — still one shuffle, one sort. Requires a
+    // TimestampType `tsCol` (distance is measured in microseconds).
+    val bounded = toleranceMicros.fold(base) { tol =>
+      require(left.schema(tsCol).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+        s"toleranceMicros needs a TimestampType $tsCol")
+      base
+        .withColumn("_mts", last(when(col("_asof_side") === 0, col(tsCol)),
+          ignoreNulls = true).over(w))
+        .withColumn("_matched", when(
+          unix_micros(col(tsCol)) - unix_micros(col("_mts")) <= tol,
+          col("_matched")))
+    }
+    bounded.filter(col("_asof_side") === 1)
       .select((lcols.map(col) :+ col("_matched").as(valueCol)): _*)
   }
 

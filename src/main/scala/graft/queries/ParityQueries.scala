@@ -383,6 +383,49 @@ object ParityQueries {
              |SELECT click_id, user_id, view_id FROM w
              |WHERE click_id IS NOT NULL ORDER BY click_id""".stripMargin)),
 
+    // J17 — as-of join WITH TOLERANCE (pandas merge_asof tolerance=):
+    // j5's backward match, but a view more than 48 hours older than
+    // the click is DROPPED rather than substituted by an even older
+    // one — the attribution-window semantics ad pipelines actually
+    // want (the bound sits near the data's median click→view gap, so
+    // both arms are exercised: ~40% of matches drop). Same union + ONE window-pass plan as j5 (the matched
+    // row's ts rides a second last() stacked on the same window); the
+    // oracle carries the matched ts through the identical walk and
+    // applies the bound independently.
+    Q("j17_asof_tolerance",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        graft.operators.Relational.asofJoin(clicks, views,
+            Seq("user_id"), "ts", "view_id",
+            toleranceMicros = Some(172800000000L))
+          .select("click_id", "user_id", "view_id")
+          .orderBy("click_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id AS click_id,
+             |         CAST(NULL AS BIGINT) AS view_id,
+             |         CAST(NULL AS TIMESTAMP) AS vts, 1 AS side
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, event_id, ts, 0
+             |  FROM events WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT user_id, ts, click_id,
+             |    last_value(view_id IGNORE NULLS) OVER win AS view_id,
+             |    last_value(vts IGNORE NULLS) OVER win AS vts
+             |  FROM u
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, view_id
+             |                 ROWS UNBOUNDED PRECEDING))
+             |SELECT click_id, user_id,
+             |  CASE WHEN date_diff('microsecond', vts, ts) <= 172800000000
+             |       THEN view_id END AS view_id
+             |FROM w WHERE click_id IS NOT NULL
+             |ORDER BY click_id""".stripMargin)),
+
     // J13 (scale extension): NEAREST-event join — each click
     // attributed to the user's closest view in EITHER direction
     // (pandas merge_asof direction='nearest'), completing the as-of

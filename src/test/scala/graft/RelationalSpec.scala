@@ -153,6 +153,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == Map(10L -> Some(901L), 11L -> Some(902L), 12L -> None))
   }
 
+  test("asofJoin tolerance: a gap exactly AT the bound survives, past it the match drops (never substitutes)") {
+    val clicks = Seq((1L, 1000000L, 10L), (1L, 2000001L, 11L), (1L, 3000000L, 12L))
+      .toDF("user_id", "us", "click_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val views = Seq((1L, 0L, 900L), (1L, 1000001L, 901L))
+      .toDF("user_id", "us", "view_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    // tolerance = 1s: click@1.0s → view@0, gap EXACTLY the bound →
+    // survives; click@2.000001s → view@1.000001s, gap exactly the
+    // bound → survives; click@3.0s → same view, gap 1.999999s →
+    // DROPS (not substituted by the even-older view@0)
+    val out = Relational.asofJoin(clicks, views, Seq("user_id"), "ts", "view_id",
+        toleranceMicros = Some(1000000L))
+      .select("click_id", "view_id").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None))
+  }
+
   test("parseTimestamps converts ISO strings with offsets to UTC-naive instants (F9)") {
     val df = Seq(("2024-03-01T12:00:00-04:00", "2024-03-01T00:00:00")).toDF("a", "b")
     val out = Relational.parseTimestamps(df, Seq("a", "b"))
