@@ -381,6 +381,38 @@ object Multimodal {
     }
   }
 
+  /** SHOT-BOUNDARY detection + keyframe selection over a
+    * [[sampleFrames]] stream — the video-curation step that picks one
+    * representative frame per shot instead of embedding every sampled
+    * frame (a 10× cost cut before any model sees pixels). A per-frame
+    * scalar luma surrogate is derived from the frame signature (STUB —
+    * swapping in a real codec's per-frame luma/histogram is exactly
+    * the [[Codec]] stub-branch contract; the windowing below is the
+    * real machinery), a cut opens wherever the luma jumps past
+    * `threshold` (or at the first frame), and the cut frame IS the
+    * shot's keyframe.
+    *
+    * Plan shape: lag + running cut-sum are two stacked windows over
+    * ONE media_id shuffle (same partitioning and sort), then a
+    * map-side filter — frames shuffle once, payloads never.
+    */
+  def keyframes(frames: Dataset[Frame], threshold: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val luma = conv(substring(col("frame_sig"), 1, 4), 16, 10)
+      .cast("long") % 256
+    frames.toDF()
+      .withColumn("_luma", luma)
+      .withColumn("_cut", when(lag(col("_luma"), 1).over(w).isNull ||
+        abs(col("_luma") - lag(col("_luma"), 1).over(w)) > threshold, 1L)
+        .otherwise(0L))
+      .withColumn("shot_idx", sum(col("_cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("_cut") === 1)
+      .select(col("media_id"), col("shot_idx"), col("frame_idx"), col("ts_ms"))
+  }
+
   /** "Resize": recompute stub metadata at a target box, keeping the
     * payload opaque — models a transform that rewrites metadata
     * without shuffling bytes.

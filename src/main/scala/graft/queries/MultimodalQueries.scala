@@ -98,6 +98,49 @@ object MultimodalQueries {
              |WHERE doc_id % 3 = 2
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // MM7 — SHOT-BOUNDARY keyframe selection over mm3's sampled frame
+    // stream: one representative frame per shot instead of embedding
+    // every frame — the curation step that cuts video featurization
+    // 10× before any model runs. A cut opens where the per-frame luma
+    // surrogate jumps > 96 (or at frame 0); lag + running cut-sum are
+    // two stacked windows over ONE media_id shuffle and the payload
+    // never multiplies. The luma is a stub off the frame signature
+    // (the documented Codec swap point); the windowing, shot
+    // numbering and keyframe pick are the real machinery and the
+    // oracle replays them over the identical stub arithmetic.
+    Q("mm7_keyframes",
+      (s, d) => Multimodal.keyframes(
+          Multimodal.sampleFrames(Multimodal.mediaTable(s, d), intervalMs = 1000L),
+          threshold = 96L)
+        .orderBy("media_id", "frame_idx"),
+      Some(s"""WITH f AS (
+             |  SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+             |    CAST(i * 1000 AS BIGINT) AS ts_ms,
+             |    md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_sig
+             |  FROM documents,
+             |    unnest(range(0, (40 * $nBytesSql) // 1000 + 1)) AS t(i)
+             |  WHERE doc_id % 3 = 2),
+             |l AS (
+             |  SELECT media_id, frame_idx, ts_ms,
+             |    CAST(('0x' || substr(frame_sig, 1, 4)) AS BIGINT) % 256 AS luma
+             |  FROM f),
+             |c AS (
+             |  SELECT media_id, frame_idx, ts_ms,
+             |    CASE WHEN lag(luma) OVER win IS NULL
+             |           OR abs(luma - lag(luma) OVER win) > 96
+             |         THEN 1 ELSE 0 END AS cut
+             |  FROM l
+             |  WINDOW win AS (PARTITION BY media_id ORDER BY frame_idx)),
+             |sh AS (
+             |  SELECT media_id, frame_idx, ts_ms, cut,
+             |    sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+             |                   ROWS UNBOUNDED PRECEDING) AS shot_idx
+             |  FROM c)
+             |SELECT media_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+             |       frame_idx, ts_ms
+             |FROM sh WHERE cut = 1
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // MM5 — PERCEPTUAL image dedup (aHash): the image rows re-render
     // as 8×8 band-gradient PNGs whose visual content is a pure
     // function of media_id % 7 but whose pixel DIMENSIONS (and thus
