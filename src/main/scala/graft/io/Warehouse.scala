@@ -489,6 +489,33 @@ object Warehouse {
       allCols.map(c => col(s"_c.img.$c")).toSeq: _*)
   }
 
+  /** CHANGE LOG: the per-commit history of [[changes]] — one tagged
+    * diff per consecutive version pair from `fromV` to the newest
+    * commit, unioned with a `commit_version` column (named so it can
+    * never collide with the table's own version data column). This is
+    * the replayable event stream a downstream consumer folds to catch
+    * up from any checkpoint: apply commits (checkpoint, newest] in
+    * order and you hold the newest snapshot's state — where a single
+    * [[changes]] call over the same range gives the NET diff
+    * (intermediate states collapsed). Version numbers are contiguous
+    * by construction (every commit publishes N+1), and the union is
+    * driver-side metadata only — each step's scan is still pruned to
+    * its own moved partitions.
+    */
+  def changeLog(spark: SparkSession, path: String, keyCol: String,
+                fromV: Long = 1L): DataFrame = {
+    val fs = fsOf(spark, path)
+    val vs = listVersions(fs, path).map(_._1)
+    require(vs.nonEmpty, s"no committed version under $path")
+    val newest = vs.max
+    require(fromV >= vs.min && fromV < newest,
+      s"need ${vs.min} <= fromV < $newest (newest), got $fromV")
+    (fromV until newest).map { v =>
+      changes(spark, path, v, v + 1, keyCol)
+        .withColumn("commit_version", lit(v + 1))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-partition (value, batchId, file count, bytes) off the
     * newest version — the listing [[compact]] plans from, exposed for
     * specs and ops dashboards. Driver-bounded: one FS listing per

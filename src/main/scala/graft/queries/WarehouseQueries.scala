@@ -255,6 +255,71 @@ object WarehouseQueries {
              |FROM ev2 GROUP BY dt, event_type
              |ORDER BY dt, event_type""".stripMargin)),
 
+    // M8 — multi-commit CHANGE LOG (Delta's table_changes(from, to)):
+    // one tagged diff per commit over a three-version table — merge A
+    // updates the % 41 == 1 slice at version 2, merge B deletes
+    // % 43 == 2 and updates % 47 == 3 at version 3 — so the log's
+    // version-3 PREIMAGES must reflect what version 2 LEFT there
+    // (a key in both slices shows A's shifted user_id as its delete/
+    // update preimage), which is exactly what a fold-to-catch-up
+    // consumer replays. The oracle rebuilds both commits' expected
+    // diffs from the events table and the slice recipes alone,
+    // including the overlap arithmetic.
+    Q("m8_change_log",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m8wh", "graft_m8wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val a = ev.filter(col("event_id") % 41 === 1)
+            .withColumn("user_id", col("user_id") + 3000000L)
+            .withColumn("version", col("version") + 1L)
+          Warehouse.mergeInto(s, p, a, "event_id", "version", "dt")
+          val dels = ev.filter(col("event_id") % 43 === 2)
+            .withColumn("version", col("version") + 2L)
+            .withColumn("is_del", lit(true))
+          val ups = ev.filter(col("event_id") % 47 === 3 &&
+              col("event_id") % 43 =!= 2)
+            .withColumn("user_id", col("user_id") + 4000000L)
+            .withColumn("version", col("version") + 2L)
+            .withColumn("is_del", lit(false))
+          Warehouse.mergeInto(s, p, dels.unionByName(ups),
+            "event_id", "version", "dt", deleteCol = Some("is_del"))
+        }
+        Warehouse.changeLog(s, path, "event_id")
+          .select(col("commit_version"), col("event_id"), col("change_type"),
+            col("user_id"), col("event_type"), col("dt"))
+          .orderBy("commit_version", "event_id", "change_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events),
+             |v2 AS (
+             |  SELECT CAST(2 AS BIGINT) AS commit_version, event_id,
+             |         'update_preimage' AS change_type, user_id, event_type, dt
+             |  FROM ev WHERE event_id % 41 = 1
+             |  UNION ALL
+             |  SELECT 2, event_id, 'update_postimage',
+             |         user_id + 3000000, event_type, dt
+             |  FROM ev WHERE event_id % 41 = 1),
+             |v3 AS (
+             |  SELECT CAST(3 AS BIGINT), event_id, 'delete',
+             |         CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+             |              ELSE user_id END, event_type, dt
+             |  FROM ev WHERE event_id % 43 = 2
+             |  UNION ALL
+             |  SELECT 3, event_id, 'update_preimage',
+             |         CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+             |              ELSE user_id END, event_type, dt
+             |  FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
+             |  UNION ALL
+             |  SELECT 3, event_id, 'update_postimage',
+             |         user_id + 4000000, event_type, dt
+             |  FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2)
+             |SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+             |ORDER BY commit_version, event_id, change_type""".stripMargin)),
+
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
     // layout: the first ops problem a streaming-ingest table develops.
     // The fixture table is written deliberately FRAGMENTED (a 8-way

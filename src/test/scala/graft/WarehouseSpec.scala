@@ -234,6 +234,33 @@ class WarehouseSpec extends AnyFunSuite {
       "a merge that loses every race produces an empty feed")
   }
 
+  test("change log fold law: replaying commits over the v1 snapshot reproduces the newest snapshot") {
+    val path = freshTable()
+    Warehouse.mergeInto(spark, path,
+      Seq((3L, "c2", 11L, "d2"), (7L, "g", 11L, "d4")).toDF("k", "payload", "ver", "part"),
+      "k", "ver", "part")
+    Warehouse.mergeInto(spark, path,
+      Seq((3L, "x", 12L, "d2", true), (1L, "a2", 12L, "d1", false))
+        .toDF("k", "payload", "ver", "part", "is_del"),
+      "k", "ver", "part", deleteCol = Some("is_del"))
+    // fold: per commit in order, delete/update/insert against a map
+    val log = Warehouse.changeLog(spark, path, "k")
+      .select("commit_version", "change_type", "k", "payload")
+      .as[(Long, String, Long, String)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    var state = Warehouse.readVersion(spark, path, 1L)
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    log.foreach {
+      case (_, "delete", k, _)           => state -= k
+      case (_, "update_preimage", _, _)  => () // pre-images carry audit info only
+      case (_, t, k, p) if t == "insert" || t == "update_postimage" => state += (k -> p)
+      case other => fail(s"unexpected change row $other")
+    }
+    val newest = Warehouse.read(spark, path)
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(state == newest, s"folded $state != newest $newest")
+  }
+
   test("compact carries the union schema across batches on either side of a widening merge") {
     val path = Files.createTempDirectory("graft_wh_s").toString + "/t"
     val base = ((1L to 200L).map(i => (i, s"p$i", 10L, "d1")) ++
