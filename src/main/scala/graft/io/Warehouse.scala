@@ -2,68 +2,113 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
-/** Partitioned parquet warehouse table with copy-on-write MERGE and
-  * small-file compaction — the file-plane analog of the reference's
-  * JDBC CDC merge (`New_Api_Sercom/function_app.py:309-365` lands
-  * changes with batched UPDATEs; at 100 TB the dimension lives as a
-  * day-partitioned parquet table and a merge must rewrite only the
-  * partitions the change batch touches, never the table).
+/** Partitioned parquet warehouse table with copy-on-write MERGE,
+  * merge-on-read DELTA commits, small-file compaction and file-level
+  * data skipping — the file-plane analog of the reference's JDBC CDC
+  * merge (`New_Api_Sercom/function_app.py:309-365` lands changes with
+  * batched UPDATEs; at 100 TB the dimension lives as a day-partitioned
+  * parquet table and a merge must cost no more than the change set,
+  * never the table).
   *
   * Layout — per-partition ownership manifest, committed with one
-  * atomic rename (the [[BatchedIndex]] single-marker pattern, carried
+  * atomic create (the [[BatchedIndex]] single-marker pattern, carried
   * one step further: the marker file's CONTENT maps every partition
-  * to the batch directory that owns it):
+  * to the CHAIN of batch directories whose union owns it):
   *
   * {{{
   *   path/_versions/v<0-padded N>        commit files; each line is
-  *                                       "<partitionValue>\t<batchId>"
+  *                                       "<partitionValue>\t<chain>"
+  *                                       chain = base[,~delta[,~delta…]]
+  *   path/_meta                          "<keyCol>\t<versionCol>" —
+  *                                       written at the first delta
+  *                                       commit (readers need the merge
+  *                                       keys to fold)
   *   path/data/batch=<id>/<partCol>=<v>/part-*.parquet
+  *   path/data/batch=<id>/_stats         optional per-file min/max of a
+  *                                       sort column (data skipping)
   * }}}
   *
   * Readers resolve the HIGHEST version file and scan exactly the
-  * (batch, partition) directories it lists. A merge writes its
-  * rewritten partitions under a NEW batch dir, then publishes
-  * old-mapping ++ touched→newBatch as version N+1 via write-to-temp +
-  * rename — the rename is the commit point, so the table flips from
-  * version N to N+1 atomically: there is no window where a reader
-  * sees half a merge, and a writer dying pre-rename leaves version N
-  * fully intact (its orphan batch dir falls to the next [[vacuum]]).
+  * (batch, partition) directories it lists. Two write paths exist:
+  *
+  *  - '''copy-on-write''' ([[mergeInto]]): touched partitions are
+  *    reconciled executor-side and rewritten in full under a new batch
+  *    dir; the partition's chain collapses to that one batch. Read
+  *    cost zero, write cost = touched partitions.
+  *  - '''merge-on-read''' ([[mergeIntoDelta]]): the change rows alone
+  *    are appended as a new batch and the touched chains grow one
+  *    link; readers fold base ∪ deltas per key with the same
+  *    latest-wins argmax the CoW merge runs at write time. Write cost
+  *    = O(|changes|) bytes — a 1-key update in a 300 GB day-partition
+  *    writes one tiny file, not 300 GB — read cost one keyed
+  *    aggregation over the chained partitions only (chain-free
+  *    partitions stay a plain columnar scan). [[compact]] folds chains
+  *    back into a pure base on the operator's cadence, exactly
+  *    Delta/Iceberg's deletion-vector / delta-file contract.
+  *
+  * Either way the publish is old-mapping ++ touched-chains as version
+  * N+1 via one ATOMIC commit — there is no window where a reader sees
+  * half a merge, and a writer dying pre-commit leaves version N fully
+  * intact (its orphan batch dir falls to the next [[vacuum]]).
   * Untouched partitions keep their EXACT files — the byte-identity
-  * WarehouseSpec asserts — so merge I/O scales with the touched
-  * partitions, not the table.
+  * WarehouseSpec asserts.
   *
   * Writers never delete data: every superseded version file and the
   * batch dirs it references stay on disk, so [[readVersion]] serves
-  * any historical snapshot (TIME TRAVEL — audits, reproducible
-  * training runs pinned to the corpus-as-of-a-date, incident
-  * forensics) until the operator explicitly reclaims space with
-  * [[vacuum]] — the Delta/Iceberg retention contract: space is traded
-  * for replayability on the operator's cadence, never silently.
+  * any historical snapshot (TIME TRAVEL) until the operator explicitly
+  * reclaims space with [[vacuum]] — the Delta/Iceberg retention
+  * contract: space is traded for replayability on the operator's
+  * cadence, never silently.
   *
-  * Scale shape: the driver holds only the partition→batch mapping
-  * (two short strings per partition — a 10-year daily table is ~3.6k
+  * Scale shape: the driver holds only the partition→chain mapping
+  * (short strings per partition — a 10-year daily table is ~3.6k
   * lines) and the touched-partition list; all row movement is
-  * executor-side. Writer concurrency: two concurrent merges can race
-  * the version create — the loser's rename fails loudly
-  * (rename-to-existing returns false) and its batch dir is swept
-  * later, never half-visible. [[mergeInto]] surfaces the race to the
-  * caller (single-writer deployments); [[mergeIntoRetrying]] rebases
-  * the loser onto the winner's snapshot and retries — optimistic
-  * concurrency control, the multi-writer contract.
+  * executor-side. Writer concurrency: two concurrent merges race the
+  * version create — the loser's commit fails loudly (the commit
+  * primitive is create-exclusive: a hard link on local filesystems,
+  * rename-refuses-existing on HDFS — strict on both) and its batch
+  * dir is swept later, never half-visible. [[mergeInto]] surfaces the
+  * race to the caller (single-writer deployments);
+  * [[mergeIntoRetrying]] rebases the loser onto the winner's snapshot
+  * and retries — optimistic concurrency control, the multi-writer
+  * contract.
   *
   * Contract: a key's partition value is IMMUTABLE (the standard
-  * event-date fact-table shape). An update that moves a key across
-  * partitions must be expressed as delete + insert; [[mergeInto]]
-  * only reconciles keys within the partitions the change batch names.
+  * event-date fact-table shape) and NON-NULL (a change batch with a
+  * null partition value is rejected loudly). Partition values are
+  * canonicalized through the same hive escaping the writer uses, so
+  * values Spark escapes in paths (':', '/', '%', …) merge correctly.
+  * An update that moves a key across partitions must be expressed as
+  * delete + insert; merges only reconcile keys within the partitions
+  * the change batch names.
   */
 object Warehouse {
+
+  /** Tombstone column name inside DELTA batch files (never visible to
+    * readers): a delta row with it true deletes its key when it wins
+    * the fold's latest-wins race.
+    */
+  private val DelCol = "_graft_del"
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val VersionRe = "^v([0-9]{8})$".r
+
+  /** A chain value: head = base batch, tail = delta batches in commit
+    * order, delta links prefixed '~'. A chain needs a read-time FOLD
+    * when it has any delta link — more than one element, or a single
+    * '~'-marked element (a partition CREATED by a delta merge, whose
+    * rows may still carry multiple versions and tombstones).
+    */
+  private def chainOf(v: String): Seq[String] =
+    v.split(",").toSeq.map(_.stripPrefix("~"))
+
+  private def needsFold(v: String): Boolean =
+    v.contains(",") || v.startsWith("~")
 
   private def listVersions(fs: FileSystem, path: String): Seq[(Long, HPath)] = {
     val vdir = new HPath(s"$path/_versions")
@@ -75,17 +120,19 @@ object Warehouse {
       })
   }
 
-  private def readMapping(fs: FileSystem, p: HPath): Map[String, String] = {
+  private def readSmallFile(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { line =>
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def readMapping(fs: FileSystem, p: HPath): Map[String, String] =
+    readSmallFile(fs, p).split("\n").filter(_.nonEmpty).map { line =>
       val Array(part, batch) = line.split("\t", 2)
       part -> batch
     }.toMap
-  }
 
-  /** (version number, partitionValue → batchId) of the newest commit. */
+  /** (version number, partitionValue → chain) of the newest commit. */
   private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] = {
     val versions = listVersions(fs, path)
     if (versions.isEmpty) None
@@ -95,15 +142,16 @@ object Warehouse {
     }
   }
 
-  /** Publish `mapping` as version `n` — write to a temp name, then
-    * rename into place. The rename IS the commit: before it, readers
-    * resolve the previous version; after it, the new one — there is
-    * no torn state. A duplicate version number (a racing writer that
-    * resolved the same snapshot) fails loudly instead of clobbering a
-    * committed manifest: strictly on filesystems whose rename refuses
-    * an existing destination (HDFS), best-effort via the existence
-    * check on POSIX-rename filesystems (local) — the single-writer
-    * contract the object doc states.
+  /** Publish `mapping` as version `n` — write the content to a temp
+    * name, then claim the version with a CREATE-EXCLUSIVE commit
+    * point. On local filesystems the claim is a hard link (`link(2)`
+    * fails EEXIST atomically — strict even under a concurrent racer,
+    * no check-then-rename window); elsewhere it is rename, which on
+    * HDFS refuses an existing destination (strict there too). Before
+    * the claim, readers resolve the previous version; after it, the
+    * new one — there is no torn state. A duplicate version number (a
+    * racing writer that resolved the same snapshot) fails loudly
+    * instead of clobbering a committed manifest.
     */
   private[graft] def commit(fs: FileSystem, path: String, n: Long,
                             mapping: Map[String, String]): Unit = {
@@ -115,11 +163,64 @@ object Warehouse {
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = new HPath(vdir, f"v$n%08d")
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    val committed = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ => !fs.exists(target) && fs.rename(tmp, target)
+    }
+    fs.delete(tmp, false): Unit
+    if (!committed)
       throw new IllegalStateException(
         s"commit of version $n at $path lost a race - retry the merge")
+  }
+
+  /** Canonical manifest key for a raw partition value: the exact dir
+    * name the parquet writer produces (hive path escaping), so
+    * values containing ':', '/', '%', … look up correctly. Nulls are
+    * rejected loudly — a key must name a real partition.
+    */
+  private def escapedTouched(changes: DataFrame, partCol: String): Seq[String] = {
+    val raw = changes.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0))).toSeq
+    require(!raw.contains(None),
+      s"change batch carries a NULL $partCol - partition values must be non-null")
+    raw.flatten.map(ExternalCatalogUtils.escapePathName).sorted
+  }
+
+  // ---------------------------------------------------------------
+  // table meta (merge keys — needed by readers to fold delta chains)
+  // ---------------------------------------------------------------
+
+  private def metaPath(path: String) = new HPath(s"$path/_meta")
+
+  private def writeMetaIfAbsent(fs: FileSystem, path: String,
+                                keyCol: String, versionCol: String): Unit = {
+    val p = metaPath(path)
+    if (fs.exists(p)) {
+      val (k, v) = readMeta(fs, path)
+      require(k == keyCol && v == versionCol,
+        s"table at $path has merge keys ($k, $v); got ($keyCol, $versionCol)")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(s"$keyCol\t$versionCol".getBytes("UTF-8"))
+      finally out.close()
     }
+  }
+
+  private def readMeta(fs: FileSystem, path: String): (String, String) = {
+    val p = metaPath(path)
+    require(fs.exists(p),
+      s"table at $path has delta chains but no _meta - corrupt table")
+    val Array(k, v) = readSmallFile(fs, p).trim.split("\t", 2)
+    (k, v)
   }
 
   /** Physical sweep of data the given mapping does not reference:
@@ -127,24 +228,29 @@ object Warehouse {
     * pre-commit, fully superseded merges), and partition subdirs
     * inside still-live batches whose ownership moved to a newer
     * batch. Called by [[vacuum]] with the NEWEST version's mapping —
-    * never automatically by a writer, so every superseded version
-    * stays fully readable ([[readVersion]] time travel) until the
-    * operator explicitly reclaims the space.
+    * never automatically by a writer. Dirs younger than `minAgeMs`
+    * are retained (see [[vacuum]]'s concurrency contract).
     */
   private def sweep(fs: FileSystem, path: String,
-                    live: Map[String, String], partCol: String): Unit = {
+                    live: Map[String, String], partCol: String,
+                    minAgeMs: Long): Unit = {
     val dataDir = new HPath(s"$path/data")
     if (fs.exists(dataDir)) {
-      val ownedBy = live.groupMap(_._2) { case (pv, _) => s"$partCol=$pv" }
+      val ownedBy: Map[String, Set[String]] = live.toSeq
+        .flatMap { case (pv, chain) => chainOf(chain).map(_ -> s"$partCol=$pv") }
+        .groupMap(_._1)(_._2).map { case (b, pvs) => b -> pvs.toSet }
+      val cutoff = System.currentTimeMillis() - minAgeMs
       fs.listStatus(dataDir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("batch=")) {
-          val owned = ownedBy.getOrElse(n.stripPrefix("batch="), Nil).toSet
+          val owned = ownedBy.getOrElse(n.stripPrefix("batch="), Set.empty)
           try {
-            if (owned.isEmpty) fs.delete(st.getPath, true)
-            else fs.listStatus(st.getPath).foreach { sub =>
+            if (owned.isEmpty) {
+              if (st.getModificationTime <= cutoff) fs.delete(st.getPath, true)
+            } else fs.listStatus(st.getPath).foreach { sub =>
               val sn = sub.getPath.getName
-              if (sn.startsWith(s"$partCol=") && !owned.contains(sn))
+              if (sn.startsWith(s"$partCol=") && !owned.contains(sn) &&
+                  sub.getModificationTime <= cutoff)
                 fs.delete(sub.getPath, true)
             }
           } catch { case _: java.io.IOException => () }
@@ -177,11 +283,11 @@ object Warehouse {
     commit(fs, path, 1L, mapping)
   }
 
-  /** The table's current rows. Reads exactly the (batch, partition)
-    * directories the newest version maps — `basePath` keeps both the
-    * synthetic `batch` column and `partCol` inferrable; `batch` is
-    * dropped (the manifest, not the path layout, is the visibility
-    * contract).
+  /** The table's current rows. Chain-free partitions are read exactly
+    * as written (plain columnar scan of the listed dirs); partitions
+    * with delta chains are FOLDED — base ∪ deltas, per-key latest-wins
+    * argmax, tombstones dropped — so a reader always sees the merged
+    * logical state whichever write path produced it.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)
@@ -196,7 +302,8 @@ object Warehouse {
   private def partColOf(fs: FileSystem, path: String,
                         mapping: Map[String, String]): String = {
     // the partition column name is recoverable from any owned dir
-    val (pv, batch) = mapping.head
+    val (pv, chain) = mapping.head
+    val batch = chainOf(chain).head
     val dir = new HPath(s"$path/data/batch=$batch")
     fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collectFirst { case n if n.endsWith(s"=$pv") => n.takeWhile(_ != '=') }
@@ -208,14 +315,81 @@ object Warehouse {
   // the new columns — footer merging surfaces the union schema and
   // old rows read null there (the widening contract); the extra
   // footer pass is per-file metadata, not data
-  private def readMapped(spark: SparkSession, path: String,
-                         mapping: Map[String, String], partCol: String): DataFrame =
+  private def rawRead(spark: SparkSession, path: String,
+                      dirs: Seq[String]): DataFrame =
     spark.read.option("basePath", s"$path/data")
       .option("mergeSchema", "true")
-      .parquet(mapping.toSeq.sorted.map { case (pv, b) =>
+      .parquet(dirs: _*)
+
+  /** Resolve a (possibly chained) mapping to the table's logical rows:
+    * chain-free partitions scan as-is, chained partitions fold. The
+    * split keeps the fold's keyed aggregation off the partitions that
+    * don't need it — at 100 TB the table's cold mass stays a plain
+    * scan and only the actively-merged days pay the fold.
+    */
+  private def readMapped(spark: SparkSession, path: String,
+                         mapping: Map[String, String], partCol: String): DataFrame = {
+    val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
+    val parts = Seq(
+      if (pure.isEmpty) None
+      else Some(rawRead(spark, path, pure.toSeq.sorted.map { case (pv, b) =>
         s"$path/data/batch=$b/$partCol=$pv"
-      }: _*)
-      .drop("batch")
+      }).drop("batch")),
+      if (chained.isEmpty) None
+      else Some(foldRead(spark, path, chained, partCol))).flatten
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** MERGE-ON-READ fold of chained partitions: read every (batch,
+    * partition) link with the synthetic `batch` column retained, rank
+    * each row by its link's position in its partition's chain
+    * (metadata-sized broadcast — the manifest IS the rank source),
+    * then one keyed aggregation picks per key the row with the
+    * highest (version, rank): later deltas beat earlier ones and the
+    * base at equal version — exactly the order sequential CoW merges
+    * would have applied. A winning tombstone drops its key. This is
+    * the read-path half of [[mergeIntoDelta]]'s contract; [[compact]]
+    * materializes the same fold back into a pure base.
+    */
+  private def foldRead(spark: SparkSession, path: String,
+                       chained: Map[String, String], partCol: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val (keyCol, versionCol) = readMeta(fs, path)
+    val entries = chained.toSeq.sorted.flatMap { case (pv, chain) =>
+      chainOf(chain).zipWithIndex.map { case (b, i) =>
+        (b, ExternalCatalogUtils.unescapePathName(pv), i)
+      }
+    }
+    val dirs = entries.map { case (b, _, i) => (b, i) }.distinct.map {
+      case (b, _) => b
+    }
+    // a batch can appear in several partitions' chains; each listed
+    // (batch, partition) dir is read once
+    val dirPaths = chained.toSeq.sorted.flatMap { case (pv, chain) =>
+      chainOf(chain).map(b => s"$path/data/batch=$b/$partCol=$pv")
+    }.distinct
+    require(dirs.nonEmpty, "empty chain mapping")
+    val raw = rawRead(spark, path, dirPaths)
+    val ranks = spark.createDataFrame(
+      entries.map { case (b, pv, i) => RankRow(b, pv, i) })
+    val ranked = raw.join(broadcast(ranks),
+      raw("batch") === ranks("_gb") &&
+        raw(partCol).cast("string") === ranks("_gpv"))
+      .drop("_gb", "_gpv", "batch")
+    val hasDel = raw.columns.contains(DelCol)
+    val del = if (hasDel) coalesce(col(DelCol), lit(false)) else lit(false)
+    val dataCols = raw.columns
+      .filterNot(Set(keyCol, versionCol, partCol, "batch", DelCol)).toSeq
+    ranked
+      .groupBy(keyCol)
+      .agg(max(struct(col(versionCol) +: col("_grank").as("_rk") +:
+        del.as("_del") +: col(partCol).as("_pv") +:
+        dataCols.map(col): _*)).as("_m"))
+      .filter(!col("_m._del"))
+      .select(col(keyCol) +: col(s"_m.$versionCol").as(versionCol) +:
+        col("_m._pv").as(partCol) +:
+        dataCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
 
   /** TIME TRAVEL: the table exactly as version `n` committed it.
     * Writers never delete data (copy-on-write + retained version
@@ -233,11 +407,13 @@ object Warehouse {
     val mapping = readMapping(fs, vf)
     require(mapping.nonEmpty, s"version $n of $path has no live partitions")
     val partCol = partColOf(fs, path, mapping)
-    mapping.toSeq.sorted.foreach { case (pv, b) =>
-      if (!fs.exists(new HPath(s"$path/data/batch=$b/$partCol=$pv")))
-        throw new IllegalStateException(
-          s"version $n of $path references vacuumed data " +
-            s"(batch=$b/$partCol=$pv) - history before the last vacuum is gone")
+    mapping.toSeq.sorted.foreach { case (pv, chain) =>
+      chainOf(chain).foreach { b =>
+        if (!fs.exists(new HPath(s"$path/data/batch=$b/$partCol=$pv")))
+          throw new IllegalStateException(
+            s"version $n of $path references vacuumed data " +
+              s"(batch=$b/$partCol=$pv) - history before the last vacuum is gone")
+      }
     }
     readMapped(spark, path, mapping, partCol)
   }
@@ -249,18 +425,46 @@ object Warehouse {
     * exactly like Delta VACUUM; also reclaims orphan batch dirs of
     * writers that died pre-commit. Returns the number of superseded
     * version files removed.
+    *
+    * CONCURRENCY: `minAgeMs` is the multi-writer safety valve. A
+    * merge in its rewrite-to-commit window has an UNREFERENCED batch
+    * dir on disk; a concurrent vacuum with the default `minAgeMs = 0`
+    * would sweep it and the merge would then commit a mapping
+    * pointing at deleted files. The default therefore requires
+    * EXCLUSIVE access (no writers in flight — the single-operator
+    * cadence); deployments using [[mergeIntoRetrying]] concurrently
+    * must pass a retention comfortably above their longest merge
+    * (Delta's equivalent default is 7 days), which also bounds how
+    * much recent time travel survives the vacuum.
     */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  def vacuum(spark: SparkSession, path: String, minAgeMs: Long = 0L): Int = {
     val fs = fsOf(spark, path)
     val versions = listVersions(fs, path)
     require(versions.nonEmpty, s"no committed version under $path")
     val (newest, newestPath) = versions.maxBy(_._1)
     val mapping = readMapping(fs, newestPath)
-    val old = versions.filter(_._1 < newest)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val old = versions.filter { case (v, p) =>
+      v < newest && fs.getFileStatus(p).getModificationTime <= cutoff
+    }
     // sweep data first: if we die between the two steps, the old
     // version files reference missing dirs and readVersion fails
-    // loudly (never silently serves a partial snapshot)
-    if (mapping.nonEmpty) sweep(fs, path, mapping, partColOf(fs, path, mapping))
+    // loudly (never silently serves a partial snapshot). Age-gated
+    // symmetrically with the version files, so a young superseded
+    // version stays fully readable until it passes the retention.
+    val retained = versions.filter { case (v, p) =>
+      v < newest && fs.getFileStatus(p).getModificationTime > cutoff
+    }
+    val live =
+      if (retained.isEmpty) mapping
+      else mapping ++ retained.flatMap { case (_, p) => readMapping(fs, p) }
+        .groupBy(_._1).map { case (pv, kvs) =>
+          // keep every chain link any retained version references
+          pv -> (kvs.map(_._2) ++ mapping.get(pv))
+            .flatMap(c => c.split(",").toSeq).distinct.mkString(",")
+        }
+    if (live.nonEmpty)
+      sweep(fs, path, live, partColOf(fs, path, mapping), minAgeMs)
     old.foreach { case (_, p) =>
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () }
@@ -268,16 +472,18 @@ object Warehouse {
     old.size
   }
 
-  /** Latest-wins MERGE of `changes` into the table: per key, the row
-    * with the highest `versionCol` survives, change rows winning ties
-    * against stored rows (the CDC arrival order). Only the partitions
-    * present in `changes` are read and rewritten — copy-on-write at
-    * partition granularity: base rows of touched partitions are
-    * reconciled executor-side (union + per-key max-struct argmax, one
-    * keyed shuffle over touched data only), written under a fresh
-    * batch dir, and published with one atomic version commit. Driver
-    * work is partition METADATA only (the touched-value list); rows
-    * never pass through the driver.
+  /** Latest-wins copy-on-write MERGE of `changes` into the table: per
+    * key, the row with the highest `versionCol` survives, change rows
+    * winning ties against stored rows (the CDC arrival order). Only
+    * the partitions present in `changes` are read and rewritten —
+    * copy-on-write at partition granularity: base rows of touched
+    * partitions (delta chains folded first, so CoW and delta commits
+    * compose in any order) are reconciled executor-side (union +
+    * per-key max-struct argmax, one keyed shuffle over touched data
+    * only), written under a fresh batch dir, and published with one
+    * atomic version commit. A touched partition's chain collapses to
+    * the new batch. Driver work is partition METADATA only (the
+    * touched-value list); rows never pass through the driver.
     *
     * `deleteCol` names an optional boolean tombstone column in
     * `changes` (never stored): a change row with it true DELETES the
@@ -286,6 +492,11 @@ object Warehouse {
     * stored row, and a delete of an absent key is a no-op. This is
     * MERGE's third arm (WHEN MATCHED AND ... THEN DELETE); physically
     * the key simply doesn't appear in the rewritten partition.
+    *
+    * Write amplification: a 1-key change rewrites its whole
+    * partition. When that cost dominates (huge partitions, trickle
+    * updates), use [[mergeIntoDelta]] — O(changes) writes, folded at
+    * read — and [[compact]] on a cadence.
     */
   def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
                 keyCol: String, versionCol: String, partCol: String,
@@ -304,16 +515,12 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
-    val touched = changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touched = escapedTouched(changes, partCol)
     require(touched.nonEmpty, "empty change batch")
-    val baseDirs = touched.flatMap(pv =>
-      mapping.get(pv).map(b => s"$path/data/batch=$b/$partCol=$pv"))
+    val baseMap = touched.flatMap(pv => mapping.get(pv).map(pv -> _)).toMap
     val base0 =
-      if (baseDirs.isEmpty) None
-      else Some(spark.read.option("basePath", s"$path/data")
-        .option("mergeSchema", "true")
-        .parquet(baseDirs: _*).drop("batch"))
+      if (baseMap.isEmpty) None
+      else Some(readMapped(spark, path, baseMap, partCol))
     // SCHEMA EVOLUTION: the merged schema is the by-name UNION of the
     // change batch's and the stored table's data columns — a change
     // batch may WIDEN the table (new column: stored rows read null
@@ -361,6 +568,55 @@ object Warehouse {
     val newMapping = (mapping -- touched.filterNot(written)) ++
       written.map(_ -> batchId)
     beforeCommit()
+    commit(fs, path, v + 1, newMapping)
+  }
+
+  /** MERGE-ON-READ delta commit: land `changes` as-is under a new
+    * batch dir and append it to the touched partitions' chains —
+    * write cost O(|changes|) bytes and ZERO shuffle (the partitioned
+    * append is map-only), against [[mergeInto]]'s whole-partition
+    * rewrite. Readers fold the chain per key (see [[read]]); the
+    * fold's latest-wins order (version, then chain position, change
+    * rows of the newest delta beating everything at equal version)
+    * reproduces exactly the state sequential CoW merges would have
+    * left, so the two write paths compose freely on one table.
+    * [[compact]] folds chains back into a pure base — run it on a
+    * cadence (or via [[maintain]]) to bound read-side fold cost.
+    *
+    * `deleteCol` rows become in-file tombstones (a hidden boolean
+    * column): physically APPENDED like any delta row, logically
+    * deleting their key at read time when they win the fold — the
+    * Delta deletion-vector / Iceberg positional-delete idea expressed
+    * at row granularity.
+    *
+    * The first delta commit records the table's merge keys in
+    * `_meta` (readers need them to fold); later commits must use the
+    * same keys.
+    */
+  def mergeIntoDelta(spark: SparkSession, path: String, changes: DataFrame,
+                     keyCol: String, versionCol: String, partCol: String,
+                     deleteCol: Option[String] = None): Unit = {
+    val fs = fsOf(spark, path)
+    val (v, mapping) = snapshot(fs, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path - create() first"))
+    writeMetaIfAbsent(fs, path, keyCol, versionCol)
+    val touched = escapedTouched(changes, partCol)
+    require(touched.nonEmpty, "empty change batch")
+    val toWrite = deleteCol match {
+      case Some(c) =>
+        require(c != DelCol, s"$DelCol is reserved")
+        changes.withColumn(DelCol, coalesce(col(c), lit(false))).drop(c)
+      case None => changes
+    }
+    val batchId = java.util.UUID.randomUUID().toString
+    toWrite.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$path/data/batch=$batchId")
+    val written = partDirs(fs, path, batchId, partCol).toSet
+    val newMapping = mapping ++ written.map(pv =>
+      pv -> (mapping.get(pv) match {
+        case Some(chain) => s"$chain,~$batchId"
+        case None        => s"~$batchId"
+      }))
     commit(fs, path, v + 1, newMapping)
   }
 
@@ -415,15 +671,17 @@ object Warehouse {
     * ever re-reading the table.
     *
     * Scale shape: the manifest diff does the pruning — only
-    * partitions whose OWNER BATCH moved between the two versions can
-    * carry changes (copy-on-write rewrites a whole partition or
-    * leaves it byte-identical), so the scan reads touched partitions
-    * only, never the table; at 100 TB a merge touches days, not
-    * years. Within those, one full-outer join on `keyCol` classifies
-    * rows; a rewritten-but-identical row (reconciled but not changed)
-    * emits nothing. Works across a widening merge: the two sides are
-    * by-name aligned, a pre-widening image reads the new column as
-    * null.
+    * partitions whose CHAIN moved between the two versions can carry
+    * changes (an untouched partition is byte-identical on both
+    * sides), so the scan reads touched partitions only, never the
+    * table; at 100 TB a merge touches days, not years. Delta-commit
+    * partitions fold on each side before diffing, so the feed across
+    * a [[mergeIntoDelta]] commit is the same logical diff a CoW merge
+    * would have produced. Within the moved set, one full-outer join
+    * on `keyCol` classifies rows; a rewritten-but-identical row
+    * (reconciled but not changed) emits nothing. Works across a
+    * widening merge: the two sides are by-name aligned, a
+    * pre-widening image reads the new column as null.
     */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long,
               keyCol: String): DataFrame = {
@@ -490,60 +748,84 @@ object Warehouse {
   }
 
   /** CHANGE LOG: the per-commit history of [[changes]] — one tagged
-    * diff per consecutive version pair from `fromV` to the newest
-    * commit, unioned with a `commit_version` column (named so it can
-    * never collide with the table's own version data column). This is
-    * the replayable event stream a downstream consumer folds to catch
-    * up from any checkpoint: apply commits (checkpoint, newest] in
-    * order and you hold the newest snapshot's state — where a single
+    * diff per consecutive version pair in `(fromV, toV]`, unioned
+    * with a `commit_version` column (named so it can never collide
+    * with the table's own version data column). This is the
+    * replayable event stream a downstream consumer folds to catch up
+    * from any checkpoint: apply commits (checkpoint, newest] in order
+    * and you hold the newest snapshot's state — where a single
     * [[changes]] call over the same range gives the NET diff
-    * (intermediate states collapsed). Version numbers are contiguous
+    * (intermediate states collapsed).
+    *
+    * BOUNDED-PLAN CONTRACT: the union is one `changes()` plan per
+    * commit in the range — linear in the RANGE, so a consumer must
+    * page: pass an explicit `toV` and walk the history in fixed-size
+    * windows (`fromV = lastCheckpoint, toV = fromV + pageSize`),
+    * folding each page before requesting the next. A thousand-commit
+    * table consumed in 20-commit pages never plans more than 20
+    * diffs; calling with the default `toV` (= newest) on such a table
+    * builds a thousand-way union and is refused above `maxCommits`
+    * (raise it explicitly if you really want one giant plan).
+    * WarehouseSpec pins the page-fold law: folding pages in order
+    * reproduces the newest snapshot. Version numbers are contiguous
     * by construction (every commit publishes N+1), and the union is
     * driver-side metadata only — each step's scan is still pruned to
     * its own moved partitions.
     */
   def changeLog(spark: SparkSession, path: String, keyCol: String,
-                fromV: Long = 1L): DataFrame = {
+                fromV: Long = 1L, toV: Option[Long] = None,
+                maxCommits: Int = 64): DataFrame = {
     val fs = fsOf(spark, path)
     val vs = listVersions(fs, path).map(_._1)
     require(vs.nonEmpty, s"no committed version under $path")
     val newest = vs.max
-    require(fromV >= vs.min && fromV < newest,
-      s"need ${vs.min} <= fromV < $newest (newest), got $fromV")
-    (fromV until newest).map { v =>
+    val to = toV.getOrElse(newest)
+    require(to <= newest, s"toV $to exceeds newest committed version $newest")
+    require(fromV >= vs.min && fromV < to,
+      s"need ${vs.min} <= fromV < $to (toV), got $fromV")
+    require(to - fromV <= maxCommits,
+      s"changeLog range ($fromV, $to] spans ${to - fromV} commits > " +
+        s"maxCommits $maxCommits - page the walk (pass toV) or raise maxCommits")
+    (fromV until to).map { v =>
       changes(spark, path, v, v + 1, keyCol)
         .withColumn("commit_version", lit(v + 1))
     }.reduce(_.unionByName(_))
   }
 
-  /** Per-partition (value, batchId, file count, bytes) off the
-    * newest version — the listing [[compact]] plans from, exposed for
-    * specs and ops dashboards. Driver-bounded: one FS listing per
-    * partition, no data read.
+  /** Per-partition (value, chain, file count, bytes) off the newest
+    * version — the listing [[compact]] plans from, exposed for specs
+    * and ops dashboards. For chained partitions the counts sum over
+    * every link. Driver-bounded: one FS listing per (partition,
+    * link), no data read.
     */
   def partitionStats(spark: SparkSession, path: String): Seq[(String, String, Int, Long)] = {
     val fs = fsOf(spark, path)
     val (_, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     val partCol = partColOf(fs, path, mapping)
-    mapping.toSeq.sorted.map { case (pv, b) =>
-      val files = fs.listStatus(new HPath(s"$path/data/batch=$b/$partCol=$pv"))
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      (pv, b, files.length, files.map(_.getLen).sum)
+    mapping.toSeq.sorted.map { case (pv, chain) =>
+      val files = chainOf(chain).flatMap { b =>
+        fs.listStatus(new HPath(s"$path/data/batch=$b/$partCol=$pv"))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      }
+      (pv, chain, files.length, files.map(_.getLen).sum)
     }
   }
 
-  /** Small-file COMPACTION (OPTIMIZE): bin-pack every partition whose
-    * file count exceeds what `targetBytes` calls for into
-    * ceil(bytes/targetBytes) files, in ONE executor-side job — the
-    * selected partitions are read off the current snapshot,
-    * range-repartitioned on (partition, `sortCol`) into the total
-    * file budget, and rewritten under a fresh batch dir; partitions
-    * already at their target keep their exact files. Range
-    * partitioning makes each output file cover a contiguous
-    * (partition, sortCol) slab, so the compacted layout is also
-    * SORTED — min/max row-group stats on `sortCol` become selective
-    * for free. Commit + sweep as [[mergeInto]]; a crash mid-compact
+  /** Small-file COMPACTION (OPTIMIZE): rewrite every partition that
+    * is fragmented (file count above what `targetBytes` calls for) OR
+    * carries a delta chain (merge-on-read debt — the fold is
+    * materialized back into a pure base, tombstones erased
+    * physically). One executor-side job: the selected partitions are
+    * read off the current snapshot (chains folded), range-partitioned
+    * on (partition, `sortCol`) into the total file budget, and
+    * rewritten under a fresh batch dir; partitions already at their
+    * target keep their exact files. Range partitioning makes each
+    * output file cover a contiguous (partition, sortCol) slab, so the
+    * compacted layout is also SORTED — and per-file min/max stats on
+    * `sortCol` are recorded in the batch's `_stats` sidecar (parquet
+    * footers only, no data re-read) for [[readSkipping]]'s file
+    * pruning. Commit + sweep as [[mergeInto]]; a crash mid-compact
     * leaves the fragmented-but-correct table serving. Returns the
     * number of partitions rewritten.
     */
@@ -555,31 +837,190 @@ object Warehouse {
       throw new IllegalStateException(s"no committed version under $path"))
     val partCol = partColOf(fs, path, mapping)
     val stats = partitionStats(spark, path)
-    val frag = stats.filter { case (_, _, nFiles, bytes) =>
-      nFiles > math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val frag = stats.filter { case (_, chain, nFiles, bytes) =>
+      needsFold(chain) ||
+        nFiles > math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
     if (frag.isEmpty) 0
     else {
       val nOut = math.max(1L, frag.map { case (_, _, _, bytes) =>
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       }.sum).toInt
-      val dirs = frag.map { case (pv, b, _, _) =>
-        s"$path/data/batch=$b/$partCol=$pv"
-      }
+      val fragMap = frag.map { case (pv, chain, _, _) => pv -> chain }.toMap
       val batchId = java.util.UUID.randomUUID().toString
-      // mergeSchema: fragmented partitions may span batches written
-      // on either side of a widening merge — the compacted rewrite
-      // must carry the union schema, not a sampled file's
-      spark.read.option("basePath", s"$path/data")
-        .option("mergeSchema", "true").parquet(dirs: _*)
-        .drop("batch")
+      readMapped(spark, path, fragMap, partCol)
         .repartitionByRange(nOut, col(partCol), col(sortCol))
         .sortWithinPartitions(col(partCol), col(sortCol))
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$path/data/batch=$batchId")
-      val newMapping = mapping ++ frag.map(_._1 -> batchId)
+      writeFileStats(spark, path, batchId, sortCol)
+      // a chained partition whose fold is EMPTY (every key tombstoned)
+      // writes no dir and must leave the mapping
+      val written = partDirs(fs, path, batchId, partCol).toSet
+      val newMapping = (mapping -- fragMap.keySet.filterNot(written)) ++
+        written.map(_ -> batchId)
       commit(fs, path, v + 1, newMapping)
       frag.length
     }
   }
+
+  /** MAINTENANCE CADENCE: run [[compact]] when the commit count says
+    * it is due — every `everyNCommits` committed versions. The hook a
+    * streaming writer calls after each micro-batch merge (st19) so a
+    * table ingesting one batch dir per micro-batch keeps a bounded
+    * file count AND bounded delta chains without a separate
+    * scheduler; the modular test costs one manifest read when not
+    * due. Returns true when a compaction ran and rewrote something.
+    */
+  def maintain(spark: SparkSession, path: String, sortCol: String,
+               targetBytes: Long, everyNCommits: Int): Boolean = {
+    require(everyNCommits >= 1, s"everyNCommits must be >= 1, got $everyNCommits")
+    val fs = fsOf(spark, path)
+    val (v, _) = snapshot(fs, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
+    v % everyNCommits == 0 && compact(spark, path, sortCol, targetBytes) > 0
+  }
+
+  // ---------------------------------------------------------------
+  // file-level statistics (data skipping)
+  // ---------------------------------------------------------------
+
+  /** Record per-file min/max of `statsCol` for every data file under
+    * the batch dir, from PARQUET FOOTERS ONLY (metadata read, no data
+    * pass), into the batch's `_stats` sidecar: lines
+    * "relative/file\tmin\tmax" with values as signed longs. Only
+    * integral physical types (INT64/INT32 — longs, ints, dates) are
+    * recorded; other types or files without footer stats simply get
+    * no line, which [[readSkipping]] treats as unprunable — stats are
+    * an OPTIMIZATION layer, absence is always correctness-safe.
+    */
+  private def writeFileStats(spark: SparkSession, path: String,
+                             batchId: String, statsCol: String): Unit = {
+    val fs = fsOf(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batchDir = new HPath(s"$path/data/batch=$batchId")
+    if (!fs.exists(batchDir)) return
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(batchDir).filter(_.isDirectory).foreach { sub =>
+      fs.listStatus(sub.getPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          minMaxOf(conf, st.getPath, statsCol).foreach { case (lo, hi) =>
+            lines += s"${sub.getPath.getName}/${st.getPath.getName}\t$lo\t$hi"
+          }
+        }
+    }
+    if (lines.nonEmpty) {
+      val out = fs.create(new HPath(batchDir, "_stats"), true)
+      try out.write((s"$statsCol\n" + lines.mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Footer-only (min, max) of an integral column across a file's row
+    * groups; None when the column is absent, non-integral, or lacks
+    * complete statistics.
+    */
+  private def minMaxOf(conf: org.apache.hadoop.conf.Configuration,
+                       file: HPath, statsCol: String): Option[(Long, Long)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var seen = false
+      val blocks = reader.getFooter.getBlocks
+      var i = 0
+      while (i < blocks.size()) {
+        val cols = blocks.get(i).getColumns
+        var j = 0
+        while (j < cols.size()) {
+          val c = cols.get(j)
+          if (c.getPath.toDotString == statsCol) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+            val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, b: java.lang.Long) => (a.longValue, b.longValue)
+              case (a: java.lang.Integer, b: java.lang.Integer) => (a.longValue, b.longValue)
+              case _ => return None
+            }
+            lo = math.min(lo, mn); hi = math.max(hi, mx); seen = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (seen) Some((lo, hi)) else None
+    } finally reader.close()
+  }
+
+  private def readStats(fs: FileSystem, path: String, batchId: String):
+      Option[(String, Map[String, (Long, Long)])] = {
+    val p = new HPath(s"$path/data/batch=$batchId/_stats")
+    if (!fs.exists(p)) None
+    else {
+      val ls = readSmallFile(fs, p).split("\n").filter(_.nonEmpty)
+      Some((ls.head, ls.tail.map { l =>
+        val Array(rel, lo, hi) = l.split("\t", 3)
+        rel -> (lo.toLong, hi.toLong)
+      }.toMap))
+    }
+  }
+
+  /** DATA-SKIPPING read: the table's rows with `statsCol` in
+    * `[lo, hi]`, opening only the files whose recorded min/max range
+    * intersects the bound — the Delta/Iceberg file-pruning layer
+    * below partition pruning. Per chain-free partition, files with
+    * stats outside the range are skipped BEFORE the scan (at 100 TB,
+    * a point lookup on a compacted sort column opens one file per
+    * partition instead of all of them); files without stats, and
+    * delta-chained partitions (whose fold must see every version of
+    * every key before filtering — pruning pre-fold could resurrect a
+    * superseded row), are read in full. Result is EXACTLY
+    * `read().filter(statsCol between lo and hi)` — the m11 oracle —
+    * because the residual filter still applies to every surviving
+    * row; stats only decide which files open.
+    */
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+                   lo: Long, hi: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val (_, mapping) = snapshot(fs, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
+    require(mapping.nonEmpty, s"table at $path has no live partitions")
+    val partCol = partColOf(fs, path, mapping)
+    val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
+    val statsByBatch = scala.collection.mutable.Map[String, Option[(String, Map[String, (Long, Long)])]]()
+    val (keptFiles, wholeDirs) = pure.toSeq.sorted.foldLeft(
+      (Vector.empty[String], Vector.empty[String])) {
+      case ((files, dirs), (pv, b)) =>
+        statsByBatch.getOrElseUpdate(b, readStats(fs, path, b)) match {
+          case Some((c, byFile)) if c == statsCol =>
+            val dir = s"$path/data/batch=$b/$partCol=$pv"
+            val kept = fs.listStatus(new HPath(dir))
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .toVector.flatMap { st =>
+                byFile.get(s"$partCol=$pv/${st.getPath.getName}") match {
+                  case Some((mn, mx)) if mx < lo || mn > hi => None // skipped
+                  case _ => Some(s"$dir/${st.getPath.getName}")
+                }
+              }
+            (files ++ kept, dirs)
+          case _ =>
+            (files, dirs :+ s"$path/data/batch=$b/$partCol=$pv")
+        }
+    }
+    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    val scans = Seq(
+      if (keptFiles.isEmpty && wholeDirs.isEmpty) None
+      else Some(rawRead(spark, path, wholeDirs ++ keptFiles).drop("batch")),
+      if (chained.isEmpty) None
+      else Some(foldRead(spark, path, chained, partCol))).flatten
+    if (scans.isEmpty)
+      // everything skipped: an empty frame with the table's schema
+      readMapped(spark, path, mapping, partCol).filter(lit(false))
+    else scans.reduce(_.unionByName(_, allowMissingColumns = true)).filter(pred)
+  }
+
+  /** The case class behind [[foldRead]]'s rank broadcast. */
+  private case class RankRow(_gb: String, _gpv: String, _grank: Int)
 }
