@@ -59,6 +59,73 @@ object WarehouseQueries {
         "event_id", "version", "dt", deleteCol = Some("is_del"))
     }
 
+  /** m8's three-version table (create; CoW update merge; CoW
+    * delete+update merge), built once per (sfDir, JVM). Shared by m8
+    * (full change log) and m12 (one bounded page of it).
+    */
+  private def m8Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m8wh", "graft_m8wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"),
+          unix_micros(col("ts")).as("version"))
+      Warehouse.create(s, p, ev, "dt")
+      val a = ev.filter(col("event_id") % 41 === 1)
+        .withColumn("user_id", col("user_id") + 3000000L)
+        .withColumn("version", col("version") + 1L)
+      Warehouse.mergeInto(s, p, a, "event_id", "version", "dt")
+      val dels = ev.filter(col("event_id") % 43 === 2)
+        .withColumn("version", col("version") + 2L)
+        .withColumn("is_del", lit(true))
+      val ups = ev.filter(col("event_id") % 47 === 3 &&
+          col("event_id") % 43 =!= 2)
+        .withColumn("user_id", col("user_id") + 4000000L)
+        .withColumn("version", col("version") + 2L)
+        .withColumn("is_del", lit(false))
+      Warehouse.mergeInto(s, p, dels.unionByName(ups),
+        "event_id", "version", "dt", deleteCol = Some("is_del"))
+    }
+
+  /** m9/m10's MERGE-ON-READ table, built once per (sfDir, JVM):
+    * version 1 = events minus the % 53 == 4 slice; delta commit 2
+    * re-inserts that slice and shifts user_id on the % 59 == 6 slice;
+    * delta commit 3 tombstones the % 61 == 9 slice. Both deltas are
+    * O(changes)-byte appends (no partition rewritten — the
+    * WarehouseDeltaSpec write-amplification arm pins that claim);
+    * readers fold the chains. m9 reads the fold; m10 compacts the
+    * chains back into a pure base and reads the collapsed layout —
+    * both must serve the identical logical state the oracle recomputes
+    * from the events table alone.
+    */
+  private def m9Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m9wh", "graft_m9wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"),
+          unix_micros(col("ts")).as("version"))
+      Warehouse.create(s, p, ev.filter(col("event_id") % 53 =!= 4), "dt")
+      val d1 = ev
+        .filter(col("event_id") % 53 === 4 || col("event_id") % 59 === 6)
+        .withColumn("user_id",
+          when(col("event_id") % 59 === 6, col("user_id") + 5000000L)
+            .otherwise(col("user_id")))
+        .withColumn("version", col("version") + 1L)
+      Warehouse.mergeIntoDelta(s, p, d1, "event_id", "version", "dt")
+      val d2 = ev.filter(col("event_id") % 61 === 9)
+        .withColumn("version", col("version") + 2L)
+        .withColumn("is_del", lit(true))
+      Warehouse.mergeIntoDelta(s, p, d2, "event_id", "version", "dt",
+        deleteCol = Some("is_del"))
+    }
+
+  private val m9OracleSql =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 59 = 6 THEN user_id + 5000000
+      |       ELSE user_id END AS user_id,
+      |  event_type, CAST(ts AS DATE) AS dt
+      |FROM events WHERE event_id % 61 <> 9
+      |ORDER BY event_id""".stripMargin
+
   def qs: Seq[Q] = Seq(
 
     // M1 — MERGE INTO a day-partitioned parquet table, copy-on-write
@@ -267,28 +334,7 @@ object WarehouseQueries {
     // including the overlap arithmetic.
     Q("m8_change_log",
       (s, d) => {
-        val path = TempArtifacts.getOrBuild(s"$d#m8wh", "graft_m8wh") { p =>
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              to_date(col("ts")).as("dt"),
-              unix_micros(col("ts")).as("version"))
-          Warehouse.create(s, p, ev, "dt")
-          val a = ev.filter(col("event_id") % 41 === 1)
-            .withColumn("user_id", col("user_id") + 3000000L)
-            .withColumn("version", col("version") + 1L)
-          Warehouse.mergeInto(s, p, a, "event_id", "version", "dt")
-          val dels = ev.filter(col("event_id") % 43 === 2)
-            .withColumn("version", col("version") + 2L)
-            .withColumn("is_del", lit(true))
-          val ups = ev.filter(col("event_id") % 47 === 3 &&
-              col("event_id") % 43 =!= 2)
-            .withColumn("user_id", col("user_id") + 4000000L)
-            .withColumn("version", col("version") + 2L)
-            .withColumn("is_del", lit(false))
-          Warehouse.mergeInto(s, p, dels.unionByName(ups),
-            "event_id", "version", "dt", deleteCol = Some("is_del"))
-        }
-        Warehouse.changeLog(s, path, "event_id")
+        Warehouse.changeLog(s, m8Table(s, d), "event_id")
           .select(col("commit_version"), col("event_id"), col("change_type"),
             col("user_id"), col("event_type"), col("dt"))
           .orderBy("commit_version", "event_id", "change_type")
@@ -352,6 +398,107 @@ object WarehouseQueries {
       Some("""SELECT CAST(ts AS DATE) AS dt, count(*) AS n_events,
              |  CAST(sum(user_id) AS BIGINT) AS sum_user,
              |  min(event_id) AS min_event, max(event_id) AS max_event
-             |FROM events GROUP BY 1 ORDER BY dt""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY dt""".stripMargin)),
+
+    // M9 — MERGE-ON-READ: the write path for trickle updates against
+    // huge partitions, where copy-on-write's amplification (1-key
+    // change → whole 300 GB day rewritten) is the wrong trade. Both
+    // commits land the change rows ALONE as appended delta batches
+    // (O(changes) bytes, zero shuffle — the map-only partitioned
+    // append); the read folds base ∪ deltas per key with the same
+    // latest-wins argmax the CoW merge runs at write time, tombstones
+    // dropping their key. Chain-free partitions stay a plain columnar
+    // scan — only the actively-merged days pay the fold. The oracle
+    // recomputes the end state from the events table alone, so this
+    // checks the full create → delta-append → fold round trip.
+    Q("m9_merge_on_read",
+      (s, d) => {
+        Warehouse.read(s, m9Table(s, d))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some(m9OracleSql)),
+
+    // M10 — delta-chain COMPACTION: fold the merge-on-read debt back
+    // into a pure base. compact() detects m9's chained partitions,
+    // materializes the fold (tombstones erased physically), range-sorts
+    // the rewrite, and collapses each chain to one batch in a single
+    // atomic commit — after which the same logical state serves from a
+    // plain scan with zero fold cost. Same oracle as m9: the lifecycle
+    // invariant is that NO maintenance operation may change a visible
+    // row (m9's later reads of the shared table stay green too —
+    // fold-then-compact and compact-then-scan must agree).
+    Q("m10_delta_compact",
+      (s, d) => {
+        val path = m9Table(s, d)
+        Warehouse.compact(s, path, "event_id", targetBytes = 64L << 20): Unit
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some(m9OracleSql)),
+
+    // M11 — FILE-LEVEL DATA SKIPPING: the pruning layer below
+    // partition pruning. The fixture table is written fragmented, then
+    // compacted sorted on event_id — compaction records each file's
+    // event_id min/max from parquet FOOTERS (metadata pass, no data
+    // read) in the batch's _stats sidecar. readSkipping opens only the
+    // files whose range intersects [10, 500] (WarehouseDeltaSpec
+    // asserts inputFiles shrinks) and the residual filter keeps the
+    // result exactly equal to the unpruned filtered scan — which is
+    // what the oracle replays. At 100 TB this is a point lookup
+    // opening one file per day instead of all of them.
+    Q("m11_data_skipping",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m11wh", "graft_m11wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev.repartition(16), "dt")
+          val bytes = Warehouse.partitionStats(s, p).map(_._4).sum
+          Warehouse.compact(s, p, "event_id",
+            targetBytes = math.max(1L, bytes / 12)): Unit
+        }
+        Warehouse.readSkipping(s, path, "event_id", 10L, 500L)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id BETWEEN 10 AND 500
+             |ORDER BY event_id""".stripMargin)),
+
+    // M12 — BOUNDED CHANGE-LOG PAGE: the consumer contract that keeps
+    // a thousand-commit history from ever building a thousand-way
+    // union plan. One page of m8's log — commits in (2, 3] — planned
+    // alone: the page is the unit a catch-up consumer folds before
+    // requesting the next (WarehouseDeltaSpec pins the page-fold law
+    // over a 24-commit history; changeLog REFUSES an unpaged walk
+    // above maxCommits). The oracle rebuilds exactly commit 3's diff,
+    // with version-2 preimages reflecting what commit 2 left there.
+    Q("m12_change_log_page",
+      (s, d) => {
+        Warehouse.changeLog(s, m8Table(s, d), "event_id",
+            fromV = 2L, toV = Some(3L))
+          .select(col("commit_version"), col("event_id"), col("change_type"),
+            col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id", "change_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT CAST(3 AS BIGINT) AS commit_version, event_id,
+             |       'delete' AS change_type,
+             |       CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+             |            ELSE user_id END AS user_id, event_type, dt
+             |FROM ev WHERE event_id % 43 = 2
+             |UNION ALL
+             |SELECT 3, event_id, 'update_preimage',
+             |       CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+             |            ELSE user_id END, event_type, dt
+             |FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
+             |UNION ALL
+             |SELECT 3, event_id, 'update_postimage',
+             |       user_id + 4000000, event_type, dt
+             |FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
+             |ORDER BY event_id, change_type""".stripMargin))
   )
 }
