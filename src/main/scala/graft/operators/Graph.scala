@@ -104,7 +104,15 @@ object Graph {
           col("deg"))
         .localCheckpoint()
     }
-    score.select(col("node"), col("score"))
+    // the loop's last localCheckpoint already materialized the final
+    // state (eager), so the pinned inputs can release their executor
+    // storage now instead of leaking cached blocks across a long
+    // session (iters == 0 returns the degN projection, which must
+    // materialize before its parent unpins)
+    val result = if (iters == 0) score.localCheckpoint() else score
+    pinned.unpersist()
+    degN.unpersist()
+    result.select(col("node"), col("score"))
   }
 
   /** Per-node TRIANGLE counts over an undirected edge list — the
@@ -134,33 +142,57 @@ object Graph {
     * orientation), joined back to the edge list on each endpoint,
     * and intersected ROW-LOCALLY (`array_intersect`); only actual
     * triangle corners leave the stage, into one final per-node sum.
-    * The adjacency frame broadcasts by default; pass
-    * `broadcastAdj = false` when it exceeds broadcast size (billions
-    * of edges) — the same algebra runs as two shuffled joins on the
-    * edge list. Output rows exist only for nodes in at least one
-    * triangle.
+    *
+    * The adjacency frame is |E|-sized, so whether it can broadcast is
+    * a DATA property, not a default: by default the choice is made
+    * from the measured canonical edge count (the count also
+    * materializes the pinned edge frame every later stage reads, so
+    * it costs nothing extra) against `broadcastMaxEdges`; pass
+    * `broadcastAdj = Some(...)` to force either mode. Above the
+    * threshold the same algebra runs as two shuffled joins on the
+    * edge list — billion-edge graphs never funnel through the driver.
+    * Output rows exist only for nodes in at least one triangle.
     *
     * @param edges (a, b) undirected pair frame, any multiplicity
-    * @param broadcastAdj broadcast the out-adjacency frame into the
-    *              two endpoint joins (default); disable for edge
-    *              sets too large to broadcast
+    * @param broadcastAdj force broadcasting (Some(true)) or shuffling
+    *              (Some(false)) the out-adjacency frame into the two
+    *              endpoint joins; None (default) = decide from the
+    *              measured edge count
+    * @param broadcastMaxEdges auto-mode threshold: broadcast while
+    *              |E| is at most this (default 20M edges ≈ a few
+    *              hundred MB of adjacency arrays — comfortable for a
+    *              cluster driver, far under Spark's 8 GB cap)
+    * @param materialize eagerly checkpoint the (node-sized) result and
+    *              release the two |E|-sized internal pins (default —
+    *              a long-lived session never accumulates cached
+    *              blocks). false returns the LAZY plan with the pins
+    *              left in place: the caller owns cleanup; used by the
+    *              plan-shape specs, which need the join tree visible
     * @return (node, n_triangles), one row per triangle-participating node
     */
   def triangleCounts(edges: DataFrame,
-      broadcastAdj: Boolean = true): DataFrame = {
+      broadcastAdj: Option[Boolean] = None,
+      broadcastMaxEdges: Long = 20000000L,
+      materialize: Boolean = true): DataFrame = {
     val canon = edges.select(
         least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the count is the size-based mode choice AND the materialization
+    // of the pin (every later stage reads the cached frame)
+    val doBroadcast = broadcastAdj.getOrElse(canon.count() <= broadcastMaxEdges)
     // degree in ONE pass (explode both endpoints); the node-sized
     // frame broadcasts into the orientation joins under the same
     // size assumption as the adjacency
     val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // shuffled mode means NEVER broadcast — the caller (or the
+    // measured edge count) says the frame exceeds driver capacity, so
+    // the merge hint forbids Catalyst from re-deciding off stats
     def degAs(k: String, out: String) = {
       val d = deg.select(col("node").as(k), col("deg").as(out))
-      if (broadcastAdj) broadcast(d) else d
+      if (doBroadcast) broadcast(d) else d.hint("merge")
     }
     val oriented = canon
       .join(degAs("a", "da"), Seq("a"))
@@ -174,7 +206,7 @@ object Graph {
     val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
     def adjAs(k: String, out: String) = {
       val a = adj.select(col("src").as(k), col("nbrs").as(out))
-      if (broadcastAdj) broadcast(a) else a
+      if (doBroadcast) broadcast(a) else a.hint("merge")
     }
     // inner joins: an endpoint with no out-neighbors closes nothing
     val tri = oriented.select(col("src").as("x"), col("dst").as("y"))
@@ -185,11 +217,21 @@ object Graph {
       .filter(size(col("zs")) > 0)
     // corner credit in one explode: x and y each count every z this
     // edge closes; each z counts once
-    tri.select(explode(concat(
+    val counts = tri.select(explode(concat(
         array(struct(col("x").as("node"), size(col("zs")).cast("long").as("w")),
           struct(col("y").as("node"), size(col("zs")).cast("long").as("w"))),
         transform(col("zs"), z => struct(z.as("node"), lit(1L).as("w"))))).as("c"))
       .select(col("c.node").as("node"), col("c.w").as("w"))
       .groupBy("node").agg(sum("w").as("n_triangles"))
+    if (!materialize) counts
+    else {
+      // node-sized result; materializing it here (eager checkpoint)
+      // lets the two |E|-sized pins release their storage instead of
+      // leaking cached blocks across a long session
+      val out = counts.localCheckpoint()
+      canon.unpersist()
+      oriented.unpersist()
+      out
+    }
   }
 }

@@ -85,16 +85,20 @@ object Relational {
       .withColumn("_matched", last(col(valueCol), ignoreNulls = true).over(w))
     // TOLERANCE (pandas merge_asof): a backward match older than the
     // bound is dropped, not substituted. The matched row's OWN ts
-    // rides a second last() stacked on the SAME window (right-side
-    // rows carry both columns non-null, so both aggregates resolve to
-    // the same row) — still one shuffle, one sort. Requires a
+    // rides a second last() stacked on the SAME window — conditioned
+    // on valueCol NON-NULL exactly like `_matched`'s ignoreNulls, so
+    // BOTH aggregates resolve to the same right row even when a
+    // trailing right row carries a null value (otherwise _mts would
+    // advance past the matched row and the tolerance would measure
+    // the wrong gap) — still one shuffle, one sort. Requires a
     // TimestampType `tsCol` (distance is measured in microseconds).
     val bounded = toleranceMicros.fold(base) { tol =>
       require(left.schema(tsCol).dataType ==
           org.apache.spark.sql.types.TimestampType,
         s"toleranceMicros needs a TimestampType $tsCol")
       base
-        .withColumn("_mts", last(when(col("_asof_side") === 0, col(tsCol)),
+        .withColumn("_mts", last(when(col("_asof_side") === 0 &&
+            col(valueCol).isNotNull, col(tsCol)),
           ignoreNulls = true).over(w))
         .withColumn("_matched", when(
           unix_micros(col(tsCol)) - unix_micros(col("_mts")) <= tol,

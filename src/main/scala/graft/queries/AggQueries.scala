@@ -28,6 +28,43 @@ object AggQueries {
   private def sumDec(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
+  /** Order CO-OCCURRENCE artifact shared by g31 (triangles) and g33
+    * (item-item similarity) — both consume the same per-order
+    * distinct-part structure, and rebuilding it per query was the two
+    * worst rows of the r12 bench (~12 % of the whole suite). Built
+    * once per (sfDir, JVM) via [[TempArtifacts]], the d8/v12 memoized
+    * pattern: ONE order-keyed shuffle produces the sorted part sets,
+    * then two map-only explodes write
+    *
+    *  - `deg`  — (p, d): #orders containing part p (set semantics),
+    *  - `co`   — (a, b, c): canonical a < b part pairs with their
+    *             co-order count (per-order fan-out is order-size²,
+    *             bounded by order width, never parts²),
+    *
+    * as parquet. g31 reads `co`'s pair list (already distinct — its
+    * canonicalizing DISTINCT then dedups nothing); g33 reads both and
+    * scores Jaccard off the counts. Registry order makes g31 pay the
+    * build; g33 (and any future co-occurrence op) reads steady-state.
+    */
+  private def coPurchase(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.engine.TempArtifacts.getOrBuild(s"$d#copurchase", "graft_copurchase") { p =>
+      val sets = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+        .write.mode("overwrite").parquet(s"$p/deg")
+      sets.select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$p/co")
+      sets.unpersist(): Unit
+    }
+
   /** sql7's bounded-recursion depth. Semantic, not tuning: chains
     * longer than the cap TRUNCATE at this depth (each recursion level
     * is a full Spark job, so the cap also bounds the fixpoint's round
@@ -1172,18 +1209,12 @@ object AggQueries {
     // triangle is counted, never WHETHER).
     Q("g31_triangles",
       (s, d) => {
-        // pair generation rides ONE order-keyed shuffle (per-order
-        // distinct part set, then array-local pair enumeration — the
-        // g33 shape); triangleCounts' canonical distinct dedups the
-        // cross-order repeats
-        val pairs = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-            .as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
+        // the edge list is the shared co-occurrence artifact's pair
+        // frame (one order-keyed shuffle, paid once for g31 AND g33);
+        // triangleCounts sizes its own broadcast-vs-shuffle choice
+        // from the measured edge count
+        val pairs = s.read.parquet(s"${coPurchase(s, d)}/co")
+          .select(col("a"), col("b"))
         graft.operators.Graph.triangleCounts(pairs)
           .orderBy("node")
       },
@@ -1249,23 +1280,13 @@ object AggQueries {
     // full scored pair list through a rank window.
     Q("g33_item_similarity",
       (s, d) => {
-        // ONE order-keyed shuffle builds the per-order distinct part
-        // set; pair enumeration and the degree explode are then
-        // map-only off the pinned sets (the self-join alternative
-        // pays a distinct shuffle AND a re-shuffle of both join
-        // sides; per-order fan-out is order-size², bounded)
-        val sets = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deg = sets.select(explode(col("ps")).as("p"))
-          .groupBy("p").agg(count(lit(1)).as("d"))
-        val co = sets.select(explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-            .as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        // both inputs come pre-reduced from the shared co-occurrence
+        // artifact (g31 paid the one order-keyed shuffle that built
+        // it); from here everything is map-only + broadcast joins +
+        // the bounded k-heap
+        val base = coPurchase(s, d)
+        val deg = s.read.parquet(s"$base/deg")
+        val co = s.read.parquet(s"$base/co")
         val sym = co.unionByName(
           co.select(col("b").as("a"), col("a").as("b"), col("c")))
         val scored = sym

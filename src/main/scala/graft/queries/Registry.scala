@@ -31,9 +31,10 @@ object Registry {
     * ordering is part of the measurement contract — every shared
     * artifact ([[SimilarityQueries]] memoized indexes/clusterings) is
     * DEFINED before its readers (d9 before d10/st8, d8 before
-    * c6/c8/c9, t9 before c9, v12 before d11), so the query that owns
-    * a build pays for it and every later row measures steady-state
-    * cost. A hash-ordered Map made one-time builds land on arbitrary
+    * c6/c8/c9, t9 before c9, v12 before d11, g31 before g33 — the
+    * shared order co-occurrence artifact, m8 before m12, m9 before
+    * m10), so the query that owns a build pays for it and every later
+    * row measures steady-state cost. A hash-ordered Map made one-time builds land on arbitrary
     * rows (r8: d10 carried d9's index build).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

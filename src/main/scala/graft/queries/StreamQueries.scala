@@ -650,6 +650,15 @@ object StreamQueries {
           } { (batch, _) =>
             graft.io.Warehouse.mergeInto(s, p, latest(batch),
               "user_id", "ts_us", "bucket")
+            // AUTO-MAINTENANCE: a streaming merge lands one batch dir
+            // per micro-batch, so the table fragments at the trigger
+            // cadence; folding every 4th commit keeps file count (and
+            // any future delta chains) bounded without a separate
+            // scheduler — compaction never changes a visible row, so
+            // the end-state oracle is unaffected (WarehouseDeltaSpec
+            // pins the bounded-file-count claim under this cadence)
+            graft.io.Warehouse.maintain(s, p, "user_id",
+              targetBytes = 64L << 20, everyNCommits = 4): Unit
           }
         }
         graft.io.Warehouse.read(s, path)

@@ -98,5 +98,15 @@ class GraphSpec extends AnyFunSuite {
     // triangle-free graph: EMPTY output, not zero rows per node
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assert(Graph.triangleCounts(path).count() == 0)
+    // the SHUFFLED fallback (what auto mode picks past
+    // broadcastMaxEdges) computes the identical counts — same algebra,
+    // different exchange strategy; auto with a tiny threshold must
+    // route there too
+    val shuffled = Graph.triangleCounts(edges, broadcastAdj = Some(false))
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == got, s"shuffled mode diverged: $shuffled")
+    val auto = Graph.triangleCounts(edges, broadcastMaxEdges = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(auto == got, s"auto-shuffled mode diverged: $auto")
   }
 }

@@ -106,17 +106,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assertSingleHashShuffle("j14_scd2")
   }
 
-  test("g31 triangles never shuffles a join: every join is broadcast (no wedge mass on the wire)") {
+  /** g31's pair source, rebuilt inline: the registry query reads the
+    * memoized co-occurrence artifact and returns a MATERIALIZED
+    * (checkpointed) result whose final plan hides the join tree, so
+    * the triangle pins drive the operator directly in lazy mode.
+    */
+  private def trianglePairs = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+  }
+
+  test("g31 triangles (broadcast mode) never shuffles a join: every join is broadcast (no wedge mass on the wire)") {
     // the edge-iterator's entire point: degree attach and adjacency
     // intersect ride broadcast joins, so the Σout-deg² wedge/intersect
     // mass is generated and consumed inside map stages — a
     // SortMerge/ShuffledHash join here means candidate pairs are
     // crossing an exchange again (the 35 s first cut)
-    val plan = graft.queries.Registry.queries("g31_triangles")(spark, d)
+    val plan = graft.operators.Graph
+      .triangleCounts(trianglePairs, materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"g31 has a shuffled join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"g31 lost its broadcast joins:\n$plan")
+  }
+
+  test("triangles shuffled mode: no broadcast of the |E|-sized adjacency — the billion-edge fallback plans shuffled joins") {
+    // forced Some(false) (what auto mode picks past broadcastMaxEdges):
+    // the SAME algebra must run with the adjacency shuffled, never
+    // funneled through the driver
+    val plan = graft.operators.Graph
+      .triangleCounts(trianglePairs, broadcastAdj = Some(false),
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"shuffled mode must plan shuffled joins:\n$plan")
   }
 
   test("g32 cohort retention: one user shuffle + one output-sized aggregate shuffle") {

@@ -170,6 +170,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None))
   }
 
+  test("asofJoin tolerance measures the gap to the MATCHED row when a newer right row carries a null value") {
+    // view@0 (id 900) is the match (null values are skipped by the
+    // ignoreNulls last()); the null-valued view@900000 must NOT
+    // advance the tolerance clock — pre-fix the gap was measured to
+    // it (100ms, inside the bound) instead of to view@0 (1.0s+1µs,
+    // past the bound), wrongly keeping a too-old match
+    val clicks = Seq((1L, 1000001L, 10L))
+      .toDF("user_id", "us", "click_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val views = Seq((1L, 0L, Some(900L)), (1L, 900000L, None))
+      .toDF("user_id", "us", "view_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = Relational.asofJoin(clicks, views, Seq("user_id"), "ts", "view_id",
+        toleranceMicros = Some(1000000L))
+      .select("click_id", "view_id").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> None),
+      "match older than the bound must drop even behind a null-valued right row")
+  }
+
   test("parseTimestamps converts ISO strings with offsets to UTC-naive instants (F9)") {
     val df = Seq(("2024-03-01T12:00:00-04:00", "2024-03-01T00:00:00")).toDF("a", "b")
     val out = Relational.parseTimestamps(df, Seq("a", "b"))
