@@ -595,10 +595,39 @@ object Warehouse {
     */
   def mergeIntoDelta(spark: SparkSession, path: String, changes: DataFrame,
                      keyCol: String, versionCol: String, partCol: String,
-                     deleteCol: Option[String] = None): Unit = {
+                     deleteCol: Option[String] = None): Unit =
+    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol, partCol,
+      deleteCol, 1, _ => () => ()): Unit
+
+  /** OPTIMISTIC-CONCURRENCY [[mergeIntoDelta]]. Where a CoW rebase
+    * re-runs the whole reconcile-and-rewrite ([[mergeIntoRetrying]]),
+    * a delta rebase is O(1): the appended batch dir is already on
+    * disk and versioned data is never mutated, so the loser only
+    * re-snapshots and re-publishes the manifest with its batch
+    * appended to the NEW current chains — no data is rewritten,
+    * retry cost is one manifest read + one commit. Serialization
+    * safety is the same latest-wins algebra: whichever order racing
+    * deltas land in the chain is the order their equal-version rows
+    * tie-break, exactly as if they had committed sequentially.
+    * Returns the attempts used; throws the last race error after
+    * `maxAttempts`.
+    */
+  def mergeIntoDeltaRetrying(spark: SparkSession, path: String,
+                     changes: DataFrame, keyCol: String, versionCol: String,
+                     partCol: String, deleteCol: Option[String] = None,
+                     maxAttempts: Int = 5): Int =
+    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol, partCol,
+      deleteCol, maxAttempts, _ => () => ())
+
+  /** Delta-commit core with a per-attempt pre-commit test seam. */
+  private[graft] def mergeIntoDeltaHooked(spark: SparkSession, path: String,
+                     changes: DataFrame, keyCol: String, versionCol: String,
+                     partCol: String, deleteCol: Option[String],
+                     maxAttempts: Int, hookFor: Int => () => Unit): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
-    val (v, mapping) = snapshot(fs, path).getOrElse(
-      throw new IllegalStateException(s"no committed version under $path - create() first"))
+    require(snapshot(fs, path).nonEmpty,
+      s"no committed version under $path - create() first")
     writeMetaIfAbsent(fs, path, keyCol, versionCol)
     val touched = escapedTouched(changes, partCol)
     require(touched.nonEmpty, "empty change batch")
@@ -608,16 +637,32 @@ object Warehouse {
         changes.withColumn(DelCol, coalesce(col(c), lit(false))).drop(c)
       case None => changes
     }
+    // the data lands ONCE, before the commit loop — a lost race never
+    // rewrites it, only re-publishes the manifest
     val batchId = java.util.UUID.randomUUID().toString
     toWrite.write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$path/data/batch=$batchId")
     val written = partDirs(fs, path, batchId, partCol).toSet
-    val newMapping = mapping ++ written.map(pv =>
-      pv -> (mapping.get(pv) match {
-        case Some(chain) => s"$chain,~$batchId"
-        case None        => s"~$batchId"
-      }))
-    commit(fs, path, v + 1, newMapping)
+    var attempt = 1
+    while (true) {
+      val (v, mapping) = snapshot(fs, path).get
+      val newMapping = mapping ++ written.map(pv =>
+        pv -> (mapping.get(pv) match {
+          case Some(chain) => s"$chain,~$batchId"
+          case None        => s"~$batchId"
+        }))
+      hookFor(attempt)()
+      try {
+        commit(fs, path, v + 1, newMapping)
+        return attempt
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    attempt // unreachable
   }
 
   /** OPTIMISTIC-CONCURRENCY [[mergeInto]]: on a commit race (another

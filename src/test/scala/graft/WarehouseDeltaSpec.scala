@@ -251,6 +251,48 @@ class WarehouseDeltaSpec extends AnyFunSuite {
     assert(state == newest, s"paged fold $state != newest $newest")
   }
 
+  test("a widening delta folds by name: base rows read the new column as null, winners carry it") {
+    val path = Files.createTempDirectory("graft_mor_w").toString + "/t"
+    Warehouse.create(spark, path, Seq(
+      (1L, "a", 10L, "d1"), (2L, "b", 10L, "d1"))
+      .toDF("k", "payload", "ver", "part"), "part")
+    val widen = Seq((2L, "b2", 11L, "d1", 77L))
+      .toDF("k", "payload", "ver", "part", "score")
+    Warehouse.mergeIntoDelta(spark, path, widen, "k", "ver", "part")
+    val got = Warehouse.read(spark, path).select("k", "payload", "score")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b2", Some(77L))),
+      s"widening delta fold: $got")
+  }
+
+  test("racing delta commits rebase in O(1): the loser re-publishes the manifest without rewriting its batch") {
+    val path = Files.createTempDirectory("graft_mor_r").toString + "/t"
+    Warehouse.create(spark, path, Seq((1L, "a", 10L, "d1"))
+      .toDF("k", "payload", "ver", "part"), "part")
+    def batchDirs() = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$path/data")).count()
+    val competing = Seq((2L, "x", 11L, "d1")).toDF("k", "payload", "ver", "part")
+    val ours = Seq((3L, "y", 11L, "d1")).toDF("k", "payload", "ver", "part")
+    // the competing writer's delta commit fires INSIDE our commit
+    // window (after our batch landed, before our manifest publish)
+    val attempts = Warehouse.mergeIntoDeltaHooked(spark, path, ours,
+      "k", "ver", "part", None, 3,
+      attempt => () => if (attempt == 1)
+        Warehouse.mergeIntoDelta(spark, path, competing, "k", "ver", "part"))
+    assert(attempts == 2, s"one rebase expected, used $attempts")
+    // both writers' rows are visible — the serialized outcome
+    val got = Warehouse.read(spark, path).select("k", "payload")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "x"), (3L, "y")))
+    // O(1) rebase: exactly 3 batch dirs exist (create + 2 deltas) —
+    // the retry re-used the already-written batch instead of
+    // orphaning it and writing another
+    assert(batchDirs() == 3, s"retry must not rewrite data, dirs=${batchDirs()}")
+    // and d1's chain carries both deltas in commit order
+    val chain = Warehouse.partitionStats(spark, path).head._2
+    assert(chain.count(_ == ',') == 2, s"chain must have base + 2 deltas: $chain")
+  }
+
   test("maintain keeps file count and chain length bounded across a stream of delta commits, rows stay exact") {
     val path = Files.createTempDirectory("graft_mnt").toString + "/t"
     Warehouse.create(spark, path, Seq((0L, "seed", 0L, "d1"))
