@@ -672,6 +672,64 @@ object StreamQueries {
              |        row_number() OVER (PARTITION BY user_id
              |          ORDER BY ts DESC, event_id DESC) AS rn
              |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ST21 — streaming MERGE-ON-READ ingest: st19 with the
+    // copy-on-write micro-batch merge swapped for mergeIntoDelta —
+    // the write path a high-frequency trigger actually wants. st19
+    // rewrites every touched bucket per micro-batch (write cost ∝
+    // partition size × trigger rate); here each micro-batch APPENDS
+    // its per-key latest as an O(batch)-byte delta with ZERO shuffle
+    // on the write side, the manifest chains grow one link per
+    // commit, and the cadenced maintain() folds the chains back to a
+    // pure base every 3rd commit (bounded read-side fold debt — the
+    // WarehouseDeltaSpec cadence arm). Equal-version ties resolve by
+    // chain position exactly as CoW's change-beats-stored, so the
+    // two write paths provably serve the same end state — this query
+    // and st19 SHARE the oracle. The final read folds whatever
+    // chains remain, so the oracle checks the full streaming →
+    // delta-append → fold/compact → scan round trip.
+    Q("st21_stream_delta_merge",
+      (s, d) => {
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        def latest(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts_us").as("ts_us"),
+            col("m.event_id").as("last_event_id"),
+            col("m.value").as("last_value"),
+            pmod(col("user_id"), lit(8L)).cast(IntegerType).as("bucket"))
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#st21wh", "graft_st21wh") { p =>
+          val pre = Tables.events(s, d).filter(col("ts") < cutoff)
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_id"), col("value"))
+          graft.io.Warehouse.create(s, p, latest(pre), "bucket")
+          Streaming.runForeachBatch(s, s"$d/events.parquet", "append") { raw =>
+            val withTs =
+              if (raw.schema("ts").dataType == LongType)
+                raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              else raw
+            withTs.filter(col("ts") >= cutoff)
+              .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+                col("event_id"), col("value"))
+          } { (batch, _) =>
+            graft.io.Warehouse.mergeIntoDelta(s, p, latest(batch),
+              "user_id", "ts_us", "bucket")
+            graft.io.Warehouse.maintain(s, p, "user_id",
+              targetBytes = 64L << 20, everyNCommits = 3): Unit
+          }
+        }
+        graft.io.Warehouse.read(s, path)
+          .select(col("user_id"), col("last_event_id"), col("ts_us"),
+            col("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |  epoch_us(ts) AS ts_us, value AS last_value
+             |FROM (SELECT user_id, event_id, ts, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -749,58 +749,6 @@ object TextQueries {
              |UNION ALL
              |SELECT -1, '__corrupt__', NULL,
              |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 0), NULL
-             |ORDER BY doc_id""".stripMargin)),
-
-    // T18 — PII REDACTION: the scrub pass every public-web training
-    // corpus runs before anything else sees the text. The synthetic
-    // corpus carries no PII, so the fixture INJECTS it
-    // deterministically (an email and an IP derived from doc_id, on
-    // the % 3 == 0 slice — both engines rebuild the identical dirty
-    // text, so redaction is checked against real positive AND
-    // negative rows): match counts are audited first (the compliance
-    // record), then `regexp_replace` rewrites every occurrence with a
-    // typed placeholder. Map-only — the regex runs inside the
-    // projection, pipelined with the scan, no shuffle except the
-    // presentation sort; at 100 TB this is the same one-pass shape as
-    // t1's token stats. Patterns stay in the Java∩RE2 common subset
-    // so Spark and DuckDB agree byte-for-byte.
-    Q("t18_pii_redaction",
-      (s, d) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-        val dirty = Tables.documents(s, d)
-          .select(col("doc_id"),
-            when(col("doc_id") % 3 === 0,
-              concat(col("text"), lit(" contact u"), col("doc_id"),
-                lit("@mail.example.com from 10.0."),
-                col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256))
-              .otherwise(col("text")).as("text"))
-        dirty
-          .select(col("doc_id"),
-            regexp_count(col("text"), lit(email)).as("n_emails"),
-            regexp_count(col("text"), lit(ip)).as("n_ips"),
-            regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-              ip, "<IP>").as("clean"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH dirty AS (
-             |  SELECT doc_id,
-             |    CASE WHEN doc_id % 3 = 0 THEN
-             |      text || ' contact u' || CAST(doc_id AS VARCHAR)
-             |           || '@mail.example.com from 10.0.'
-             |           || CAST(doc_id % 256 AS VARCHAR) || '.'
-             |           || CAST((doc_id * 7) % 256 AS VARCHAR)
-             |    ELSE text END AS text
-             |  FROM documents)
-             |SELECT doc_id,
-             |  CAST(len(regexp_extract_all(text,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-             |    AS n_emails,
-             |  CAST(len(regexp_extract_all(text,
-             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-             |  regexp_replace(regexp_replace(text,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
-             |FROM dirty ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin))
   )
 }
