@@ -173,6 +173,14 @@ object Warehouse {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // mounts behind LocalFileSystem without hard-link support
+          // (some NFS/overlay/tmpfs configs): fall back to the
+          // exists+rename claim instead of crashing the writer —
+          // weaker than link(2) but the same contract as the HDFS arm
+          // (advisor r13)
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            !fs.exists(target) && fs.rename(tmp, target)
         }
       case _ => !fs.exists(target) && fs.rename(tmp, target)
     }
@@ -341,45 +349,46 @@ object Warehouse {
   }
 
   /** MERGE-ON-READ fold of chained partitions: read every (batch,
-    * partition) link with the synthetic `batch` column retained, rank
-    * each row by its link's position in its partition's chain
-    * (metadata-sized broadcast — the manifest IS the rank source),
-    * then one keyed aggregation picks per key the row with the
-    * highest (version, rank): later deltas beat earlier ones and the
-    * base at equal version — exactly the order sequential CoW merges
-    * would have applied. A winning tombstone drops its key. This is
-    * the read-path half of [[mergeIntoDelta]]'s contract; [[compact]]
-    * materializes the same fold back into a pure base.
+    * partition) link with its chain position attached as a LITERAL
+    * rank column per link group, then one keyed aggregation picks per
+    * key the row with the highest (version, rank): later deltas beat
+    * earlier ones and the base at equal version — exactly the order
+    * sequential CoW merges would have applied. A winning tombstone
+    * drops its key. This is the read-path half of [[mergeIntoDelta]]'s
+    * contract; [[compact]] materializes the same fold back into a
+    * pure base.
+    *
+    * The rank is attached per (batch, partition) DIRECTORY, never by
+    * joining on the partition VALUE: Spark's partition-type inference
+    * can change a value's canonical string form (a string '07' infers
+    * as int 7, timestamp-like values normalize), so a value join
+    * would silently drop every row whose value doesn't round-trip —
+    * the per-dir literal is inference-proof (advisor r13). Chain
+    * length is bounded by the [[maintain]] cadence, so the per-rank
+    * union stays a handful of scans.
     */
   private def foldRead(spark: SparkSession, path: String,
                        chained: Map[String, String], partCol: String): DataFrame = {
     val fs = fsOf(spark, path)
     val (keyCol, versionCol) = readMeta(fs, path)
-    val entries = chained.toSeq.sorted.flatMap { case (pv, chain) =>
-      chainOf(chain).zipWithIndex.map { case (b, i) =>
-        (b, ExternalCatalogUtils.unescapePathName(pv), i)
-      }
-    }
-    val dirs = entries.map { case (b, _, i) => (b, i) }.distinct.map {
-      case (b, _) => b
-    }
-    // a batch can appear in several partitions' chains; each listed
-    // (batch, partition) dir is read once
-    val dirPaths = chained.toSeq.sorted.flatMap { case (pv, chain) =>
-      chainOf(chain).map(b => s"$path/data/batch=$b/$partCol=$pv")
-    }.distinct
-    require(dirs.nonEmpty, "empty chain mapping")
-    val raw = rawRead(spark, path, dirPaths)
-    val ranks = spark.createDataFrame(
-      entries.map { case (b, pv, i) => RankRow(b, pv, i) })
-    val ranked = raw.join(broadcast(ranks),
-      raw("batch") === ranks("_gb") &&
-        raw(partCol).cast("string") === ranks("_gpv"))
-      .drop("_gb", "_gpv", "batch")
-    val hasDel = raw.columns.contains(DelCol)
+    // dirs grouped by their link's position in the owning partition's
+    // chain; a (batch, partition) dir has exactly one rank (a batch
+    // appears at most once per chain)
+    val byRank: Seq[(Int, Seq[String])] = chained.toSeq.sorted
+      .flatMap { case (pv, chain) =>
+        chainOf(chain).zipWithIndex.map { case (b, i) =>
+          i -> s"$path/data/batch=$b/$partCol=$pv"
+        }
+      }.groupMap(_._1)(_._2).toSeq.sortBy(_._1)
+    require(byRank.nonEmpty, "empty chain mapping")
+    val ranked = byRank.map { case (i, ds) =>
+      rawRead(spark, path, ds.distinct).withColumn("_grank", lit(i))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("batch")
+    val hasDel = ranked.columns.contains(DelCol)
     val del = if (hasDel) coalesce(col(DelCol), lit(false)) else lit(false)
-    val dataCols = raw.columns
-      .filterNot(Set(keyCol, versionCol, partCol, "batch", DelCol)).toSeq
+    val dataCols = ranked.columns
+      .filterNot(Set(keyCol, versionCol, partCol, "batch", DelCol, "_grank"))
+      .toSeq
     ranked
       .groupBy(keyCol)
       .agg(max(struct(col(versionCol) +: col("_grank").as("_rk") +:
@@ -463,8 +472,12 @@ object Warehouse {
           pv -> (kvs.map(_._2) ++ mapping.get(pv))
             .flatMap(c => c.split(",").toSeq).distinct.mkString(",")
         }
+    // derive the partition column from `live` (non-empty here), not
+    // the newest mapping — which is legitimately EMPTY when the last
+    // merge tombstoned every row but retained young versions still
+    // hold partitions (advisor r13)
     if (live.nonEmpty)
-      sweep(fs, path, live, partColOf(fs, path, mapping), minAgeMs)
+      sweep(fs, path, live, partColOf(fs, path, live), minAgeMs)
     old.foreach { case (_, p) =>
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () }
@@ -873,11 +886,36 @@ object Warehouse {
     * pruning. Commit + sweep as [[mergeInto]]; a crash mid-compact
     * leaves the fragmented-but-correct table serving. Returns the
     * number of partitions rewritten.
+    *
+    * CONCURRENCY: a commit landing between compact's snapshot and its
+    * own commit (a racing delta/CoW merge) loses compact the version
+    * race; the whole pass then RE-RUNS against the new snapshot — a
+    * manifest-only rebase could resurrect rows the racing commit
+    * superseded, and maintenance is rare enough that a wasted rewrite
+    * (the orphan dir falls to [[vacuum]]) is the right trade. After
+    * `maxAttempts` races the last error propagates — under that much
+    * write traffic, schedule compaction instead of inlining it.
     */
   def compact(spark: SparkSession, path: String, sortCol: String,
-              targetBytes: Long): Int = {
+              targetBytes: Long, maxAttempts: Int = 5): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      try return compactOnce(spark, fs, path, sortCol, targetBytes)
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def compactOnce(spark: SparkSession, fs: FileSystem, path: String,
+                          sortCol: String, targetBytes: Long): Int = {
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     val partCol = partColOf(fs, path, mapping)
@@ -916,6 +954,14 @@ object Warehouse {
     * file count AND bounded delta chains without a separate
     * scheduler; the modular test costs one manifest read when not
     * due. Returns true when a compaction ran and rewrote something.
+    *
+    * MULTI-WRITER NOTE: the cadence keys on `v % everyNCommits == 0`,
+    * so two writers racing through the same version can both see the
+    * compaction as due; [[compact]]'s retry makes that safe (the
+    * loser re-runs against the winner's snapshot and usually finds
+    * nothing left to rewrite) but one writer may waste a rewrite.
+    * Deployments with many concurrent writers should give ONE of them
+    * the maintenance duty (or schedule [[compact]] externally).
     */
   def maintain(spark: SparkSession, path: String, sortCol: String,
                targetBytes: Long, everyNCommits: Int): Boolean = {
@@ -1065,7 +1111,4 @@ object Warehouse {
       readMapped(spark, path, mapping, partCol).filter(lit(false))
     else scans.reduce(_.unionByName(_, allowMissingColumns = true)).filter(pred)
   }
-
-  /** The case class behind [[foldRead]]'s rank broadcast. */
-  private case class RankRow(_gb: String, _gpv: String, _grank: Int)
 }

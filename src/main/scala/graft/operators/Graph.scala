@@ -165,9 +165,16 @@ object Graph {
     * @param materialize eagerly checkpoint the (node-sized) result and
     *              release the two |E|-sized internal pins (default —
     *              a long-lived session never accumulates cached
-    *              blocks). false returns the LAZY plan with the pins
+    *              blocks). NOTE this makes the call EAGER (auto mode
+    *              additionally runs one count() for the size choice),
+    *              and the result lives as localCheckpoint blocks —
+    *              lost if executors decommission (dynamic
+    *              allocation), so consume it promptly or re-persist
+    *              reliably before embedding in a long-lived lazy
+    *              plan. false returns the LAZY plan with the pins
     *              left in place: the caller owns cleanup; used by the
-    *              plan-shape specs, which need the join tree visible
+    *              plan-shape specs, which need the join tree visible,
+    *              and by callers composing this into larger plans
     * @return (node, n_triangles), one row per triangle-participating node
     */
   def triangleCounts(edges: DataFrame,

@@ -74,6 +74,27 @@ class WarehouseDeltaSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("fold survives partition values whose inferred type changes the string form ('07' reads back as int 7)") {
+    // partition-type inference turns dir value '07' into int 7, so a
+    // fold that joined rank by VALUE would silently drop every row of
+    // the chained partition (advisor r13); the per-dir literal rank
+    // must keep them all
+    val path = Files.createTempDirectory("graft_mor_inf").toString + "/t"
+    val base = Seq((1L, "a", 10L, "07"), (2L, "b", 10L, "08"))
+      .toDF("k", "payload", "ver", "part")
+    Warehouse.create(spark, path, base, "part")
+    val delta = Seq((1L, "a2", 11L, "07"), (3L, "c", 11L, "08"))
+      .toDF("k", "payload", "ver", "part")
+    Warehouse.mergeIntoDelta(spark, path, delta, "k", "ver", "part")
+    val got = Warehouse.read(spark, path)
+      .select(col("k"), col("payload"), col("part").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    // inference reads the dir value back as int (7/8) in BOTH the pure
+    // and folded paths — the contract is no silent row loss and the
+    // delta winning, not the string round-trip
+    assert(got == Seq((1L, "a2", "7"), (2L, "b", "8"), (3L, "c", "8")))
+  }
+
   test("mergeIntoDelta writes O(changes) bytes, never the touched partition") {
     val path = Files.createTempDirectory("graft_mor_b").toString + "/t"
     // one fat partition: ~20k rows with a chunky payload
