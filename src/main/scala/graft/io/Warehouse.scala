@@ -5,6 +5,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
+/** The create-exclusive commit point behind [[Warehouse]] version
+  * publishes: atomically claim `target` with the content already
+  * written at `tmp`. Returns true when this writer WON the claim,
+  * false when the target already exists (a racing writer won) —
+  * never a torn state.
+  *
+  * Implementations shipped: [[Warehouse.LocalLinkCommit]] (hard link
+  * — `link(2)` fails EEXIST atomically, strict even under a
+  * concurrent racer) for local filesystems, [[Warehouse.RenameCommit]]
+  * (exists + rename — strict on HDFS, whose rename refuses an
+  * existing destination) elsewhere. OBJECT-STORE CONTRACT: S3/GCS/ABFS
+  * deployments implement this with a conditional put (`If-None-Match:
+  * *` / `x-goog-if-generation-match: 0` / `If-None-Match: *`) of the
+  * manifest content to the version key — the claim and the content
+  * land in one atomic request, `tmp` staging becomes optional. The
+  * seam exists precisely so that swap needs no change anywhere else.
+  */
+trait CommitPrimitive {
+  def claim(fs: FileSystem, tmp: HPath, target: HPath): Boolean
+}
+
 /** Partitioned parquet warehouse table with copy-on-write MERGE,
   * merge-on-read DELTA commits, small-file compaction and file-level
   * data skipping — the file-plane analog of the reference's JDBC CDC
@@ -20,16 +41,22 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   path/_versions/v<0-padded N>        commit files; each line is
-  *                                       "<partitionValue>\t<chain>"
+  *                                       "<partKey>\t<chain>"
   *                                       chain = base[,~delta[,~delta…]]
   *   path/_meta                          "<keyCol>\t<versionCol>" —
   *                                       written at the first delta
   *                                       commit (readers need the merge
   *                                       keys to fold)
-  *   path/data/batch=<id>/<partCol>=<v>/part-*.parquet
-  *   path/data/batch=<id>/_stats         optional per-file min/max of a
-  *                                       sort column (data skipping)
+  *   path/data/batch=<id>/<partKey>/part-*.parquet
+  *   path/data/batch=<id>/_stats         optional per-file typed
+  *                                       min/max sidecar (data skipping)
   * }}}
+  *
+  * `partKey` is the partition's RELATIVE hive path — `dt=2024-01-01`
+  * for a single partition column, `dt=2024-01-01/region=US` for a
+  * composite — with values escaped exactly as the parquet writer
+  * escapes them, so the manifest key IS the directory path and
+  * multi-column layouts (the (dt, region) fact table) are first-class.
   *
   * Readers resolve the HIGHEST version file and scan exactly the
   * (batch, partition) directories it lists. Two write paths exist:
@@ -67,16 +94,14 @@ import org.apache.spark.sql.functions._
   * (short strings per partition — a 10-year daily table is ~3.6k
   * lines) and the touched-partition list; all row movement is
   * executor-side. Writer concurrency: two concurrent merges race the
-  * version create — the loser's commit fails loudly (the commit
-  * primitive is create-exclusive: a hard link on local filesystems,
-  * rename-refuses-existing on HDFS — strict on both) and its batch
-  * dir is swept later, never half-visible. [[mergeInto]] surfaces the
-  * race to the caller (single-writer deployments);
-  * [[mergeIntoRetrying]] rebases the loser onto the winner's snapshot
-  * and retries — optimistic concurrency control, the multi-writer
-  * contract.
+  * version create — the loser's commit fails loudly (the
+  * [[CommitPrimitive]] claim is create-exclusive) and its batch dir is
+  * swept later, never half-visible. [[mergeInto]] surfaces the race to
+  * the caller (single-writer deployments); [[mergeIntoRetrying]]
+  * rebases the loser onto the winner's snapshot and retries —
+  * optimistic concurrency control, the multi-writer contract.
   *
-  * Contract: a key's partition value is IMMUTABLE (the standard
+  * Contract: a key's partition values are IMMUTABLE (the standard
   * event-date fact-table shape) and NON-NULL (a change batch with a
   * null partition value is rejected loudly). Partition values are
   * canonicalized through the same hive escaping the writer uses, so
@@ -132,7 +157,7 @@ object Warehouse {
       part -> batch
     }.toMap
 
-  /** (version number, partitionValue → chain) of the newest commit. */
+  /** (version number, partKey → chain) of the newest commit. */
   private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] = {
     val versions = listVersions(fs, path)
     if (versions.isEmpty) None
@@ -142,16 +167,55 @@ object Warehouse {
     }
   }
 
+  /** Hard-link claim for local filesystems: `link(2)` fails EEXIST
+    * atomically — no check-then-rename window. Mounts behind
+    * LocalFileSystem without hard-link support (some NFS/overlay/
+    * tmpfs configs) fall back to the rename claim instead of crashing
+    * the writer (advisor r13).
+    */
+  object LocalLinkCommit extends CommitPrimitive {
+    override def claim(fs: FileSystem, tmp: HPath, target: HPath): Boolean =
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          RenameCommit.claim(fs, tmp, target)
+      }
+  }
+
+  /** Exists + rename claim: strict on HDFS (rename refuses an
+    * existing destination); the portable fallback elsewhere.
+    */
+  object RenameCommit extends CommitPrimitive {
+    override def claim(fs: FileSystem, tmp: HPath, target: HPath): Boolean =
+      !fs.exists(target) && fs.rename(tmp, target)
+  }
+
+  /** Test seam: when set, every commit claims through this primitive
+    * instead of the filesystem-selected one — specs inject racing or
+    * failing claimers here. Production never sets it.
+    */
+  @volatile private[graft] var primitiveOverride: Option[CommitPrimitive] = None
+
+  private def primitiveFor(fs: FileSystem): CommitPrimitive =
+    primitiveOverride.getOrElse(fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem => LocalLinkCommit
+      case _ => RenameCommit
+    })
+
   /** Publish `mapping` as version `n` — write the content to a temp
-    * name, then claim the version with a CREATE-EXCLUSIVE commit
-    * point. On local filesystems the claim is a hard link (`link(2)`
-    * fails EEXIST atomically — strict even under a concurrent racer,
-    * no check-then-rename window); elsewhere it is rename, which on
-    * HDFS refuses an existing destination (strict there too). Before
-    * the claim, readers resolve the previous version; after it, the
-    * new one — there is no torn state. A duplicate version number (a
-    * racing writer that resolved the same snapshot) fails loudly
-    * instead of clobbering a committed manifest.
+    * name, then claim the version through the filesystem's
+    * [[CommitPrimitive]]. Before the claim, readers resolve the
+    * previous version; after it, the new one — there is no torn
+    * state. A duplicate version number (a racing writer that resolved
+    * the same snapshot) fails loudly instead of clobbering a
+    * committed manifest.
     */
   private[graft] def commit(fs: FileSystem, path: String, n: Long,
                             mapping: Map[String, String]): Unit = {
@@ -163,44 +227,63 @@ object Warehouse {
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = new HPath(vdir, f"v$n%08d")
-    val committed = fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          // mounts behind LocalFileSystem without hard-link support
-          // (some NFS/overlay/tmpfs configs): fall back to the
-          // exists+rename claim instead of crashing the writer —
-          // weaker than link(2) but the same contract as the HDFS arm
-          // (advisor r13)
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            !fs.exists(target) && fs.rename(tmp, target)
-        }
-      case _ => !fs.exists(target) && fs.rename(tmp, target)
-    }
+    val committed = primitiveFor(fs).claim(fs, tmp, target)
     fs.delete(tmp, false): Unit
     if (!committed)
       throw new IllegalStateException(
         s"commit of version $n at $path lost a race - retry the merge")
   }
 
-  /** Canonical manifest key for a raw partition value: the exact dir
-    * name the parquet writer produces (hive path escaping), so
+  // ---------------------------------------------------------------
+  // partition keys (relative hive paths, possibly multi-column)
+  // ---------------------------------------------------------------
+
+  /** The ordered partition columns, parsed straight off any manifest
+    * key (`dt=…/region=…` → Seq(dt, region)) — no filesystem access.
+    */
+  private def partColsOf(mapping: Map[String, String]): Seq[String] =
+    mapping.head._1.split("/").toSeq.map(_.takeWhile(_ != '='))
+
+  private def requireSimpleCols(partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "at least one partition column required")
+    partCols.foreach(c => require(
+      c.nonEmpty && !c.exists("=/\n\t".contains(_)) && !c.startsWith("_"),
+      s"partition column name '$c' must be non-empty, must not start " +
+        "with '_' and must not contain '=', '/', tab or newline"))
+  }
+
+  /** Canonical manifest keys for the partitions a change batch
+    * touches: per distinct partition-value tuple, the exact relative
+    * dir path the parquet writer produces (hive path escaping), so
     * values containing ':', '/', '%', … look up correctly. Nulls are
     * rejected loudly — a key must name a real partition.
     */
-  private def escapedTouched(changes: DataFrame, partCol: String): Seq[String] = {
-    val raw = changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0))).toSeq
-    require(!raw.contains(None),
-      s"change batch carries a NULL $partCol - partition values must be non-null")
-    raw.flatten.map(ExternalCatalogUtils.escapePathName).sorted
+  private def partKeysOf(changes: DataFrame, partCols: Seq[String]): Seq[String] = {
+    val raw = changes.select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().toSeq
+    raw.map { r =>
+      partCols.zipWithIndex.map { case (c, i) =>
+        require(!r.isNullAt(i),
+          s"change batch carries a NULL $c - partition values must be non-null")
+        s"$c=${ExternalCatalogUtils.escapePathName(r.getString(i))}"
+      }.mkString("/")
+    }.sorted
+  }
+
+  /** The partKeys a freshly-written batch dir actually contains —
+    * nested dir listing down the partition-column levels.
+    */
+  private def partDirs(fs: FileSystem, path: String, batchId: String,
+                       partCols: Seq[String]): Seq[String] = {
+    def walk(dir: HPath, depth: Int): Seq[String] =
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${partCols(depth)}="))
+        .flatMap { st =>
+          if (depth == partCols.length - 1) Seq(st.getPath.getName)
+          else walk(st.getPath, depth + 1).map(s"${st.getPath.getName}/" + _)
+        }
+    walk(new HPath(s"$path/data/batch=$batchId"), 0)
   }
 
   // ---------------------------------------------------------------
@@ -223,7 +306,7 @@ object Warehouse {
     }
   }
 
-  private def readMeta(fs: FileSystem, path: String): (String, String) = {
+  private[graft] def readMeta(fs: FileSystem, path: String): (String, String) = {
     val p = metaPath(path)
     require(fs.exists(p),
       s"table at $path has delta chains but no _meta - corrupt table")
@@ -240,56 +323,61 @@ object Warehouse {
     * are retained (see [[vacuum]]'s concurrency contract).
     */
   private def sweep(fs: FileSystem, path: String,
-                    live: Map[String, String], partCol: String,
+                    live: Map[String, String], partCols: Seq[String],
                     minAgeMs: Long): Unit = {
     val dataDir = new HPath(s"$path/data")
     if (fs.exists(dataDir)) {
       val ownedBy: Map[String, Set[String]] = live.toSeq
-        .flatMap { case (pv, chain) => chainOf(chain).map(_ -> s"$partCol=$pv") }
-        .groupMap(_._1)(_._2).map { case (b, pvs) => b -> pvs.toSet }
+        .flatMap { case (key, chain) => chainOf(chain).map(_ -> key) }
+        .groupMap(_._1)(_._2).map { case (b, ks) => b -> ks.toSet }
       val cutoff = System.currentTimeMillis() - minAgeMs
       fs.listStatus(dataDir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("batch=")) {
           val owned = ownedBy.getOrElse(n.stripPrefix("batch="), Set.empty)
+          def walkDelete(dir: HPath, depth: Int, prefix: String): Unit =
+            fs.listStatus(dir).foreach { sub =>
+              val sn = sub.getPath.getName
+              if (sub.isDirectory && sn.startsWith(s"${partCols(depth)}=")) {
+                val rel = if (prefix.isEmpty) sn else s"$prefix/$sn"
+                if (depth == partCols.length - 1) {
+                  if (!owned.contains(rel) && sub.getModificationTime <= cutoff)
+                    fs.delete(sub.getPath, true)
+                } else walkDelete(sub.getPath, depth + 1, rel)
+              }
+            }
           try {
             if (owned.isEmpty) {
               if (st.getModificationTime <= cutoff) fs.delete(st.getPath, true)
-            } else fs.listStatus(st.getPath).foreach { sub =>
-              val sn = sub.getPath.getName
-              if (sn.startsWith(s"$partCol=") && !owned.contains(sn) &&
-                  sub.getModificationTime <= cutoff)
-                fs.delete(sub.getPath, true)
-            }
+            } else walkDelete(st.getPath, 0, "")
           } catch { case _: java.io.IOException => () }
         }
       }
     }
   }
 
-  private def partDirs(fs: FileSystem, path: String, batchId: String,
-                       partCol: String): Seq[String] = {
-    val dir = new HPath(s"$path/data/batch=$batchId")
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(s"$partCol="))
-      .map(_.stripPrefix(s"$partCol="))
-  }
-
-  /** Initialize the table: write `df` hive-partitioned by `partCol`
-    * as one batch and commit version 1 mapping every written
-    * partition to it. Refuses an already-initialized path.
+  /** Initialize the table: write `df` hive-partitioned by `partCols`
+    * (in order — `Seq("dt", "region")` nests region under dt, the
+    * standard composite fact-table layout) as one batch and commit
+    * version 1 mapping every written partition to it. Refuses an
+    * already-initialized path.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partCol: String): Unit = {
+             partCols: Seq[String]): Unit = {
+    requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
     require(snapshot(fs, path).isEmpty, s"warehouse table already exists at $path")
     val batchId = java.util.UUID.randomUUID().toString
-    df.write.mode("overwrite").partitionBy(partCol)
+    df.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/data/batch=$batchId")
-    val mapping = partDirs(fs, path, batchId, partCol)
+    val mapping = partDirs(fs, path, batchId, partCols)
       .map(_ -> batchId).toMap
     commit(fs, path, 1L, mapping)
   }
+
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partCol: String): Unit =
+    create(spark, path, df, Seq(partCol))
 
   /** The table's current rows. Chain-free partitions are read exactly
     * as written (plain columnar scan of the listed dirs); partitions
@@ -304,19 +392,7 @@ object Warehouse {
     require(mapping.nonEmpty,
       s"table at $path has no live partitions (every row deleted) - " +
         "no schema to serve; re-create() to repopulate")
-    readMapped(spark, path, mapping, partColOf(fs, path, mapping))
-  }
-
-  private def partColOf(fs: FileSystem, path: String,
-                        mapping: Map[String, String]): String = {
-    // the partition column name is recoverable from any owned dir
-    val (pv, chain) = mapping.head
-    val batch = chainOf(chain).head
-    val dir = new HPath(s"$path/data/batch=$batch")
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collectFirst { case n if n.endsWith(s"=$pv") => n.takeWhile(_ != '=') }
-      .getOrElse(throw new IllegalStateException(
-        s"mapped partition $pv missing under batch $batch at $path"))
+    readMapped(spark, path, mapping, partColsOf(mapping))
   }
 
   // mergeSchema: batches written before a schema-widening merge lack
@@ -336,15 +412,16 @@ object Warehouse {
     * scan and only the actively-merged days pay the fold.
     */
   private def readMapped(spark: SparkSession, path: String,
-                         mapping: Map[String, String], partCol: String): DataFrame = {
+                         mapping: Map[String, String],
+                         partCols: Seq[String]): DataFrame = {
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val parts = Seq(
       if (pure.isEmpty) None
-      else Some(rawRead(spark, path, pure.toSeq.sorted.map { case (pv, b) =>
-        s"$path/data/batch=$b/$partCol=$pv"
+      else Some(rawRead(spark, path, pure.toSeq.sorted.map { case (key, b) =>
+        s"$path/data/batch=$b/$key"
       }).drop("batch")),
       if (chained.isEmpty) None
-      else Some(foldRead(spark, path, chained, partCol))).flatten
+      else Some(foldRead(spark, path, chained, partCols))).flatten
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -368,16 +445,17 @@ object Warehouse {
     * union stays a handful of scans.
     */
   private def foldRead(spark: SparkSession, path: String,
-                       chained: Map[String, String], partCol: String): DataFrame = {
+                       chained: Map[String, String],
+                       partCols: Seq[String]): DataFrame = {
     val fs = fsOf(spark, path)
     val (keyCol, versionCol) = readMeta(fs, path)
     // dirs grouped by their link's position in the owning partition's
     // chain; a (batch, partition) dir has exactly one rank (a batch
     // appears at most once per chain)
     val byRank: Seq[(Int, Seq[String])] = chained.toSeq.sorted
-      .flatMap { case (pv, chain) =>
+      .flatMap { case (key, chain) =>
         chainOf(chain).zipWithIndex.map { case (b, i) =>
-          i -> s"$path/data/batch=$b/$partCol=$pv"
+          i -> s"$path/data/batch=$b/$key"
         }
       }.groupMap(_._1)(_._2).toSeq.sortBy(_._1)
     require(byRank.nonEmpty, "empty chain mapping")
@@ -387,17 +465,16 @@ object Warehouse {
     val hasDel = ranked.columns.contains(DelCol)
     val del = if (hasDel) coalesce(col(DelCol), lit(false)) else lit(false)
     val dataCols = ranked.columns
-      .filterNot(Set(keyCol, versionCol, partCol, "batch", DelCol, "_grank"))
+      .filterNot((Set(keyCol, versionCol, "batch", DelCol, "_grank") ++
+        partCols))
       .toSeq
     ranked
       .groupBy(keyCol)
       .agg(max(struct(col(versionCol) +: col("_grank").as("_rk") +:
-        del.as("_del") +: col(partCol).as("_pv") +:
-        dataCols.map(col): _*)).as("_m"))
+        del.as("_del") +: (partCols ++ dataCols).map(col): _*)).as("_m"))
       .filter(!col("_m._del"))
       .select(col(keyCol) +: col(s"_m.$versionCol").as(versionCol) +:
-        col("_m._pv").as(partCol) +:
-        dataCols.map(c => col(s"_m.$c").as(c)): _*)
+        (partCols ++ dataCols).map(c => col(s"_m.$c").as(c)): _*)
   }
 
   /** TIME TRAVEL: the table exactly as version `n` committed it.
@@ -415,16 +492,15 @@ object Warehouse {
         s"no committed version $n under $path"))
     val mapping = readMapping(fs, vf)
     require(mapping.nonEmpty, s"version $n of $path has no live partitions")
-    val partCol = partColOf(fs, path, mapping)
-    mapping.toSeq.sorted.foreach { case (pv, chain) =>
+    mapping.toSeq.sorted.foreach { case (key, chain) =>
       chainOf(chain).foreach { b =>
-        if (!fs.exists(new HPath(s"$path/data/batch=$b/$partCol=$pv")))
+        if (!fs.exists(new HPath(s"$path/data/batch=$b/$key")))
           throw new IllegalStateException(
             s"version $n of $path references vacuumed data " +
-              s"(batch=$b/$partCol=$pv) - history before the last vacuum is gone")
+              s"(batch=$b/$key) - history before the last vacuum is gone")
       }
     }
-    readMapped(spark, path, mapping, partCol)
+    readMapped(spark, path, mapping, partColsOf(mapping))
   }
 
   /** Reclaim history: delete every version file but the newest and
@@ -467,17 +543,17 @@ object Warehouse {
     val live =
       if (retained.isEmpty) mapping
       else mapping ++ retained.flatMap { case (_, p) => readMapping(fs, p) }
-        .groupBy(_._1).map { case (pv, kvs) =>
+        .groupBy(_._1).map { case (key, kvs) =>
           // keep every chain link any retained version references
-          pv -> (kvs.map(_._2) ++ mapping.get(pv))
+          key -> (kvs.map(_._2) ++ mapping.get(key))
             .flatMap(c => c.split(",").toSeq).distinct.mkString(",")
         }
-    // derive the partition column from `live` (non-empty here), not
+    // derive the partition columns from `live` (non-empty here), not
     // the newest mapping — which is legitimately EMPTY when the last
     // merge tombstoned every row but retained young versions still
     // hold partitions (advisor r13)
     if (live.nonEmpty)
-      sweep(fs, path, live, partColOf(fs, path, live), minAgeMs)
+      sweep(fs, path, live, partColsOf(live), minAgeMs)
     old.foreach { case (_, p) =>
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () }
@@ -496,7 +572,7 @@ object Warehouse {
     * only), written under a fresh batch dir, and published with one
     * atomic version commit. A touched partition's chain collapses to
     * the new batch. Driver work is partition METADATA only (the
-    * touched-value list); rows never pass through the driver.
+    * touched-key list); rows never pass through the driver.
     *
     * `deleteCol` names an optional boolean tombstone column in
     * `changes` (never stored): a change row with it true DELETES the
@@ -514,7 +590,13 @@ object Warehouse {
   def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
                 keyCol: String, versionCol: String, partCol: String,
                 deleteCol: Option[String] = None): Unit =
-    mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCol,
+    mergeIntoHooked(spark, path, changes, keyCol, versionCol, Seq(partCol),
+      deleteCol, () => ())
+
+  def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
+                keyCol: String, versionCol: String, partCols: Seq[String],
+                deleteCol: Option[String]): Unit =
+    mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCols,
       deleteCol, () => ())
 
   /** [[mergeInto]] with a test seam fired between the partition
@@ -523,17 +605,18 @@ object Warehouse {
     */
   private[graft] def mergeIntoHooked(spark: SparkSession, path: String,
                 changes: DataFrame, keyCol: String, versionCol: String,
-                partCol: String, deleteCol: Option[String],
+                partCols: Seq[String], deleteCol: Option[String],
                 beforeCommit: () => Unit): Unit = {
+    requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
-    val touched = escapedTouched(changes, partCol)
+    val touched = partKeysOf(changes, partCols)
     require(touched.nonEmpty, "empty change batch")
-    val baseMap = touched.flatMap(pv => mapping.get(pv).map(pv -> _)).toMap
+    val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
     val base0 =
       if (baseMap.isEmpty) None
-      else Some(readMapped(spark, path, baseMap, partCol))
+      else Some(readMapped(spark, path, baseMap, partCols))
     // SCHEMA EVOLUTION: the merged schema is the by-name UNION of the
     // change batch's and the stored table's data columns — a change
     // batch may WIDEN the table (new column: stored rows read null
@@ -541,7 +624,7 @@ object Warehouse {
     // null there if they win), but can never silently DROP a stored
     // column. Old files are never rewritten for a widening; readers
     // merge footers (mergeSchema) so mixed-schema batches coexist.
-    val reserved = Set(keyCol, versionCol, partCol) ++ deleteCol
+    val reserved = Set(keyCol, versionCol) ++ partCols ++ deleteCol
     val dataCols = (changes.columns.filterNot(reserved) ++
       base0.map(_.columns.filterNot(reserved)).getOrElse(Array.empty[String]))
       .distinct
@@ -556,8 +639,7 @@ object Warehouse {
     def pick(df: DataFrame, src: Int, del: Column): DataFrame = df.select(
       col(keyCol),
       struct((col(versionCol) +: lit(src).as("_src") +: del.as("_del") +:
-        col(partCol).as("_pv") +:
-        dataCols.map(col).toSeq): _*).as("_m"))
+        (partCols ++ dataCols).map(col).toSeq): _*).as("_m"))
     val base = base0.map(b => pick(aligned(b), 0, lit(false)))
     val changeDel = deleteCol.fold(lit(false))(c => coalesce(col(c), lit(false)))
     // latest wins; _src breaks version ties in favor of the change
@@ -569,15 +651,14 @@ object Warehouse {
       .agg(max(col("_m")).as("_m"))
       .filter(!col("_m._del"))
       .select(col(keyCol) +: col(s"_m.$versionCol") +:
-        col("_m._pv").as(partCol) +:
-        dataCols.map(c => col(s"_m.$c")).toSeq: _*)
+        (partCols ++ dataCols).map(c => col(s"_m.$c").as(c)).toSeq: _*)
     val batchId = java.util.UUID.randomUUID().toString
-    merged.write.mode("overwrite").partitionBy(partCol)
+    merged.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/data/batch=$batchId")
     // a touched partition whose every row was tombstoned produces NO
     // rewritten dir — it must leave the mapping entirely, or the old
     // batch's rows would resurrect
-    val written = partDirs(fs, path, batchId, partCol).toSet
+    val written = partDirs(fs, path, batchId, partCols).toSet
     val newMapping = (mapping -- touched.filterNot(written)) ++
       written.map(_ -> batchId)
     beforeCommit()
@@ -609,7 +690,13 @@ object Warehouse {
   def mergeIntoDelta(spark: SparkSession, path: String, changes: DataFrame,
                      keyCol: String, versionCol: String, partCol: String,
                      deleteCol: Option[String] = None): Unit =
-    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol, partCol,
+    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol,
+      Seq(partCol), deleteCol, 1, _ => () => ()): Unit
+
+  def mergeIntoDelta(spark: SparkSession, path: String, changes: DataFrame,
+                     keyCol: String, versionCol: String, partCols: Seq[String],
+                     deleteCol: Option[String]): Unit =
+    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol, partCols,
       deleteCol, 1, _ => () => ()): Unit
 
   /** OPTIMISTIC-CONCURRENCY [[mergeIntoDelta]]. Where a CoW rebase
@@ -629,20 +716,28 @@ object Warehouse {
                      changes: DataFrame, keyCol: String, versionCol: String,
                      partCol: String, deleteCol: Option[String] = None,
                      maxAttempts: Int = 5): Int =
-    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol, partCol,
+    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol,
+      Seq(partCol), deleteCol, maxAttempts, _ => () => ())
+
+  def mergeIntoDeltaRetrying(spark: SparkSession, path: String,
+                     changes: DataFrame, keyCol: String, versionCol: String,
+                     partCols: Seq[String], deleteCol: Option[String],
+                     maxAttempts: Int): Int =
+    mergeIntoDeltaHooked(spark, path, changes, keyCol, versionCol, partCols,
       deleteCol, maxAttempts, _ => () => ())
 
   /** Delta-commit core with a per-attempt pre-commit test seam. */
   private[graft] def mergeIntoDeltaHooked(spark: SparkSession, path: String,
                      changes: DataFrame, keyCol: String, versionCol: String,
-                     partCol: String, deleteCol: Option[String],
+                     partCols: Seq[String], deleteCol: Option[String],
                      maxAttempts: Int, hookFor: Int => () => Unit): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
     require(snapshot(fs, path).nonEmpty,
       s"no committed version under $path - create() first")
     writeMetaIfAbsent(fs, path, keyCol, versionCol)
-    val touched = escapedTouched(changes, partCol)
+    val touched = partKeysOf(changes, partCols)
     require(touched.nonEmpty, "empty change batch")
     val toWrite = deleteCol match {
       case Some(c) =>
@@ -653,14 +748,14 @@ object Warehouse {
     // the data lands ONCE, before the commit loop — a lost race never
     // rewrites it, only re-publishes the manifest
     val batchId = java.util.UUID.randomUUID().toString
-    toWrite.write.mode("overwrite").partitionBy(partCol)
+    toWrite.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/data/batch=$batchId")
-    val written = partDirs(fs, path, batchId, partCol).toSet
+    val written = partDirs(fs, path, batchId, partCols).toSet
     var attempt = 1
     while (true) {
       val (v, mapping) = snapshot(fs, path).get
-      val newMapping = mapping ++ written.map(pv =>
-        pv -> (mapping.get(pv) match {
+      val newMapping = mapping ++ written.map(key =>
+        key -> (mapping.get(key) match {
           case Some(chain) => s"$chain,~$batchId"
           case None        => s"~$batchId"
         }))
@@ -696,18 +791,24 @@ object Warehouse {
                 deleteCol: Option[String] = None,
                 maxAttempts: Int = 5): Int =
     mergeIntoRetryingHooked(spark, path, changes, keyCol, versionCol,
-      partCol, deleteCol, maxAttempts, _ => () => ())
+      Seq(partCol), deleteCol, maxAttempts, _ => () => ())
+
+  def mergeIntoRetrying(spark: SparkSession, path: String, changes: DataFrame,
+                keyCol: String, versionCol: String, partCols: Seq[String],
+                deleteCol: Option[String], maxAttempts: Int): Int =
+    mergeIntoRetryingHooked(spark, path, changes, keyCol, versionCol,
+      partCols, deleteCol, maxAttempts, _ => () => ())
 
   /** [[mergeIntoRetrying]] with a per-attempt pre-commit test seam. */
   private[graft] def mergeIntoRetryingHooked(spark: SparkSession, path: String,
                 changes: DataFrame, keyCol: String, versionCol: String,
-                partCol: String, deleteCol: Option[String], maxAttempts: Int,
-                hookFor: Int => () => Unit): Int = {
+                partCols: Seq[String], deleteCol: Option[String],
+                maxAttempts: Int, hookFor: Int => () => Unit): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 1
     while (true) {
       try {
-        mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCol,
+        mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCols,
           deleteCol, hookFor(attempt))
         return attempt
       } catch {
@@ -752,18 +853,18 @@ object Warehouse {
     val mapTo = mappingOf(toV)
     val anyMap = if (mapTo.nonEmpty) mapTo else mapFrom
     require(anyMap.nonEmpty, s"versions $fromV and $toV of $path are both empty")
-    val partCol = partColOf(fs, path, anyMap)
+    val partCols = partColsOf(anyMap)
     val moved = (mapFrom.keySet ++ mapTo.keySet)
-      .filter(pv => mapFrom.get(pv) != mapTo.get(pv))
+      .filter(key => mapFrom.get(key) != mapTo.get(key))
     def side(m: Map[String, String]): Option[DataFrame] = {
-      val sub = m.filter { case (pv, _) => moved(pv) }
-      if (sub.isEmpty) None else Some(readMapped(spark, path, sub, partCol))
+      val sub = m.filter { case (key, _) => moved(key) }
+      if (sub.isEmpty) None else Some(readMapped(spark, path, sub, partCols))
     }
     val oldS = side(mapFrom)
     val newS = side(mapTo)
     if (oldS.isEmpty && newS.isEmpty) {
       // identical manifests: an EMPTY feed with the table's schema
-      val proto = readMapped(spark, path, anyMap, partCol).limit(0)
+      val proto = readMapped(spark, path, anyMap, partCols).limit(0)
       val rest = proto.columns.filterNot(_ == keyCol)
       return proto.select(col(keyCol) +: lit("").as("change_type") +:
         rest.map(col).toSeq: _*).filter(lit(false))
@@ -828,7 +929,8 @@ object Warehouse {
     * reproduces the newest snapshot. Version numbers are contiguous
     * by construction (every commit publishes N+1), and the union is
     * driver-side metadata only — each step's scan is still pruned to
-    * its own moved partitions.
+    * its own moved partitions. [[graft.streaming.ChangeFeed]] wraps
+    * this walk as a checkpointed Structured Streaming source.
     */
   def changeLog(spark: SparkSession, path: String, keyCol: String,
                 fromV: Long = 1L, toV: Option[Long] = None,
@@ -850,7 +952,16 @@ object Warehouse {
     }.reduce(_.unionByName(_))
   }
 
-  /** Per-partition (value, chain, file count, bytes) off the newest
+  /** The newest committed version number — the cursor a change-feed
+    * consumer checkpoints against.
+    */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    snapshot(fs, path).map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
+  }
+
+  /** Per-partition (partKey, chain, file count, bytes) off the newest
     * version — the listing [[compact]] plans from, exposed for specs
     * and ops dashboards. For chained partitions the counts sum over
     * every link. Driver-bounded: one FS listing per (partition,
@@ -860,13 +971,12 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val (_, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
-    val partCol = partColOf(fs, path, mapping)
-    mapping.toSeq.sorted.map { case (pv, chain) =>
+    mapping.toSeq.sorted.map { case (key, chain) =>
       val files = chainOf(chain).flatMap { b =>
-        fs.listStatus(new HPath(s"$path/data/batch=$b/$partCol=$pv"))
+        fs.listStatus(new HPath(s"$path/data/batch=$b/$key"))
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
       }
-      (pv, chain, files.length, files.map(_.getLen).sum)
+      (key, chain, files.length, files.map(_.getLen).sum)
     }
   }
 
@@ -880,12 +990,13 @@ object Warehouse {
     * rewritten under a fresh batch dir; partitions already at their
     * target keep their exact files. Range partitioning makes each
     * output file cover a contiguous (partition, sortCol) slab, so the
-    * compacted layout is also SORTED — and per-file min/max stats on
-    * `sortCol` are recorded in the batch's `_stats` sidecar (parquet
-    * footers only, no data re-read) for [[readSkipping]]'s file
-    * pruning. Commit + sweep as [[mergeInto]]; a crash mid-compact
-    * leaves the fragmented-but-correct table serving. Returns the
-    * number of partitions rewritten.
+    * compacted layout is also SORTED — and per-file typed min/max
+    * stats on `sortCol` plus every column in `statsCols` are recorded
+    * in the batch's `_stats` sidecar (parquet footers only, no data
+    * re-read) for [[readSkipping]]'s file pruning. Commit + sweep as
+    * [[mergeInto]]; a crash mid-compact leaves the
+    * fragmented-but-correct table serving. Returns the number of
+    * partitions rewritten.
     *
     * CONCURRENCY: a commit landing between compact's snapshot and its
     * own commit (a racing delta/CoW merge) loses compact the version
@@ -897,13 +1008,15 @@ object Warehouse {
     * write traffic, schedule compaction instead of inlining it.
     */
   def compact(spark: SparkSession, path: String, sortCol: String,
-              targetBytes: Long, maxAttempts: Int = 5): Int = {
+              targetBytes: Long, maxAttempts: Int = 5,
+              statsCols: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
-      try return compactOnce(spark, fs, path, sortCol, targetBytes)
+      try return compactOnce(spark, fs, path, sortCol, targetBytes,
+        (sortCol +: statsCols).distinct)
       catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("lost a race") =>
@@ -915,10 +1028,11 @@ object Warehouse {
   }
 
   private def compactOnce(spark: SparkSession, fs: FileSystem, path: String,
-                          sortCol: String, targetBytes: Long): Int = {
+                          sortCol: String, targetBytes: Long,
+                          statsCols: Seq[String]): Int = {
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
-    val partCol = partColOf(fs, path, mapping)
+    val partCols = partColsOf(mapping)
     val stats = partitionStats(spark, path)
     val frag = stats.filter { case (_, chain, nFiles, bytes) =>
       needsFold(chain) ||
@@ -929,17 +1043,17 @@ object Warehouse {
       val nOut = math.max(1L, frag.map { case (_, _, _, bytes) =>
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       }.sum).toInt
-      val fragMap = frag.map { case (pv, chain, _, _) => pv -> chain }.toMap
+      val fragMap = frag.map { case (key, chain, _, _) => key -> chain }.toMap
       val batchId = java.util.UUID.randomUUID().toString
-      readMapped(spark, path, fragMap, partCol)
-        .repartitionByRange(nOut, col(partCol), col(sortCol))
-        .sortWithinPartitions(col(partCol), col(sortCol))
-        .write.mode("overwrite").partitionBy(partCol)
+      readMapped(spark, path, fragMap, partCols)
+        .repartitionByRange(nOut, (partCols :+ sortCol).map(col): _*)
+        .sortWithinPartitions((partCols :+ sortCol).map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$path/data/batch=$batchId")
-      writeFileStats(spark, path, batchId, sortCol)
+      writeFileStats(spark, path, batchId, statsCols)
       // a chained partition whose fold is EMPTY (every key tombstoned)
       // writes no dir and must leave the mapping
-      val written = partDirs(fs, path, batchId, partCol).toSet
+      val written = partDirs(fs, path, batchId, partCols).toSet
       val newMapping = (mapping -- fragMap.keySet.filterNot(written)) ++
         written.map(_ -> batchId)
       commit(fs, path, v + 1, newMapping)
@@ -976,50 +1090,81 @@ object Warehouse {
   // file-level statistics (data skipping)
   // ---------------------------------------------------------------
 
-  /** Record per-file min/max of `statsCol` for every data file under
-    * the batch dir, from PARQUET FOOTERS ONLY (metadata read, no data
-    * pass), into the batch's `_stats` sidecar: lines
-    * "relative/file\tmin\tmax" with values as signed longs. Only
-    * integral physical types (INT64/INT32 — longs, ints, dates) are
-    * recorded; other types or files without footer stats simply get
-    * no line, which [[readSkipping]] treats as unprunable — stats are
-    * an OPTIMIZATION layer, absence is always correctness-safe.
+  /** A file's recorded min/max for one stats column. Two kinds cover
+    * the physical types parquet footers expose losslessly: integral
+    * (INT64/INT32 — longs, ints, AND dates, whose physical form is
+    * days-since-epoch) and UTF-8 binary (strings).
+    */
+  private[graft] sealed trait Stat
+  private[graft] final case class LongStat(lo: Long, hi: Long) extends Stat
+  private[graft] final case class StrStat(lo: String, hi: String) extends Stat
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private val StatsHeader = "graft-stats-v2"
+
+  /** Record per-file typed min/max of every column in `statsCols` for
+    * every data file under the batch dir, from PARQUET FOOTERS ONLY
+    * (metadata read, no data pass), into the batch's `_stats`
+    * sidecar: a header line, then lines
+    * "relative/file\tcol\tkind\tmin\tmax" (string values URL-encoded).
+    * Integral physical types (INT64/INT32 — longs, ints, dates) and
+    * UTF-8 binary (strings) are recorded; other types or files
+    * without footer stats simply get no line, which [[readSkipping]]
+    * treats as unprunable — stats are an OPTIMIZATION layer, absence
+    * is always correctness-safe. Binary stats parquet truncated are
+    * still pruning-safe: parquet truncates a min DOWN (prefix) and a
+    * max UP (incremented prefix), so recorded_min <= real_min and
+    * recorded_max >= real_max — exactly the slack direction interval
+    * pruning tolerates.
     */
   private def writeFileStats(spark: SparkSession, path: String,
-                             batchId: String, statsCol: String): Unit = {
+                             batchId: String, statsCols: Seq[String]): Unit = {
     val fs = fsOf(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val batchDir = new HPath(s"$path/data/batch=$batchId")
-    if (!fs.exists(batchDir)) return
+    if (!fs.exists(batchDir) || statsCols.isEmpty) return
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    fs.listStatus(batchDir).filter(_.isDirectory).foreach { sub =>
-      fs.listStatus(sub.getPath)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          minMaxOf(conf, st.getPath, statsCol).foreach { case (lo, hi) =>
-            lines += s"${sub.getPath.getName}/${st.getPath.getName}\t$lo\t$hi"
-          }
+    def walk(dir: HPath, prefix: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("="))
+          walk(st.getPath, if (prefix.isEmpty) n else s"$prefix/$n")
+        else if (st.isFile && n.endsWith(".parquet")) {
+          val rel = if (prefix.isEmpty) n else s"$prefix/$n"
+          val footer = minMaxOf(conf, st.getPath, statsCols.toSet)
+          statsCols.foreach(c => footer.get(c).foreach {
+            case LongStat(lo, hi) => lines += s"$rel\t$c\tlong\t$lo\t$hi"
+            case StrStat(lo, hi) =>
+              lines += s"$rel\t$c\tstr\t${enc(lo)}\t${enc(hi)}"
+          })
         }
-    }
+      }
+    walk(batchDir, "")
     if (lines.nonEmpty) {
       val out = fs.create(new HPath(batchDir, "_stats"), true)
-      try out.write((s"$statsCol\n" + lines.mkString("\n")).getBytes("UTF-8"))
+      try out.write((StatsHeader + "\n" + lines.mkString("\n")).getBytes("UTF-8"))
       finally out.close()
     }
   }
 
-  /** Footer-only (min, max) of an integral column across a file's row
-    * groups; None when the column is absent, non-integral, or lacks
-    * complete statistics.
+  /** Footer-only typed (min, max) per requested column across a
+    * file's row groups; a column is omitted when absent, of an
+    * unsupported physical type, or lacking complete statistics in any
+    * row group.
     */
   private def minMaxOf(conf: org.apache.hadoop.conf.Configuration,
-                       file: HPath, statsCol: String): Option[(Long, Long)] = {
+                       file: HPath, statsCols: Set[String]): Map[String, Stat] = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
-      var lo = Long.MaxValue
-      var hi = Long.MinValue
-      var seen = false
+      val acc = scala.collection.mutable.Map[String, Stat]()
+      // a column with incomplete/unsupported stats in ANY row group is
+      // unusable for the whole file — pruning must see every row
+      val dead = scala.collection.mutable.Set[String]()
       val blocks = reader.getFooter.getBlocks
       var i = 0
       while (i < blocks.size()) {
@@ -1027,35 +1172,68 @@ object Warehouse {
         var j = 0
         while (j < cols.size()) {
           val c = cols.get(j)
-          if (c.getPath.toDotString == statsCol) {
+          val name = c.getPath.toDotString
+          if (statsCols.contains(name) && !dead.contains(name)) {
             val st = c.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) return None
-            val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, b: java.lang.Long) => (a.longValue, b.longValue)
-              case (a: java.lang.Integer, b: java.lang.Integer) => (a.longValue, b.longValue)
-              case _ => return None
+            val stat: Option[Stat] =
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  Some(LongStat(a.longValue, b.longValue))
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  Some(LongStat(a.longValue, b.longValue))
+                case (a: org.apache.parquet.io.api.Binary,
+                      b: org.apache.parquet.io.api.Binary) =>
+                  Some(StrStat(a.toStringUsingUTF8, b.toStringUsingUTF8))
+                case _ => None
+              }
+            (stat, acc.get(name)) match {
+              case (Some(s), None) => acc(name) = s
+              case (Some(LongStat(l2, h2)), Some(LongStat(l1, h1))) =>
+                acc(name) = LongStat(math.min(l1, l2), math.max(h1, h2))
+              case (Some(StrStat(l2, h2)), Some(StrStat(l1, h1))) =>
+                acc(name) = StrStat(if (l1 <= l2) l1 else l2,
+                  if (h1 >= h2) h1 else h2)
+              case _ =>
+                dead += name; acc -= name
             }
-            lo = math.min(lo, mn); hi = math.max(hi, mx); seen = true
           }
           j += 1
         }
         i += 1
       }
-      if (seen) Some((lo, hi)) else None
+      acc.toMap
     } finally reader.close()
   }
 
+  /** The `_stats` sidecar of a batch: (relative file, col) → typed
+    * min/max. None when the batch has no sidecar.
+    */
   private def readStats(fs: FileSystem, path: String, batchId: String):
-      Option[(String, Map[String, (Long, Long)])] = {
+      Option[Map[(String, String), Stat]] = {
     val p = new HPath(s"$path/data/batch=$batchId/_stats")
     if (!fs.exists(p)) None
     else {
       val ls = readSmallFile(fs, p).split("\n").filter(_.nonEmpty)
-      Some((ls.head, ls.tail.map { l =>
-        val Array(rel, lo, hi) = l.split("\t", 3)
-        rel -> (lo.toLong, hi.toLong)
-      }.toMap))
+      if (ls.isEmpty || ls.head != StatsHeader) None
+      else Some(ls.tail.map { l =>
+        l.split("\t", 5) match {
+          case Array(rel, c, "long", lo, hi) =>
+            (rel, c) -> (LongStat(lo.toLong, hi.toLong): Stat)
+          case Array(rel, c, "str", lo, hi) =>
+            (rel, c) -> (StrStat(dec(lo), dec(hi)): Stat)
+          case other =>
+            throw new IllegalStateException(
+              s"corrupt _stats line '${other.mkString("\t")}' in batch $batchId")
+        }
+      }.toMap)
     }
+  }
+
+  private def intersects(stat: Stat, bound: Stat): Boolean = (stat, bound) match {
+    case (LongStat(mn, mx), LongStat(lo, hi)) => !(mx < lo || mn > hi)
+    case (StrStat(mn, mx), StrStat(lo, hi))   => !(mx < lo || mn > hi)
+    case _ => true // kind mismatch: never prune
   }
 
   /** DATA-SKIPPING read: the table's rows with `statsCol` in
@@ -1070,45 +1248,68 @@ object Warehouse {
     * superseded row), are read in full. Result is EXACTLY
     * `read().filter(statsCol between lo and hi)` — the m11 oracle —
     * because the residual filter still applies to every surviving
-    * row; stats only decide which files open.
+    * row; stats only decide which files open. Overloads cover the
+    * recorded stat kinds: integral, string, and date (compared as
+    * days-since-epoch, the parquet physical form).
     */
   def readSkipping(spark: SparkSession, path: String, statsCol: String,
-                   lo: Long, hi: Long): DataFrame = {
+                   lo: Long, hi: Long): DataFrame =
+    readSkippingBound(spark, path, statsCol, LongStat(lo, hi),
+      col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+                   lo: String, hi: String): DataFrame =
+    readSkippingBound(spark, path, statsCol, StrStat(lo, hi),
+      col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+                   lo: java.time.LocalDate, hi: java.time.LocalDate): DataFrame =
+    readSkippingBound(spark, path, statsCol,
+      LongStat(lo.toEpochDay, hi.toEpochDay),
+      col(statsCol) >= lit(java.sql.Date.valueOf(lo)) &&
+        col(statsCol) <= lit(java.sql.Date.valueOf(hi)))
+
+  /** Core of [[readSkipping]]; also the pruning engine behind the
+    * DSv2 connector's pushed filters ([[graft.sources.warehouse]]).
+    * Returns the filtered frame; the pruned FILE list is observable
+    * via the plan's inputFiles (the spec's assertion).
+    */
+  private[graft] def readSkippingBound(spark: SparkSession, path: String,
+                   statsCol: String, bound: Stat, pred: Column): DataFrame = {
     val fs = fsOf(spark, path)
     val (_, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     require(mapping.nonEmpty, s"table at $path has no live partitions")
-    val partCol = partColOf(fs, path, mapping)
+    val partCols = partColsOf(mapping)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
-    val statsByBatch = scala.collection.mutable.Map[String, Option[(String, Map[String, (Long, Long)])]]()
+    val statsByBatch = scala.collection.mutable.Map[String, Option[Map[(String, String), Stat]]]()
     val (keptFiles, wholeDirs) = pure.toSeq.sorted.foldLeft(
       (Vector.empty[String], Vector.empty[String])) {
-      case ((files, dirs), (pv, b)) =>
+      case ((files, dirs), (key, b)) =>
         statsByBatch.getOrElseUpdate(b, readStats(fs, path, b)) match {
-          case Some((c, byFile)) if c == statsCol =>
-            val dir = s"$path/data/batch=$b/$partCol=$pv"
+          case Some(byFile) =>
+            val dir = s"$path/data/batch=$b/$key"
             val kept = fs.listStatus(new HPath(dir))
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
               .toVector.flatMap { st =>
-                byFile.get(s"$partCol=$pv/${st.getPath.getName}") match {
-                  case Some((mn, mx)) if mx < lo || mn > hi => None // skipped
+                byFile.get((s"$key/${st.getPath.getName}", statsCol)) match {
+                  case Some(s) if !intersects(s, bound) => None // skipped
                   case _ => Some(s"$dir/${st.getPath.getName}")
                 }
               }
             (files ++ kept, dirs)
           case _ =>
-            (files, dirs :+ s"$path/data/batch=$b/$partCol=$pv")
+            (files, dirs :+ s"$path/data/batch=$b/$key")
         }
     }
-    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
     val scans = Seq(
       if (keptFiles.isEmpty && wholeDirs.isEmpty) None
       else Some(rawRead(spark, path, wholeDirs ++ keptFiles).drop("batch")),
       if (chained.isEmpty) None
-      else Some(foldRead(spark, path, chained, partCol))).flatten
+      else Some(foldRead(spark, path, chained, partCols))).flatten
     if (scans.isEmpty)
       // everything skipped: an empty frame with the table's schema
-      readMapped(spark, path, mapping, partCol).filter(lit(false))
+      readMapped(spark, path, mapping, partCols).filter(lit(false))
     else scans.reduce(_.unionByName(_, allowMissingColumns = true)).filter(pred)
   }
 }

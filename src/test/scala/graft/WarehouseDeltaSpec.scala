@@ -297,7 +297,7 @@ class WarehouseDeltaSpec extends AnyFunSuite {
     // the competing writer's delta commit fires INSIDE our commit
     // window (after our batch landed, before our manifest publish)
     val attempts = Warehouse.mergeIntoDeltaHooked(spark, path, ours,
-      "k", "ver", "part", None, 3,
+      "k", "ver", Seq("part"), None, 3,
       attempt => () => if (attempt == 1)
         Warehouse.mergeIntoDelta(spark, path, competing, "k", "ver", "part"))
     assert(attempts == 2, s"one rebase expected, used $attempts")

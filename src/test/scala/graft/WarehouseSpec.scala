@@ -69,8 +69,8 @@ class WarehouseSpec extends AnyFunSuite {
   test("mergeInto: update wins, stale change loses, insert lands, untouched partitions keep byte-identical files") {
     val path = freshTable()
     val d1Before = {
-      val (pv, b, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "d1").get
-      fingerprint(s"$path/data/batch=$b/part=$pv")
+      val (pv, b, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "part=d1").get
+      fingerprint(s"$path/data/batch=$b/$pv")
     }
     assert(d1Before.nonEmpty)
     val changes = Seq(
@@ -89,15 +89,15 @@ class WarehouseSpec extends AnyFunSuite {
       (5L, "e", 10L, "d3"), (6L, "f", 11L, "d3"), (7L, "g", 11L, "d4")))
     // d1 was not in the change batch: same batch dir, same file names,
     // same bytes — the copy-on-write claim, physically
-    val (pv1, b1, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "d1").get
-    assert(fingerprint(s"$path/data/batch=$b1/part=$pv1") == d1Before,
+    val (pv1, b1, _, _) = Warehouse.partitionStats(spark, path).find(_._1 == "part=d1").get
+    assert(fingerprint(s"$path/data/batch=$b1/$pv1") == d1Before,
       "untouched partition must keep byte-identical files")
     // touched partitions moved to a new batch; the superseded d2
     // files STAY on disk (time travel) until an explicit vacuum
     val statsNow = Warehouse.partitionStats(spark, path).map(s => s._1 -> s._2).toMap
-    assert(statsNow("d2") != statsNow("d1") && statsNow("d3") != statsNow("d1"))
+    assert(statsNow("part=d2") != statsNow("part=d1") && statsNow("part=d3") != statsNow("part=d1"))
     val supersededD2 = java.nio.file.Paths.get(
-      s"$path/data/batch=${statsNow("d1")}/part=d2")
+      s"$path/data/batch=${statsNow("part=d1")}/part=d2")
     assert(Files.exists(supersededD2),
       "superseded d2 files must survive the merge for time travel")
     val removed = Warehouse.vacuum(spark, path)
@@ -170,7 +170,7 @@ class WarehouseSpec extends AnyFunSuite {
       .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((4L, "d", 10L, "d2"), (5L, "e", 10L, "d3")))
     val live = Warehouse.partitionStats(spark, path).map(_._1)
-    assert(live.sorted == Seq("d2", "d3"),
+    assert(live.sorted == Seq("part=d2", "part=d3"),
       s"emptied d1 must leave the mapping, got $live")
   }
 
@@ -300,7 +300,7 @@ class WarehouseSpec extends AnyFunSuite {
     val competing = Seq((1L, "a9", 12L, "d1")).toDF("k", "payload", "ver", "part")
     val ours = Seq((3L, "c9", 12L, "d2")).toDF("k", "payload", "ver", "part")
     val attempts = Warehouse.mergeIntoRetryingHooked(spark, path, ours,
-      "k", "ver", "part", None, 3,
+      "k", "ver", Seq("part"), None, 3,
       attempt => () => if (attempt == 1)
         Warehouse.mergeInto(spark, path, competing, "k", "ver", "part"))
     assert(attempts == 2, s"one rebase expected, used $attempts attempts")
@@ -316,7 +316,7 @@ class WarehouseSpec extends AnyFunSuite {
     // maxAttempts instead of spinning
     intercept[IllegalStateException] {
       Warehouse.mergeIntoRetryingHooked(spark, path, ours,
-        "k", "ver", "part", None, 2,
+        "k", "ver", Seq("part"), None, 2,
         _ => () => Warehouse.mergeInto(spark, path, competing, "k", "ver", "part"))
     }
   }
@@ -345,19 +345,19 @@ class WarehouseSpec extends AnyFunSuite {
     val compactPart = Seq((1000L, "q", "d2")).toDF("k", "payload", "part")
     Warehouse.create(spark, path, frag.unionByName(compactPart.coalesce(1)), "part")
     val before = Warehouse.partitionStats(spark, path)
-    val d1FilesBefore = before.find(_._1 == "d1").get._3
+    val d1FilesBefore = before.find(_._1 == "part=d1").get._3
     assert(d1FilesBefore > 1, s"fixture must be fragmented, got $d1FilesBefore files")
     val d2Before = {
-      val (pv, b, _, _) = before.find(_._1 == "d2").get
-      fingerprint(s"$path/data/batch=$b/part=$pv")
+      val (pv, b, _, _) = before.find(_._1 == "part=d2").get
+      fingerprint(s"$path/data/batch=$b/$pv")
     }
     val n = Warehouse.compact(spark, path, "k", targetBytes = 1L << 30)
     assert(n == 1, s"exactly the fragmented partition compacts, got $n")
     val after = Warehouse.partitionStats(spark, path)
-    assert(after.find(_._1 == "d1").get._3 == 1,
+    assert(after.find(_._1 == "part=d1").get._3 == 1,
       "fragmented partition must collapse to one file at a 1 GiB target")
-    val (pv2, b2, _, _) = after.find(_._1 == "d2").get
-    assert(fingerprint(s"$path/data/batch=$b2/part=$pv2") == d2Before,
+    val (pv2, b2, _, _) = after.find(_._1 == "part=d2").get
+    assert(fingerprint(s"$path/data/batch=$b2/$pv2") == d2Before,
       "already-compact partition must keep byte-identical files")
     val rows = Warehouse.read(spark, path)
       .select("k", "payload", "part").as[(Long, String, String)]
