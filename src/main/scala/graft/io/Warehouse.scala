@@ -1230,10 +1230,26 @@ object Warehouse {
     }
   }
 
-  private def intersects(stat: Stat, bound: Stat): Boolean = (stat, bound) match {
-    case (LongStat(mn, mx), LongStat(lo, hi)) => !(mx < lo || mn > hi)
-    case (StrStat(mn, mx), StrStat(lo, hi))   => !(mx < lo || mn > hi)
-    case _ => true // kind mismatch: never prune
+  /** A half-open or closed pruning interval over one stats column.
+    * `intersects` answers "could this file hold a matching row?" —
+    * true on kind mismatch or missing side, so pruning is always a
+    * SUPERSET of the matching files (the residual predicate exacts
+    * it). Dates compare as days-since-epoch, their recorded form.
+    */
+  private[graft] sealed trait Bound { def intersects(s: Stat): Boolean }
+  private[graft] final case class LongBound(lo: Option[Long], hi: Option[Long])
+      extends Bound {
+    def intersects(s: Stat): Boolean = s match {
+      case LongStat(mn, mx) => lo.forall(mx >= _) && hi.forall(mn <= _)
+      case _ => true
+    }
+  }
+  private[graft] final case class StrBound(lo: Option[String], hi: Option[String])
+      extends Bound {
+    def intersects(s: Stat): Boolean = s match {
+      case StrStat(mn, mx) => lo.forall(mx >= _) && hi.forall(mn <= _)
+      case _ => true
+    }
   }
 
   /** DATA-SKIPPING read: the table's rows with `statsCol` in
@@ -1254,31 +1270,55 @@ object Warehouse {
     */
   def readSkipping(spark: SparkSession, path: String, statsCol: String,
                    lo: Long, hi: Long): DataFrame =
-    readSkippingBound(spark, path, statsCol, LongStat(lo, hi),
-      col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+    readForScan(spark, path, None, Map(statsCol -> LongBound(Some(lo), Some(hi))))
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
 
   def readSkipping(spark: SparkSession, path: String, statsCol: String,
                    lo: String, hi: String): DataFrame =
-    readSkippingBound(spark, path, statsCol, StrStat(lo, hi),
-      col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+    readForScan(spark, path, None, Map(statsCol -> StrBound(Some(lo), Some(hi))))
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
 
   def readSkipping(spark: SparkSession, path: String, statsCol: String,
                    lo: java.time.LocalDate, hi: java.time.LocalDate): DataFrame =
-    readSkippingBound(spark, path, statsCol,
-      LongStat(lo.toEpochDay, hi.toEpochDay),
-      col(statsCol) >= lit(java.sql.Date.valueOf(lo)) &&
+    readForScan(spark, path, None,
+      Map(statsCol -> LongBound(Some(lo.toEpochDay), Some(hi.toEpochDay))))
+      .filter(col(statsCol) >= lit(java.sql.Date.valueOf(lo)) &&
         col(statsCol) <= lit(java.sql.Date.valueOf(hi)))
 
-  /** Core of [[readSkipping]]; also the pruning engine behind the
-    * DSv2 connector's pushed filters ([[graft.sources.warehouse]]).
-    * Returns the filtered frame; the pruned FILE list is observable
-    * via the plan's inputFiles (the spec's assertion).
+  /** File-pruned (and optionally time-traveled) table read — the
+    * pruning engine behind [[readSkipping]] and the DSv2 connector's
+    * pushed filters ([[graft.sources.warehouse.WarehouseDataSource]]).
+    * Per chain-free partition, a file is OPENED unless some bound's
+    * recorded stat proves it holds no matching row — a superset of
+    * the matching files, so the caller's residual predicate gives
+    * exact results; delta-chained partitions read in full (their fold
+    * must see every version of every key before filtering — pruning
+    * pre-fold could resurrect a superseded row). The pruned FILE list
+    * is observable via the returned plan's inputFiles (the spec's
+    * assertion).
     */
-  private[graft] def readSkippingBound(spark: SparkSession, path: String,
-                   statsCol: String, bound: Stat, pred: Column): DataFrame = {
+  private[graft] def readForScan(spark: SparkSession, path: String,
+                   versionAsOf: Option[Long],
+                   bounds: Map[String, Bound]): DataFrame = {
     val fs = fsOf(spark, path)
-    val (_, mapping) = snapshot(fs, path).getOrElse(
-      throw new IllegalStateException(s"no committed version under $path"))
+    val mapping = versionAsOf match {
+      case Some(n) =>
+        val vf = listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+          .getOrElse(throw new IllegalStateException(
+            s"no committed version $n under $path"))
+        val m = readMapping(fs, vf)
+        m.toSeq.sorted.foreach { case (key, chain) =>
+          chainOf(chain).foreach { b =>
+            if (!fs.exists(new HPath(s"$path/data/batch=$b/$key")))
+              throw new IllegalStateException(
+                s"version $n of $path references vacuumed data " +
+                  s"(batch=$b/$key) - history before the last vacuum is gone")
+          }
+        }
+        m
+      case None => snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))._2
+    }
     require(mapping.nonEmpty, s"table at $path has no live partitions")
     val partCols = partColsOf(mapping)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
@@ -1287,15 +1327,16 @@ object Warehouse {
       (Vector.empty[String], Vector.empty[String])) {
       case ((files, dirs), (key, b)) =>
         statsByBatch.getOrElseUpdate(b, readStats(fs, path, b)) match {
-          case Some(byFile) =>
+          case Some(byFile) if bounds.nonEmpty =>
             val dir = s"$path/data/batch=$b/$key"
             val kept = fs.listStatus(new HPath(dir))
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
               .toVector.flatMap { st =>
-                byFile.get((s"$key/${st.getPath.getName}", statsCol)) match {
-                  case Some(s) if !intersects(s, bound) => None // skipped
-                  case _ => Some(s"$dir/${st.getPath.getName}")
+                val skip = bounds.exists { case (c, bound) =>
+                  byFile.get((s"$key/${st.getPath.getName}", c))
+                    .exists(s => !bound.intersects(s))
                 }
+                if (skip) None else Some(s"$dir/${st.getPath.getName}")
               }
             (files ++ kept, dirs)
           case _ =>
@@ -1310,6 +1351,6 @@ object Warehouse {
     if (scans.isEmpty)
       // everything skipped: an empty frame with the table's schema
       readMapped(spark, path, mapping, partCols).filter(lit(false))
-    else scans.reduce(_.unionByName(_, allowMissingColumns = true)).filter(pred)
+    else scans.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -126,6 +126,27 @@ object WarehouseQueries {
       |FROM events WHERE event_id % 61 <> 9
       |ORDER BY event_id""".stripMargin
 
+  /** m11's fragmented-then-compacted table (per-file event_id stats),
+    * built once per (sfDir, JVM). Shared by m11 (explicit readSkipping)
+    * and sql10 (the same pruning engaged AUTOMATICALLY by the DSv2
+    * connector's pushed filters).
+    */
+  private def m11Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m11wh", "graft_m11wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"))
+      Warehouse.create(s, p, ev.repartition(16), "dt")
+      val bytes = Warehouse.partitionStats(s, p).map(_._4).sum
+      Warehouse.compact(s, p, "event_id",
+        targetBytes = math.max(1L, bytes / 12)): Unit
+    }
+
+  private val m11OracleSql =
+    """SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+      |FROM events WHERE event_id BETWEEN 10 AND 500
+      |ORDER BY event_id""".stripMargin
+
   def qs: Seq[Q] = Seq(
 
     // M1 — MERGE INTO a day-partitioned parquet table, copy-on-write
@@ -450,21 +471,123 @@ object WarehouseQueries {
     // opening one file per day instead of all of them.
     Q("m11_data_skipping",
       (s, d) => {
-        val path = TempArtifacts.getOrBuild(s"$d#m11wh", "graft_m11wh") { p =>
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              to_date(col("ts")).as("dt"))
-          Warehouse.create(s, p, ev.repartition(16), "dt")
-          val bytes = Warehouse.partitionStats(s, p).map(_._4).sum
-          Warehouse.compact(s, p, "event_id",
-            targetBytes = math.max(1L, bytes / 12)): Unit
-        }
-        Warehouse.readSkipping(s, path, "event_id", 10L, 500L)
+        Warehouse.readSkipping(s, m11Table(s, d), "event_id", 10L, 500L)
           .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
-             |FROM events WHERE event_id BETWEEN 10 AND 500
+      Some(m11OracleSql)),
+
+    // SQL10 — the DSv2 FRONT DOOR: the same rows as m11 but through
+    // `spark.sql` over a registered graft-warehouse view, with NO
+    // explicit readSkipping call — the WHERE clause's pushed filters
+    // route through the _stats sidecars automatically (the planned
+    // scan opens fewer files, WarehouseSqlSpec asserts), the residual
+    // predicate keeps the result exact, and chained partitions would
+    // fold before filtering. This is how a Delta/Iceberg user actually
+    // consumes the table; sharing m11's oracle proves API read,
+    // explicit skipping and the SQL path all serve one logical state.
+    Q("sql10_warehouse_scan",
+      (s, d) => {
+        s.read.format("graft-warehouse").load(m11Table(s, d))
+          .createOrReplaceTempView("graft_wh_events")
+        s.sql("""SELECT event_id, user_id, event_type, dt
+                |FROM graft_wh_events
+                |WHERE event_id BETWEEN 10 AND 500
+                |ORDER BY event_id""".stripMargin)
+      },
+      Some(m11OracleSql)),
+
+    // M13 — STRING data skipping: the typed-stats layer beyond m11's
+    // integral column. The fixture sorts on event_type at compaction,
+    // so each file covers a narrow lexicographic slab and the recorded
+    // BINARY min/max prune a `BETWEEN 'click' AND 'error'` bound to a
+    // fraction of the files (parquet's truncation contract — min
+    // rounds down, max up — keeps pruning safe). Result must equal
+    // the plain filtered scan, which is what the oracle replays.
+    Q("m13_string_skipping",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m13wh", "graft_m13wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              pmod(col("user_id"), lit(4L)).cast("int").as("bucket"))
+          Warehouse.create(s, p, ev.repartition(16), "bucket")
+          val bytes = Warehouse.partitionStats(s, p).map(_._4).sum
+          Warehouse.compact(s, p, "event_type",
+            targetBytes = math.max(1L, bytes / 12)): Unit
+        }
+        Warehouse.readSkipping(s, path, "event_type", "click", "error")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type
+             |FROM events WHERE event_type BETWEEN 'click' AND 'error'
+             |ORDER BY event_id""".stripMargin)),
+
+    // M14 — DATE data skipping: dates record as days-since-epoch
+    // (their parquet physical form, INT32) and the bound compares in
+    // the same space — a point-in-time range over a dt-sorted layout
+    // opens only the files whose day range intersects. The partition
+    // column here is a user bucket, so this is genuinely FILE pruning
+    // below partition pruning, not partition pruning in disguise.
+    Q("m14_date_skipping",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m14wh", "graft_m14wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              to_date(col("ts")).as("dt"),
+              pmod(col("user_id"), lit(4L)).cast("int").as("bucket"))
+          Warehouse.create(s, p, ev.repartition(16), "bucket")
+          val bytes = Warehouse.partitionStats(s, p).map(_._4).sum
+          Warehouse.compact(s, p, "dt",
+            targetBytes = math.max(1L, bytes / 12)): Unit
+        }
+        Warehouse.readSkipping(s, path, "dt",
+            java.time.LocalDate.of(2024, 1, 5), java.time.LocalDate.of(2024, 1, 12))
+          .select(col("event_id"), col("user_id"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS DATE) AS dt
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+             |ORDER BY event_id""".stripMargin)),
+
+    // M15 — MULTI-PARTITION-COLUMN table: the (dt, region) fact-table
+    // layout, here (dt, event_type), through the full lifecycle — a
+    // composite-partitioned create, a CoW merge re-inserting the held-
+    // out % 67 == 8 slice with shifted user_ids, and a DELTA commit
+    // tombstoning the % 71 == 10 slice — so manifest keys, per-level
+    // hive escaping, chain folds and the latest-wins algebra all run
+    // at composite granularity. The oracle recomputes the end state
+    // from events alone.
+    Q("m15_multi_partition",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m15wh", "graft_m15wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev.filter(col("event_id") % 67 =!= 8),
+            Seq("dt", "event_type"))
+          val ins = ev.filter(col("event_id") % 67 === 8)
+            .withColumn("user_id", col("user_id") + 6000000L)
+            .withColumn("version", col("version") + 1L)
+          Warehouse.mergeInto(s, p, ins, "event_id", "version",
+            Seq("dt", "event_type"), None)
+          val dels = ev.filter(col("event_id") % 71 === 10)
+            .withColumn("version", col("version") + 2L)
+            .withColumn("is_del", lit(true))
+          Warehouse.mergeIntoDelta(s, p, dels, "event_id", "version",
+            Seq("dt", "event_type"), Some("is_del"))
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 67 = 8 THEN user_id + 6000000
+             |       ELSE user_id END AS user_id,
+             |  event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id % 71 <> 10
              |ORDER BY event_id""".stripMargin)),
 
     // M12 — BOUNDED CHANGE-LOG PAGE: the consumer contract that keeps
