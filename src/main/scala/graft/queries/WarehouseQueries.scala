@@ -147,6 +147,39 @@ object WarehouseQueries {
       |FROM events WHERE event_id BETWEEN 10 AND 500
       |ORDER BY event_id""".stripMargin
 
+  /** m8's expected change log, rebuilt from the events table and the
+    * slice recipes alone (incl. the v2→v3 overlap arithmetic). Shared
+    * by m8 (batch changeLog) and st22 (the same log streamed page by
+    * page) — the two paths must BE the same event stream.
+    */
+  private val m8OracleSql =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |              CAST(ts AS DATE) AS dt FROM events),
+      |v2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS commit_version, event_id,
+      |         'update_preimage' AS change_type, user_id, event_type, dt
+      |  FROM ev WHERE event_id % 41 = 1
+      |  UNION ALL
+      |  SELECT 2, event_id, 'update_postimage',
+      |         user_id + 3000000, event_type, dt
+      |  FROM ev WHERE event_id % 41 = 1),
+      |v3 AS (
+      |  SELECT CAST(3 AS BIGINT), event_id, 'delete',
+      |         CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+      |              ELSE user_id END, event_type, dt
+      |  FROM ev WHERE event_id % 43 = 2
+      |  UNION ALL
+      |  SELECT 3, event_id, 'update_preimage',
+      |         CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+      |              ELSE user_id END, event_type, dt
+      |  FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
+      |  UNION ALL
+      |  SELECT 3, event_id, 'update_postimage',
+      |         user_id + 4000000, event_type, dt
+      |  FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2)
+      |SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+      |ORDER BY commit_version, event_id, change_type""".stripMargin
+
   def qs: Seq[Q] = Seq(
 
     // M1 — MERGE INTO a day-partitioned parquet table, copy-on-write
@@ -360,32 +393,35 @@ object WarehouseQueries {
             col("user_id"), col("event_type"), col("dt"))
           .orderBy("commit_version", "event_id", "change_type")
       },
-      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
-             |              CAST(ts AS DATE) AS dt FROM events),
-             |v2 AS (
-             |  SELECT CAST(2 AS BIGINT) AS commit_version, event_id,
-             |         'update_preimage' AS change_type, user_id, event_type, dt
-             |  FROM ev WHERE event_id % 41 = 1
-             |  UNION ALL
-             |  SELECT 2, event_id, 'update_postimage',
-             |         user_id + 3000000, event_type, dt
-             |  FROM ev WHERE event_id % 41 = 1),
-             |v3 AS (
-             |  SELECT CAST(3 AS BIGINT), event_id, 'delete',
-             |         CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
-             |              ELSE user_id END, event_type, dt
-             |  FROM ev WHERE event_id % 43 = 2
-             |  UNION ALL
-             |  SELECT 3, event_id, 'update_preimage',
-             |         CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
-             |              ELSE user_id END, event_type, dt
-             |  FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
-             |  UNION ALL
-             |  SELECT 3, event_id, 'update_postimage',
-             |         user_id + 4000000, event_type, dt
-             |  FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2)
-             |SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
-             |ORDER BY commit_version, event_id, change_type""".stripMargin)),
+      Some(m8OracleSql)),
+
+    // ST22 — the change log as a CHECKPOINTED STREAM (Delta's CDF-as-
+    // stream): a Structured Streaming query whose source is the
+    // table's _versions directory, so the file-source offset log IS
+    // the version cursor — restart with the same checkpoint and only
+    // unseen commits replay (ChangeFeedSpec pins the resume and the
+    // one-commit-per-page bound). Each micro-batch folds exactly one
+    // changeLog page (pageSize=1 here), so per-batch work is bounded
+    // by the page, never the history. Lives in this file (not
+    // StreamQueries) so Registry order keeps m8 the owner of the
+    // shared three-version table. Same oracle as m8: the streamed
+    // pages, concatenated, must BE the change log.
+    Q("st22_stream_change_feed",
+      (s, d) => {
+        val path = m8Table(s, d)
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        var schema: org.apache.spark.sql.types.StructType = null
+        graft.streaming.ChangeFeed.run(s, path, "event_id", pageSize = 1) {
+          (page, _) =>
+            val p = page.select(col("commit_version"), col("event_id"),
+              col("change_type"), col("user_id"), col("event_type"), col("dt"))
+            schema = p.schema
+            buf ++= p.collect()
+        }
+        s.createDataFrame(java.util.Arrays.asList(buf.toSeq: _*), schema)
+          .orderBy("commit_version", "event_id", "change_type")
+      },
+      Some(m8OracleSql)),
 
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
     // layout: the first ops problem a streaming-ingest table develops.

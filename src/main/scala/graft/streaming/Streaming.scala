@@ -79,7 +79,7 @@ object Streaming {
     f.delete(): Unit
   }
 
-  private def withEphemeralCheckpoint[T](body: String => T): T = {
+  private[streaming] def withEphemeralCheckpoint[T](body: String => T): T = {
     val dir = s"$ephemeralCkptRoot/ckpt_${ctr.incrementAndGet()}"
     try body(dir)
     finally deleteRec(new java.io.File(dir))
