@@ -66,16 +66,28 @@ object Layout {
     case _                           => c.cast(DoubleType)
   }
 
-  def zorderWrite(df: DataFrame, zCols: Seq[String], path: String,
-                  nFiles: Int): Unit = {
-    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+  /** The z-order curve key for `df`'s rows over `zCols`, with the
+    * normalization bounds taken from one bounded stats pass over `df`
+    * (per-column min/max — two doubles per column on the driver; NOTE
+    * this EXECUTES the frame's plan once). An all-null column
+    * normalizes over a unit span (its rows land together — harmless,
+    * stats on it never prune).
+    */
+  def zValueFor(df: DataFrame, zCols: Seq[String]): Column = {
     val nums = zCols.map(c => numeric(col(c), df.schema(c).dataType))
     val statCols = nums.flatMap(c => Seq(min(c), max(c)))
     val stats = df.agg(statCols.head, statCols.tail: _*).head()
     val dims = nums.zipWithIndex.map { case (c, i) =>
-      (c, stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      if (stats.isNullAt(2 * i)) (c, 0.0, 1.0)
+      else (c, stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }
-    val z = zValue(dims)
+    zValue(dims)
+  }
+
+  def zorderWrite(df: DataFrame, zCols: Seq[String], path: String,
+                  nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val z = zValueFor(df, zCols)
     df.repartitionByRange(nFiles, z)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)

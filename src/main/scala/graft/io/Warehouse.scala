@@ -998,6 +998,18 @@ object Warehouse {
     * fragmented-but-correct table serving. Returns the number of
     * partitions rewritten.
     *
+    * MULTI-DIMENSIONAL LAYOUT: pass `zorderCols` and the rewrite
+    * clusters each partition on the z-order curve of those columns
+    * instead of the linear `sortCol` order ([[Layout.zValueFor]] —
+    * one bounded stats pass over the selected partitions, then
+    * range-partition + sort by the interleaved-bit curve key). Every
+    * output file then covers a small HYPER-RECTANGLE of the value
+    * space, so the recorded per-file min/max stats are selective on
+    * EVERY z-ordered column at once — a 2-D predicate through
+    * [[readSkipping]] or the DSv2 connector's pushed filters prunes
+    * on both, where a sortCol layout prunes on one. Stats are
+    * recorded for the z-ordered columns plus `sortCol`/`statsCols`.
+    *
     * CONCURRENCY: a commit landing between compact's snapshot and its
     * own commit (a racing delta/CoW merge) loses compact the version
     * race; the whole pass then RE-RUNS against the new snapshot — a
@@ -1009,14 +1021,15 @@ object Warehouse {
     */
   def compact(spark: SparkSession, path: String, sortCol: String,
               targetBytes: Long, maxAttempts: Int = 5,
-              statsCols: Seq[String] = Nil): Int = {
+              statsCols: Seq[String] = Nil,
+              zorderCols: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
       try return compactOnce(spark, fs, path, sortCol, targetBytes,
-        (sortCol +: statsCols).distinct)
+        (sortCol +: (statsCols ++ zorderCols)).distinct, zorderCols)
       catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("lost a race") =>
@@ -1029,7 +1042,8 @@ object Warehouse {
 
   private def compactOnce(spark: SparkSession, fs: FileSystem, path: String,
                           sortCol: String, targetBytes: Long,
-                          statsCols: Seq[String]): Int = {
+                          statsCols: Seq[String],
+                          zorderCols: Seq[String]): Int = {
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     val partCols = partColsOf(mapping)
@@ -1045,9 +1059,13 @@ object Warehouse {
       }.sum).toInt
       val fragMap = frag.map { case (key, chain, _, _) => key -> chain }.toMap
       val batchId = java.util.UUID.randomUUID().toString
-      readMapped(spark, path, fragMap, partCols)
-        .repartitionByRange(nOut, (partCols :+ sortCol).map(col): _*)
-        .sortWithinPartitions((partCols :+ sortCol).map(col): _*)
+      val selected = readMapped(spark, path, fragMap, partCols)
+      val layoutKey =
+        if (zorderCols.isEmpty) col(sortCol)
+        else Layout.zValueFor(selected, zorderCols)
+      selected
+        .repartitionByRange(nOut, partCols.map(col) :+ layoutKey: _*)
+        .sortWithinPartitions(partCols.map(col) :+ layoutKey: _*)
         .write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$path/data/batch=$batchId")
       writeFileStats(spark, path, batchId, statsCols)

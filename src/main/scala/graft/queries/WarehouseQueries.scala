@@ -587,6 +587,40 @@ object WarehouseQueries {
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
              |ORDER BY event_id""".stripMargin)),
 
+    // M16 — Z-ORDERED warehouse scan through the SQL front door: the
+    // compaction clusters (event_id, user_id) on the interleaved-bit
+    // curve, so every file covers a small 2-D box and the per-file
+    // stats are selective on BOTH columns at once — the DSv2 view's
+    // pushed 2-D WHERE then prunes on both (a linear sort would prune
+    // on one; WarehouseMultiSpec pins the contrast). This is Delta's
+    // OPTIMIZE ZORDER BY composed with automatic data skipping, on
+    // our own manifest. The oracle replays the box filter.
+    Q("m16_zorder_scan",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m16wh", "graft_m16wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              pmod(col("user_id"), lit(2L)).cast("int").as("bucket"))
+          Warehouse.create(s, p, ev.repartition(16), "bucket")
+          val bytes = Warehouse.partitionStats(s, p).map(_._4).sum
+          Warehouse.compact(s, p, "event_id",
+            targetBytes = math.max(1L, bytes / 12),
+            zorderCols = Seq("event_id", "user_id")): Unit
+        }
+        s.read.format("graft-warehouse").load(path)
+          .createOrReplaceTempView("graft_wh_zorder")
+        s.sql("""SELECT event_id, user_id, event_type
+                |FROM graft_wh_zorder
+                |WHERE event_id BETWEEN 100 AND 2000
+                |  AND user_id BETWEEN 100 AND 400
+                |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, user_id, event_type
+             |FROM events
+             |WHERE event_id BETWEEN 100 AND 2000
+             |  AND user_id BETWEEN 100 AND 400
+             |ORDER BY event_id""".stripMargin)),
+
     // M15 — MULTI-PARTITION-COLUMN table: the (dt, region) fact-table
     // layout, here (dt, event_type), through the full lifecycle — a
     // composite-partitioned create, a CoW merge re-inserting the held-

@@ -143,6 +143,49 @@ class WarehouseMultiSpec extends AnyFunSuite {
     assert(byK.count() == 201L)
   }
 
+  test("z-order compaction: a 2-D layout prunes files on BOTH clustered columns; a linear sort prunes on one") {
+    // x and y are independent (y = bit-reversed x), so a linear sort
+    // on x leaves y's per-file stats useless — the z-curve layout is
+    // exactly what makes both selective at once
+    def rev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    val rows = (0L until 4000L).map(i => (i, rev(i % 4096), s"p$i", "d1"))
+      .toDF("x", "y", "payload", "part")
+    def build(zorder: Boolean): String = {
+      val path = Files.createTempDirectory("graft_z").toString + "/t"
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", 100L)
+      try Warehouse.create(spark, path, rows.repartition(8), "part")
+      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val target = math.max(1L, Warehouse.partitionStats(spark, path).map(_._4).sum / 16)
+      Warehouse.compact(spark, path, "x", target,
+        zorderCols = if (zorder) Seq("x", "y") else Nil,
+        statsCols = Seq("y"))
+      path
+    }
+    val zPath = build(zorder = true)
+    val full = Warehouse.read(spark, zPath).inputFiles.length
+    assert(full > 8, s"need a multi-file layout, got $full")
+    val byX = Warehouse.readSkipping(spark, zPath, "x", 100L, 400L)
+    val byY = Warehouse.readSkipping(spark, zPath, "y", 100L, 400L)
+    assert(byX.inputFiles.length < full && byY.inputFiles.length < full,
+      s"z-order must prune on both dims: x=${byX.inputFiles.length} " +
+        s"y=${byY.inputFiles.length} of $full")
+    // exactness on both: pruned read == unpruned filtered read
+    assert(byX.select("x").as[Long].collect().sorted.toSeq == (100L to 400L))
+    val wantY = Warehouse.read(spark, zPath)
+      .filter(col("y").between(100L, 400L))
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(byY.select("x").as[Long].collect().sorted.toSeq == wantY)
+    // the linear layout leaves y unprunable in practice (x-sorted
+    // files each span ~the full y range)
+    val sPath = build(zorder = false)
+    val sFull = Warehouse.read(spark, sPath).inputFiles.length
+    val sByY = Warehouse.readSkipping(spark, sPath, "y", 100L, 400L)
+    assert(sByY.inputFiles.length > byY.inputFiles.length * 2,
+      s"linear sort on x should barely prune y: linear=${sByY.inputFiles.length}/$sFull " +
+        s"vs zorder=${byY.inputFiles.length}/$full")
+  }
+
   test("commit seam: an injected racing claimer loses the version publish through the trait; the retrying merge rebases") {
     val path = Files.createTempDirectory("graft_seam").toString + "/t"
     Warehouse.create(spark, path, Seq((1L, "a", 10L, "d1"), (2L, "b", 10L, "d2"))
