@@ -423,6 +423,45 @@ object WarehouseQueries {
       },
       Some(m8OracleSql)),
 
+    // SQL11 — the change feed through the DSv2 FRONT DOOR: Delta's
+    // `option("readChangeFeed", true).option("startingVersion", …)`
+    // shape — the connector serves changeLog's tagged diff frame
+    // instead of the snapshot, bounded to the requested commit window
+    // (m12's page), pushed-filter pruning deliberately disabled (a
+    // diff must see both images of every moved key). Shares m12's
+    // oracle: API page and SQL-addressable feed must be one stream.
+    Q("sql11_change_feed_scan",
+      (s, d) => {
+        s.read.format("graft-warehouse")
+          .option("readChangeFeed", "true")
+          .option("keyCol", "event_id")
+          .option("startingVersion", "3")
+          .option("endingVersion", "3")
+          .load(m8Table(s, d))
+          .createOrReplaceTempView("graft_wh_feed")
+        s.sql("""SELECT commit_version, event_id, change_type,
+                |       user_id, event_type, dt
+                |FROM graft_wh_feed
+                |ORDER BY event_id, change_type""".stripMargin)
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT CAST(3 AS BIGINT) AS commit_version, event_id,
+             |       'delete' AS change_type,
+             |       CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+             |            ELSE user_id END AS user_id, event_type, dt
+             |FROM ev WHERE event_id % 43 = 2
+             |UNION ALL
+             |SELECT 3, event_id, 'update_preimage',
+             |       CASE WHEN event_id % 41 = 1 THEN user_id + 3000000
+             |            ELSE user_id END, event_type, dt
+             |FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
+             |UNION ALL
+             |SELECT 3, event_id, 'update_postimage',
+             |       user_id + 4000000, event_type, dt
+             |FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
+             |ORDER BY event_id, change_type""".stripMargin)),
+
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
     // layout: the first ops problem a streaming-ingest table develops.
     // The fixture table is written deliberately FRAGMENTED (a 8-way

@@ -3,7 +3,7 @@ package graft.sources.warehouse
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -53,27 +53,67 @@ class WarehouseDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val (path, versionAsOf) = WarehouseDataSource.conf(options)
-    versionAsOf match {
-      case Some(n) => Warehouse.readVersion(spark, path, n).schema
-      case None    => Warehouse.read(spark, path).schema
-    }
+    WarehouseDataSource.conf(options).frame(spark).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val (path, versionAsOf) =
-      WarehouseDataSource.conf(new CaseInsensitiveStringMap(properties))
-    new WarehouseTable(schema, path, versionAsOf)
+    val c = WarehouseDataSource.conf(new CaseInsensitiveStringMap(properties))
+    new WarehouseTable(schema, c)
   }
 }
 
 object WarehouseDataSource {
-  private def conf(options: CaseInsensitiveStringMap): (String, Option[Long]) = {
+
+  /** Parsed read options. `readChangeFeed = true` switches the table
+    * from the snapshot to its CHANGE FEED — Delta's
+    * `option("readChangeFeed", …)` shape: rows are the tagged diffs
+    * of commits in `(startingVersion - 1, endingVersion]` (default:
+    * from the first diffable commit to the newest), with
+    * `change_type` and `commit_version` columns, exactly
+    * [[Warehouse.changeLog]]'s frame. Feed reads take no pushed-
+    * filter file pruning (the diff must see both images of every
+    * moved key) — filters stay Spark-side residuals; the manifest
+    * diff already prunes the scan to moved partitions.
+    */
+  final case class ReadConf(
+      path: String, versionAsOf: Option[Long], keyCol: Option[String],
+      changeFeed: Boolean, startingVersion: Option[Long],
+      endingVersion: Option[Long], maxCommits: Int) {
+    def frame(spark: SparkSession): org.apache.spark.sql.DataFrame =
+      if (changeFeed) {
+        val key = keyCol.getOrElse {
+          // default to the table's recorded merge key (_meta); tables
+          // that never took a delta commit must name it explicitly
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          try Warehouse.readMeta(fs, path)._1
+          catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              "readChangeFeed needs option(\"keyCol\", ...) on a table " +
+                s"without recorded merge keys: ${e.getMessage}")
+          }
+        }
+        Warehouse.changeLog(spark, path, key,
+          fromV = startingVersion.map(_ - 1).getOrElse(1L),
+          toV = endingVersion, maxCommits = maxCommits)
+      } else versionAsOf match {
+        case Some(n) => Warehouse.readVersion(spark, path, n)
+        case None    => Warehouse.read(spark, path)
+      }
+  }
+
+  private def conf(options: CaseInsensitiveStringMap): ReadConf = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-warehouse requires a table path - .load(path)"))
-    (path, Option(options.get("versionAsOf")).map(_.toLong))
+    ReadConf(path,
+      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong),
+      keyCol = Option(options.get("keyCol")),
+      changeFeed = options.getBoolean("readChangeFeed", false),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      endingVersion = Option(options.get("endingVersion")).map(_.toLong),
+      maxCommits = options.getInt("maxCommits", 64))
   }
 
   /** Test probe: file count and pushed-filter set of the most recently
@@ -155,19 +195,21 @@ object WarehouseDataSource {
   }
 }
 
-class WarehouseTable(tableSchema: StructType, path: String,
-                     versionAsOf: Option[Long]) extends Table with SupportsRead {
+class WarehouseTable(tableSchema: StructType,
+                     conf: WarehouseDataSource.ReadConf)
+    extends Table with SupportsRead {
   override def name(): String =
-    s"graft-warehouse($path${versionAsOf.fold("")(v => s"@v$v")})"
+    s"graft-warehouse(${conf.path}${conf.versionAsOf.fold("")(v => s"@v$v")}" +
+      s"${if (conf.changeFeed) " changeFeed" else ""})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarehouseScanBuilder(tableSchema, path, versionAsOf)
+    new WarehouseScanBuilder(tableSchema, conf)
 }
 
-class WarehouseScanBuilder(fullSchema: StructType, path: String,
-                           versionAsOf: Option[Long])
+class WarehouseScanBuilder(fullSchema: StructType,
+                           conf: WarehouseDataSource.ReadConf)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -179,7 +221,11 @@ class WarehouseScanBuilder(fullSchema: StructType, path: String,
     * re-apply — stats pruning yields a superset, never a verdict.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(WarehouseDataSource.pushable)
+    // change-feed reads take no file pruning (the diff must see both
+    // images of every moved key) — leave every filter to Spark
+    pushed =
+      if (conf.changeFeed) Array.empty
+      else filters.filter(WarehouseDataSource.pushable)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -192,7 +238,7 @@ class WarehouseScanBuilder(fullSchema: StructType, path: String,
       else StructType(fullSchema.fields.take(1))
 
   override def build(): Scan =
-    new WarehouseV1Scan(pruned, path, versionAsOf, pushed)
+    new WarehouseV1Scan(pruned, conf, pushed)
 }
 
 /** The V1 bridge scan: resolves the manifest, prunes files through
@@ -200,22 +246,44 @@ class WarehouseScanBuilder(fullSchema: StructType, path: String,
   * verified [[Warehouse]] read path — and hands Spark the resulting
   * plan's RDD.
   */
-class WarehouseV1Scan(pruned: StructType, path: String,
-                      versionAsOf: Option[Long], pushed: Array[Filter])
-    extends V1Scan {
+class WarehouseV1Scan(pruned: StructType,
+                      conf: WarehouseDataSource.ReadConf,
+                      pushed: Array[Filter])
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = pruned
 
+  /** Size from the manifest's own file listing (driver-bounded
+    * metadata, no data read) — without it Spark assumes
+    * `defaultSizeInBytes` (effectively infinite) and a small
+    * warehouse DIMENSION table joined against a fact would never
+    * broadcast; with it, Catalyst's broadcast threshold applies to
+    * warehouse tables exactly as to plain parquet. Deliberately the
+    * UNPRUNED table bytes: an over-estimate can only miss a broadcast
+    * opportunity, never OOM the driver on an under-estimate.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: java.util.OptionalLong =
+      try java.util.OptionalLong.of(math.max(1L,
+        Warehouse.partitionStats(SparkSession.active, conf.path).map(_._4).sum))
+      catch { case _: Exception => java.util.OptionalLong.empty() }
+    override def sizeInBytes(): java.util.OptionalLong = bytes
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
   override def description(): String =
-    s"graft-warehouse $path${versionAsOf.fold("")(v => s"@v$v")} " +
+    s"graft-warehouse ${conf.path}${conf.versionAsOf.fold("")(v => s"@v$v")}" +
+      s"${if (conf.changeFeed) " changeFeed" else ""} " +
       s"fields=${pruned.fieldNames.mkString(",")} " +
       s"pushed=[${pushed.mkString(", ")}]"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val spark = context.sparkSession
-    val bounds = WarehouseDataSource.boundsOf(pushed.toIndexedSeq)
-    val base = Warehouse.readForScan(spark, path, versionAsOf, bounds)
+    val base =
+      if (conf.changeFeed) conf.frame(spark)
+      else Warehouse.readForScan(spark, conf.path, conf.versionAsOf,
+        WarehouseDataSource.boundsOf(pushed.toIndexedSeq))
     val filtered = pushed.toIndexedSeq
       .flatMap(WarehouseDataSource.toColumn)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)

@@ -111,6 +111,19 @@ class WarehouseSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("reported statistics make a small warehouse dimension broadcast into a join without a hint") {
+    val dim = spark.read.format("graft-warehouse").load(tablePath)
+      .select(col("k"), col("name"))
+    val fact = spark.range(0, 100000).select(
+      (col("id") % 4000L + 1L).as("k"), col("id").as("amt"))
+    val joined = fact.join(dim, Seq("k"))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"a ~100KB warehouse table must broadcast under the default 10MB " +
+        s"threshold, plan:\n${physical.take(1500)}")
+    assert(joined.count() == 100000)
+  }
+
   test("the fold still serves through the connector: a delta chain reads merged, filters stay exact") {
     val path = Files.createTempDirectory("graft_dsv2_mor").toString + "/t"
     Warehouse.create(spark, path, Seq(
