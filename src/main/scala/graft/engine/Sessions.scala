@@ -44,6 +44,10 @@ object Sessions {
       // keep saveAsTable warehouses (bucketed-join tests) out of cwd
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
+      // path-addressed SQL catalog for io.Warehouse tables:
+      // SELECT * FROM graft.`/path` [VERSION|TIMESTAMP AS OF ...]
+      .config("spark.sql.catalog.graft",
+        "graft.sources.warehouse.WarehouseCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

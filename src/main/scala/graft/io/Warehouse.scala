@@ -961,6 +961,24 @@ object Warehouse {
       throw new IllegalStateException(s"no committed version under $path"))
   }
 
+  /** The newest version committed at-or-before the given instant
+    * (epoch MICROseconds) — `TIMESTAMP AS OF` resolution, off the
+    * commit files' own modification times (the Delta convention).
+    * Fails loudly when every commit is younger than the instant.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMicros: Long): Long = {
+    val fs = fsOf(spark, path)
+    val versions = listVersions(fs, path)
+    require(versions.nonEmpty, s"no committed version under $path")
+    val atOrBefore = versions.filter { case (_, p) =>
+      fs.getFileStatus(p).getModificationTime * 1000L <= tsMicros
+    }
+    require(atOrBefore.nonEmpty,
+      s"no commit at or before timestamp $tsMicros us under $path - " +
+        s"the oldest commit is version ${versions.map(_._1).min}")
+    atOrBefore.map(_._1).max
+  }
+
   /** Per-partition (partKey, chain, file count, bytes) off the newest
     * version — the listing [[compact]] plans from, exposed for specs
     * and ops dashboards. For chained partitions the counts sum over

@@ -462,6 +462,23 @@ object WarehouseQueries {
              |FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
              |ORDER BY event_id, change_type""".stripMargin)),
 
+    // SQL12 — SQL TIME TRAVEL through the path-addressed catalog:
+    // `FROM graft.`<path>` VERSION AS OF 1` serves m1's pre-merge
+    // snapshot with the full Spark SQL grammar (Delta's
+    // delta.`/path` convention; TIMESTAMP AS OF rides the same
+    // loadTable arm, spec-pinned). Shares m3's oracle: API
+    // readVersion, the versionAsOf read option, and the SQL clause
+    // must all serve the identical snapshot.
+    Q("sql12_version_as_of",
+      (s, d) => {
+        s.sql(s"""SELECT event_id, user_id, event_type, dt
+                 |FROM graft.`${m1Table(s, d)}` VERSION AS OF 1
+                 |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id % 19 <> 3
+             |ORDER BY event_id""".stripMargin)),
+
     // K9 — small-file COMPACTION (OPTIMIZE) of the K8 day-partitioned
     // layout: the first ops problem a streaming-ingest table develops.
     // The fixture table is written deliberately FRAGMENTED (a 8-way

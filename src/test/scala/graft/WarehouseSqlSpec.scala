@@ -111,6 +111,44 @@ class WarehouseSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("the graft catalog addresses tables by path with VERSION AS OF and TIMESTAMP AS OF") {
+    val path = Files.createTempDirectory("graft_cat").toString + "/t"
+    Warehouse.create(spark, path, Seq((1L, "a", 10L, "d1"), (2L, "b", 10L, "d1"))
+      .toDF("k", "payload", "ver", "part"), "part")
+    // commit mtimes have 1s granularity on some filesystems — space
+    // the versions so TIMESTAMP AS OF can land between them
+    Thread.sleep(1100)
+    val betweenCommits = java.time.Instant.now()
+    Thread.sleep(1100)
+    Warehouse.mergeInto(spark, path,
+      Seq((1L, "a2", 11L, "d1")).toDF("k", "payload", "ver", "part"),
+      "k", "ver", "part")
+    // newest
+    val now = spark.sql(s"SELECT k, payload FROM graft.`$path` ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(now == Seq((1L, "a2"), (2L, "b")))
+    // VERSION AS OF
+    val v1 = spark.sql(
+      s"SELECT k, payload FROM graft.`$path` VERSION AS OF 1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b")))
+    // TIMESTAMP AS OF an instant between the two commits → version 1
+    val ts = java.sql.Timestamp.from(betweenCommits)
+    val atTs = spark.sql(
+      s"SELECT k, payload FROM graft.`$path` TIMESTAMP AS OF '$ts' ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(atTs == v1, s"timestamp between commits must serve v1, got $atTs")
+    // pre-creation instant fails loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$path` TIMESTAMP AS OF '2000-01-01'")
+        .count()
+    }
+    // writes are refused, not silently wrong
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$path`")
+    }
+  }
+
   test("reported statistics make a small warehouse dimension broadcast into a join without a hint") {
     val dim = spark.read.format("graft-warehouse").load(tablePath)
       .select(col("k"), col("name"))
