@@ -123,17 +123,24 @@ object Warehouse {
 
   private val VersionRe = "^v([0-9]{8})$".r
 
-  /** A chain value: head = base batch, tail = delta batches in commit
-    * order, delta links prefixed '~'. A chain needs a read-time FOLD
-    * when it has any delta link — more than one element, or a single
-    * '~'-marked element (a partition CREATED by a delta merge, whose
-    * rows may still carry multiple versions and tombstones).
+  /** A chain value: head = base batch, tail = later links in commit
+    * order. Two link kinds: '~'-prefixed DELTA links (keyed change
+    * batches — the chain folds per key at read) and '+'-prefixed
+    * APPEND links (blind row appends — the chain reads as a plain
+    * union). A chain needs a read-time FOLD only when it has a delta
+    * link anywhere: a single '~'-marked element (a partition CREATED
+    * by a delta merge, whose rows may still carry multiple versions
+    * and tombstones) or any '~' later in the chain — in which case
+    * every link, '+' appends included, participates in the fold at
+    * its chain rank. Append-only chains (base plus '+' links) never
+    * fold and need no `_meta`: they are the append-only fact-table
+    * shape, duplicates and all.
     */
   private def chainOf(v: String): Seq[String] =
-    v.split(",").toSeq.map(_.stripPrefix("~"))
+    v.split(",").toSeq.map(_.stripPrefix("~").stripPrefix("+"))
 
   private def needsFold(v: String): Boolean =
-    v.contains(",") || v.startsWith("~")
+    v.split(",").exists(_.startsWith("~"))
 
   private def listVersions(fs: FileSystem, path: String): Seq[(Long, HPath)] = {
     val vdir = new HPath(s"$path/_versions")
@@ -379,6 +386,155 @@ object Warehouse {
              partCol: String): Unit =
     create(spark, path, df, Seq(partCol))
 
+  /** Blind APPEND — the INSERT INTO plane. `df` lands as one new
+    * batch dir and every touched partition's chain grows a '+' append
+    * link: write cost O(|df|) bytes with ZERO shuffle (the
+    * partitioned write is map-only), and reads stay plain unions —
+    * append links never force a fold. On a KEYED table (one that has
+    * taken a delta merge and recorded merge keys in `_meta`) the
+    * append routes through [[mergeIntoDelta]] with the recorded keys
+    * instead: such a table's read contract is per-key latest-wins, so
+    * an insert IS a delta merge there — a re-inserted key upserts
+    * rather than duplicating, keeping the keyed invariant at every
+    * version. Either way the publish is optimistic-concurrency
+    * retried with the O(1) delta rebase (data lands once; a lost race
+    * only re-snapshots and re-publishes the manifest). Partition
+    * columns are read off the manifest — `df` must carry them, with
+    * non-null values. Returns the commit attempts used.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             maxAttempts: Int = 5): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val fs = fsOf(spark, path)
+    val mapping0 = snapshot(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $path - create() first"))._2
+    require(mapping0.nonEmpty,
+      s"table at $path has no live partitions - re-create() to repopulate")
+    val partCols = partColsOf(mapping0)
+    if (fs.exists(metaPath(path))) {
+      val (k, v) = readMeta(fs, path)
+      mergeIntoDeltaRetrying(spark, path, df, k, v, partCols, None, maxAttempts)
+    } else {
+      require(partKeysOf(df, partCols).nonEmpty, "empty append batch")
+      val batchId = java.util.UUID.randomUUID().toString
+      df.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(s"$path/data/batch=$batchId")
+      val written = partDirs(fs, path, batchId, partCols)
+      var attempt = 1
+      while (true) {
+        val (v, mapping) = snapshot(fs, path).get
+        val newMapping = mapping ++ written.map(key =>
+          key -> (mapping.get(key) match {
+            case Some(chain) => s"$chain,+$batchId"
+            case None        => s"+$batchId"
+          }))
+        try {
+          commit(fs, path, v + 1, newMapping)
+          return attempt
+        } catch {
+          case e: IllegalStateException if e.getMessage != null &&
+              e.getMessage.contains("lost a race") =>
+            if (attempt >= maxAttempts) throw e
+            attempt += 1
+        }
+      }
+      attempt // unreachable
+    }
+  }
+
+  /** TRUNCATE-AND-RELOAD — the INSERT OVERWRITE (static) plane:
+    * replace the table's ENTIRE contents with `df` as version N+1.
+    * The new mapping references only the fresh batch; every previous
+    * partition drops out of the snapshot but its files stay on disk,
+    * so time travel across the overwrite works until [[vacuum]] —
+    * truncation is one more commit in the history, never a data
+    * delete. Partition columns come from the current manifest.
+    * Retried on a lost commit race (overwrite semantics declare full
+    * replacement, so rebasing is re-publishing the same batch).
+    */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+                maxAttempts: Int = 5): Int =
+    overwriteCommit(spark, path, df, dynamic = false, maxAttempts)
+
+  /** DYNAMIC PARTITION OVERWRITE: replace exactly the partitions `df`
+    * carries rows for — the warehouse analog of the reference's
+    * ranged reload (`Function_Latinad_API/function_app.py:193-196`
+    * drops a date window and reloads it) and of Spark's
+    * `partitionOverwriteMode=dynamic`. Untouched partitions keep
+    * their exact chains and files; touched ones collapse to the fresh
+    * batch. Retried on a lost race by rebasing onto the winner's
+    * mapping (last-writer-wins per partition, the dynamic-overwrite
+    * contract).
+    */
+  def overwritePartitions(spark: SparkSession, path: String, df: DataFrame,
+                          maxAttempts: Int = 5): Int =
+    overwriteCommit(spark, path, df, dynamic = true, maxAttempts)
+
+  private def overwriteCommit(spark: SparkSession, path: String, df: DataFrame,
+                              dynamic: Boolean, maxAttempts: Int): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val fs = fsOf(spark, path)
+    val mapping0 = snapshot(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $path - create() first"))._2
+    require(mapping0.nonEmpty,
+      s"table at $path has no live partitions - re-create() to repopulate")
+    val partCols = partColsOf(mapping0)
+    if (dynamic) require(partKeysOf(df, partCols).nonEmpty,
+      "empty change batch - dynamic overwrite needs rows naming partitions")
+    val batchId = java.util.UUID.randomUUID().toString
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(s"$path/data/batch=$batchId")
+    val written = partDirs(fs, path, batchId, partCols)
+    var attempt = 1
+    while (true) {
+      val (v, mapping) = snapshot(fs, path).get
+      val newMapping =
+        if (dynamic) mapping ++ written.map(_ -> batchId)
+        else written.map(_ -> batchId).toMap
+      try {
+        commit(fs, path, v + 1, newMapping)
+        return attempt
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    attempt // unreachable
+  }
+
+  /** RESTORE — Delta's `RESTORE TABLE … TO VERSION AS OF n`: roll the
+    * table back to snapshot `n` by committing version n's MAPPING as
+    * the newest version. History is never rewritten — the rolled-back
+    * versions stay readable (an audit sees the restore as one more
+    * commit), data files are shared, and the cost is one manifest
+    * read plus one commit whatever the table size. Fails loudly when
+    * `n` was never committed or its files were vacuumed away. Returns
+    * the new version number.
+    */
+  def restore(spark: SparkSession, path: String, n: Long): Long = {
+    val fs = fsOf(spark, path)
+    val versions = listVersions(fs, path)
+    val vf = versions.collectFirst { case (v, p) if v == n => p }
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version $n under $path"))
+    val mapping = readMapping(fs, vf)
+    mapping.toSeq.sorted.foreach { case (key, chain) =>
+      chainOf(chain).foreach { b =>
+        if (!fs.exists(new HPath(s"$path/data/batch=$b/$key")))
+          throw new IllegalStateException(
+            s"cannot restore $path to version $n: it references vacuumed " +
+              s"data (batch=$b/$key) - history before the last vacuum is gone")
+      }
+    }
+    val newest = versions.map(_._1).max
+    commit(fs, path, newest + 1, mapping)
+    newest + 1
+  }
+
   /** The table's current rows. Chain-free partitions are read exactly
     * as written (plain columnar scan of the listed dirs); partitions
     * with delta chains are FOLDED — base ∪ deltas, per-key latest-wins
@@ -417,8 +573,10 @@ object Warehouse {
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val parts = Seq(
       if (pure.isEmpty) None
-      else Some(rawRead(spark, path, pure.toSeq.sorted.map { case (key, b) =>
-        s"$path/data/batch=$b/$key"
+      else Some(rawRead(spark, path, pure.toSeq.sorted.flatMap {
+        case (key, chain) =>
+          // append-only chains scan every link plainly (no fold)
+          chainOf(chain).map(b => s"$path/data/batch=$b/$key")
       }).drop("batch")),
       if (chained.isEmpty) None
       else Some(foldRead(spark, path, chained, partCols))).flatten
@@ -952,6 +1110,19 @@ object Warehouse {
     }.reduce(_.unionByName(_))
   }
 
+  /** The table's ordered partition columns, off the newest manifest —
+    * the layout a writer must partition by and the identity transforms
+    * the DSv2 table reports. One manifest read, no data access.
+    */
+  def partitionColumns(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val mapping = snapshot(fs, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))._2
+    require(mapping.nonEmpty,
+      s"table at $path has no live partitions - no layout to report")
+    partColsOf(mapping)
+  }
+
   /** The newest committed version number — the cursor a change-feed
     * consumer checkpoints against.
     */
@@ -1067,7 +1238,10 @@ object Warehouse {
     val partCols = partColsOf(mapping)
     val stats = partitionStats(spark, path)
     val frag = stats.filter { case (_, chain, nFiles, bytes) =>
-      needsFold(chain) ||
+      // delta chains (fold debt), append chains (listing debt — one FS
+      // listing per link per read), and plain small-file fragmentation
+      // all collapse to a single fresh base
+      needsFold(chain) || chainOf(chain).length > 1 ||
         nFiles > math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
     if (frag.isEmpty) 0
@@ -1359,8 +1533,9 @@ object Warehouse {
     val partCols = partColsOf(mapping)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val statsByBatch = scala.collection.mutable.Map[String, Option[Map[(String, String), Stat]]]()
-    val (keptFiles, wholeDirs) = pure.toSeq.sorted.foldLeft(
-      (Vector.empty[String], Vector.empty[String])) {
+    val (keptFiles, wholeDirs) = pure.toSeq.sorted
+      .flatMap { case (key, chain) => chainOf(chain).map(key -> _) }
+      .foldLeft((Vector.empty[String], Vector.empty[String])) {
       case ((files, dirs), (key, b)) =>
         statsByBatch.getOrElseUpdate(b, readStats(fs, path, b)) match {
           case Some(byFile) if bounds.nonEmpty =>

@@ -30,11 +30,15 @@ import graft.io.Warehouse
   * ([[Warehouse.versionAt]] — commit-file mtimes, the Delta
   * convention), then reads that version exactly like `VERSION AS OF`.
   *
-  * Read-only by design: writes go through the merge API
-  * ([[Warehouse.mergeInto]] / [[Warehouse.mergeIntoDelta]]) where the
-  * latest-wins keyed semantics live — a SQL INSERT has no key/version
-  * vocabulary to express them, so create/alter/drop fail loudly
-  * instead of corrupting a manifest.
+  * Writes: `INSERT INTO` appends ([[Warehouse.append]] — a blind '+'
+  * append-link commit on plain tables, a keyed delta merge on tables
+  * with recorded merge keys) and `INSERT OVERWRITE` truncates or —
+  * under `partitionOverwriteMode=dynamic` — replaces exactly the
+  * partitions the batch names ([[WarehouseWriteBuilder]]). Keyed
+  * MERGE/DELETE semantics still go through the merge API where the
+  * key/version vocabulary lives; DDL (create/alter/drop) fails loudly
+  * instead of corrupting a manifest — tables are created by
+  * [[Warehouse.create]], which names the partition layout.
   */
 class WarehouseCatalog extends TableCatalog {
 

@@ -1,9 +1,10 @@
 package graft.sources.warehouse
 
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -197,15 +198,102 @@ object WarehouseDataSource {
 
 class WarehouseTable(tableSchema: StructType,
                      conf: WarehouseDataSource.ReadConf)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft-warehouse(${conf.path}${conf.versionAsOf.fold("")(v => s"@v$v")}" +
       s"${if (conf.changeFeed) " changeFeed" else ""})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE admits the table to the v2 write planner;
+    // V1_BATCH_WRITE routes the plan to the InsertableRelation
+    // fallback execs (this connector's Write is a V1Write). No
+    // OVERWRITE_DYNAMIC: Spark ships no dynamic-overwrite exec for
+    // V1 writes, so declaring it would plan an unexecutable node —
+    // dynamic overwrite instead follows the V1 file-source contract
+    // (`spark.sql.sources.partitionOverwriteMode`, see
+    // [[WarehouseWriteBuilder]]).
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(tableSchema, conf)
+
+  /** The manifest's partition columns as identity transforms, so
+    * Spark knows the table's layout (`INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic` plans a dynamic overwrite, SHOW
+    * CREATE reflects the layout). Change-feed handles report none —
+    * the diff stream is not a writable layout.
+    */
+  override def partitioning(): Array[Transform] =
+    if (conf.changeFeed) Array.empty
+    else
+      try graft.io.Warehouse
+        .partitionColumns(SparkSession.active, conf.path)
+        .map(c => Expressions.identity(c)).toArray
+      catch { case _: IllegalStateException => Array.empty }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!conf.changeFeed,
+      "cannot write to a change-feed read of a graft-warehouse table")
+    require(conf.versionAsOf.isEmpty,
+      "cannot write to a time-travel read of a graft-warehouse table - " +
+        "restore() the version instead")
+    new WarehouseWriteBuilder(conf.path,
+      Option(info.options.get("partitionOverwriteMode")))
+  }
+}
+
+/** The write plane behind `INSERT INTO` / `INSERT OVERWRITE` /
+  * `df.write.format("graft-warehouse")` — a [[V1Write]] bridge (the
+  * same fallback shape Spark's own JDBC connector ships) routing each
+  * SQL write mode to its verified [[Warehouse]] commit path:
+  *
+  *  - append (`INSERT INTO`, SaveMode.Append) → [[Warehouse.append]]:
+  *    a '+' append-link commit on plain tables, a keyed delta merge on
+  *    tables with recorded merge keys — O(batch) bytes either way.
+  *  - overwrite (`INSERT OVERWRITE`, SaveMode.Overwrite): under the
+  *    default STATIC `spark.sql.sources.partitionOverwriteMode` the
+  *    whole table is replaced ([[Warehouse.overwrite]] — one more
+  *    commit, previous snapshots still time-travelable); under
+  *    DYNAMIC mode — the session conf, or a per-write
+  *    `option("partitionOverwriteMode", "dynamic")` taking precedence,
+  *    exactly the V1 file-source contract — only the partitions the
+  *    batch carries rows for are replaced
+  *    ([[Warehouse.overwritePartitions]]). The conf is honored HERE
+  *    because Spark ships no dynamic-overwrite exec for V1 write
+  *    fallbacks: every overwrite plans as truncate and the builder
+  *    resolves the mode, the way `InsertIntoHadoopFsRelation` does
+  *    for plain parquet.
+  *
+  * Every path publishes through the table's atomic [[CommitPrimitive]]
+  * claim with optimistic-concurrency retry, so SQL writers get the
+  * same multi-writer contract as API writers.
+  */
+class WarehouseWriteBuilder(path: String, overwriteModeOpt: Option[String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateMode: Boolean = false
+
+  override def truncate(): WriteBuilder = { truncateMode = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          if (!(truncateMode || overwrite))
+            graft.io.Warehouse.append(spark, path, data): Unit
+          else {
+            val dynamic = overwriteModeOpt.getOrElse(spark.conf.get(
+              "spark.sql.sources.partitionOverwriteMode", "static"))
+              .equalsIgnoreCase("dynamic")
+            if (dynamic)
+              graft.io.Warehouse.overwritePartitions(spark, path, data): Unit
+            else graft.io.Warehouse.overwrite(spark, path, data): Unit
+          }
+        }
+      }
+  }
 }
 
 class WarehouseScanBuilder(fullSchema: StructType,
