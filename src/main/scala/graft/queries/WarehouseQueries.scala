@@ -748,6 +748,68 @@ object WarehouseQueries {
              |SELECT 3, event_id, 'update_postimage',
              |       user_id + 4000000, event_type, dt
              |FROM ev WHERE event_id % 47 = 3 AND event_id % 43 <> 2
-             |ORDER BY event_id, change_type""".stripMargin))
+             |ORDER BY event_id, change_type""".stripMargin)),
+
+    // M17 — RESTORE: roll the table back to the pre-merge snapshot as
+    // a NEW commit (Delta's RESTORE TABLE … VERSION AS OF). The
+    // fixture creates the table, runs a CoW merge that shifts the
+    // % 13 == 4 slice, then restores version 1 — so the newest
+    // version serves the ORIGINAL rows again while the merge stays in
+    // history (WarehouseWriteSpec asserts the rolled-back version
+    // remains readable). Cost is one manifest read + one commit
+    // whatever the table size — no data moves. The oracle replays the
+    // pre-merge state from events alone, which only matches if
+    // restore republished version 1's exact file set.
+    Q("m17_restore",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m17wh", "graft_m17wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val ups = ev.filter(col("event_id") % 13 === 4)
+            .withColumn("user_id", col("user_id") + 7000000L)
+            .withColumn("version", col("version") + 1L)
+          Warehouse.mergeInto(s, p, ups, "event_id", "version", "dt")
+          Warehouse.restore(s, p, 1L): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL13 — INSERT INTO through the catalog: the write-plane front
+    // door. The table is created WITHOUT the % 3 == 0 slice; the
+    // held-out rows are inserted back with one SQL INSERT INTO
+    // graft.`path` (a blind '+' append-link commit — O(batch) bytes,
+    // no rewrite, read stays a plain union), and the read must serve
+    // the complete events set. The SELECT is built in the table's own
+    // column order (INSERT resolves by position). The oracle replays
+    // the full table, which only matches if the append landed exactly
+    // the held-out rows and dropped none of the base.
+    Q("sql13_insert_into",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql13wh", "graft_sql13wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev.filter(col("event_id") % 3 =!= 0), "dt")
+          val tableCols = Warehouse.read(s, p).columns
+          ev.filter(col("event_id") % 3 === 0)
+            .select(tableCols.map(col).toIndexedSeq: _*)
+            .createOrReplaceTempView("graft_sql13_held_out")
+          s.sql(s"INSERT INTO graft.`$p` SELECT * FROM graft_sql13_held_out"): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
+             |ORDER BY event_id""".stripMargin))
   )
 }
