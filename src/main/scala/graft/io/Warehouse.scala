@@ -1123,6 +1123,35 @@ object Warehouse {
     partColsOf(mapping)
   }
 
+  /** Every data file of the (possibly time-traveled) snapshot WHEN no
+    * partition chain needs a read-time fold — the eligibility gate
+    * for metadata-only aggregate answers (a fold changes row
+    * visibility, so per-file statistics cannot stand in for folded
+    * rows). None when any chain folds; Some(parquet paths) otherwise.
+    * Driver cost: one manifest read + one FS listing per (partition,
+    * link) — the same metadata bound as [[partitionStats]].
+    */
+  private[graft] def foldFreeFiles(spark: SparkSession, path: String,
+                                   versionAsOf: Option[Long]): Option[Seq[String]] = {
+    val fs = fsOf(spark, path)
+    val mapping = versionAsOf match {
+      case Some(n) =>
+        val vf = listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+          .getOrElse(throw new IllegalStateException(
+            s"no committed version $n under $path"))
+        readMapping(fs, vf)
+      case None => snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))._2
+    }
+    if (mapping.isEmpty || mapping.values.exists(needsFold)) None
+    else Some(for {
+      (key, chain) <- mapping.toSeq.sorted
+      b <- chainOf(chain)
+      st <- fs.listStatus(new HPath(s"$path/data/batch=$b/$key")).toSeq
+      if st.isFile && st.getPath.getName.endsWith(".parquet")
+    } yield st.getPath.toString)
+  }
+
   /** The newest committed version number — the cursor a change-feed
     * consumer checkpoints against.
     */

@@ -810,6 +810,35 @@ object WarehouseQueries {
       },
       Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
              |FROM events
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL14 — METADATA-ONLY aggregates: COUNT/MIN/MAX over the
+    // catalog table answer from parquet FOOTERS — the connector's
+    // aggregate pushdown emits one partial row per FILE and Spark
+    // folds those, so the query touches #files rows of metadata
+    // instead of every stored row (WarehouseAggPushdownSpec pins
+    // zero fallback scans; at 100 TB this is thousands of footer
+    // reads instead of a table scan — Delta/Iceberg's metadata-only
+    // query). Partitioned by a user bucket so dt stays a DATA column
+    // with real footer stats. The oracle computes the same five
+    // aggregates by scanning events.
+    Q("sql14_stats_agg",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql14wh", "graft_sql14wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              pmod(col("user_id"), lit(4L)).cast("int").as("bucket"))
+          Warehouse.create(s, p, ev.repartition(8), "bucket")
+        }
+        s.sql(s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_id,
+                 |  MAX(event_id) AS max_id, MIN(dt) AS min_dt,
+                 |  MAX(dt) AS max_dt
+                 |FROM graft.`$path`""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_id,
+             |  MAX(event_id) AS max_id, MIN(CAST(ts AS DATE)) AS min_dt,
+             |  MAX(CAST(ts AS DATE)) AS max_dt
+             |FROM events""".stripMargin))
   )
 }

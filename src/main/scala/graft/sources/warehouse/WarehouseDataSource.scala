@@ -123,6 +123,143 @@ object WarehouseDataSource {
     */
   @volatile var lastPlanned: Option[(Int, Seq[String])] = None
 
+  /** Test probe for the metadata-only aggregate path: (files answered
+    * from footers alone, files that fell back to an exact scan) of
+    * the most recently planned aggregate scan.
+    */
+  @volatile var lastAggPlanned: Option[(Int, Int)] = None
+
+  /** One aggregate this connector can answer per-file from parquet
+    * FOOTER metadata. MIN/MAX are integral/date only — numeric footer
+    * statistics are exact by format, while binary (string) min/max
+    * may be prefix-TRUNCATED with no exactness flag in the footer
+    * API, fine for pruning bounds but corrupt as answers. COUNT works
+    * for any column (row counts are mandatory; null counts, when a
+    * footer omits them, send just that file to the exact fallback).
+    */
+  private[warehouse] sealed trait PushedAgg extends Serializable {
+    def dataType: org.apache.spark.sql.types.DataType
+  }
+  private[warehouse] case object CountStarAgg extends PushedAgg {
+    def dataType = org.apache.spark.sql.types.LongType
+    override def toString = "COUNT(*)"
+  }
+  private[warehouse] final case class CountColAgg(colName: String) extends PushedAgg {
+    def dataType = org.apache.spark.sql.types.LongType
+    override def toString = s"COUNT($colName)"
+  }
+  private[warehouse] final case class MinAgg(colName: String,
+      dataType: org.apache.spark.sql.types.DataType) extends PushedAgg {
+    override def toString = s"MIN($colName)"
+  }
+  private[warehouse] final case class MaxAgg(colName: String,
+      dataType: org.apache.spark.sql.types.DataType) extends PushedAgg {
+    override def toString = s"MAX($colName)"
+  }
+
+  /** One file's partial-aggregate row from its parquet footer alone —
+    * None when ANY pushed aggregate needs data the footer cannot
+    * answer exactly (a stats-less or stats-incomplete column chunk,
+    * an unset null count), sending the WHOLE file to the exact-scan
+    * fallback: partial rows must either carry a file's full
+    * contribution or not exist, never half of it. A column absent
+    * from the file entirely (pre-widening batches) contributes
+    * null/0 — exactly what scanning the file would read.
+    */
+  private[warehouse] def footerPartials(
+      conf: org.apache.hadoop.conf.Configuration, file: String,
+      aggs: Seq[PushedAgg]): Option[Seq[Any]] = {
+    val needNulls = aggs.collect { case CountColAgg(c) => c }.toSet
+    val needMinMax = aggs.collect {
+      case MinAgg(c, _) => c
+      case MaxAgg(c, _) => c
+    }.toSet
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rowCount = 0L
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val mins = scala.collection.mutable.Map[String, Any]()
+      val maxs = scala.collection.mutable.Map[String, Any]()
+      val present = scala.collection.mutable.Set[String]()
+      var usable = true
+      var i = 0
+      while (i < blocks.size() && usable) {
+        val block = blocks.get(i)
+        rowCount += block.getRowCount
+        val cols = block.getColumns
+        var j = 0
+        while (j < cols.size() && usable) {
+          val c = cols.get(j)
+          val name = c.getPath.toDotString
+          if (needNulls.contains(name) || needMinMax.contains(name)) {
+            present += name
+            val st = c.getStatistics
+            if (needNulls.contains(name)) {
+              if (st == null || !st.isNumNullsSet || st.getNumNulls < 0)
+                usable = false
+              else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            }
+            if (usable && needMinMax.contains(name)) {
+              // a chunk PROVEN all-null (null count == value count)
+              // contributes nothing; anything short of that proof, or
+              // missing/partial stats, poisons the whole file
+              if (st == null || st.isEmpty ||
+                  (!st.hasNonNullValue &&
+                    !(st.isNumNullsSet && st.getNumNulls == c.getValueCount)))
+                usable = false
+              else if (st.hasNonNullValue)
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Long, b: java.lang.Long) =>
+                    mins(name) = mins.get(name).fold(a.longValue)(
+                      m => math.min(m.asInstanceOf[Long], a.longValue))
+                    maxs(name) = maxs.get(name).fold(b.longValue)(
+                      m => math.max(m.asInstanceOf[Long], b.longValue))
+                  case (a: java.lang.Integer, b: java.lang.Integer) =>
+                    mins(name) = mins.get(name).fold(a.longValue)(
+                      m => math.min(m.asInstanceOf[Long], a.longValue))
+                    maxs(name) = maxs.get(name).fold(b.longValue)(
+                      m => math.max(m.asInstanceOf[Long], b.longValue))
+                  case _ => usable = false
+                }
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (!usable) None
+      else Some(aggs.map {
+        case CountStarAgg => rowCount
+        case CountColAgg(c) =>
+          if (!present.contains(c)) 0L // absent column: every row null
+          else rowCount - nulls.getOrElse(c, 0L)
+        case MinAgg(c, t) => typedStat(mins.get(c), t)
+        case MaxAgg(c, t) => typedStat(maxs.get(c), t)
+      })
+    } finally reader.close()
+  }
+
+  /** A footer long back to its catalyst-typed value (the inverse of
+    * the parquet physical encoding: dates are days-since-epoch).
+    */
+  private def typedStat(v: Option[Any],
+      t: org.apache.spark.sql.types.DataType): Any = v match {
+    case None => null // absent column or zero non-null values
+    case Some(l: Long) => t match {
+      case org.apache.spark.sql.types.LongType    => l
+      case org.apache.spark.sql.types.IntegerType => l.toInt
+      case org.apache.spark.sql.types.DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+      case other => throw new IllegalStateException(
+        s"unsupported pushed-aggregate type $other")
+    }
+    case Some(other) => throw new IllegalStateException(
+      s"unexpected footer stat $other")
+  }
+
   /** DSv1 `Filter` → pruning [[Warehouse.Bound]]s, per column: the
     * conjunction of every pushed range/equality predicate. Strict
     * comparisons use their inclusive superset — pruning only needs a
@@ -299,10 +436,70 @@ class WarehouseWriteBuilder(path: String, overwriteModeOpt: Option[String])
 class WarehouseScanBuilder(fullSchema: StructType,
                            conf: WarehouseDataSource.ReadConf)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pruned: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAggs: Option[Seq[WarehouseDataSource.PushedAgg]] = None
+  private var aggFiles: Seq[String] = Nil
+
+  /** METADATA-ONLY aggregates: an unfiltered, ungrouped
+    * COUNT / MIN / MAX over the table is answered from parquet
+    * footers — the scan emits one PARTIAL row per FILE (Spark runs
+    * the final fold), so `SELECT count(*), min(x), max(x)` touches
+    * #files rows of metadata instead of every stored row: at 100 TB,
+    * thousands of footer reads (distributed) instead of a table scan.
+    * Pushdown is refused — leaving the ordinary exact plan — when any
+    * snapshot chain needs a fold (per-file stats cannot see fold
+    * visibility), when filters are present (partial file stats cannot
+    * reflect them), on group-bys, on change feeds, on partition
+    * columns (not physically in the files), and for MIN/MAX on
+    * non-integral/date columns (binary footer stats may be truncated
+    * — exact for pruning, corrupt as answers). Files whose footers
+    * cannot answer exactly fall back to an exact scan of just those
+    * files, unioned in as one more partial row.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+    import WarehouseDataSource._
+    if (conf.changeFeed || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return false
+    val spark = SparkSession.active
+    val partCols =
+      try Warehouse.partitionColumns(spark, conf.path).toSet
+      catch { case _: Exception => return false }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head).filterNot(partCols)
+            .filter(n => fullSchema.fields.exists(_.name == n))
+        case _ => None
+      }
+    def minMaxType(n: String) =
+      fullSchema.fields.find(_.name == n).map(_.dataType).collect {
+        case t @ (IntegerType | LongType | DateType) => t
+      }
+    val translated: Seq[Option[PushedAgg]] =
+      agg.aggregateExpressions.toIndexedSeq.map {
+        case _: CountStar => Some(CountStarAgg)
+        case c: Count if !c.isDistinct => colOf(c.column).map(CountColAgg)
+        case m: Min => colOf(m.column).flatMap(n => minMaxType(n).map(MinAgg(n, _)))
+        case m: Max => colOf(m.column).flatMap(n => minMaxType(n).map(MaxAgg(n, _)))
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) return false
+    Warehouse.foldFreeFiles(spark, conf.path, conf.versionAsOf) match {
+      case Some(files) if files.nonEmpty =>
+        pushedAggs = Some(translated.flatten)
+        aggFiles = files
+        true
+      case _ => false
+    }
+  }
 
   /** PARTIAL pushdown: accepted filters drive file skipping and the
     * inner parquet scan, but every filter is returned for Spark to
@@ -325,8 +522,104 @@ class WarehouseScanBuilder(fullSchema: StructType,
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(fullSchema.fields.take(1))
 
-  override def build(): Scan =
-    new WarehouseV1Scan(pruned, conf, pushed)
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new WarehouseAggScan(conf, aggs, aggFiles)
+    case None       => new WarehouseV1Scan(pruned, conf, pushed)
+  }
+}
+
+/** The metadata-only aggregate scan: one partial row per data file,
+  * answered from parquet footers read EXECUTOR-SIDE (the file list is
+  * manifest metadata; footer reads parallelize like any scan), with
+  * an exact-scan fallback for files whose footers cannot answer —
+  * unioned in as one more partial row, so the result is exact
+  * whatever the stats coverage. Spark's partial-pushdown contract
+  * runs the final fold (SUM over counts, MIN over mins, MAX over
+  * maxs) above this scan.
+  */
+class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
+                       aggs: Seq[WarehouseDataSource.PushedAgg],
+                       files: Seq[String])
+    extends V1Scan {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  private val aggSchema = StructType(aggs.zipWithIndex.map {
+    case (a, i) => StructField(s"agg_$i", a.dataType, nullable = true)
+  })
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"graft-warehouse ${conf.path} metadata-agg " +
+      s"[${aggs.mkString(", ")}] files=${files.length}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val spark = context.sparkSession
+    // Configuration is not serializable; ship it as entries and
+    // rebuild per executor (quiet-default base + overlaid entries)
+    val confEntries = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toArray
+    }
+    val aggsL = aggs
+    val results = spark.sparkContext
+      .parallelize(files, math.max(1,
+        math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { fs =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        fs.map(f => f -> WarehouseDataSource.footerPartials(c, f, aggsL))
+      }.collect() // one tiny tuple per file — manifest-sized metadata
+    val good = results.collect { case (_, Some(vs)) =>
+      org.apache.spark.sql.Row(vs: _*) }
+    val bad = results.collect { case (f, None) => f }
+    WarehouseDataSource.lastAggPlanned = Some((good.length, bad.length))
+    val statDf = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(good.toIndexedSeq: _*)),
+      aggSchema)
+    val frame =
+      if (bad.isEmpty) statDf
+      else {
+        val raw0 = spark.read.option("basePath", s"${conf.path}/data")
+          .option("mergeSchema", "true").parquet(bad.toIndexedSeq: _*)
+        // pre-widening files may lack an aggregated column entirely —
+        // scanning them reads null there, which lit(null) reproduces
+        val raw = aggsL.foldLeft(raw0) { (d, a) =>
+          a match {
+            case WarehouseDataSource.MinAgg(c, t) if !d.columns.contains(c) =>
+              d.withColumn(c, lit(null).cast(t))
+            case WarehouseDataSource.MaxAgg(c, t) if !d.columns.contains(c) =>
+              d.withColumn(c, lit(null).cast(t))
+            case WarehouseDataSource.CountColAgg(c) if !d.columns.contains(c) =>
+              d.withColumn(c, lit(null).cast("long"))
+            case _ => d
+          }
+        }
+        val exprs = aggsL.zipWithIndex.map { case (a, i) =>
+          (a match {
+            case WarehouseDataSource.CountStarAgg =>
+              org.apache.spark.sql.functions.count(lit(1))
+            case WarehouseDataSource.CountColAgg(c) =>
+              org.apache.spark.sql.functions.count(col(c))
+            case WarehouseDataSource.MinAgg(c, _) =>
+              org.apache.spark.sql.functions.min(col(c))
+            case WarehouseDataSource.MaxAgg(c, _) =>
+              org.apache.spark.sql.functions.max(col(c))
+          }).as(s"agg_$i")
+        }
+        statDf.unionByName(raw.agg(exprs.head, exprs.tail: _*))
+      }
+    val schemaL = aggSchema
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = schemaL
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        frame.rdd
+    }.asInstanceOf[T]
+  }
 }
 
 /** The V1 bridge scan: resolves the manifest, prunes files through

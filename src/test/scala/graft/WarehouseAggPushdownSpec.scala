@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+import graft.sources.warehouse.WarehouseDataSource
+
+/** Metadata-only aggregates through the DSv2 connector: an
+  * unfiltered, ungrouped COUNT/MIN/MAX over a warehouse table must be
+  * answered from parquet footers — one partial row per FILE, zero
+  * data rows read (the probe pins statted vs fallback counts) — and
+  * must REFUSE pushdown (correct exact plan, probe untouched)
+  * whenever per-file stats cannot stand in for the true answer:
+  * filters, group-bys, fold chains, partition columns, string
+  * min/max (binary footer stats may be truncated).
+  */
+class WarehouseAggPushdownSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val tablePath: String = {
+    val path = Files.createTempDirectory("graft_aggpd").toString + "/t"
+    val base = (1L to 4000L).map(i =>
+      (i, f"name-$i%06d", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i % 30)),
+        if (i % 5 == 0) null else s"v$i",
+        if (i % 2 == 0) "d1" else "d2"))
+      .toDF("k", "name", "dt", "opt", "part")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 500L)
+    try Warehouse.create(spark, path, base.repartition(4), "part")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    path
+  }
+
+  private def load() = spark.read.format("graft-warehouse").load(tablePath)
+
+  test("count(*), min/max over long and date answer from footers alone: every file statted, none scanned") {
+    WarehouseDataSource.lastAggPlanned = None
+    val row = load().agg(
+      count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+      min("dt").as("min_dt"), max("dt").as("max_dt")).head()
+    assert(row.getLong(0) == 4000L)
+    assert(row.getLong(1) == 1L && row.getLong(2) == 4000L)
+    assert(row.getDate(3) == java.sql.Date.valueOf("2024-01-01"))
+    assert(row.getDate(4) == java.sql.Date.valueOf("2024-01-30"))
+    val (statted, fallback) = WarehouseDataSource.lastAggPlanned.get
+    assert(fallback == 0, s"expected pure metadata answer, $fallback files scanned")
+    assert(statted > 4, s"expected a multi-file layout, got $statted")
+  }
+
+  test("count(col) subtracts footer null counts exactly") {
+    WarehouseDataSource.lastAggPlanned = None
+    val row = load().agg(count(col("opt")).as("n")).head()
+    assert(row.getLong(0) == 4000L - 800L)
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
+  }
+
+  test("refusals leave the exact plan: filters, group-by, string min/max, partition columns") {
+    // filtered
+    WarehouseDataSource.lastAggPlanned = None
+    assert(load().filter(col("k") > 2000L).agg(count(lit(1))).head().getLong(0) == 2000L)
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty, "filtered agg must not push")
+    // grouped
+    WarehouseDataSource.lastAggPlanned = None
+    assert(load().groupBy("part").agg(count(lit(1))).count() == 2)
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty, "grouped agg must not push")
+    // string min/max (footer binary stats may be truncated - not exact)
+    WarehouseDataSource.lastAggPlanned = None
+    assert(load().agg(min("name")).head().getString(0) == "name-000001")
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty, "string min must not push")
+    // partition column (not physically in the files)
+    WarehouseDataSource.lastAggPlanned = None
+    assert(load().agg(min("part")).head().getString(0) == "d1")
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty, "partition-column agg must not push")
+  }
+
+  test("a fold chain refuses pushdown and the exact answer still serves") {
+    val path = Files.createTempDirectory("graft_aggpd2").toString + "/t"
+    val base = (1L to 100L).map(i => (i, s"n$i", 1L, "d1"))
+      .toDF("k", "name", "ver", "part")
+    Warehouse.create(spark, path, base, "part")
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((1L, "newer", 2L, "d1"), (101L, "ins", 2L, "d1"))
+        .toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    WarehouseDataSource.lastAggPlanned = None
+    val n = spark.read.format("graft-warehouse").load(path)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(n == 101L, "fold must still apply (delta insert + upsert)")
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty,
+      "a chained table must refuse metadata aggregates")
+    // after compaction the chain is gone and pushdown engages
+    Warehouse.compact(spark, path, "k", 1L << 26)
+    WarehouseDataSource.lastAggPlanned = None
+    assert(spark.read.format("graft-warehouse").load(path)
+      .agg(count(lit(1))).head().getLong(0) == 101L)
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0),
+      "compacted table answers from footers")
+  }
+
+  test("time travel aggregates answer from the pinned version's footers") {
+    val path = Files.createTempDirectory("graft_aggpd3").toString + "/t"
+    Warehouse.create(spark, path,
+      (1L to 50L).map(i => (i, "d1")).toDF("k", "part"), "part")
+    Warehouse.overwrite(spark, path,
+      (1L to 7L).map(i => (i, "d1")).toDF("k", "part"))
+    WarehouseDataSource.lastAggPlanned = None
+    val v1 = spark.read.format("graft-warehouse")
+      .option("versionAsOf", "1").load(path)
+    assert(v1.agg(count(lit(1)), max("k")).head() match {
+      case r => r.getLong(0) == 50L && r.getLong(1) == 50L
+    })
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
+    assert(spark.read.format("graft-warehouse").load(path)
+      .agg(count(lit(1))).head().getLong(0) == 7L)
+  }
+
+  test("SQL over the catalog takes the same metadata path") {
+    WarehouseDataSource.lastAggPlanned = None
+    val r = spark.sql(
+      s"SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi FROM graft.`$tablePath`")
+      .head()
+    assert(r.getLong(0) == 4000L && r.getLong(1) == 1L && r.getLong(2) == 4000L)
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
+  }
+}
