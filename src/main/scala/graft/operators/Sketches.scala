@@ -127,4 +127,89 @@ object Sketches {
       .otherwise(floor(lit((k - 1).toDouble * Space)
         / element_at(stateCol, k).cast(DoubleType)).cast(LongType))
   }
+
+  // ---------------------------------------------------------------
+  // count-min-guided EXACT heavy hitters
+  // ---------------------------------------------------------------
+
+  /** Per-row count-min bucket indices: `depth` independent hashes of
+    * the key (xxhash64 salted by the row index — overflow-free under
+    * ANSI, identical in the sketch and probe passes by construction),
+    * each folded into `[0, width)`.
+    */
+  private def cmBuckets(key: Column, depth: Int, width: Int): Seq[Column] = {
+    import org.apache.spark.sql.functions._
+    (0 until depth).map(i =>
+      pmod(xxhash64(lit(i), key), lit(width.toLong)).cast("int"))
+  }
+
+  /** Count-min accumulation: the buffer is the flattened depth×width
+    * counter matrix; a row increments one counter per hash row. Sums
+    * are order-independent, so the sketch is a pure function of the
+    * multiset — deterministic across partitionings and merges.
+    */
+  class CmAgg(depth: Int, width: Int)
+      extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], buckets: Seq[Int]): Array[Long] = {
+      var i = 0
+      while (i < depth) { b(i * width + buckets(i)) += 1L; i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** EXACT heavy hitters without a full-cardinality aggregation — the
+    * two-pass count-min-guided shape a 100 TB key space needs:
+    *
+    *  1. '''Sketch pass''' (map-only + one tiny exchange): fold every
+    *     row into a depth×width count-min matrix — partial per
+    *     partition, merged by elementwise sum, so the shuffle carries
+    *     `partitions × depth × width` longs (a few KB each), never a
+    *     key.
+    *  2. '''Probe pass''': the broadcast sketch's estimate
+    *     (min over the key's depth counters) OVER-counts by
+    *     construction — `est(k) >= true_count(k)` always, whatever
+    *     the collisions — so `est >= threshold` is a row-local filter
+    *     that can never drop a true heavy hitter. Only the surviving
+    *     candidate rows enter the exact `groupBy(key).count`, and the
+    *     final `count >= threshold` kills collision-borne false
+    *     positives.
+    *
+    * The result is therefore EXACTLY
+    * `GROUP BY key HAVING count >= threshold` (the g34 oracle), but
+    * the keyed shuffle only ever carries candidate rows: with a
+    * threshold at the heavy tail, that is the heavy keys plus a
+    * collision fringe tuned by `width`, not the full key cardinality.
+    * A plain groupBy at 100 TB shuffles every distinct key (billions);
+    * this shuffles the few that could possibly qualify. Costs one
+    * extra data pass — the classic sketch-then-verify trade.
+    */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                   threshold: Long, depth: Int = 4,
+                   width: Int = 2048): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(depth >= 2 && width >= 2, s"need depth/width >= 2, got $depth/$width")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val buckets = cmBuckets(col(keyCol), depth, width)
+    val sketch: Array[Long] = df
+      .select(array(buckets: _*).as("_cm_b"))
+      .agg(udaf(new CmAgg(depth, width)).apply(col("_cm_b")).as("s"))
+      .head().getSeq[Long](0).toArray
+    val est = least(buckets.zipWithIndex.map { case (b, i) =>
+      element_at(typedLit(sketch), lit(i * width + 1) + b)
+    }: _*)
+    df.filter(est >= lit(threshold))
+      .groupBy(keyCol).count()
+      .filter(col("count") >= lit(threshold))
+  }
 }

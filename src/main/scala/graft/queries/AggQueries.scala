@@ -1317,6 +1317,30 @@ object AggQueries {
              |          PARTITION BY part ORDER BY jac_e6 DESC, other) AS rk
              |      FROM sc)
              |SELECT part, rk, other, CAST(jac_e6 AS BIGINT) AS jac_e6
-             |FROM r WHERE rk <= 3 ORDER BY part, rk""".stripMargin))
+             |FROM r WHERE rk <= 3 ORDER BY part, rk""".stripMargin)),
+
+    // G34 — EXACT heavy hitters, count-min guided: users with >= 75
+    // events, computed WITHOUT a full-cardinality aggregation. Pass 1
+    // folds every row into a 4×2048 count-min matrix (map-side
+    // partials, the exchange carries a few KB per partition — never a
+    // key); pass 2 filters rows through the broadcast sketch's
+    // estimate — an OVER-count by construction, so no true heavy
+    // hitter can be dropped — and only the surviving candidates enter
+    // the exact groupBy, whose final HAVING kills collision-borne
+    // false positives. Result is exactly GROUP BY HAVING (the
+    // oracle); the keyed shuffle carries candidate rows only. At
+    // 100 TB a plain groupBy shuffles every distinct key; this
+    // shuffles the heavy tail plus a collision fringe
+    // (SketchesSpec pins the no-false-negative law).
+    Q("g34_heavy_hitters",
+      (s, d) => {
+        graft.operators.Sketches.heavyHitters(
+            Tables.events(s, d).select("user_id"), "user_id", 75L)
+          .select(col("user_id"), col("count").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events
+             |FROM events GROUP BY user_id HAVING COUNT(*) >= 75
+             |ORDER BY user_id""".stripMargin))
   )
 }

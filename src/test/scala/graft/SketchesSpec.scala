@@ -71,4 +71,46 @@ class SketchesSpec extends AnyFunSuite {
     assert(b.n == 4)
     assert(b.hs.toSeq == Seq(5L, 10L, 20L, 30L))
   }
+
+  test("heavyHitters equals exact GROUP BY HAVING on a skewed multiset") {
+    // 3 heavy keys (200/150/100 rows), 500 singleton keys
+    val rows = Seq.fill(200)(7L) ++ Seq.fill(150)(13L) ++ Seq.fill(100)(99L) ++
+      (1000L until 1500L)
+    val df = rows.toDF("k").repartition(8)
+    val got = Sketches.heavyHitters(df, "k", threshold = 100L)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 200L), (13L, 150L), (99L, 100L)))
+    // threshold above the max: empty, never an error
+    assert(Sketches.heavyHitters(df, "k", threshold = 1000L).count() == 0)
+  }
+
+  test("heavyHitters no-false-negative law under a TINY sketch (forced collisions)") {
+    // width 2 forces nearly every key into shared counters - the
+    // estimate wildly OVER-counts, yet the exact verify pass must
+    // still return exactly the true heavy hitters
+    val rows = (0L until 50L).flatMap(k => Seq.fill(if (k % 10 == 0) 30 else 2)(k))
+    val df = rows.toDF("k").repartition(4)
+    val got = Sketches.heavyHitters(df, "k", threshold = 30L, depth = 2, width = 2)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == (0L until 50L by 10).map(k => (k, 30L)))
+  }
+
+  test("heavyHitters sketch pass is map-side bounded: the candidate filter precedes the keyed exchange") {
+    // parquet-backed (a local relation would let the optimizer fold
+    // the candidate filter away driver-side and hide the plan shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    (0L until 200L).flatMap(k => Seq.fill(if (k == 5) 40 else 1)(k))
+      .toDF("k").repartition(4).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val plan = Sketches.heavyHitters(df, "k", threshold = 40L)
+      .queryExecution.executedPlan.toString
+    // the probe plan's keyed exchange must sit ABOVE the sketch
+    // candidate gate (the least(element_at(...)) filter), so only
+    // candidate rows shuffle; toString prints top-down, so "below the
+    // exchange" = printed after it
+    val exIdx = plan.indexOf("Exchange hashpartitioning(k")
+    val gateIdx = plan.indexOf("Filter (least(element_at(")
+    assert(exIdx >= 0 && gateIdx > exIdx,
+      s"expected the candidate gate below the keyed exchange:\n${plan.take(2000)}")
+  }
 }
