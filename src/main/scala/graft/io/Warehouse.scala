@@ -158,11 +158,40 @@ object Warehouse {
     finally in.close()
   }
 
+  /** Manifest TXN header line: `#txn\t<appId>\t<batchId>` — the
+    * last streaming batch each writer application committed, carried
+    * forward by EVERY commit (the Delta setTransaction idea): because
+    * the record rides the same atomic manifest claim as the data, a
+    * replayed micro-batch can check-and-skip with no window where the
+    * data landed but the record didn't.
+    */
+  private val TxnPrefix = "#txn"
+
   private def readMapping(fs: FileSystem, p: HPath): Map[String, String] =
-    readSmallFile(fs, p).split("\n").filter(_.nonEmpty).map { line =>
-      val Array(part, batch) = line.split("\t", 2)
-      part -> batch
-    }.toMap
+    readSmallFile(fs, p).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(part, batch) = line.split("\t", 2)
+        part -> batch
+      }.toMap
+
+  /** The txn records of one committed manifest file. */
+  private def readTxnsOf(fs: FileSystem, p: HPath): Map[String, Long] =
+    readSmallFile(fs, p).split("\n")
+      .filter(_.startsWith(s"$TxnPrefix\t")).map { line =>
+        val Array(_, app, batch) = line.split("\t", 3)
+        app -> batch.toLong
+      }.toMap
+
+  /** The last batch id `appId` committed to this table, off the
+    * newest manifest — None for a writer the table has never seen.
+    * The check a streaming sink runs before applying a micro-batch.
+    */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val versions = listVersions(fs, path)
+    if (versions.isEmpty) None
+    else readTxnsOf(fs, versions.maxBy(_._1)._2).get(appId)
+  }
 
   /** (version number, partKey → chain) of the newest commit. */
   private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] = {
@@ -223,15 +252,30 @@ object Warehouse {
     * state. A duplicate version number (a racing writer that resolved
     * the same snapshot) fails loudly instead of clobbering a
     * committed manifest.
+    *
+    * TXN records ride the manifest: version n carries version n-1's
+    * `#txn` lines overlaid with `txnUpdate` (the streaming sink's
+    * exactly-once cursor), so EVERY commit — merge, compact, vacuum's
+    * survivor, an unrelated writer — preserves the records, and a
+    * record is visible exactly when its data is.
     */
   private[graft] def commit(fs: FileSystem, path: String, n: Long,
-                            mapping: Map[String, String]): Unit = {
+                            mapping: Map[String, String],
+                            txnUpdate: Map[String, Long] = Map.empty): Unit = {
     val vdir = new HPath(s"$path/_versions")
     fs.mkdirs(vdir)
+    val prevTxns =
+      if (n <= 1L) Map.empty[String, Long]
+      else listVersions(fs, path).collectFirst {
+        case (v, p) if v == n - 1 => readTxnsOf(fs, p)
+      }.getOrElse(Map.empty)
+    val txns = prevTxns ++ txnUpdate
     val tmp = new HPath(vdir, s".tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(mapping.toSeq.sorted.map { case (p, b) => s"$p\t$b" }
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      (txns.toSeq.sorted.map { case (a, b) => s"$TxnPrefix\t$a\t$b" } ++
+        mapping.toSeq.sorted.map { case (p, b) => s"$p\t$b" })
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = new HPath(vdir, f"v$n%08d")
     val committed = primitiveFor(fs).claim(fs, tmp, target)
@@ -403,7 +447,8 @@ object Warehouse {
     * non-null values. Returns the commit attempts used.
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-             maxAttempts: Int = 5): Int = {
+             maxAttempts: Int = 5,
+             txn: Map[String, Long] = Map.empty): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
     val mapping0 = snapshot(fs, path).getOrElse(
@@ -414,7 +459,8 @@ object Warehouse {
     val partCols = partColsOf(mapping0)
     if (fs.exists(metaPath(path))) {
       val (k, v) = readMeta(fs, path)
-      mergeIntoDeltaRetrying(spark, path, df, k, v, partCols, None, maxAttempts)
+      mergeIntoDeltaHooked(spark, path, df, k, v, partCols, None, maxAttempts,
+        _ => () => (), txn)
     } else {
       require(partKeysOf(df, partCols).nonEmpty, "empty append batch")
       val batchId = java.util.UUID.randomUUID().toString
@@ -430,7 +476,7 @@ object Warehouse {
             case None        => s"+$batchId"
           }))
         try {
-          commit(fs, path, v + 1, newMapping)
+          commit(fs, path, v + 1, newMapping, txn)
           return attempt
         } catch {
           case e: IllegalStateException if e.getMessage != null &&
@@ -454,8 +500,9 @@ object Warehouse {
     * replacement, so rebasing is re-publishing the same batch).
     */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
-                maxAttempts: Int = 5): Int =
-    overwriteCommit(spark, path, df, dynamic = false, maxAttempts)
+                maxAttempts: Int = 5,
+                txn: Map[String, Long] = Map.empty): Int =
+    overwriteCommit(spark, path, df, dynamic = false, maxAttempts, txn)
 
   /** DYNAMIC PARTITION OVERWRITE: replace exactly the partitions `df`
     * carries rows for — the warehouse analog of the reference's
@@ -468,11 +515,13 @@ object Warehouse {
     * contract).
     */
   def overwritePartitions(spark: SparkSession, path: String, df: DataFrame,
-                          maxAttempts: Int = 5): Int =
-    overwriteCommit(spark, path, df, dynamic = true, maxAttempts)
+                          maxAttempts: Int = 5,
+                          txn: Map[String, Long] = Map.empty): Int =
+    overwriteCommit(spark, path, df, dynamic = true, maxAttempts, txn)
 
   private def overwriteCommit(spark: SparkSession, path: String, df: DataFrame,
-                              dynamic: Boolean, maxAttempts: Int): Int = {
+                              dynamic: Boolean, maxAttempts: Int,
+                              txn: Map[String, Long]): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
     val mapping0 = snapshot(fs, path).getOrElse(
@@ -494,7 +543,7 @@ object Warehouse {
         if (dynamic) mapping ++ written.map(_ -> batchId)
         else written.map(_ -> batchId).toMap
       try {
-        commit(fs, path, v + 1, newMapping)
+        commit(fs, path, v + 1, newMapping, txn)
         return attempt
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
@@ -764,7 +813,8 @@ object Warehouse {
   private[graft] def mergeIntoHooked(spark: SparkSession, path: String,
                 changes: DataFrame, keyCol: String, versionCol: String,
                 partCols: Seq[String], deleteCol: Option[String],
-                beforeCommit: () => Unit): Unit = {
+                beforeCommit: () => Unit,
+                txn: Map[String, Long] = Map.empty): Unit = {
     requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
     val (v, mapping) = snapshot(fs, path).getOrElse(
@@ -820,7 +870,7 @@ object Warehouse {
     val newMapping = (mapping -- touched.filterNot(written)) ++
       written.map(_ -> batchId)
     beforeCommit()
-    commit(fs, path, v + 1, newMapping)
+    commit(fs, path, v + 1, newMapping, txn)
   }
 
   /** MERGE-ON-READ delta commit: land `changes` as-is under a new
@@ -888,7 +938,8 @@ object Warehouse {
   private[graft] def mergeIntoDeltaHooked(spark: SparkSession, path: String,
                      changes: DataFrame, keyCol: String, versionCol: String,
                      partCols: Seq[String], deleteCol: Option[String],
-                     maxAttempts: Int, hookFor: Int => () => Unit): Int = {
+                     maxAttempts: Int, hookFor: Int => () => Unit,
+                     txn: Map[String, Long] = Map.empty): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
@@ -919,7 +970,7 @@ object Warehouse {
         }))
       hookFor(attempt)()
       try {
-        commit(fs, path, v + 1, newMapping)
+        commit(fs, path, v + 1, newMapping, txn)
         return attempt
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
@@ -961,13 +1012,14 @@ object Warehouse {
   private[graft] def mergeIntoRetryingHooked(spark: SparkSession, path: String,
                 changes: DataFrame, keyCol: String, versionCol: String,
                 partCols: Seq[String], deleteCol: Option[String],
-                maxAttempts: Int, hookFor: Int => () => Unit): Int = {
+                maxAttempts: Int, hookFor: Int => () => Unit,
+                txn: Map[String, Long] = Map.empty): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 1
     while (true) {
       try {
         mergeIntoHooked(spark, path, changes, keyCol, versionCol, partCols,
-          deleteCol, hookFor(attempt))
+          deleteCol, hookFor(attempt), txn)
         return attempt
       } catch {
         case e: IllegalStateException if e.getMessage != null &&

@@ -730,6 +730,50 @@ object StreamQueries {
              |        row_number() OVER (PARTITION BY user_id
              |          ORDER BY ts DESC, event_id DESC) AS rn
              |      FROM events)
-             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ST23 — the NATIVE streaming sink: st19/st21's ingest shape with
+    // no hand-written foreachBatch at all —
+    // `writeStream.format("graft-warehouse")` drains post-cutoff
+    // events into the pre-cutoff table as blind '+' append-link
+    // commits (O(batch) bytes, zero shuffle per trigger), with the
+    // maintenance cadence riding the sink options. EXACTLY-ONCE is
+    // the sink's own contract, not foreachBatch discipline: each
+    // commit embeds a #txn (appId, batchId) record in the manifest
+    // under the same atomic claim as the data, so a replayed
+    // micro-batch self-skips (WarehouseStreamSinkSpec pins replay,
+    // carry-forward across interleaved writers, and restart). The
+    // oracle replays the complete events set — green only if every
+    // streamed row landed exactly once.
+    Q("st23_stream_sink_ingest",
+      (s, d) => {
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        val path = graft.engine.TempArtifacts.getOrBuild(s"$d#st23wh", "graft_st23wh") { p =>
+          val pre = Tables.events(s, d).filter(col("ts") < cutoff)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"),
+              pmod(col("user_id"), lit(8L)).cast(IntegerType).as("bucket"))
+          graft.io.Warehouse.create(s, p, pre, "bucket")
+          Streaming.runToSink(s, s"$d/events.parquet", "graft-warehouse", p,
+            Map("mode" -> "append", "txnAppId" -> "st23",
+              "compactEvery" -> "4", "sortCol" -> "event_id")) { raw =>
+            val withTs =
+              if (raw.schema("ts").dataType == LongType)
+                raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              else raw
+            withTs.filter(col("ts") >= cutoff)
+              .select(col("event_id"), col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("ts_us"),
+                pmod(col("user_id"), lit(8L)).cast(IntegerType).as("bucket"))
+          }
+        }
+        graft.io.Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+             |FROM events
+             |ORDER BY event_id""".stripMargin))
   )
 }

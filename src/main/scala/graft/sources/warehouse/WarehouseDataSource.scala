@@ -46,9 +46,25 @@ import graft.io.Warehouse
   * inner plan executes exactly like the API read path the rest of the
   * suite verifies.
   */
-class WarehouseDataSource extends TableProvider with DataSourceRegister {
+class WarehouseDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft-warehouse"
+
+  /** `writeStream.format("graft-warehouse")` — see
+    * [[WarehouseStreamSink]] for modes and the exactly-once contract.
+    * (Implementing [[StreamSinkProvider]] routes streaming writes to
+    * this V1 sink; batch writes stay on the DSv2 table above.)
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-warehouse sink requires a table path - .start(path)"))
+    new WarehouseStreamSink(path, parameters, outputMode)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -577,6 +593,9 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
       org.apache.spark.sql.Row(vs: _*) }
     val bad = results.collect { case (f, None) => f }
     WarehouseDataSource.lastAggPlanned = Some((good.length, bad.length))
+    // the planning probe the specs read: an aggregate scan consults
+    // every live file's footer (no filter pushdown on this path)
+    WarehouseDataSource.lastPlanned = Some((files.length, Seq.empty))
     val statDf = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(good.toIndexedSeq: _*)),
       aggSchema)

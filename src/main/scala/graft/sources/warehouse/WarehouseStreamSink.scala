@@ -1,0 +1,132 @@
+package graft.sources.warehouse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.io.Warehouse
+
+/** `writeStream.format("graft-warehouse")` — the warehouse as a
+  * native Structured Streaming sink, with EXACTLY-ONCE micro-batch
+  * application and no hand-written foreachBatch:
+  *
+  * {{{
+  *   stream.writeStream.format("graft-warehouse")
+  *     .option("mode", "delta")            // append | delta | merge
+  *     .option("keyCol", "k").option("versionCol", "ver")
+  *     .option("compactEvery", "4")        // optional maintenance cadence
+  *     .option("checkpointLocation", ckpt)
+  *     .start(tablePath)
+  * }}}
+  *
+  * '''Exactly-once''': every commit this sink makes carries a
+  * `#txn <appId> <batchId>` record IN the manifest, riding the same
+  * atomic create-exclusive claim as the data — so after a crash
+  * between "data committed" and "checkpoint advanced", the replayed
+  * micro-batch finds its own record in the newest manifest and skips;
+  * there is no window where one is visible without the other (the
+  * Delta `txnAppId`/`txnVersion` idempotence contract). Every OTHER
+  * writer's commit (merges, compaction, the maintenance below)
+  * carries the records forward, so interleaved writers cannot erase
+  * the cursor. `appId` defaults to the checkpoint location — the
+  * identity that survives restarts — and is overridable with
+  * `option("txnAppId", …)` when two queries share a checkpoint tree.
+  *
+  * '''Write modes''' (micro-batch → commit path):
+  *  - `append` (default): [[Warehouse.append]] — blind '+' links on
+  *    plain tables, keyed delta merges on tables with recorded keys.
+  *  - `delta`: [[Warehouse.mergeIntoDelta]] with the `keyCol` /
+  *    `versionCol` (and optional `deleteCol`) options — O(batch)-byte
+  *    upsert per trigger, the high-frequency CDC shape (st21).
+  *  - `merge`: the copy-on-write [[Warehouse.mergeInto]] (st19).
+  *  - OutputMode.Complete overrides all of these with
+  *    [[Warehouse.overwrite]]: each emitted result replaces the
+  *    table — the natural landing for a streaming aggregate.
+  *
+  * '''Maintenance''': `compactEvery` = N wires [[Warehouse.maintain]]
+  * after each applied batch (with `sortCol`, default the key column,
+  * and `targetBytes`, default 64 MB), so a table ingesting one batch
+  * dir per trigger keeps bounded files and chains without a separate
+  * scheduler.
+  */
+class WarehouseStreamSink(path: String, params: Map[String, String],
+                          outputMode: OutputMode) extends Sink {
+
+  private val appId = params.get("txnAppId")
+    .orElse(params.get("checkpointLocation"))
+    .getOrElse(throw new IllegalArgumentException(
+      "graft-warehouse sink needs a checkpointLocation (or an explicit " +
+        "txnAppId) to key its exactly-once txn records"))
+
+  private val mode = params.getOrElse("mode", "append")
+  require(Set("append", "delta", "merge")(mode),
+    s"graft-warehouse sink mode must be append | delta | merge, got '$mode'")
+
+  private def opt(name: String): String = params.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"graft-warehouse sink mode '$mode' needs option('$name', ...)"))
+
+  override def name(): String = s"graft-warehouse-sink($path mode=$mode)"
+
+  /** Re-root the micro-batch as a plain batch frame. The incoming
+    * Dataset rides the query's INCREMENTAL execution — re-planning
+    * its logical plan (what `data.rdd` would do) trips the
+    * streaming-source guard — so consume the already-planned physical
+    * RDD and deserialize rows through the schema's encoder: no
+    * driver-side materialization, one distributed pass.
+    */
+  private def asBatch(data: DataFrame): DataFrame =
+    if (!data.isStreaming) data
+    else {
+      val schema = data.schema
+      val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+        .resolveAndBind()
+      val rdd = data.queryExecution.toRdd.mapPartitions { it =>
+        val deser = enc.createDeserializer()
+        it.map(r => deser(r.copy())) // unsafe rows are reused; copy
+      }
+      data.sparkSession.createDataFrame(rdd, schema)
+    }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    if (Warehouse.lastTxn(spark, path, appId).exists(_ >= batchId)) return
+    val batch = asBatch(data)
+    val txn = Map(appId -> batchId)
+    try {
+      if (outputMode == OutputMode.Complete())
+        Warehouse.overwrite(spark, path, batch, txn = txn): Unit
+      else mode match {
+        case "append" => Warehouse.append(spark, path, batch, txn = txn): Unit
+        case "delta" =>
+          Warehouse.mergeIntoDeltaHooked(spark, path, batch,
+            opt("keyCol"), opt("versionCol"),
+            Warehouse.partitionColumns(spark, path), params.get("deleteCol"),
+            maxAttempts = 5, _ => () => (), txn): Unit
+        case "merge" =>
+          Warehouse.mergeIntoRetryingHooked(spark, path, batch,
+            opt("keyCol"), opt("versionCol"),
+            Warehouse.partitionColumns(spark, path), params.get("deleteCol"),
+            maxAttempts = 5, _ => () => (), txn): Unit
+      }
+    } catch {
+      // an all-filtered micro-batch carries nothing to commit; the
+      // txn cursor simply stays behind (a replay re-finds the same
+      // empty batch — still a no-op), and the next non-empty batch
+      // advances it
+      case e: IllegalArgumentException
+          if e.getMessage != null && (
+            e.getMessage.contains("empty append batch") ||
+            e.getMessage.contains("empty change batch")) => ()
+    }
+    params.get("compactEvery").foreach { n =>
+      val sortCol = params.getOrElse("sortCol",
+        params.getOrElse("keyCol", Warehouse.partitionColumns(spark, path).head))
+      Warehouse.maintain(spark, path, sortCol,
+        targetBytes = params.get("targetBytes").map(_.toLong)
+          .getOrElse(64L << 20),
+        everyNCommits = n.toInt): Unit
+    }
+  }
+}

@@ -199,6 +199,29 @@ object Streaming {
     }
   }
 
+  /** Drain a parquet-dir stream into a named SINK FORMAT (the
+    * `writeStream.format(...)` route — e.g. the `graft-warehouse`
+    * sink with its manifest-riding exactly-once txn records), with
+    * AvailableNow + an ephemeral checkpoint unless the caller keeps
+    * one. The foreachBatch-free shape a production ingest job runs.
+    */
+  def runToSink(spark: SparkSession, path: String, format: String,
+                targetPath: String, options: Map[String, String],
+                checkpoint: Option[String] = None)
+               (transform: DataFrame => DataFrame): Unit = drained(spark) {
+    withEphemeralCheckpoint { tmpCkpt =>
+      val schema = sourceSchema(spark, path)
+      val src = spark.readStream.schema(schema).parquet(singlePathGlob(path))
+      val q = transform(src).writeStream
+        .format(format)
+        .options(options)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint.getOrElse(tmpCkpt))
+        .start(targetPath)
+      q.awaitTermination()
+    }
+  }
+
   /** The `events` table as a stream: ts arrives as raw nanos (the
     * session reads parquet TIMESTAMP(NANOS) as long, see
     * [[graft.engine.Sessions]]) and converts to a µs timestamp —
