@@ -584,6 +584,53 @@ object Warehouse {
     newest + 1
   }
 
+  /** METADATA-ONLY partition delete — the SQL `DELETE FROM … WHERE
+    * <partition predicate>` plane (Delta/Hive's drop-partition
+    * semantics): remove every partition whose (column → unescaped
+    * value) tuple satisfies `pred` by committing a manifest WITHOUT
+    * those keys. No data file is read, written or removed — the cost
+    * is one manifest read plus one commit whatever the table or
+    * partition size, dropped partitions stay time-travelable until
+    * vacuum, and at 100 TB a retention delete (`dt < cutoff`) touches
+    * kilobytes of metadata instead of rewriting terabytes. Row-level
+    * deletes (predicates on non-partition columns) go through
+    * [[mergeInto]]'s delete column instead — the DSv2 layer refuses
+    * them at analysis ([[WarehouseTable.canDeleteWhere]]).
+    *
+    * Lost commit races re-snapshot and re-apply the predicate — the
+    * delete is a pure function of the live mapping, so the rebase is
+    * exact. Returns the number of partitions dropped (0 = no match,
+    * nothing committed).
+    */
+  def deletePartitionsWhere(spark: SparkSession, path: String,
+                            pred: Map[String, String] => Boolean,
+                            maxAttempts: Int = 5): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      val (v, mapping) = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))
+      val dropped = mapping.keySet.filter { key =>
+        pred(key.split("/").toSeq.map { seg =>
+          val i = seg.indexOf('=')
+          seg.take(i) -> ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+        }.toMap)
+      }
+      if (dropped.isEmpty) return 0
+      try {
+        commit(fs, path, v + 1, mapping -- dropped)
+        return dropped.size
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    0 // unreachable
+  }
+
   /** The table's current rows. Chain-free partitions are read exactly
     * as written (plain columnar scan of the listed dirs); partitions
     * with delta chains are FOLDED — base ∪ deltas, per-key latest-wins

@@ -839,6 +839,35 @@ object WarehouseQueries {
       Some("""SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_id,
              |  MAX(event_id) AS max_id, MIN(CAST(ts AS DATE)) AS min_dt,
              |  MAX(CAST(ts AS DATE)) AS max_dt
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // SQL15 — METADATA-ONLY retention DELETE through the catalog:
+    // `DELETE FROM graft.`path` WHERE dt < cutoff` drops the matched
+    // day-partitions as ONE manifest commit — zero data files read,
+    // written or removed (WarehouseDeleteSpec pins the on-disk claim),
+    // the dropped days stay time-travelable until vacuum. At 100 TB
+    // this is THE retention primitive: expiring a month of a
+    // day-partitioned fact table costs kilobytes of metadata where a
+    // rewrite-based delete would move terabytes. Predicates not
+    // decidable from partition values alone are refused at analysis
+    // (canDeleteWhere), so the metadata path can never approximate a
+    // row-level delete. The oracle replays the surviving date range.
+    Q("sql15_delete_where",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql15wh", "graft_sql15wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev, "dt")
+          s.sql(s"DELETE FROM graft.`$p` WHERE dt < DATE'2024-01-11'"): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -34,8 +34,10 @@ import graft.io.Warehouse
   * append-link commit on plain tables, a keyed delta merge on tables
   * with recorded merge keys) and `INSERT OVERWRITE` truncates or —
   * under `partitionOverwriteMode=dynamic` — replaces exactly the
-  * partitions the batch names ([[WarehouseWriteBuilder]]). Keyed
-  * MERGE/DELETE semantics still go through the merge API where the
+  * partitions the batch names ([[WarehouseWriteBuilder]]). `DELETE
+  * FROM … WHERE <partition predicate>` is a metadata-only partition
+  * drop ([[WarehouseTable.deleteWhere]]); keyed MERGE and row-level
+  * DELETE semantics still go through the merge API where the
   * key/version vocabulary lives; DDL (create/alter/drop) fails loudly
   * instead of corrupting a manifest — tables are created by
   * [[Warehouse.create]], which names the partition layout.

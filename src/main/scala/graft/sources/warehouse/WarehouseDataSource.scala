@@ -1,13 +1,13 @@
 package graft.sources.warehouse
 
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DateType, LongType, IntegerType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.Warehouse
@@ -347,11 +347,92 @@ object WarehouseDataSource {
     case And(l, r) => pushable(l) && pushable(r)
     case _ => false
   }
+
+  /** Compile a DELETE's filters into a predicate over one partition's
+    * (column → unescaped string value) tuple — Some only when EVERY
+    * conjunct is EXACTLY decidable from partition values alone, so a
+    * metadata-only delete can never be a wrong answer: equality/IN on
+    * any simple-typed partition column, ranges where the column's
+    * declared type gives the string form a faithful ordering
+    * (integral via numeric parse; date/string via UTF-8 byte order —
+    * ISO dates are lexicographic, and bytes match Spark's binary
+    * string comparison where Java's UTF-16 compareTo would diverge on
+    * supplementary characters), and boolean combinators over those.
+    * None (→ `canDeleteWhere` false, analysis error) for anything
+    * touching a non-partition column or an unorderable form —
+    * row-level deletes belong to [[Warehouse.mergeInto]]'s delete
+    * column.
+    */
+  private[warehouse] def partitionPredicate(filters: Seq[Filter],
+      partCols: Set[String], schema: StructType):
+      Option[Map[String, String] => Boolean] = {
+    // canonical string form of a literal, matching the manifest's
+    // cast-to-string partition values
+    def canon(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case b: java.lang.Boolean => Some(b.toString)
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) => Some(n.toString)
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    def cmp(colName: String): Option[(String, String) => Int] =
+      schema.fields.find(_.name == colName).map(_.dataType).collect {
+        case ByteType | ShortType | IntegerType | LongType =>
+          (a: String, b: String) => java.lang.Long.compare(a.toLong, b.toLong)
+        case StringType | DateType =>
+          (a: String, b: String) => {
+            val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+            var i = 0; var r = 0
+            while (i < math.min(x.length, y.length) && r == 0) {
+              r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+            }
+            if (r != 0) r else x.length - y.length
+          }
+      }
+    def ranged(a: String, v: Any)(test: Int => Boolean):
+        Option[Map[String, String] => Boolean] =
+      if (!partCols(a)) None
+      else for { c <- cmp(a); cv <- canon(v) }
+        yield (row: Map[String, String]) => test(c(row(a), cv))
+    def go(f: Filter): Option[Map[String, String] => Boolean] = f match {
+      case EqualTo(a, v) if partCols(a) =>
+        canon(v).map(cv => (row: Map[String, String]) => row(a) == cv)
+      case EqualNullSafe(a, v) if partCols(a) =>
+        canon(v).map(cv => (row: Map[String, String]) => row(a) == cv)
+      case In(a, vs) if partCols(a) =>
+        val cs = vs.toIndexedSeq.map(canon)
+        if (cs.exists(_.isEmpty)) None
+        else { val set = cs.flatten.toSet; Some(row => set(row(a))) }
+      case GreaterThan(a, v)        => ranged(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => ranged(a, v)(_ >= 0)
+      case LessThan(a, v)           => ranged(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => ranged(a, v)(_ <= 0)
+      // partition values are non-null by write-path invariant
+      case IsNotNull(a) if partCols(a) => Some(_ => true)
+      case IsNull(a) if partCols(a)    => Some(_ => false)
+      case And(l, r) =>
+        for { lf <- go(l); rf <- go(r) }
+          yield (row: Map[String, String]) => lf(row) && rf(row)
+      case Or(l, r) =>
+        for { lf <- go(l); rf <- go(r) }
+          yield (row: Map[String, String]) => lf(row) || rf(row)
+      case Not(x) => go(x).map(xf => (row: Map[String, String]) => !xf(row))
+      case AlwaysTrue()  => Some(_ => true)
+      case AlwaysFalse() => Some(_ => false)
+      case _ => None
+    }
+    val compiled = filters.toIndexedSeq.map(go)
+    if (compiled.exists(_.isEmpty)) None
+    else Some(row => compiled.flatten.forall(_(row)))
+  }
 }
 
 class WarehouseTable(tableSchema: StructType,
                      conf: WarehouseDataSource.ReadConf)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     s"graft-warehouse(${conf.path}${conf.versionAsOf.fold("")(v => s"@v$v")}" +
       s"${if (conf.changeFeed) " changeFeed" else ""})"
@@ -393,6 +474,38 @@ class WarehouseTable(tableSchema: StructType,
         "restore() the version instead")
     new WarehouseWriteBuilder(conf.path,
       Option(info.options.get("partitionOverwriteMode")))
+  }
+
+  /** `DELETE FROM graft.\`path\` WHERE <partition predicate>` — a
+    * METADATA-ONLY delete ([[Warehouse.deletePartitionsWhere]]): the
+    * matched partitions leave the manifest in one commit, no data
+    * file is touched, history stays time-travelable. Accepted only
+    * when every conjunct is exactly decidable from partition values
+    * ([[WarehouseDataSource.partitionPredicate]]) — otherwise Spark
+    * raises an analysis error and the caller uses the merge API's
+    * delete column for row-level semantics.
+    */
+  private def compiledDelete(filters: Array[Filter]):
+      Option[Map[String, String] => Boolean] =
+    if (conf.changeFeed || conf.versionAsOf.nonEmpty) None
+    else try {
+      val partCols = graft.io.Warehouse
+        .partitionColumns(SparkSession.active, conf.path).toSet
+      WarehouseDataSource.partitionPredicate(
+        filters.toIndexedSeq, partCols, tableSchema)
+    } catch { case _: IllegalStateException => None }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    compiledDelete(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = compiledDelete(filters).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-warehouse DELETE needs a predicate decidable from " +
+          s"partition values alone, got [${filters.mkString(", ")}] - " +
+          "row-level deletes go through Warehouse.mergeInto's deleteCol"))
+    graft.io.Warehouse.deletePartitionsWhere(
+      SparkSession.active, conf.path, pred): Unit
   }
 }
 
