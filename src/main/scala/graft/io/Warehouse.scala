@@ -1327,6 +1327,13 @@ object Warehouse {
     * on both, where a sortCol layout prunes on one. Stats are
     * recorded for the z-ordered columns plus `sortCol`/`statsCols`.
     *
+    * POINT-LOOKUP LAYER: pass `bloomCols` and the rewrite also
+    * records a per-file BLOOM sidecar for those (integral) columns
+    * ([[writeFileBlooms]]) — the pruning layer for equality
+    * predicates on high-cardinality columns min/max can't help
+    * (every sorted file spans the whole id space). Costs one extra
+    * read of the fresh batch; `bloomExpectedItems` sizes each sketch.
+    *
     * CONCURRENCY: a commit landing between compact's snapshot and its
     * own commit (a racing delta/CoW merge) loses compact the version
     * race; the whole pass then RE-RUNS against the new snapshot — a
@@ -1339,14 +1346,19 @@ object Warehouse {
   def compact(spark: SparkSession, path: String, sortCol: String,
               targetBytes: Long, maxAttempts: Int = 5,
               statsCols: Seq[String] = Nil,
-              zorderCols: Seq[String] = Nil): Int = {
+              zorderCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil,
+              bloomExpectedItems: Long = 100000L): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    require(bloomExpectedItems > 0,
+      s"bloomExpectedItems must be positive, got $bloomExpectedItems")
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
       try return compactOnce(spark, fs, path, sortCol, targetBytes,
-        (sortCol +: (statsCols ++ zorderCols)).distinct, zorderCols)
+        (sortCol +: (statsCols ++ zorderCols)).distinct, zorderCols,
+        bloomCols, bloomExpectedItems)
       catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("lost a race") =>
@@ -1360,7 +1372,9 @@ object Warehouse {
   private def compactOnce(spark: SparkSession, fs: FileSystem, path: String,
                           sortCol: String, targetBytes: Long,
                           statsCols: Seq[String],
-                          zorderCols: Seq[String]): Int = {
+                          zorderCols: Seq[String],
+                          bloomCols: Seq[String] = Nil,
+                          bloomExpectedItems: Long = 100000L): Int = {
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     val partCols = partColsOf(mapping)
@@ -1389,6 +1403,7 @@ object Warehouse {
         .write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$path/data/batch=$batchId")
       writeFileStats(spark, path, batchId, statsCols)
+      writeFileBlooms(spark, path, batchId, bloomCols, bloomExpectedItems)
       // a chained partition whose fold is EMPTY (every key tombstoned)
       // writes no dir and must leave the mapping
       val written = partDirs(fs, path, batchId, partCols).toSet
@@ -1544,6 +1559,123 @@ object Warehouse {
     } finally reader.close()
   }
 
+  private val BloomHeader = "graft-bloom-v1"
+
+  /** Record a per-file BLOOM FILTER of every integral column in
+    * `bloomCols` into the batch's `_bloom` sidecar — the skipping
+    * layer for POINT LOOKUPS on columns min/max can't prune (a
+    * high-cardinality id that isn't the sort column: every compacted
+    * file's [min,max] spans the whole id space, but each file's bloom
+    * holds only ITS ids, so `WHERE user_id = x` opens ~1 file instead
+    * of all of them). Unlike [[writeFileStats]] this needs one DATA
+    * pass over the fresh batch — blooms are built executor-side per
+    * scan partition (bounded memory: files-per-task × columns ×
+    * sketch bytes) and merged per file on the driver; compaction is
+    * already rewriting the data, so the extra read is marginal and
+    * the layer stays strictly opt-in. `expectedItems` sizes every
+    * sketch (3% FPP) — size it near rows-per-file; an undersized
+    * sketch only raises the false-positive rate, never loses a row
+    * (a bloom can only prove ABSENCE). Non-integral columns are
+    * skipped silently — [[readForScan]] treats a missing bloom as
+    * unprunable, the stats-absence contract.
+    *
+    * Sidecar lines: "relative/file\tcol\tbase64(sketch)". Sidecar
+    * size is files × columns × sketch bytes — at 100 TB, tune
+    * `expectedItems` and `targetBytes` together so the manifest plane
+    * stays metadata-sized.
+    */
+  private def writeFileBlooms(spark: SparkSession, path: String,
+                              batchId: String, bloomCols: Seq[String],
+                              expectedItems: Long): Unit = {
+    if (bloomCols.isEmpty) return
+    val fs = fsOf(spark, path)
+    val batchDir = s"$path/data/batch=$batchId"
+    if (!fs.exists(new HPath(batchDir))) return
+    val df = spark.read.parquet(batchDir)
+    val present = bloomCols.filter(c => df.schema.fields.exists(f =>
+      f.name == c && (f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })))
+    if (present.isEmpty) return
+    val nCols = present.length
+    val items = expectedItems
+    val partials = df.select(
+        org.apache.spark.sql.functions.input_file_name().as("_f") +:
+          present.map(c => col(c).cast("long")): _*)
+      .mapPartitions { rows =>
+        val acc = scala.collection.mutable.Map[(String, Int),
+          org.apache.spark.util.sketch.BloomFilter]()
+        rows.foreach { r =>
+          val f = r.getString(0)
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i + 1))
+              acc.getOrElseUpdate((f, i), org.apache.spark.util.sketch
+                .BloomFilter.create(items, 0.03)).putLong(r.getLong(i + 1))
+            i += 1
+          }
+        }
+        acc.iterator.map { case ((f, i), b) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          b.writeTo(bos)
+          (f, i, bos.toByteArray)
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.BINARY))
+      .collect() // one sketch per (file-split, col) — sidecar-sized
+    val marker = s"batch=$batchId/"
+    val merged = partials.toSeq
+      .groupBy { case (f, i, _) =>
+        val at = f.indexOf(marker)
+        require(at >= 0, s"scanned file $f is outside $batchDir")
+        (f.substring(at + marker.length), present(i))
+      }
+      .map { case (key, parts) =>
+        val sketches = parts.map(p => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(p._3)))
+        val whole = sketches.reduceLeft { (a, b) => a.mergeInPlace(b); a }
+        val bos = new java.io.ByteArrayOutputStream()
+        whole.writeTo(bos)
+        key -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      }
+    if (merged.nonEmpty) {
+      val lines = merged.toSeq.sortBy(_._1)
+        .map { case ((rel, c), b64) => s"$rel\t$c\t$b64" }
+      val out = fs.create(new HPath(s"$batchDir/_bloom"), true)
+      try out.write((BloomHeader + "\n" + lines.mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The `_bloom` sidecar of a batch: (relative file, col) → sketch.
+    * None when the batch has no sidecar.
+    */
+  private def readBlooms(fs: FileSystem, path: String, batchId: String):
+      Option[Map[(String, String), org.apache.spark.util.sketch.BloomFilter]] = {
+    val p = new HPath(s"$path/data/batch=$batchId/_bloom")
+    if (!fs.exists(p)) None
+    else {
+      val ls = readSmallFile(fs, p).split("\n").filter(_.nonEmpty)
+      if (ls.isEmpty || ls.head != BloomHeader) None
+      else Some(ls.tail.map { l =>
+        l.split("\t", 3) match {
+          case Array(rel, c, b64) =>
+            (rel, c) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(b64)))
+          case other => throw new IllegalStateException(
+            s"corrupt _bloom line '${other.mkString("\t")}' in batch $batchId")
+        }
+      }.toMap)
+    }
+  }
+
   /** The `_stats` sidecar of a batch: (relative file, col) → typed
     * min/max. None when the batch has no sidecar.
     */
@@ -1574,12 +1706,23 @@ object Warehouse {
     * SUPERSET of the matching files (the residual predicate exacts
     * it). Dates compare as days-since-epoch, their recorded form.
     */
-  private[graft] sealed trait Bound { def intersects(s: Stat): Boolean }
+  private[graft] sealed trait Bound {
+    def intersects(s: Stat): Boolean
+    /** The single long this bound pins (lo == hi) — the equality
+      * shape that can consult a file's BLOOM sidecar on top of its
+      * min/max. None for ranges and string bounds.
+      */
+    def point: Option[Long] = None
+  }
   private[graft] final case class LongBound(lo: Option[Long], hi: Option[Long])
       extends Bound {
     def intersects(s: Stat): Boolean = s match {
       case LongStat(mn, mx) => lo.forall(mx >= _) && hi.forall(mn <= _)
       case _ => true
+    }
+    override def point: Option[Long] = (lo, hi) match {
+      case (Some(a), Some(b)) if a == b => Some(a)
+      case _ => None
     }
   }
   private[graft] final case class StrBound(lo: Option[String], hi: Option[String])
@@ -1604,7 +1747,10 @@ object Warehouse {
     * because the residual filter still applies to every surviving
     * row; stats only decide which files open. Overloads cover the
     * recorded stat kinds: integral, string, and date (compared as
-    * days-since-epoch, the parquet physical form).
+    * days-since-epoch, the parquet physical form). An EQUALITY bound
+    * (lo == hi on the integral overload) additionally consults the
+    * batch's per-file BLOOM sidecar when compaction recorded one
+    * (`bloomCols`) — the layer that prunes where min/max can't.
     */
   def readSkipping(spark: SparkSession, path: String, statsCol: String,
                    lo: Long, hi: Long): DataFrame =
@@ -1661,26 +1807,33 @@ object Warehouse {
     val partCols = partColsOf(mapping)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val statsByBatch = scala.collection.mutable.Map[String, Option[Map[(String, String), Stat]]]()
+    val bloomsByBatch = scala.collection.mutable.Map[String,
+      Option[Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]]()
     val (keptFiles, wholeDirs) = pure.toSeq.sorted
       .flatMap { case (key, chain) => chainOf(chain).map(key -> _) }
       .foldLeft((Vector.empty[String], Vector.empty[String])) {
       case ((files, dirs), (key, b)) =>
-        statsByBatch.getOrElseUpdate(b, readStats(fs, path, b)) match {
-          case Some(byFile) if bounds.nonEmpty =>
+        val stats = statsByBatch.getOrElseUpdate(b, readStats(fs, path, b))
+        val blooms = bloomsByBatch.getOrElseUpdate(b, readBlooms(fs, path, b))
+        if (bounds.nonEmpty && (stats.nonEmpty || blooms.nonEmpty)) {
+            val byFile = stats.getOrElse(Map.empty)
+            val bloomByFile = blooms.getOrElse(Map.empty)
             val dir = s"$path/data/batch=$b/$key"
             val kept = fs.listStatus(new HPath(dir))
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
               .toVector.flatMap { st =>
+                val rel = s"$key/${st.getPath.getName}"
                 val skip = bounds.exists { case (c, bound) =>
-                  byFile.get((s"$key/${st.getPath.getName}", c))
-                    .exists(s => !bound.intersects(s))
+                  byFile.get((rel, c)).exists(s => !bound.intersects(s)) ||
+                    // an equality bound additionally consults the
+                    // file's bloom: absence there PROVES no match
+                    bound.point.exists(v => bloomByFile.get((rel, c))
+                      .exists(!_.mightContainLong(v)))
                 }
                 if (skip) None else Some(s"$dir/${st.getPath.getName}")
               }
             (files ++ kept, dirs)
-          case _ =>
-            (files, dirs :+ s"$path/data/batch=$b/$key")
-        }
+        } else (files, dirs :+ s"$path/data/batch=$b/$key")
     }
     val scans = Seq(
       if (keptFiles.isEmpty && wholeDirs.isEmpty) None

@@ -868,6 +868,45 @@ object WarehouseQueries {
       Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
              |FROM events
              |WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
+             |ORDER BY event_id""".stripMargin)),
+
+    // M18 — BLOOM-SIDECAR point lookup: the skipping layer for the
+    // predicate min/max CANNOT prune. The table is compacted SORTED
+    // ON event_id, so every file's [min,max] over user_id spans the
+    // whole id space — range stats are blind to `user_id = x`. The
+    // per-file blooms recorded at compaction hold only each file's
+    // own ids, so the lookup opens ~the files that actually carry the
+    // user (WarehouseBloomSpec pins the inputFiles shrink and the
+    // prove-absence case on disk); at 100 TB this is the needle-in-
+    // haystack id probe — open a handful of files instead of the
+    // table, with NO second sort order and no index build beyond the
+    // compaction pass the table gets anyway. A bloom can only prove
+    // absence, so the result is exactly the filtered read (the FPP
+    // only costs extra opened files, never rows). The oracle replays
+    // the lookup with a scalar subquery.
+    Q("m18_bloom_lookup",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m18wh", "graft_m18wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              pmod(col("user_id"), lit(8L)).cast("int").as("bucket"))
+          s.conf.set("spark.sql.files.maxRecordsPerFile", 1000L)
+          try Warehouse.create(s, p, ev.repartition(8), "bucket")
+          finally s.conf.unset("spark.sql.files.maxRecordsPerFile")
+          val target = math.max(1L,
+            Warehouse.partitionStats(s, p).map(_._4).sum / 16)
+          Warehouse.compact(s, p, "event_id", target,
+            bloomCols = Seq("user_id")): Unit
+        }
+        val probe = Tables.events(s, d)
+          .agg(min(col("user_id"))).head.getLong(0)
+        Warehouse.readSkipping(s, path, "user_id", probe, probe)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type
+             |FROM events
+             |WHERE user_id = (SELECT MIN(user_id) FROM events)
              |ORDER BY event_id""".stripMargin))
   )
 }
