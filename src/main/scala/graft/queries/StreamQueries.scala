@@ -774,6 +774,65 @@ object StreamQueries {
       },
       Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
              |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // ST24 — the NATIVE streaming SOURCE, st23's read-side twin:
+    // `readStream.format("graft-warehouse")` streams a warehouse
+    // table with COMMIT VERSIONS as offsets — fresh checkpoint gets
+    // the folded snapshot, every later run gets exactly the commits
+    // since (Delta's initial-snapshot-plus-changes contract, pinned
+    // in WarehouseStreamSourceSpec along with paging, delete
+    // refusal, and the tagged change-feed mode). Here: the
+    // pre-cutoff table streams once (snapshot), two delta commits
+    // land the post-cutoff events, and the SAME checkpoint streams
+    // again — delivering only those commits' post-images. The drain
+    // accumulates to parquet, so the oracle (the complete events
+    // set) is green only if snapshot + incremental pages cover every
+    // row exactly once: a missed commit drops rows, a re-delivered
+    // one duplicates them.
+    Q("st24_stream_source_scan",
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.Trigger
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        val root = graft.engine.TempArtifacts.getOrBuild(s"$d#st24wh", "graft_st24wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts"), unix_micros(col("ts")).as("ts_us"),
+              pmod(col("user_id"), lit(8L)).cast(IntegerType).as("bucket"))
+          val wh = s"$p/wh"; val out = s"$p/out"; val ckpt = s"$p/ckpt"
+          graft.io.Warehouse.create(s, wh,
+            ev.filter(col("ts") < cutoff).drop("ts"), "bucket")
+          def drain(): Unit = {
+            val q = s.readStream.format("graft-warehouse")
+              .option("keyCol", "event_id")
+              .option("maxVersionsPerTrigger", 1)
+              .load(wh)
+              .writeStream
+              .foreachBatch { (b: DataFrame, _: Long) =>
+                b.write.mode("append").parquet(out); ()
+              }
+              .trigger(Trigger.AvailableNow())
+              .option("checkpointLocation", ckpt)
+              .start()
+            q.awaitTermination()
+          }
+          drain() // batch 1: the pre-cutoff snapshot
+          val post = ev.filter(col("ts") >= cutoff).drop("ts")
+          Seq(0, 1).foreach { parity =>
+            graft.io.Warehouse.mergeIntoDelta(s, wh,
+              post.filter(pmod(col("event_id"), lit(2L)) === parity),
+              "event_id", "ts_us", "bucket")
+          }
+          drain() // resumed: exactly the two commits' post-images
+        }
+        s.read.parquet(s"$root/out")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+             |FROM events
              |ORDER BY event_id""".stripMargin))
   )
 }

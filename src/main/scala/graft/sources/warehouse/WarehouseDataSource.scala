@@ -47,9 +47,35 @@ import graft.io.Warehouse
   * suite verifies.
   */
 class WarehouseDataSource extends TableProvider with DataSourceRegister
-    with StreamSinkProvider {
+    with StreamSinkProvider with StreamSourceProvider {
 
   override def shortName(): String = "graft-warehouse"
+
+  /** `readStream.format("graft-warehouse")` — see
+    * [[WarehouseStreamSource]] for modes (initial snapshot + changes,
+    * readChangeFeed) and the version-as-offset contract. (The DSv2
+    * table above declares no streaming capability, so Spark's reader
+    * falls back to this V1 source; batch reads stay on the table.)
+    */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-warehouse stream source requires a table path - .load(path)"))
+    (shortName(),
+      WarehouseStreamSource.schemaFor(sqlContext.sparkSession, path, parameters))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]):
+      org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-warehouse stream source requires a table path - .load(path)"))
+    new WarehouseStreamSource(sqlContext.sparkSession, path, parameters)
+  }
 
   /** `writeStream.format("graft-warehouse")` — see
     * [[WarehouseStreamSink]] for modes and the exactly-once contract.

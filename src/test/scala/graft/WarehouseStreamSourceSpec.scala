@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+
+/** The native Structured Streaming SOURCE
+  * (`readStream.format("graft-warehouse")`): a warehouse table
+  * streamed through a real query, with commit versions as offsets.
+  * Pins the Delta-shaped contract — fresh checkpoint = full snapshot,
+  * resume = only the commits since, deletes fail loudly unless
+  * acknowledged, `readChangeFeed` serves the tagged diff,
+  * `startingVersion` skips the snapshot, and `maxVersionsPerTrigger`
+  * pages a backlog across micro-batches within a run.
+  */
+class WarehouseStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(rows: Seq[(Long, String, Long, String)]): String = {
+    val path = Files.createTempDirectory("graft_src").toString + "/t"
+    Warehouse.create(spark, path, rows.toDF("k", "name", "ver", "part"), "part")
+    path
+  }
+
+  /** Drain every available micro-batch; returns the per-batch row
+    * collections (empty batches dropped — AvailableNow can close with
+    * one).
+    */
+  private def drain(path: String, ckpt: String,
+                    opts: Map[String, String] = Map.empty): Seq[Seq[Row]] = {
+    val buf = ListBuffer[Seq[Row]]()
+    val q = spark.readStream.format("graft-warehouse").options(opts).load(path)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().toSeq
+        if (rows.nonEmpty) buf += rows
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    buf.toList
+  }
+
+  private def keyNames(rows: Seq[Row]): Set[(Long, String)] =
+    rows.map(r => (r.getAs[Long]("k"), r.getAs[String]("name"))).toSet
+
+  test("fresh checkpoint = full folded snapshot; resume delivers only new commits' post-images") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1"), (2L, "keep", 1L, "d2")))
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((1L, "upd", 2L, "d1"), (3L, "ins", 1L, "d1"))
+        .toDF("k", "name", "ver", "part"), "k", "ver", "part")
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val first = drain(path, ckpt)
+    assert(first.size == 1, s"fresh stream must be one snapshot batch, got $first")
+    assert(keyNames(first.head) ==
+      Set((1L, "upd"), (2L, "keep"), (3L, "ins")),
+      "the snapshot must be the chain-folded latest-wins read")
+    // nothing new: a resume delivers nothing
+    assert(drain(path, ckpt).isEmpty)
+    // two more commits land; the same checkpoint gets exactly their post-images
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((2L, "upd2", 2L, "d2")).toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((4L, "new", 1L, "d2")).toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    val resumed = drain(path, ckpt)
+    assert(keyNames(resumed.flatten) == Set((2L, "upd2"), (4L, "new")),
+      s"resume must deliver only the new commits' post-images, got $resumed")
+    assert(resumed.flatten.size == 2, "each change exactly once")
+  }
+
+  test("maxVersionsPerTrigger pages a commit backlog across micro-batches in one run") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1")))
+    (0 until 4).foreach { i =>
+      Warehouse.mergeIntoDelta(spark, path,
+        Seq((10L + i, s"c$i", 1L, "d1")).toDF("k", "name", "ver", "part"),
+        "k", "ver", "part")
+    } // versions 2..5
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val batches = drain(path, ckpt, Map(
+      "startingVersion" -> "2", "maxVersionsPerTrigger" -> "2"))
+    assert(batches.size == 2,
+      s"4 pending commits at 2/trigger must drain in 2 batches, got ${batches.size}")
+    assert(keyNames(batches.flatten) ==
+      Set((10L, "c0"), (11L, "c1"), (12L, "c2"), (13L, "c3")))
+    assert(batches.head.size == 2 && batches(1).size == 2,
+      "each page carries exactly its own commits' rows")
+  }
+
+  test("a DELETE commit fails the row-mode stream loudly; ignoreDeletes acknowledges and drops") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1"), (2L, "gone", 1L, "d1")))
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((3L, "ins", 1L, "d1")).toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    val ckptA = Files.createTempDirectory("graft_src_ck").toString
+    val ckptB = Files.createTempDirectory("graft_src_ck").toString
+    assert(drain(path, ckptA).size == 1)
+    assert(drain(path, ckptB, Map("ignoreDeletes" -> "true")).size == 1)
+    // a tombstone erases key 2
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((2L, "gone", 2L, "d1", true)).toDF("k", "name", "ver", "part", "del"),
+      "k", "ver", Seq("part"), Some("del"))
+    val ex = intercept[StreamingQueryException](drain(path, ckptA))
+    assert(ex.getMessage.contains("DELETE") ||
+      Option(ex.getCause).exists(_.getMessage.contains("DELETE")),
+      s"the failure must name the delete contract, got $ex")
+    // acknowledged: the delete-only commit delivers nothing and the stream lives
+    assert(drain(path, ckptB, Map("ignoreDeletes" -> "true")).isEmpty)
+  }
+
+  test("readChangeFeed streams the tagged per-commit diff") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1")))
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((1L, "upd", 2L, "d1"), (2L, "ins", 1L, "d1"))
+        .toDF("k", "name", "ver", "part"), "k", "ver", "part")
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((3L, "late", 1L, "d1")).toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val feed = drain(path, ckpt, Map("readChangeFeed" -> "true")).flatten
+    val tags = feed.map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("change_type"), r.getAs[Long]("commit_version"))).toSet
+    assert(tags == Set(
+      (1L, "update_preimage", 2L), (1L, "update_postimage", 2L),
+      (2L, "insert", 2L), (3L, "insert", 3L)),
+      s"the feed must match the commit history, got $tags")
+    // the batch equals the batch API's changeLog over the same range
+    val api = Warehouse.changeLog(spark, path, "k", fromV = 1L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+        r.getAs[Long]("commit_version"))).toSet
+    assert(tags == api)
+  }
+
+  test("startingVersion skips the snapshot; keyless tables demand an explicit keyCol") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1")))
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((2L, "only", 1L, "d1")).toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val got = drain(path, ckpt, Map("startingVersion" -> "2")).flatten
+    assert(keyNames(got) == Set((2L, "only")),
+      s"startingVersion must skip the v1 base rows, got $got")
+    // a table that never recorded merge keys refuses without keyCol
+    val plain = freshTable(Seq((9L, "x", 1L, "d1")))
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-warehouse").load(plain)
+    }
+    assert(ex.getMessage.contains("keyCol"),
+      s"keyless table must demand option(keyCol), got $ex")
+  }
+}
