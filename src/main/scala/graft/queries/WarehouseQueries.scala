@@ -907,6 +907,47 @@ object WarehouseQueries {
       Some("""SELECT event_id, user_id, event_type
              |FROM events
              |WHERE user_id = (SELECT MIN(user_id) FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL16 — the SQL MAINTENANCE PLANE: the whole post-create
+    // lifecycle runs as CALL statements through the graft catalog
+    // (the Iceberg/Delta procedure convention) — no API import, the
+    // form an operations runbook or scheduled SQL job actually uses.
+    // Here a fragmented table (many small files per partition, then a
+    // mis-merge) is repaired end-to-end in SQL: restore rolls the bad
+    // commit back as a NEW commit, compact bin-packs and sorts (file
+    // count drops, WarehouseProcedureSpec pins it), vacuum reclaims
+    // the superseded history. The oracle is the pre-damage table —
+    // green only if restore really serves the old snapshot, compact
+    // is a pure permutation, and vacuum never touches live files.
+    Q("sql16_call_maintenance",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql16wh", "graft_sql16wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"),
+              pmod(col("user_id"), lit(4L)).cast("int").as("bucket"))
+          s.conf.set("spark.sql.files.maxRecordsPerFile", 1000L)
+          try Warehouse.create(s, p, ev.repartition(8), "bucket") // v1
+          finally s.conf.unset("spark.sql.files.maxRecordsPerFile")
+          // a bad merge clobbers every type to 'oops' (v2)...
+          Warehouse.mergeInto(s, p,
+            ev.limit(500).withColumn("event_type", lit("oops"))
+              .withColumn("ts_us", col("ts_us") + 1L),
+            "event_id", "ts_us", "bucket")
+          // ...and SQL repairs the table: rollback, bin-pack, reclaim
+          s.sql(s"CALL graft.system.restore(table => '$p', version => 1)")
+          s.sql(s"CALL graft.system.compact(table => '$p', " +
+            "sort_col => 'event_id', target_bytes => 4194304)")
+          s.sql(s"CALL graft.system.vacuum(table => '$p')"): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+             |FROM events
              |ORDER BY event_id""".stripMargin))
   )
 }

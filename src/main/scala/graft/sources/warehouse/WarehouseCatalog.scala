@@ -2,7 +2,8 @@ package graft.sources.warehouse
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,7 +43,7 @@ import graft.io.Warehouse
   * instead of corrupting a manifest — tables are created by
   * [[Warehouse.create]], which names the partition layout.
   */
-class WarehouseCatalog extends TableCatalog {
+class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -113,4 +114,22 @@ class WarehouseCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "rename a warehouse table by moving its path")
+
+  /** `CALL graft.system.<proc>(table => '/path', …)` — the SQL
+    * maintenance plane ([[WarehouseProcedures]]: compact / vacuum /
+    * restore / maintain), the Iceberg/Delta procedure convention.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace, got " +
+        s"'${ident.namespace.mkString(".")}'")
+    WarehouseProcedures.byName(ident.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown graft procedure '${ident.name}' - known: " +
+          WarehouseProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    WarehouseProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 }

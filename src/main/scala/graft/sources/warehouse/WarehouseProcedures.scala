@@ -1,0 +1,173 @@
+package graft.sources.warehouse
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.io.Warehouse
+
+/** SQL-addressable MAINTENANCE procedures for warehouse tables — the
+  * Iceberg/Delta `CALL` convention, served by [[WarehouseCatalog]]
+  * (registered as `graft`), so every lifecycle operation a table
+  * needs after creation runs from plain SQL with zero API surface:
+  *
+  * {{{
+  *   CALL graft.system.compact(table => '/wh/events',
+  *                             sort_col => 'event_id',
+  *                             zorder_cols => 'user_id,ts_us',
+  *                             bloom_cols => 'user_id')
+  *   CALL graft.system.vacuum(table => '/wh/events', min_age_ms => 86400000)
+  *   CALL graft.system.restore(table => '/wh/events', version => 3)
+  *   CALL graft.system.maintain(table => '/wh/events',
+  *                              sort_col => 'event_id',
+  *                              every_n_commits => 8)
+  * }}}
+  *
+  * Each procedure is a thin SQL binding over the verified API op —
+  * the semantics, retries, and atomic-commit behavior are exactly
+  * [[Warehouse.compact]]/[[Warehouse.vacuum]]/[[Warehouse.restore]]/
+  * [[Warehouse.maintain]] — and returns a one-row summary (new
+  * version / reclaim count) as a driver-local result scan: these are
+  * metadata-plane commands; their DATA work (the compaction rewrite)
+  * still runs as distributed executor jobs inside the API call.
+  * Column-list parameters are comma-separated names, '' = none.
+  */
+object WarehouseProcedures {
+
+  val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain")
+
+  def byName(name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact"  => Some(CompactProcedure)
+      case "vacuum"   => Some(VacuumProcedure)
+      case "restore"  => Some(RestoreProcedure)
+      case "maintain" => Some(MaintainProcedure)
+      case _          => None
+    }
+
+  /** One-row, driver-local procedure result. */
+  private final case class ResultScan(schema: StructType, row: InternalRow)
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  private def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    Collections.singletonList[Scan](
+      ResultScan(schema, new GenericInternalRow(values.toArray))).iterator()
+
+  private def csv(input: InternalRow, i: Int): Seq[String] =
+    Option(input.getUTF8String(i)).map(_.toString).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def pathArg(input: InternalRow): String = {
+    val p = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
+    require(p.nonEmpty, "procedure needs table => '<warehouse path>'")
+    p
+  }
+
+  private abstract class WarehouseProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+      ProcedureParameter.in(name, dt).build()
+    protected def inDefault(name: String,
+        dt: org.apache.spark.sql.types.DataType, default: String) =
+      ProcedureParameter.in(name, dt).defaultValue(default).build()
+  }
+
+  /** Bin-pack + sort (optionally z-order) fragmented partitions,
+    * recording typed file stats and optional bloom sidecars — returns
+    * (version, attempts).
+    */
+  private object CompactProcedure extends WarehouseProcedure {
+    override def name: String = "compact"
+    override def description: String =
+      "bin-pack and sort fragmented partitions; records per-file stats " +
+        "(and blooms) for data skipping"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("sort_col", StringType),
+      inDefault("target_bytes", LongType, "CAST(67108864 AS BIGINT)"),
+      inDefault("stats_cols", StringType, "''"),
+      inDefault("zorder_cols", StringType, "''"),
+      inDefault("bloom_cols", StringType, "''"))
+    private val out = StructType(Seq(
+      StructField("version", LongType),
+      StructField("rewritten_partitions", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = pathArg(input)
+      val rewritten = Warehouse.compact(spark, path,
+        sortCol = input.getUTF8String(1).toString,
+        targetBytes = input.getLong(2),
+        statsCols = csv(input, 3), zorderCols = csv(input, 4),
+        bloomCols = csv(input, 5))
+      result(out, Warehouse.currentVersion(spark, path), rewritten)
+    }
+  }
+
+  /** Reclaim unreferenced batches and superseded versions older than
+    * `min_age_ms` — returns the reclaimed object count.
+    */
+  private object VacuumProcedure extends WarehouseProcedure {
+    override def name: String = "vacuum"
+    override def description: String =
+      "reclaim unreferenced batches and superseded versions past retention"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("min_age_ms", LongType, "CAST(0 AS BIGINT)"))
+    private val out = StructType(Seq(StructField("reclaimed", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      result(out, Warehouse.vacuum(spark, pathArg(input), input.getLong(1)))
+    }
+  }
+
+  /** Roll the table back to a retained snapshot (a NEW commit that
+    * re-publishes version n's mapping) — returns the new version.
+    */
+  private object RestoreProcedure extends WarehouseProcedure {
+    override def name: String = "restore"
+    override def description: String =
+      "roll the table back to a retained version as a new commit"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType), in("version", LongType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      result(out, Warehouse.restore(spark, pathArg(input), input.getLong(1)))
+    }
+  }
+
+  /** Cadenced compaction (every N commits) — the scheduler-free
+    * maintenance hook; returns whether this call compacted, and the
+    * current version.
+    */
+  private object MaintainProcedure extends WarehouseProcedure {
+    override def name: String = "maintain"
+    override def description: String =
+      "compact when the commit count crosses the cadence"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("sort_col", StringType),
+      inDefault("target_bytes", LongType, "CAST(67108864 AS BIGINT)"),
+      inDefault("every_n_commits", IntegerType, "10"))
+    private val out = StructType(Seq(
+      StructField("compacted", BooleanType), StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = pathArg(input)
+      val ran = Warehouse.maintain(spark, path,
+        sortCol = input.getUTF8String(1).toString,
+        targetBytes = input.getLong(2), everyNCommits = input.getInt(3))
+      result(out, ran, Warehouse.currentVersion(spark, path))
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+import graft.sources.warehouse.WarehouseProcedures
+
+/** The SQL maintenance plane (`CALL graft.system.<proc>(...)`):
+  * every lifecycle operation runs from plain SQL through the
+  * registered catalog, returns its one-row summary, and produces
+  * exactly the state the verified API op would.
+  */
+class WarehouseProcedureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A fragmented two-partition table: many small files per partition
+    * so compaction has real debt to erase.
+    */
+  private def fragmentedTable(): String = {
+    val path = Files.createTempDirectory("graft_proc").toString + "/t"
+    val rows = (1L to 4000L).map(i => (i, i % 97, s"n$i", 1L, s"d${i % 2}"))
+      .toDF("k", "v", "name", "ver", "part")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 250L)
+    try Warehouse.create(spark, path, rows.repartition(8), "part")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    path
+  }
+
+  private def dataFiles(path: String): Int =
+    Warehouse.read(spark, path).inputFiles.length
+
+  test("CALL compact bin-packs the table, returns the new version, rows unchanged") {
+    val path = fragmentedTable()
+    val before = Warehouse.read(spark, path).orderBy("k").collect()
+    val filesBefore = dataFiles(path)
+    val row = spark.sql(
+      s"CALL graft.system.compact(table => '$path', sort_col => 'k', " +
+        "target_bytes => 1048576)").head()
+    assert(row.getAs[Long]("version") == 2L)
+    assert(row.getAs[Int]("rewritten_partitions") == 2,
+      "both fragmented partitions rewrite")
+    assert(dataFiles(path) < filesBefore,
+      s"compaction must cut files: $filesBefore -> ${dataFiles(path)}")
+    assert(Warehouse.read(spark, path).orderBy("k").collect().sameElements(before),
+      "compaction is a pure permutation")
+  }
+
+  test("CALL compact with bloom_cols records the sidecar; positional args work") {
+    val path = fragmentedTable()
+    spark.sql(s"CALL graft.system.compact('$path', 'k', 1048576, '', '', 'v')")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .map(_.getPath)
+    assert(batches.exists(b => fs.exists(
+      new org.apache.hadoop.fs.Path(b, "_bloom"))),
+      "bloom_cols must write the _bloom sidecar")
+  }
+
+  test("CALL restore rolls back as a new commit; CALL vacuum reclaims past retention") {
+    val path = fragmentedTable() // v1
+    Warehouse.mergeInto(spark, path,
+      Seq((1L, 0L, "changed", 2L, "d1")).toDF("k", "v", "name", "ver", "part"),
+      "k", "ver", "part") // v2
+    val restored = spark.sql(
+      s"CALL graft.system.restore(table => '$path', version => 1)").head()
+    assert(restored.getAs[Long]("version") == 3L,
+      "restore re-publishes as a NEW commit")
+    assert(Warehouse.read(spark, path).filter(col("k") === 1L)
+      .select("name").as[String].head() == "n1",
+      "the restored snapshot serves v1's rows")
+    // retention guard: a huge min_age reclaims nothing
+    val kept = spark.sql(
+      s"CALL graft.system.vacuum(table => '$path', min_age_ms => ${Long.MaxValue / 2})")
+      .head().getAs[Int]("reclaimed")
+    assert(kept == 0, s"retention must protect young history, reclaimed $kept")
+    // aggressive vacuum reclaims the superseded v2 batch
+    val reclaimed = spark.sql(
+      s"CALL graft.system.vacuum(table => '$path')").head().getAs[Int]("reclaimed")
+    assert(reclaimed > 0, "aggressive vacuum must reclaim the superseded merge")
+    assert(Warehouse.read(spark, path).count() == 4000L)
+  }
+
+  test("CALL maintain compacts only when the cadence is due") {
+    val path = fragmentedTable() // v1
+    val notDue = spark.sql(
+      s"CALL graft.system.maintain(table => '$path', sort_col => 'k', " +
+        "every_n_commits => 5)").head()
+    assert(!notDue.getAs[Boolean]("compacted"), "v1 is not due at cadence 5")
+    (1 to 4).foreach { i =>
+      Warehouse.mergeInto(spark, path,
+        Seq((i.toLong, 0L, s"c$i", 2L, "d1")).toDF("k", "v", "name", "ver", "part"),
+        "k", "ver", "part")
+    } // v5
+    val due = spark.sql(
+      s"CALL graft.system.maintain(table => '$path', sort_col => 'k', " +
+        "target_bytes => 1048576, every_n_commits => 5)").head()
+    assert(due.getAs[Boolean]("compacted"), "v5 is due at cadence 5")
+    assert(due.getAs[Long]("version") == 6L)
+  }
+
+  test("unknown procedures and wrong namespaces fail loudly; SHOW PROCEDURES lists the plane") {
+    def fullMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val ex = intercept[Exception](spark.sql("CALL graft.system.explode_table('/x')"))
+    assert(fullMessage(ex).contains("unknown graft procedure"),
+      s"got: ${fullMessage(ex)}")
+    val ns = intercept[Exception](spark.sql("CALL graft.sys.compact('/x', 'k')"))
+    assert(fullMessage(ns).contains("system"), s"got: ${fullMessage(ns)}")
+    val listed = spark.sql("SHOW PROCEDURES IN graft.system")
+      .collect().map(_.mkString("|")).mkString("\n")
+    WarehouseProcedures.names.foreach(n =>
+      assert(listed.contains(n), s"SHOW PROCEDURES must list $n, got:\n$listed"))
+  }
+}
