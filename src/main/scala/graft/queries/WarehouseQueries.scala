@@ -948,6 +948,34 @@ object WarehouseQueries {
       },
       Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
              |FROM events
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL17 — metadata-only PARTITION ROLLUP: `GROUP BY dt` over the
+    // catalog-addressed table pushes into the connector whenever
+    // every grouped column is a PARTITION column — the scan emits one
+    // partial row per FILE (its hive-path partition values + its
+    // parquet-footer count/min/max), and Spark folds per group. The
+    // per-day freshness dashboard every 100 TB table gets polled
+    // with, answered from thousands of distributed footer reads and
+    // ZERO data rows (WarehouseAggPushdownSpec pins the zero-scan
+    // probe, the widened-column and stat-less-file arms, and the
+    // non-partition-column refusal). The oracle recomputes the
+    // rollup from the raw rows.
+    Q("sql17_partition_rollup",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql17wh", "graft_sql17wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev, "dt"): Unit
+        }
+        s.sql(s"""SELECT dt, COUNT(*) AS n, MIN(event_id) AS lo,
+                 |  MAX(event_id) AS hi, COUNT(user_id) AS n_user
+                 |FROM graft.`$path` GROUP BY dt ORDER BY dt""".stripMargin)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n,
+             |  MIN(event_id) AS lo, MAX(event_id) AS hi,
+             |  COUNT(user_id) AS n_user
+             |FROM events GROUP BY 1 ORDER BY dt""".stripMargin))
   )
 }

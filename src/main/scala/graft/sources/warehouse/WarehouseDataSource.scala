@@ -597,23 +597,30 @@ class WarehouseScanBuilder(fullSchema: StructType,
   private var pruned: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[WarehouseDataSource.PushedAgg]] = None
+  private var pushedGroupBy: Seq[org.apache.spark.sql.types.StructField] = Nil
   private var aggFiles: Seq[String] = Nil
 
-  /** METADATA-ONLY aggregates: an unfiltered, ungrouped
-    * COUNT / MIN / MAX over the table is answered from parquet
-    * footers — the scan emits one PARTIAL row per FILE (Spark runs
-    * the final fold), so `SELECT count(*), min(x), max(x)` touches
-    * #files rows of metadata instead of every stored row: at 100 TB,
-    * thousands of footer reads (distributed) instead of a table scan.
+  /** METADATA-ONLY aggregates: an unfiltered COUNT / MIN / MAX over
+    * the table — ungrouped, or grouped BY PARTITION COLUMNS — is
+    * answered from parquet footers: the scan emits one PARTIAL row
+    * per FILE, each carrying the file's partition values (parsed from
+    * its hive path — metadata again) plus its footer partials, and
+    * Spark runs the final fold per group. So `SELECT count(*),
+    * min(x), max(x)` and `SELECT dt, count(*) ... GROUP BY dt` both
+    * touch #files rows of metadata instead of every stored row: at
+    * 100 TB, thousands of distributed footer reads instead of a table
+    * scan — the per-partition rollup a freshness dashboard runs.
     * Pushdown is refused — leaving the ordinary exact plan — when any
     * snapshot chain needs a fold (per-file stats cannot see fold
     * visibility), when filters are present (partial file stats cannot
-    * reflect them), on group-bys, on change feeds, on partition
-    * columns (not physically in the files), and for MIN/MAX on
-    * non-integral/date columns (binary footer stats may be truncated
-    * — exact for pruning, corrupt as answers). Files whose footers
-    * cannot answer exactly fall back to an exact scan of just those
-    * files, unioned in as one more partial row.
+    * reflect them), on group-bys over NON-partition columns (footers
+    * carry no per-group split), on change feeds, on AGGREGATED
+    * partition columns (not physically in the files), and for MIN/MAX
+    * on non-integral/date columns (binary footer stats may be
+    * truncated — exact for pruning, corrupt as answers). Files whose
+    * footers cannot answer exactly fall back to an exact scan of just
+    * those files, unioned in as more partial rows (grouped the same
+    * way).
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -621,12 +628,19 @@ class WarehouseScanBuilder(fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
     import WarehouseDataSource._
-    if (conf.changeFeed || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
-      return false
+    if (conf.changeFeed || pushed.nonEmpty) return false
     val spark = SparkSession.active
     val partCols =
       try Warehouse.partitionColumns(spark, conf.path).toSet
       catch { case _: Exception => return false }
+    val groupFields: Seq[Option[org.apache.spark.sql.types.StructField]] =
+      agg.groupByExpressions.toIndexedSeq.map {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            partCols(nr.fieldNames.head) =>
+          fullSchema.fields.find(_.name == nr.fieldNames.head)
+        case _ => None
+      }
+    if (groupFields.exists(_.isEmpty)) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -650,6 +664,7 @@ class WarehouseScanBuilder(fullSchema: StructType,
     Warehouse.foldFreeFiles(spark, conf.path, conf.versionAsOf) match {
       case Some(files) if files.nonEmpty =>
         pushedAggs = Some(translated.flatten)
+        pushedGroupBy = groupFields.flatten
         aggFiles = files
         true
       case _ => false
@@ -678,7 +693,7 @@ class WarehouseScanBuilder(fullSchema: StructType,
       else StructType(fullSchema.fields.take(1))
 
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => new WarehouseAggScan(conf, aggs, aggFiles)
+    case Some(aggs) => new WarehouseAggScan(conf, aggs, aggFiles, pushedGroupBy)
     case None       => new WarehouseV1Scan(pruned, conf, pushed)
   }
 }
@@ -694,19 +709,43 @@ class WarehouseScanBuilder(fullSchema: StructType,
   */
 class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
                        aggs: Seq[WarehouseDataSource.PushedAgg],
-                       files: Seq[String])
+                       files: Seq[String],
+                       groupBy: Seq[org.apache.spark.sql.types.StructField] = Nil)
     extends V1Scan {
   import org.apache.spark.sql.types.{StructField, StructType}
 
-  private val aggSchema = StructType(aggs.zipWithIndex.map {
-    case (a, i) => StructField(s"agg_$i", a.dataType, nullable = true)
-  })
+  // DSv2 partial-pushdown contract: group columns first, then the
+  // aggregate partials, positionally
+  private val aggSchema = StructType(
+    groupBy ++ aggs.zipWithIndex.map {
+      case (a, i) => StructField(s"agg_$i", a.dataType, nullable = true)
+    })
 
   override def readSchema(): StructType = aggSchema
 
+  /** The file's partition values for the grouped columns, parsed from
+    * its hive path (`.../batch=<id>/dt=…/region=…/part-….parquet`) —
+    * metadata, like the footer partials beside them. Unescape is the
+    * inverse of the writer's hive escaping; warehouse writers reject
+    * null partition values loudly, so every value is present.
+    */
+  private def groupValuesOf(file: String): Seq[String] = {
+    val segs = file.split("/")
+    val bi = segs.lastIndexWhere(_.startsWith("batch="))
+    require(bi >= 0, s"file $file is outside a batch dir")
+    val kv = segs.slice(bi + 1, segs.length - 1).map { seg =>
+      val i = seg.indexOf('=')
+      seg.take(i) -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.drop(i + 1))
+    }.toMap
+    groupBy.map(f => kv(f.name))
+  }
+
   override def description(): String =
     s"graft-warehouse ${conf.path} metadata-agg " +
-      s"[${aggs.mkString(", ")}] files=${files.length}"
+      s"[${aggs.mkString(", ")}]" +
+      (if (groupBy.isEmpty) "" else s" group=[${groupBy.map(_.name).mkString(",")}]") +
+      s" files=${files.length}"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -728,16 +767,23 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
         confEntries.foreach { case (k, v) => c.set(k, v) }
         fs.map(f => f -> WarehouseDataSource.footerPartials(c, f, aggsL))
       }.collect() // one tiny tuple per file — manifest-sized metadata
-    val good = results.collect { case (_, Some(vs)) =>
-      org.apache.spark.sql.Row(vs: _*) }
+    val good = results.collect { case (f, Some(vs)) =>
+      org.apache.spark.sql.Row(groupValuesOf(f) ++ vs: _*) }
     val bad = results.collect { case (f, None) => f }
     WarehouseDataSource.lastAggPlanned = Some((good.length, bad.length))
     // the planning probe the specs read: an aggregate scan consults
     // every live file's footer (no filter pushdown on this path)
     WarehouseDataSource.lastPlanned = Some((files.length, Seq.empty))
+    // group values arrive as raw path strings; build with string
+    // group columns, then cast to the declared partition types
+    val strSchema = StructType(
+      groupBy.map(f => StructField(f.name, org.apache.spark.sql.types.StringType)) ++
+        aggSchema.fields.drop(groupBy.length))
+    val groupSel = groupBy.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+      aggs.indices.map(i => col(s"agg_$i"))
     val statDf = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(good.toIndexedSeq: _*)),
-      aggSchema)
+      strSchema).select(groupSel: _*)
     val frame =
       if (bad.isEmpty) statDf
       else {
@@ -768,7 +814,13 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
               org.apache.spark.sql.functions.max(col(c))
           }).as(s"agg_$i")
         }
-        statDf.unionByName(raw.agg(exprs.head, exprs.tail: _*))
+        // the basePath read re-infers partition columns, so grouped
+        // fallbacks aggregate per group and cast to the declared types
+        val aggd =
+          if (groupBy.isEmpty) raw.agg(exprs.head, exprs.tail: _*)
+          else raw.groupBy(groupBy.map(f => col(f.name)): _*)
+            .agg(exprs.head, exprs.tail: _*).select(groupSel: _*)
+        statDf.unionByName(aggd)
       }
     val schemaL = aggSchema
     new BaseRelation with TableScan {

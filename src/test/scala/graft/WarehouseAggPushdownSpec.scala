@@ -58,15 +58,16 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
     assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
   }
 
-  test("refusals leave the exact plan: filters, group-by, string min/max, partition columns") {
+  test("refusals leave the exact plan: filters, non-partition group-by, string min/max, partition columns") {
     // filtered
     WarehouseDataSource.lastAggPlanned = None
     assert(load().filter(col("k") > 2000L).agg(count(lit(1))).head().getLong(0) == 2000L)
     assert(WarehouseDataSource.lastAggPlanned.isEmpty, "filtered agg must not push")
-    // grouped
+    // grouped by a NON-partition column (footers carry no per-group split)
     WarehouseDataSource.lastAggPlanned = None
-    assert(load().groupBy("part").agg(count(lit(1))).count() == 2)
-    assert(WarehouseDataSource.lastAggPlanned.isEmpty, "grouped agg must not push")
+    assert(load().groupBy("opt").agg(count(lit(1))).count() > 2)
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty,
+      "non-partition grouped agg must not push")
     // string min/max (footer binary stats may be truncated - not exact)
     WarehouseDataSource.lastAggPlanned = None
     assert(load().agg(min("name")).head().getString(0) == "name-000001")
@@ -75,6 +76,77 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
     WarehouseDataSource.lastAggPlanned = None
     assert(load().agg(min("part")).head().getString(0) == "d1")
     assert(WarehouseDataSource.lastAggPlanned.isEmpty, "partition-column agg must not push")
+  }
+
+  test("GROUP BY partition columns answers from footers: per-group rollup, zero rows scanned") {
+    WarehouseDataSource.lastAggPlanned = None
+    val got = load().groupBy("part")
+      .agg(count(lit(1)).as("n"), min("k").as("lo"), max("k").as("hi"),
+        count(col("opt")).as("n_opt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // evens -> d1, odds -> d2; opt is null on multiples of 5
+    assert(got == Set(
+      ("d1", 2000L, 2L, 4000L, 2000L - 400L),
+      ("d2", 2000L, 1L, 3999L, 2000L - 400L)),
+      s"grouped rollup must be exact, got $got")
+    val (statted, fallback) = WarehouseDataSource.lastAggPlanned.get
+    assert(fallback == 0, s"expected pure metadata answer, $fallback files scanned")
+    assert(statted > 2, "one partial row per FILE, folded by Spark")
+    // the SQL form through the catalog takes the same path
+    WarehouseDataSource.lastAggPlanned = None
+    val viaSql = spark.sql(
+      s"SELECT part, COUNT(*) AS n FROM graft.`$tablePath` GROUP BY part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql == Set(("d1", 2000L), ("d2", 2000L)))
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
+  }
+
+  test("widened tables answer grouped aggregates from footers: a missing column IS null metadata") {
+    val path = Files.createTempDirectory("graft_aggpd4").toString + "/t"
+    Warehouse.create(spark, path,
+      (1L to 60L).map(i => (i, 1L, if (i <= 30L) "d1" else "d2"))
+        .toDF("k", "ver", "part"), "part")
+    // a widening CoW merge touches ONLY d1: d2's files lack `extra`
+    // entirely, which the footer walk reads as an all-null column —
+    // the by-name widening contract, still zero data rows
+    Warehouse.mergeInto(spark, path,
+      Seq((1L, 2L, "d1", 7L)).toDF("k", "ver", "part", "extra"),
+      "k", "ver", "part")
+    WarehouseDataSource.lastAggPlanned = None
+    val got = spark.read.format("graft-warehouse").load(path)
+      .groupBy("part").agg(min("extra").as("lo"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got == Set(("d1", Some(7L), 30L), ("d2", None, 30L)),
+      s"widened grouped rollup must stay exact, got $got")
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0),
+      "missing columns are metadata (null), not a scan")
+  }
+
+  test("files written without footer statistics take the exact-scan fallback, grouped result exact") {
+    val path = Files.createTempDirectory("graft_aggpd5").toString + "/t"
+    Warehouse.create(spark, path,
+      (1L to 60L).map(i => (i, 1L, if (i <= 30L) "d1" else "d2"))
+        .toDF("k", "ver", "part"), "part")
+    // rewrite d2 through a merge with parquet stats DISABLED: its new
+    // files' footers carry no min/max, so per-file partials cannot
+    // answer and exactly those files scan
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.column.statistics.enabled", "false")
+    try Warehouse.mergeInto(spark, path,
+      Seq((31L, 2L, "d2")).toDF("k", "ver", "part"), "k", "ver", "part")
+    finally hc.unset("parquet.column.statistics.enabled")
+    WarehouseDataSource.lastAggPlanned = None
+    val got = spark.read.format("graft-warehouse").load(path)
+      .groupBy("part").agg(min("k").as("lo"), max("k").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("d1", 1L, 30L, 30L), ("d2", 31L, 60L, 30L)),
+      s"fallback groups must stay exact, got $got")
+    val (statted, fallback) = WarehouseDataSource.lastAggPlanned.get
+    assert(fallback > 0, "stat-less files must take the exact-scan fallback")
+    assert(statted > 0, "statted files still answer from footers")
   }
 
   test("a fold chain refuses pushdown and the exact answer still serves") {
