@@ -631,6 +631,61 @@ object Warehouse {
     0 // unreachable
   }
 
+  /** ROW-LEVEL DELETE, copy-on-write at partition granularity: drop
+    * every row where `pred` is TRUE (SQL semantics — rows where the
+    * predicate is NULL survive). One bounded pass finds the
+    * partitions that carry matches; ONLY those partitions' rows are
+    * re-read (chains folded) and rewritten without the matches under
+    * a fresh batch dir — untouched partitions keep byte-identical
+    * files, a fully-emptied partition leaves the mapping, and one
+    * atomic version commit publishes the result (previous snapshots
+    * stay time-travelable until vacuum, like every writer here). A
+    * lost commit race re-runs the whole pass against the winner's
+    * snapshot, [[compact]]'s contract. Returns the number of rows
+    * deleted.
+    *
+    * This is the general-predicate half of SQL `DELETE FROM`
+    * ([[deletePartitionsWhere]] is the metadata-only fast path for
+    * partition-decidable predicates); cost scales with the touched
+    * partitions' data, never the table. For high-frequency keyed
+    * retractions prefer [[mergeIntoDelta]]'s tombstones — O(changes)
+    * bytes per commit instead of a partition rewrite.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  pred: org.apache.spark.sql.Column,
+                  maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      val (v, mapping) = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))
+      if (mapping.isEmpty) return 0L
+      val partCols = partColsOf(mapping)
+      val touchedKeys = partKeysOf(read(spark, path).filter(pred), partCols).toSet
+      if (touchedKeys.isEmpty) return 0L
+      val touched = mapping.filter { case (k, _) => touchedKeys(k) }
+      val touchedRows = readMapped(spark, path, touched, partCols)
+      val deleted = touchedRows.filter(pred).count()
+      val survivors = touchedRows.filter(pred.isNull || !pred)
+      val batchId = java.util.UUID.randomUUID().toString
+      survivors.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(s"$path/data/batch=$batchId")
+      val written = partDirs(fs, path, batchId, partCols).toSet
+      val newMapping = (mapping -- touchedKeys) ++ written.map(_ -> batchId)
+      try {
+        commit(fs, path, v + 1, newMapping)
+        return deleted
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    0L // unreachable
+  }
+
   /** The table's current rows. Chain-free partitions are read exactly
     * as written (plain columnar scan of the listed dirs); partitions
     * with delta chains are FOLDED — base ∪ deltas, per-key latest-wins

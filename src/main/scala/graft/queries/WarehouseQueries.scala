@@ -976,6 +976,35 @@ object WarehouseQueries {
       Some("""SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n,
              |  MIN(event_id) AS lo, MAX(event_id) AS hi,
              |  COUNT(user_id) AS n_user
-             |FROM events GROUP BY 1 ORDER BY dt""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY dt""".stripMargin)),
+
+    // SQL18 — ROW-LEVEL SQL DELETE: a predicate partition values
+    // cannot decide (event_type, a data column) deletes through the
+    // copy-on-write path — only the partitions carrying matches
+    // rewrite (WarehouseDeleteSpec pins byte-identical untouched
+    // files, SQL null semantics, the chain fold, and the emptied-
+    // partition drop); partition-decidable predicates stay the sql15
+    // metadata-only plane. The GDPR/cleanup shape at 100 TB: cost
+    // scales with the touched partitions, never the table, and the
+    // pre-delete snapshot stays time-travelable until vacuum. The
+    // oracle recomputes the surviving set from the raw rows.
+    Q("sql18_row_delete",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql18wh", "graft_sql18wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev, "dt")
+          s.sql(s"DELETE FROM graft.`$p` WHERE event_type = 'click' " +
+            "AND user_id < 500"): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
+             |WHERE NOT (event_type = 'click' AND user_id < 500)
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -36,10 +36,12 @@ import graft.io.Warehouse
   * with recorded merge keys) and `INSERT OVERWRITE` truncates or —
   * under `partitionOverwriteMode=dynamic` — replaces exactly the
   * partitions the batch names ([[WarehouseWriteBuilder]]). `DELETE
-  * FROM … WHERE <partition predicate>` is a metadata-only partition
-  * drop ([[WarehouseTable.deleteWhere]]); keyed MERGE and row-level
-  * DELETE semantics still go through the merge API where the
-  * key/version vocabulary lives; DDL (create/alter/drop) fails loudly
+  * FROM … WHERE …` is metadata-only for partition-decidable
+  * predicates and a copy-on-write rewrite of just the touched
+  * partitions for any other translatable predicate
+  * ([[WarehouseTable.deleteWhere]]); keyed MERGE still goes through
+  * the merge API where the key/version vocabulary lives; DDL
+  * (create/alter/drop) fails loudly
   * instead of corrupting a manifest — tables are created by
   * [[Warehouse.create]], which names the partition layout.
   */

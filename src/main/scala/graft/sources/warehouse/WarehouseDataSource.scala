@@ -159,6 +159,32 @@ object WarehouseDataSource {
       maxCommits = options.getInt("maxCommits", 64))
   }
 
+  /** A V1 source filter as a [[Column]] with exact SQL semantics —
+    * the evaluable form row-level DELETE re-applies to touched
+    * partitions. None for filter shapes this connector does not
+    * evaluate (Spark then refuses the DELETE at analysis).
+    */
+  private[warehouse] def columnOf(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for { a <- columnOf(l); b <- columnOf(r) } yield a && b
+    case Or(l, r)  => for { a <- columnOf(l); b <- columnOf(r) } yield a || b
+    case Not(c)    => columnOf(c).map(!_)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
   /** Test probe: file count and pushed-filter set of the most recently
     * PLANNED warehouse scan (the V1 bridge keeps the outer frame's
     * inputFiles empty, so specs assert the shrink here).
@@ -521,18 +547,33 @@ class WarehouseTable(tableSchema: StructType,
         filters.toIndexedSeq, partCols, tableSchema)
     } catch { case _: IllegalStateException => None }
 
+  /** `DELETE FROM` routing: a predicate decidable from partition
+    * values alone drops partitions METADATA-ONLY
+    * ([[graft.io.Warehouse.deletePartitionsWhere]]); any other
+    * translatable predicate takes the ROW-LEVEL copy-on-write path
+    * ([[graft.io.Warehouse.deleteWhere]] — only match-carrying
+    * partitions rewrite). Time-traveled and change-feed relations
+    * refuse (history is immutable).
+    */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    compiledDelete(filters).isDefined
+    compiledDelete(filters).isDefined ||
+      (!conf.changeFeed && conf.versionAsOf.isEmpty &&
+        filters.forall(f => WarehouseDataSource.columnOf(f).isDefined))
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    val pred = compiledDelete(filters).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-warehouse DELETE needs a predicate decidable from " +
-          s"partition values alone, got [${filters.mkString(", ")}] - " +
-          "row-level deletes go through Warehouse.mergeInto's deleteCol"))
-    graft.io.Warehouse.deletePartitionsWhere(
-      SparkSession.active, conf.path, pred): Unit
-  }
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    compiledDelete(filters) match {
+      case Some(pred) =>
+        graft.io.Warehouse.deletePartitionsWhere(
+          SparkSession.active, conf.path, pred): Unit
+      case None =>
+        val cols = filters.toIndexedSeq.map(f =>
+          WarehouseDataSource.columnOf(f).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-warehouse DELETE cannot evaluate filter $f")))
+        val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
+        graft.io.Warehouse.deleteWhere(
+          SparkSession.active, conf.path, pred): Unit
+    }
 }
 
 /** The write plane behind `INSERT INTO` / `INSERT OVERWRITE` /

@@ -9,15 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.Warehouse
 
-/** SQL `DELETE FROM graft.`path`` — the METADATA-ONLY partition
-  * delete plane. The scale claim asserted on disk: a delete commits
-  * one manifest and touches ZERO data files (the dropped partitions
-  * stay time-travelable until vacuum); the safety claim: predicates
-  * not exactly decidable from partition values are refused at
-  * analysis, never answered approximately; the ordering claim: range
-  * predicates on integral partition values compare numerically
-  * ('9' < '10'), where a naive lexicographic form would delete the
-  * wrong partitions.
+/** SQL `DELETE FROM graft.`path`` — two planes. Partition-decidable
+  * predicates are METADATA-ONLY: the delete commits one manifest and
+  * touches ZERO data files (dropped partitions stay time-travelable
+  * until vacuum), and range predicates on integral partition values
+  * compare numerically ('9' < '10') where a lexicographic form would
+  * drop the wrong partitions. Every other translatable predicate is
+  * ROW-LEVEL copy-on-write: only match-carrying partitions rewrite
+  * (untouched ones keep byte-identical files), NULL-predicate rows
+  * survive per SQL semantics, delta chains fold before the rewrite,
+  * and an emptied partition leaves the mapping. Untranslatable
+  * expressions are refused at analysis, never answered approximately.
   */
 class WarehouseDeleteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -73,12 +75,64 @@ class WarehouseDeleteSpec extends AnyFunSuite {
       s"lexicographic compare would have kept 2..9 too, got $left")
   }
 
-  test("a non-partition predicate is refused at analysis - row-level deletes belong to mergeInto") {
+  test("a non-partition predicate takes the ROW-LEVEL copy-on-write path: only touched partitions rewrite") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      (1L to 300L).map(i =>
+        (i, if (i % 3 == 0) "kill" else s"n$i", s"d${i % 3}"))
+        .toDF("k", "name", "part"), "part")
+    val before = dataFiles(path)
+    val v0 = Warehouse.currentVersion(spark, path)
+    // every name='kill' row lives in d0 — d1/d2 must keep their files
+    spark.sql(s"DELETE FROM graft.`$path` WHERE name = 'kill'")
+    assert(Warehouse.currentVersion(spark, path) == v0 + 1)
+    val left = Warehouse.read(spark, path)
+    assert(left.count() == 200L && left.filter(col("name") === "kill").count() == 0)
+    val after = dataFiles(path)
+    val untouched = before.filter(f => f.contains("part=d1") || f.contains("part=d2"))
+    assert(untouched.subsetOf(after),
+      "partitions without matches keep byte-identical files")
+    assert(Warehouse.readVersion(spark, path, v0).count() == 300L,
+      "the pre-delete snapshot stays time-travelable")
+  }
+
+  test("row-level DELETE: NULL-predicate rows survive; an emptied partition leaves the mapping") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, Some(10L), "d1"), (2L, None, "d1"), (3L, Some(3L), "d1"),
+        (4L, Some(99L), "d2"))
+        .toDF("k", "score", "part"), "part")
+    // SQL semantics: score > 5 is NULL for k=2 - that row SURVIVES
+    spark.sql(s"DELETE FROM graft.`$path` WHERE score > 5")
+    val left = Warehouse.read(spark, path).select("k").as[Long].collect().toSet
+    assert(left == Set(2L, 3L), s"null-pred row must survive, got $left")
+    // d2 emptied entirely: its partition leaves the live mapping
+    assert(Warehouse.partitionStats(spark, path).map(_._1).forall(!_.contains("d2")),
+      "an emptied partition must leave the mapping")
+  }
+
+  test("row-level DELETE folds delta chains before rewriting and counts deleted rows") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "old", 1L, "d1"), (2L, "keep", 1L, "d1"))
+        .toDF("k", "name", "ver", "part"), "part")
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((1L, "target", 2L, "d1"), (3L, "target", 1L, "d1"))
+        .toDF("k", "name", "ver", "part"), "k", "ver", "part")
+    val n = Warehouse.deleteWhere(spark, path, col("name") === "target")
+    assert(n == 2L, s"the fold's latest-wins rows are what DELETE sees, got $n")
+    val left = Warehouse.read(spark, path)
+    assert(left.select("k").as[Long].collect().toSet == Set(2L))
+    assert(Warehouse.partitionStats(spark, path).forall(!_._2.contains(",")),
+      "the rewrite materializes the fold - no chain survives")
+  }
+
+  test("an untranslatable DELETE expression is refused at analysis, nothing deleted") {
     val path = freshDir()
     Warehouse.create(spark, path,
       Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("k", "name", "part"), "part")
     val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$path` WHERE name = 'a'")
+      spark.sql(s"DELETE FROM graft.`$path` WHERE k % 2 = 0")
     }
     assert(Warehouse.read(spark, path).count() == 2, "nothing may be deleted")
     assert(e.getMessage != null)
