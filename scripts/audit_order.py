@@ -21,9 +21,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # SKIP (no outer ORDER BY found) or ERR (the key-list extraction or the
 # tie query failed) is a parser/coverage gap and fails the audit — a
 # quietly skipped query would otherwise read as "covered".
-EXPECTED_SKIPS = {"f8_keys_csv", "sql1_tpch_q6", "sql14_stats_agg"}
-# sql1/sql14: single-row global aggregates — one output row, trivially
-# total-ordered. f8: single-row CSV collapse.
+EXPECTED_SKIPS = {"f8_keys_csv", "sql1_tpch_q6", "sql14_stats_agg",
+                  "sql19_limit_scan"}
+# sql1/sql14/sql19: single-row global aggregates — one output row,
+# trivially total-ordered. f8: single-row CSV collapse.
 
 
 def outer_order_by(sql):

@@ -1836,9 +1836,37 @@ object Warehouse {
     * is observable via the returned plan's inputFiles (the spec's
     * assertion).
     */
+  /** The shortest prefix of `files` whose parquet footers prove at
+    * least `limit` rows — LIMIT pushdown's file cap. Footer row
+    * counts are exact metadata, so the prefix is never an
+    * under-delivery; a table smaller than the limit keeps every file
+    * (the prefix IS the list). Driver cost: one footer read per kept
+    * file — typically one or two for a dashboard-style LIMIT.
+    */
+  private def limitFiles(spark: SparkSession, files: Seq[String],
+                         limit: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var acc = 0L
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    val it = files.iterator
+    while (acc < limit && it.hasNext) {
+      val f = it.next(); kept += f
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new HPath(f), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var i = 0
+        while (i < blocks.size()) { acc += blocks.get(i).getRowCount; i += 1 }
+      } finally reader.close()
+    }
+    kept.toSeq
+  }
+
   private[graft] def readForScan(spark: SparkSession, path: String,
                    versionAsOf: Option[Long],
-                   bounds: Map[String, Bound]): DataFrame = {
+                   bounds: Map[String, Bound],
+                   limit: Option[Int] = None): DataFrame = {
     val fs = fsOf(spark, path)
     val mapping = versionAsOf match {
       case Some(n) =>
@@ -1890,9 +1918,26 @@ object Warehouse {
             (files ++ kept, dirs)
         } else (files, dirs :+ s"$path/data/batch=$b/$key")
     }
+    // LIMIT cap: any `limit` rows satisfy the query, so stop listing
+    // files once footer row counts cover it — only when NO chain
+    // folds (a fold changes row visibility, so raw footer counts
+    // cannot prove delivery there)
+    val limited: Option[Seq[String]] =
+      if (limit.isEmpty || chained.nonEmpty) None
+      else Some(limitFiles(spark,
+        wholeDirs.flatMap { dir =>
+          fs.listStatus(new HPath(dir))
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).sorted.toSeq
+        } ++ keptFiles, limit.get))
     val scans = Seq(
-      if (keptFiles.isEmpty && wholeDirs.isEmpty) None
-      else Some(rawRead(spark, path, wholeDirs ++ keptFiles).drop("batch")),
+      limited match {
+        case Some(fls) =>
+          if (fls.isEmpty) None else Some(rawRead(spark, path, fls).drop("batch"))
+        case None =>
+          if (keptFiles.isEmpty && wholeDirs.isEmpty) None
+          else Some(rawRead(spark, path, wholeDirs ++ keptFiles).drop("batch"))
+      },
       if (chained.isEmpty) None
       else Some(foldRead(spark, path, chained, partCols))).flatten
     if (scans.isEmpty)

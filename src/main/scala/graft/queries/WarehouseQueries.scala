@@ -1005,6 +1005,31 @@ object WarehouseQueries {
       Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
              |FROM events
              |WHERE NOT (event_type = 'click' AND user_id < 500)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL19 — pushed LIMIT: `LIMIT n` caps the FILE LISTING — the
+    // scan stops adding files once parquet-footer row counts prove n
+    // rows covered, so a peek at a thousand-file table opens ~one
+    // file (WarehouseSqlSpec pins the planned-file cap on both the
+    // DataFrame and SQL routes, and that chain-folded tables keep the
+    // exact full plan). The oracle can't see WHICH rows a LIMIT picks
+    // — that's the point of a limit — so it checks the contract that
+    // IS deterministic: exactly n rows arrive and they are n DISTINCT
+    // real keys (a duplicate, fabricated, or short delivery all
+    // break it). Reuses sql17's events table.
+    Q("sql19_limit_scan",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql17wh", "graft_sql17wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev, "dt"): Unit
+        }
+        s.sql(s"""SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_keys
+                 |FROM (SELECT event_id FROM graft.`$path` LIMIT 500)""".stripMargin)
+      },
+      Some("""SELECT LEAST(500, COUNT(*)) AS n,
+             |  LEAST(500, COUNT(DISTINCT event_id)) AS n_keys
+             |FROM events""".stripMargin))
   )
 }

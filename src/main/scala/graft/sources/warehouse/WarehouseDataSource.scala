@@ -159,32 +159,6 @@ object WarehouseDataSource {
       maxCommits = options.getInt("maxCommits", 64))
   }
 
-  /** A V1 source filter as a [[Column]] with exact SQL semantics —
-    * the evaluable form row-level DELETE re-applies to touched
-    * partitions. None for filter shapes this connector does not
-    * evaluate (Spark then refuses the DELETE at analysis).
-    */
-  private[warehouse] def columnOf(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v)        => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v)           => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a)                => Some(col(a).isNull)
-    case IsNotNull(a)             => Some(col(a).isNotNull)
-    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
-    case StringContains(a, v)     => Some(col(a).contains(v))
-    case And(l, r) => for { a <- columnOf(l); b <- columnOf(r) } yield a && b
-    case Or(l, r)  => for { a <- columnOf(l); b <- columnOf(r) } yield a || b
-    case Not(c)    => columnOf(c).map(!_)
-    case _: AlwaysTrue  => Some(lit(true))
-    case _: AlwaysFalse => Some(lit(false))
-    case _ => None
-  }
-
   /** Test probe: file count and pushed-filter set of the most recently
     * PLANNED warehouse scan (the V1 bridge keeps the outer frame's
     * inputFiles empty, so specs assert the shrink here).
@@ -375,6 +349,7 @@ object WarehouseDataSource {
     */
   private[warehouse] def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
     case GreaterThan(a, v)        => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
     case LessThan(a, v)           => Some(col(a) < lit(v))
@@ -382,10 +357,14 @@ object WarehouseDataSource {
     case IsNotNull(a)             => Some(col(a).isNotNull)
     case IsNull(a)                => Some(col(a).isNull)
     case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case And(l, r) => (toColumn(l), toColumn(r)) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case _ => None
-    }
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r)  => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c)    => toColumn(c).map(!_)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
 
@@ -558,7 +537,7 @@ class WarehouseTable(tableSchema: StructType,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     compiledDelete(filters).isDefined ||
       (!conf.changeFeed && conf.versionAsOf.isEmpty &&
-        filters.forall(f => WarehouseDataSource.columnOf(f).isDefined))
+        filters.forall(f => WarehouseDataSource.toColumn(f).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     compiledDelete(filters) match {
@@ -567,7 +546,7 @@ class WarehouseTable(tableSchema: StructType,
           SparkSession.active, conf.path, pred): Unit
       case None =>
         val cols = filters.toIndexedSeq.map(f =>
-          WarehouseDataSource.columnOf(f).getOrElse(
+          WarehouseDataSource.toColumn(f).getOrElse(
             throw new IllegalArgumentException(
               s"graft-warehouse DELETE cannot evaluate filter $f")))
         val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
@@ -633,13 +612,29 @@ class WarehouseScanBuilder(fullSchema: StructType,
                            conf: WarehouseDataSource.ReadConf)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pruned: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[WarehouseDataSource.PushedAgg]] = None
   private var pushedGroupBy: Seq[org.apache.spark.sql.types.StructField] = Nil
   private var aggFiles: Seq[String] = Nil
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL by contract (Spark re-applies its own
+    * limit above): the scan stops LISTING files once parquet-footer
+    * row counts prove the limit covered — `SELECT … LIMIT 10` on a
+    * thousand-file table opens ~one file instead of all of them.
+    * Chain-folded tables keep the full plan (a fold changes row
+    * visibility, so raw footer counts cannot prove delivery); change
+    * feeds refuse.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (conf.changeFeed || limit <= 0) false
+    else { pushedLimit = Some(limit); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** METADATA-ONLY aggregates: an unfiltered COUNT / MIN / MAX over
     * the table — ungrouped, or grouped BY PARTITION COLUMNS — is
@@ -735,7 +730,7 @@ class WarehouseScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new WarehouseAggScan(conf, aggs, aggFiles, pushedGroupBy)
-    case None       => new WarehouseV1Scan(pruned, conf, pushed)
+    case None       => new WarehouseV1Scan(pruned, conf, pushed, pushedLimit)
   }
 }
 
@@ -880,7 +875,8 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
   */
 class WarehouseV1Scan(pruned: StructType,
                       conf: WarehouseDataSource.ReadConf,
-                      pushed: Array[Filter])
+                      pushed: Array[Filter],
+                      limit: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = pruned
@@ -915,7 +911,7 @@ class WarehouseV1Scan(pruned: StructType,
     val base =
       if (conf.changeFeed) conf.frame(spark)
       else Warehouse.readForScan(spark, conf.path, conf.versionAsOf,
-        WarehouseDataSource.boundsOf(pushed.toIndexedSeq))
+        WarehouseDataSource.boundsOf(pushed.toIndexedSeq), limit)
     val filtered = pushed.toIndexedSeq
       .flatMap(WarehouseDataSource.toColumn)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)

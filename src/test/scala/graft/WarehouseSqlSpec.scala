@@ -178,4 +178,38 @@ class WarehouseSqlSpec extends AnyFunSuite {
     assert(df.filter(col("k") >= 2L).count() == 1,
       "a pushed filter over a chained partition must not resurrect superseded rows")
   }
+
+  test("a pushed LIMIT caps the file listing: footer row counts prove delivery") {
+    WarehouseDataSource.lastPlanned = None
+    load().foreach(_ => ()) // plans the full unfiltered scan
+    val fullFiles = WarehouseDataSource.lastPlanned.get._1
+    assert(fullFiles > 4, s"need a multi-file layout, got $fullFiles")
+    WarehouseDataSource.lastPlanned = None
+    assert(load().limit(5).collect().length == 5)
+    val limFiles = WarehouseDataSource.lastPlanned.get._1
+    assert(limFiles < fullFiles && limFiles <= 2,
+      s"LIMIT 5 must open ~one file, got $limFiles of $fullFiles")
+    // the SQL route takes the same cap
+    WarehouseDataSource.lastPlanned = None
+    assert(spark.sql(s"SELECT k FROM graft.`$tablePath` LIMIT 7")
+      .collect().length == 7)
+    assert(WarehouseDataSource.lastPlanned.get._1 <= 2)
+    // a limit above the table keeps every row (the prefix is the list)
+    assert(load().limit(100000).count() == 4000)
+  }
+
+  test("LIMIT on a chain-folded table keeps the exact full plan - no stale rows can slip in") {
+    val path = Files.createTempDirectory("graft_dsv2_lim").toString + "/t"
+    Warehouse.create(spark, path, Seq(
+      (1L, "stale", 10L, "d1"), (2L, "b", 10L, "d1"))
+      .toDF("k", "name", "ver", "part"), "part")
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((1L, "fresh", 11L, "d1")).toDF("k", "name", "ver", "part"),
+      "k", "ver", "part")
+    val got = spark.read.format("graft-warehouse").load(path)
+      .limit(10).collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("name")))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "fresh"), (2L, "b")),
+      s"the limited read must serve the FOLDED state, got $got")
+  }
 }
