@@ -605,6 +605,76 @@ object Dedup {
           .otherwise(lit(0L)).as("dup_milli"))
   }
 
+  /** Duplicated-span REMOVAL — the acting half of
+    * [[duplicateSpanStats]] (Lee et al.'s exact-substring dedup as a
+    * transformation, not a metric): every token covered by a
+    * length-`spanTokens` window that also occurs in ANOTHER document
+    * is dropped, and the document reassembles from the survivors. The
+    * cross-document boilerplate a copied paragraph plants at any
+    * offset disappears from every copy while each document's unique
+    * prose stays — the pass dedup papers apply before training, where
+    * doc-level dedup would either keep both copies or lose unique
+    * text.
+    *
+    * Scale shape: d12's machinery with POSITIONS kept — windows
+    * explode map-only with their start offsets, reduce to distinct
+    * (doc, hash, starts) rows, df over the reduced rows flags
+    * cross-doc hashes, and each document gets back ONE sorted array
+    * of duplicated-window starts. Coverage + reassembly are then
+    * array-LOCAL: token i is covered iff a dup window starts in
+    * (i - spanTokens, i] — an `exists` over the starts array, O(dup
+    * starts) per token, degrading gracefully to O(tokens²) only for a
+    * document that is wholly duplicated boilerplate (which the
+    * doc-level passes remove first). Documents never pairwise-join;
+    * the only token-instance shuffle is the window reduce d12 already
+    * pays.
+    *
+    * Returns (id, n_tokens, n_kept, clean_text); a fully-duplicated
+    * document keeps 0 tokens and an empty string.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toked = docs.select(col(idCol), TextFns.toks(col(textCol)).as("tk"))
+    // sequence(0, -1) is DESCENDING in Spark, not empty — guard short docs
+    val wins = toked.select(col(idCol),
+      when(size(col("tk")) >= spanTokens,
+        transform(
+          sequence(lit(0), size(col("tk")) - spanTokens),
+          i => TextFns.hash60Col(
+            array_join(slice(col("tk"), (i + 1).cast(IntegerType),
+              lit(spanTokens)), " "))))
+        .otherwise(array().cast(ArrayType(LongType))).as("ws"))
+    val winPos = wins.select(col(idCol),
+      posexplode(col("ws")).as(Seq("pos0", "h")))
+    // distinct (doc, hash) rows make count(*) the document frequency
+    val perDocHash = winPos.groupBy(idCol, "h")
+      .agg(collect_list(col("pos0")).as("starts"))
+    val dupHashes = perDocHash.groupBy("h")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") > 1).select("h")
+    val dupStarts = perDocHash.join(dupHashes, Seq("h"))
+      .groupBy(idCol)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("starts")))))
+        .as("ss"))
+    toked.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("tk"),
+        coalesce(col("ss"), array().cast(ArrayType(IntegerType))).as("ss"))
+      .select(col(idCol),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        filter(
+          zip_with(col("tk"),
+            when(size(col("tk")) > 0,
+              sequence(lit(0), size(col("tk")) - 1))
+              .otherwise(array().cast(ArrayType(IntegerType))),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          p => !exists(col("ss"),
+            s => s <= p("i") && p("i") < s + lit(spanTokens))).as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(transform(col("kept"), p => p("t")), " ").as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard of every document against one probe document
     * — the brute-force similarity scan (linear, probe broadcast; the
     * scale path for many probes is [[minhashLshPairs]] bucketing).

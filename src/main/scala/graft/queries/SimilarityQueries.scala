@@ -527,6 +527,47 @@ object SimilarityQueries {
              |       ELSE 0 END AS dup_milli
              |FROM w LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // D14 — duplicated-span REMOVAL: d12's metric turned into the
+    // transformation the dedup papers actually apply — every token
+    // covered by an 8-token window that occurs in ANOTHER document is
+    // dropped and the doc reassembles from the survivors, so a copied
+    // paragraph disappears from every copy at ANY offset while each
+    // document's unique prose survives (doc-level dedup would keep
+    // both copies or lose the unique text). Positions ride d12's
+    // window reduce; coverage + reassembly are array-local off one
+    // sorted starts array per doc — documents never pairwise-join.
+    // The oracle replays windows, df, coverage expansion, and the
+    // order-preserving reassembly row for row.
+    Q("d14_span_removal",
+      (s, d) => graft.operators.Dedup.removeDuplicateSpans(
+          Tables.documents(s, d), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH toksrc AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |w AS (SELECT doc_id,
+             |        list_transform(range(0, greatest(len(tk) - 7, 0)),
+             |          i -> ${hash60Sql("array_to_string(tk[i+1:i+8], ' ')")}) AS ws
+             |      FROM toksrc),
+             |wpos AS (SELECT doc_id, i AS pos0, ws[i + 1] AS h
+             |         FROM w, unnest(range(0, len(ws))) AS r(i)),
+             |pdh AS (SELECT doc_id, h FROM wpos GROUP BY 1, 2),
+             |dfh AS (SELECT h FROM pdh GROUP BY h HAVING count(*) > 1),
+             |covered AS (SELECT DISTINCT wpos.doc_id, wpos.pos0 + j AS i
+             |            FROM wpos JOIN dfh USING (h),
+             |                 unnest(range(0, 8)) AS u(j)),
+             |tokpos AS (SELECT doc_id, i, tk[i + 1] AS tok
+             |           FROM toksrc, unnest(range(0, len(tk))) AS r(i)),
+             |kept AS (SELECT t.doc_id, t.i, t.tok FROM tokpos t
+             |         LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.i
+             |         WHERE c.i IS NULL),
+             |clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |            string_agg(tok, ' ' ORDER BY i) AS clean_text
+             |          FROM kept GROUP BY 1)
+             |SELECT toksrc.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_kept, 0) AS n_kept,
+             |  COALESCE(clean_text, '') AS clean_text
+             |FROM toksrc LEFT JOIN clean USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // D13 — CONTAINMENT near-dup pairs: the asymmetric duplicate
     // class Jaccard LSH structurally misses — a short doc quoted
     // inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B|,

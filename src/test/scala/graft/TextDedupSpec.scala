@@ -75,6 +75,31 @@ class TextDedupSpec extends AnyFunSuite {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("removeDuplicateSpans: the copied span vanishes from every copy at any offset, unique prose survives") {
+    // span = 3. Doc 3 embeds doc 1's "a b c d e" at an offset: the
+    // shared windows cover a..e in BOTH docs, so the copied paragraph
+    // disappears everywhere while doc 3's unique frame (x y / z w)
+    // and doc 4's unique text survive untouched. Doc 1 is wholly
+    // duplicated -> empty output. Doc 5 is shorter than the span ->
+    // no windows, fully kept. Doc 6 repeats a span WITHIN itself only
+    // (df = 1 doc) -> cross-document removal must NOT touch it.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (3L, "x y a b c d e z w"),
+      (4L, "p q r s t u"),
+      (5L, "one two"),
+      (6L, "m n o m n o")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 5L, 0L, ""),
+      (3L, 9L, 4L, "x y z w"),
+      (4L, 6L, 6L, "p q r s t u"),
+      (5L, 2L, 2L, "one two"),
+      (6L, 6L, 6L, "m n o m n o")))
+  }
+
   test("exactDedup groups identical keys and elects min id as canonical") {
     val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("id", "text")
     val out = Dedup.exactDedup(df, "id", md5(col("text")))
