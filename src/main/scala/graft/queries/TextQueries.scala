@@ -749,6 +749,67 @@ object TextQueries {
              |UNION ALL
              |SELECT -1, '__corrupt__', NULL,
              |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 0), NULL
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T18 — n-gram LANGUAGE-MODEL quality score, the CCNet/KenLM
+    // filter shape: score each document by how predictable its text
+    // is under a bigram model TRAINED ON THE CORPUS ITSELF — the
+    // perplexity-proxy quality signal the heuristic filters (t2, t12)
+    // can't give, because it reads fluency, not surface stats. MLE
+    // P(w2 | w1) = c(w1 w2) / c(w1·) in exact integral millionths
+    // ((1e6·c2) div c1 per bigram instance, mean div'd per doc), so
+    // the score replays cell-for-cell where log-prob floats never
+    // could (monotone per-term in the MLE probability — the ordering
+    // the filter thresholds on — with no transcendentals). Scale
+    // shape: two linear count shuffles (context, bigram) + one lookup
+    // join keyed on the bigram — never pairwise, vocabulary-sized
+    // aggregates, token instances shuffle exactly once for the
+    // lookup. Unseen bigrams are impossible by construction (the
+    // model is trained on the same corpus); a two-pass variant over a
+    // held-out model is the same plan with the counts read from a
+    // table.
+    Q("t18_lm_quality",
+      (s, d) => {
+        val bgType = ArrayType(StructType(Seq(
+          StructField("w1", StringType), StructField("w12", StringType))))
+        val toked = Tables.documents(s, d)
+          .select(col("doc_id"), graft.functions.TextFns.toks(col("text")).as("tk"))
+        val inst = toked.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 2,
+            transform(sequence(lit(1), size(col("tk")) - 1),
+              i => struct(element_at(col("tk"), i).as("w1"),
+                concat(element_at(col("tk"), i), lit(" "),
+                  element_at(col("tk"), i + 1)).as("w12"))))
+            .otherwise(array().cast(bgType))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w12").as("w12"))
+        val uni = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val bi = inst.groupBy("w1", "w12").agg(count(lit(1)).as("c2"))
+        val scored = inst.join(bi, Seq("w1", "w12")).join(uni, Seq("w1"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+            sum(call_function("div", lit(1000000L) * col("c2"), col("c1")))
+              .as("ssum"))
+        toked.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+              call_function("div", col("ssum"), col("n_bigrams")))
+              .otherwise(lit(0L)).as("lm_e6"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+             |inst AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS w12
+             |         FROM tks, unnest(range(1, len(tk))) AS r(i)),
+             |uni AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+             |bi AS (SELECT w1, w12, count(*) AS c2 FROM inst GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |         CAST(sum((1000000 * c2) // c1) AS BIGINT) AS ssum
+             |       FROM inst JOIN bi USING (w1, w12) JOIN uni USING (w1)
+             |       GROUP BY 1)
+             |SELECT tks.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_bigrams, 0) AS n_bigrams,
+             |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+             |       THEN ssum // n_bigrams ELSE 0 END AS lm_e6
+             |FROM tks LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 }
