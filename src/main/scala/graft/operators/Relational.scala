@@ -422,6 +422,48 @@ object Relational {
   /** P9 (LAT:184) — drop rows where any of the listed key columns is
     * null (pandas `dropna(subset, how='any')`).
     */
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the join sibling of the
+    * feed-driven aggregate maintenance (m7): fold two tables' change
+    * feeds into a materialized equi-join WITHOUT recomputing it.
+    * `vOld` is the previous materialization of `aOld ⋈ bOld` on
+    * `joinKey` (A keyed by `aKey`, B keyed by `joinKey` — the
+    * fact-to-dimension shape); `touchedA` / `touchedB` are the KEY
+    * SETS each table's feed names (insert/update/delete alike — a
+    * deleted key simply no longer exists in the new snapshot, so its
+    * view rows vanish). The fold:
+    *
+    *  - KEEP every view row neither feed can have invalidated
+    *    (aKey ∉ touchedA ∧ joinKey ∉ touchedB) — zero recompute;
+    *  - RE-DERIVE the rows of touched facts against the current dim
+    *    (touchedA-semi-joined A ⋈ B);
+    *  - RE-DERIVE the rows of untouched facts whose DIM side moved
+    *    (touchedB-semi-joined A, anti-joined against touchedA so the
+    *    three arms partition the output) against the current dim.
+    *
+    * Per-fold work scales with the feeds' blast radius — touched
+    * facts plus facts referencing touched dim keys (at warehouse
+    * scale the latter scan prunes through the join-key's file
+    * stats/blooms) — never with the view. The law `fold ≡ full
+    * recompute` is exactly what the m19 oracle checks, and
+    * RelationalSpec pins the update/delete/insert/dim-change arms.
+    * Column contract: `vOld` has the same columns the plain
+    * `aNew.join(bNew, joinKey)` produces (any projection applied to
+    * both).
+    */
+  def maintainJoinView(vOld: DataFrame, aNew: DataFrame, bNew: DataFrame,
+                       touchedA: DataFrame, touchedB: DataFrame,
+                       aKey: String, joinKey: String): DataFrame = {
+    val kept = vOld.join(touchedA, Seq(aKey), "left_anti")
+      .join(touchedB, Seq(joinKey), "left_anti")
+    val reA = aNew.join(touchedA, Seq(aKey), "left_semi")
+      .join(bNew, Seq(joinKey))
+    val reB = aNew.join(touchedA, Seq(aKey), "left_anti")
+      .join(touchedB, Seq(joinKey), "left_semi")
+      .join(bNew, Seq(joinKey))
+    kept.unionByName(reA.select(kept.columns.map(col).toIndexedSeq: _*))
+      .unionByName(reB.select(kept.columns.map(col).toIndexedSeq: _*))
+  }
+
   def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.na.drop("any", keys)
 

@@ -59,6 +59,39 @@ object WarehouseQueries {
         "event_id", "version", "dt", deleteCol = Some("is_del"))
     }
 
+  /** m19's two-table pair under one root — a fact table (`/a`, keyed
+    * by event_id, partitioned by dt) and a user dimension (`/b`,
+    * keyed by user_id, partitioned by a user bucket), each create →
+    * one CoW merge mixing updates and deletes, so both change feeds
+    * carry all three arms.
+    */
+  private def m19Tables(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m19wh", "graft_m19wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"), lit(1L).as("ver"))
+      Warehouse.create(s, s"$p/a", ev, "dt")
+      val aDel = ev.filter(col("event_id") % 41 === 6)
+        .withColumn("ver", lit(2L)).withColumn("is_del", lit(true))
+      val aUp = ev.filter(col("event_id") % 37 === 5 &&
+          col("event_id") % 41 =!= 6)
+        .withColumn("event_type", lit("patched"))
+        .withColumn("ver", lit(2L)).withColumn("is_del", lit(false))
+      Warehouse.mergeInto(s, s"$p/a", aDel.unionByName(aUp),
+        "event_id", "ver", "dt", deleteCol = Some("is_del"))
+      val us = Tables.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"), (col("user_id") % 5).as("tier"),
+          pmod(col("user_id"), lit(4L)).cast("int").as("ub"), lit(1L).as("ver"))
+      Warehouse.create(s, s"$p/b", us, "ub")
+      val bDel = us.filter(col("user_id") % 13 === 4)
+        .withColumn("ver", lit(2L)).withColumn("is_del", lit(true))
+      val bUp = us.filter(col("user_id") % 11 === 3 && col("user_id") % 13 =!= 4)
+        .withColumn("tier", col("tier") + 10L)
+        .withColumn("ver", lit(2L)).withColumn("is_del", lit(false))
+      Warehouse.mergeInto(s, s"$p/b", bDel.unionByName(bUp),
+        "user_id", "ver", "ub", deleteCol = Some("is_del"))
+    }
+
   /** m8's three-version table (create; CoW update merge; CoW
     * delete+update merge), built once per (sfDir, JVM). Shared by m8
     * (full change log) and m12 (one bounded page of it).
@@ -1030,6 +1063,52 @@ object WarehouseQueries {
       },
       Some("""SELECT LEAST(500, COUNT(*)) AS n,
              |  LEAST(500, COUNT(DISTINCT event_id)) AS n_keys
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // M19 — incremental JOIN-view maintenance, m7's materialized-view
+    // contract extended from aggregates to an equi-join: a fact ⋈ dim
+    // view folds BOTH tables' change feeds instead of recomputing —
+    // keep every row neither feed invalidated, re-derive touched
+    // facts against the current dim, re-derive untouched facts whose
+    // dim key moved (at 100 TB that scan prunes through the join
+    // key's file stats/blooms). Deletes on either side just vanish
+    // (the key is in the touched set and the new snapshot no longer
+    // carries it). Per-fold work scales with the feeds' blast radius,
+    // never the view — and the oracle IS the full recompute, so the
+    // fold ≡ recompute law is what goes green (RelationalSpec pins
+    // the per-arm fixture).
+    Q("m19_incremental_join",
+      (s, d) => {
+        val root = m19Tables(s, d)
+        def projA(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("event_id"), col("user_id"), col("event_type"))
+        def projB(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("user_id"), col("tier"))
+        val vOld = projA(Warehouse.readVersion(s, s"$root/a", 1L))
+          .join(projB(Warehouse.readVersion(s, s"$root/b", 1L)), Seq("user_id"))
+        val touchedA = Warehouse.changes(s, s"$root/a", 1L, 2L, "event_id")
+          .select("event_id").distinct()
+        val touchedB = Warehouse.changes(s, s"$root/b", 1L, 2L, "user_id")
+          .select("user_id").distinct()
+        graft.operators.Relational.maintainJoinView(vOld,
+            projA(Warehouse.read(s, s"$root/a")),
+            projB(Warehouse.read(s, s"$root/b")),
+            touchedA, touchedB, "event_id", "user_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH a2 AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 37 = 5 THEN 'patched'
+             |         ELSE event_type END AS event_type
+             |  FROM events WHERE event_id % 41 <> 6),
+             |b2 AS (
+             |  SELECT user_id,
+             |    CASE WHEN user_id % 11 = 3 THEN (user_id % 5) + 10
+             |         ELSE user_id % 5 END AS tier
+             |  FROM (SELECT DISTINCT user_id FROM events)
+             |  WHERE user_id % 13 <> 4)
+             |SELECT user_id, event_id, event_type, tier
+             |FROM a2 JOIN b2 USING (user_id)
+             |ORDER BY event_id""".stripMargin))
   )
 }

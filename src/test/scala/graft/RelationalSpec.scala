@@ -270,4 +270,34 @@ class RelationalSpec extends AnyFunSuite {
     // and the previously-current (1, 2) really did re-close
     assert(folded.exists(r => r._1 == 1L && r._2 == 2L && r._4 == Some(base + 20L) && !r._5))
   }
+
+  test("maintainJoinView: every feed arm folds to exactly the full recompute") {
+    // fact feed: delete 2, update 3's payload, insert 4 (new dim key)
+    // dim feed: update u1's tier, delete u2
+    val aOld = Seq((1L, "u1", "x"), (2L, "u2", "y"), (3L, "u1", "z"))
+      .toDF("fid", "uid", "payload")
+    val aNew = Seq((1L, "u1", "x"), (3L, "u1", "z2"), (4L, "u3", "w"))
+      .toDF("fid", "uid", "payload")
+    val bOld = Seq(("u1", 10L), ("u2", 20L), ("u3", 30L)).toDF("uid", "tier")
+    val bNew = Seq(("u1", 11L), ("u3", 30L)).toDF("uid", "tier")
+    val touchedA = Seq(2L, 3L, 4L).toDF("fid")
+    val touchedB = Seq("u1", "u2").toDF("uid")
+    val vOld = aOld.join(bOld, Seq("uid"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("fid", "uid", "payload", "tier")
+        .as[(Long, String, String, Long)].collect().sorted.toSeq
+    val folded = canon(Relational.maintainJoinView(
+      vOld, aNew, bNew, touchedA, touchedB, "fid", "uid"))
+    assert(folded == canon(aNew.join(bNew, Seq("uid"))),
+      "fold must equal the full recompute")
+    assert(folded == Seq(
+      (1L, "u1", "x", 11L),  // untouched fact, dim update re-derived
+      (3L, "u1", "z2", 11L), // fact update re-derived
+      (4L, "u3", "w", 30L)), // insert joins the current dim
+      s"got $folded")
+    // empty feeds are the identity fold
+    val idFold = canon(Relational.maintainJoinView(vOld, aOld, bOld,
+      touchedA.limit(0), touchedB.limit(0), "fid", "uid"))
+    assert(idFold == canon(vOld))
+  }
 }
