@@ -833,6 +833,97 @@ object StreamQueries {
       },
       Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
              |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // ST25 — CONTINUOUSLY-MAINTAINED JOIN VIEW: the m19 contract on a
+    // streaming cadence, composed entirely from this round's pieces —
+    // the fact table's change feed streams through the NATIVE source
+    // (`readChangeFeed`, one commit per trigger, st24), and each
+    // micro-batch folds into a warehouse-MATERIALIZED fact ⋈ dim view
+    // with a feed-sized merge: per key the page's latest change
+    // either joins the (broadcast-small) dim into an upsert or rides
+    // as a tombstone — the view never recomputes and never rewrites
+    // untouched rows (CoW merge at partition granularity). The oracle
+    // is the full recompute of the final fact state joined to the
+    // dim, so a missed commit, a re-delivered page, or a stale fold
+    // all go red. This is the lakehouse materialized-view loop: CDC
+    // in, incrementally-correct view out, every step atomic.
+    Q("st25_stream_view_maintenance",
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.Trigger
+        val root = graft.engine.TempArtifacts.getOrBuild(s"$d#st25wh", "graft_st25wh") { p =>
+          val a = s"$p/a"; val view = s"$p/view"
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"), lit(1L).as("ver"))
+          val dim = Tables.events(s, d).select(col("user_id")).distinct()
+            .select(col("user_id"), (col("user_id") % 5).as("tier"))
+          // fact v1: a third of the events; the view seeds from it
+          graft.io.Warehouse.create(s, a, ev.filter(col("event_id") % 3 === 0), "dt")
+          graft.io.Warehouse.create(s, view,
+            graft.io.Warehouse.read(s, a).join(dim, Seq("user_id"))
+              .select(col("event_id"), col("user_id"), col("event_type"),
+                col("dt"), col("tier"), lit(1L).as("cv")), "dt")
+          // v2: an insert wave; v3: updates + deletes on present rows
+          graft.io.Warehouse.mergeIntoDelta(s, a,
+            ev.filter(col("event_id") % 3 === 1).withColumn("ver", lit(2L)),
+            "event_id", "ver", "dt")
+          val present = ev.filter(col("event_id") % 3 <= 1)
+          graft.io.Warehouse.mergeIntoDelta(s, a,
+            present.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+              .withColumn("event_type", lit("patched"))
+              .withColumn("ver", lit(3L)).withColumn("is_del", lit(false))
+              .unionByName(present.filter(col("event_id") % 7 === 0)
+                .withColumn("ver", lit(3L)).withColumn("is_del", lit(true))),
+            "event_id", "ver", Seq("dt"), Some("is_del"))
+          // the maintenance loop: one commit per trigger, each page
+          // folded into the view as a feed-sized keyed merge
+          val q = s.readStream.format("graft-warehouse")
+            .option("readChangeFeed", true)
+            .option("startingVersion", 2)
+            .option("maxVersionsPerTrigger", 1)
+            .load(a)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val latest = batch
+                .filter(col("change_type") =!= "update_preimage")
+                .groupBy("event_id")
+                .agg(max(struct(col("commit_version"), col("change_type"),
+                  col("user_id"), col("event_type"), col("dt"))).as("m"))
+                .select(col("event_id"), col("m.commit_version").as("cv"),
+                  (col("m.change_type") === "delete").as("is_del"),
+                  col("m.user_id").as("user_id"),
+                  col("m.event_type").as("event_type"), col("m.dt").as("dt"))
+              val changes = latest.join(broadcast(dim), Seq("user_id"))
+                .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("dt"), col("tier"), col("cv"), col("is_del"))
+              if (!changes.isEmpty)
+                graft.io.Warehouse.mergeInto(s, view, changes,
+                  "event_id", "cv", Seq("dt"), Some("is_del"))
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$p/ckpt")
+            .start()
+          q.awaitTermination()
+        }
+        graft.io.Warehouse.read(s, s"$root/view")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("dt"), col("tier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH af AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+             |         THEN 'patched' ELSE event_type END AS event_type,
+             |    CAST(ts AS DATE) AS dt
+             |  FROM events
+             |  WHERE event_id % 3 IN (0, 1) AND event_id % 7 <> 0),
+             |b AS (SELECT user_id, user_id % 5 AS tier
+             |      FROM (SELECT DISTINCT user_id FROM events))
+             |SELECT event_id, af.user_id, event_type, dt, tier
+             |FROM af JOIN b USING (user_id)
              |ORDER BY event_id""".stripMargin))
   )
 }
