@@ -810,6 +810,83 @@ object TextQueries {
              |  COALESCE(n_bigrams, 0) AS n_bigrams,
              |  CASE WHEN COALESCE(n_bigrams, 0) > 0
              |       THEN ssum // n_bigrams ELSE 0 END AS lm_e6
-             |FROM tks LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin))
+             |FROM tks LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // T19 — BPE MERGE TRAINING: learn the first 8 byte-pair-encoding
+    // merges FROM THE CORPUS — the tokenizer-training half the t1
+    // counting surface only consumed. Classic BPE on word counts:
+    // words char-split into symbol strings, each round counts
+    // adjacent symbol pairs weighted by word frequency, the argmax
+    // pair (count DESC, pair ASC — a total tiebreak) merges
+    // everywhere, repeat. Every round's work is VOCABULARY-sized
+    // (the corpus reduces to (word, count) once — at 100 TB the only
+    // corpus-scale pass), the per-round argmax is a one-row collect
+    // off a vocab aggregate (the v7 trained-codebook pattern), and
+    // rounds run over localCheckpoint barriers so round N never
+    // re-executes 1..N−1 (the g30 superstep contract). Merge
+    // application is a literal string replace over the
+    // space-separated symbol form — left-to-right, non-overlapping,
+    // IDENTICAL semantics in Spark and DuckDB — so the oracle replays
+    // all 8 training rounds as chained CTEs and the learned merge
+    // table matches cell-for-cell.
+    Q("t19_bpe_merges",
+      (s, d) => {
+        val rounds = 8
+        var words = Tables.documents(s, d)
+          .select(explode(graft.functions.TextFns.toks(col("text"))).as("t"))
+          .select(trim(regexp_replace(col("t"), "(.)", "$1 ")).as("sym"))
+          .groupBy("sym").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val merges = (1 to rounds).map { rank =>
+          val top = words
+            .select(col("cnt"), split(col("sym"), " ").as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("cnt"), explode(transform(
+              sequence(lit(1), size(col("sy")) - 1),
+              j => concat(element_at(col("sy"), j), lit(" "),
+                element_at(col("sy"), j + 1)))).as("pr"))
+            .groupBy("pr").agg(sum("cnt").as("c"))
+            .orderBy(col("c").desc, col("pr").asc)
+            .limit(1).head() // ONE row: the round's argmax over the vocab
+          val (pair, freq) = (top.getString(0), top.getLong(1))
+          words = words.select(
+            trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+              lit(s" $pair "),
+              lit(s" ${pair.replace(" ", "")} "))).as("sym"),
+            col("cnt"))
+            .groupBy("sym").agg(sum("cnt").as("cnt"))
+            .localCheckpoint(true)
+          (rank, pair, freq)
+        }
+        import s.implicits._
+        merges.toDF("rank", "pair", "freq").orderBy("rank")
+      },
+      Some {
+        val rounds = 8
+        // MATERIALIZED: each round's vocab is referenced twice (pair
+        // counts + the next round) — without the hint the 8-round
+        // chain re-evaluates exponentially
+        val steps = (0 until rounds).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
+             |  SELECT cnt, sy[j] || ' ' || sy[j+1] AS pr
+             |  FROM (SELECT cnt, string_split(sym, ' ') AS sy FROM w$i),
+             |       unnest(range(1, len(sy))) AS r(j)) GROUP BY pr),
+             |m$i AS MATERIALIZED (SELECT ${i + 1} AS rank, pr, c FROM p$i
+             |        ORDER BY c DESC, pr LIMIT 1),
+             |w${i + 1} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',
+             |    ' ' || (SELECT pr FROM m$i) || ' ',
+             |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ')) AS sym,
+             |    cnt FROM w$i)""".stripMargin
+        }.mkString(",\n")
+        raw"""WITH w0 AS MATERIALIZED (
+             |  SELECT sym, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT trim(regexp_replace(t, '(.)', '\1 ', 'g')) AS sym
+             |    FROM (SELECT $tkSql AS tk FROM documents), unnest(tk) AS u(t))
+             |  GROUP BY sym),
+             |$steps
+             |SELECT rank, pr AS pair, c AS freq FROM (
+             |${(0 until rounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+             |ORDER BY rank""".stripMargin
+      })
   )
 }
