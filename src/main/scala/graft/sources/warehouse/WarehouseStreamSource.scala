@@ -51,12 +51,12 @@ import graft.io.Warehouse
   * so one trigger's plan is one diff per commit in the page, each
   * pruned to that commit's moved partitions — work scales with the
   * page, never the table or its history (the [[Warehouse.changeLog]]
-  * bounded-plan contract on a streaming cadence). One V1-API caveat:
-  * the engine restores checkpointed offsets through `getBatch`, not
-  * before the first `getOffset`, so the FIRST trigger after a restart
-  * may span every commit that landed while the query was down (the
-  * plan stays linear in that backlog, never the table); within a run
-  * every subsequent trigger honors the cap. VACUUM interplay:
+  * bounded-plan contract on a streaming cadence). The cap holds
+  * ACROSS RESTARTS too: offsets ride Spark's admission-control API
+  * (`latestOffset(start, limit)` hands this source the restored
+  * checkpoint as the start), so a backlog that accumulated while the
+  * query was down still drains in pages — spec-pinned. VACUUM
+  * interplay:
   * a resume whose next unseen commit was already vacuumed fails
   * loudly in `changes` rather than silently skipping history — keep
   * retention ahead of the slowest consumer.

@@ -18,6 +18,36 @@ object RelationalProps extends Properties("Relational") {
   private val genCols: Gen[Seq[String]] =
     Gen.someOf(pool).map(_.toSeq).suchThat(_.nonEmpty)
 
+  private val uidPool = Vector("u0", "u1", "u2", "u3")
+  private val genFact: Gen[Map[Long, (String, String)]] =
+    Gen.listOfN(10, Gen.option(Gen.zip(Gen.oneOf(uidPool), Gen.oneOf("x", "y"))))
+      .map(_.zipWithIndex.collect { case (Some(v), i) => i.toLong -> v }.toMap)
+  private val genDim: Gen[Map[String, Long]] =
+    Gen.listOfN(4, Gen.option(Gen.choose(0L, 3L)))
+      .map(_.zipWithIndex.collect { case (Some(t), i) => uidPool(i) -> t }.toMap)
+
+  property("maintainJoinView == full recompute for arbitrary two-sided feeds") =
+    forAll(genFact, genFact, genDim, genDim) { (aO, aN, bO, bN) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      def fdf(m: Map[Long, (String, String)]) =
+        m.toSeq.map { case (f, (u, p)) => (f, u, p) }.toDF("fid", "uid", "payload")
+      def ddf(m: Map[String, Long]) = m.toSeq.toDF("uid", "tier")
+      // the feeds' key sets: exactly the keys whose row changed,
+      // appeared, or vanished between the versions
+      val touchedA = (aO.keySet ++ aN.keySet)
+        .filter(k => aO.get(k) != aN.get(k)).toSeq.toDF("fid")
+      val touchedB = (bO.keySet ++ bN.keySet)
+        .filter(k => bO.get(k) != bN.get(k)).toSeq.toDF("uid")
+      val vOld = fdf(aO).join(ddf(bO), Seq("uid"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("fid", "uid", "payload", "tier")
+          .as[(Long, String, String, Long)].collect().sorted.toSeq
+      canon(Relational.maintainJoinView(vOld, fdf(aN), ddf(bN),
+        touchedA, touchedB, "fid", "uid")) ==
+        canon(fdf(aN).join(ddf(bN), Seq("uid")))
+    }
+
   property("unionByName covers A∪B and null-fills exactly the missing side") =
     forAll(genCols, genCols, Gen.choose(1, 5), Gen.choose(1, 5)) { (a, b, na, nb) =>
       val spark = TestSpark.spark

@@ -17,7 +17,8 @@ import graft.io.Warehouse
   * resume = only the commits since, deletes fail loudly unless
   * acknowledged, `readChangeFeed` serves the tagged diff,
   * `startingVersion` skips the snapshot, and `maxVersionsPerTrigger`
-  * pages a backlog across micro-batches within a run.
+  * pages a backlog across micro-batches — within a run AND across
+  * restarts (the admission-control start offset).
   */
 class WarehouseStreamSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -95,6 +96,26 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
       Set((10L, "c0"), (11L, "c1"), (12L, "c2"), (13L, "c3")))
     assert(batches.head.size == 2 && batches(1).size == 2,
       "each page carries exactly its own commits' rows")
+  }
+
+  test("the per-trigger cap holds ACROSS RESTARTS: a downtime backlog drains in pages") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1")))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    assert(drain(path, ckpt,
+      Map("keyCol" -> "k", "maxVersionsPerTrigger" -> "2")).size == 1) // snapshot
+    // 4 commits land while the query is down...
+    (0 until 4).foreach { i =>
+      Warehouse.mergeIntoDelta(spark, path,
+        Seq((20L + i, s"b$i", 1L, "d1")).toDF("k", "name", "ver", "part"),
+        "k", "ver", "part")
+    }
+    // ...and the restarted run still pages them 2 commits at a time
+    val resumed = drain(path, ckpt,
+      Map("keyCol" -> "k", "maxVersionsPerTrigger" -> "2"))
+    assert(resumed.size == 2,
+      s"a 4-commit backlog at 2/trigger must drain in 2 batches, got ${resumed.size}")
+    assert(keyNames(resumed.flatten) ==
+      Set((20L, "b0"), (21L, "b1"), (22L, "b2"), (23L, "b3")))
   }
 
   test("a DELETE commit fails the row-mode stream loudly; ignoreDeletes acknowledges and drops") {
