@@ -50,6 +50,15 @@ object Sessions {
         "graft.sources.warehouse.WarehouseCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // statistics flow for warehouse scans (real bytes + footer row
+    // counts instead of defaultSizeInBytes) — must run AFTER the
+    // scan-pushdown batch, which only the experimental "User Provided
+    // Optimizers" seam does; every SparkSessionExtensions optimizer
+    // seam runs before it. Idempotent across getOrCreate reuse.
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.WarehouseStatsRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(new org.apache.spark.sql.graft.WarehouseStatsRule(spark))
     spark
   }
 }

@@ -26,5 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "bloom_might_contain takes exactly 2 arguments")
         BloomMightContain(children(0), children(1))
       }))
+    // SQL UPDATE / MERGE INTO over graft-warehouse tables: post-hoc
+    // (after resolution, before Spark's DML-rewrite batch would refuse
+    // the table) the statement becomes a command executing the
+    // verified warehouse CoW pass — see
+    // [[org.apache.spark.sql.graft.WarehouseDmlRule]].
+    ext.injectPostHocResolutionRule(session =>
+      new org.apache.spark.sql.graft.WarehouseDmlRule(session))
+    // NOTE: the statistics-restoring WarehouseStatsRule cannot be
+    // injected here — every SparkSessionExtensions optimizer seam
+    // (operator-optimization, pre-CBO) runs BEFORE the scan-pushdown
+    // batch that creates the DataSourceV2ScanRelation it rewrites, so
+    // [[graft.engine.Sessions]] registers it through
+    // `spark.experimental.extraOptimizations` (the "User Provided
+    // Optimizers" batch, which runs last).
   }
 }

@@ -15,16 +15,27 @@ import org.apache.spark.sql.functions._
   * — `link(2)` fails EEXIST atomically, strict even under a
   * concurrent racer) for local filesystems, [[Warehouse.RenameCommit]]
   * (exists + rename — strict on HDFS, whose rename refuses an
-  * existing destination) elsewhere. OBJECT-STORE CONTRACT: S3/GCS/ABFS
-  * deployments implement this with a conditional put (`If-None-Match:
-  * *` / `x-goog-if-generation-match: 0` / `If-None-Match: *`) of the
-  * manifest content to the version key — the claim and the content
-  * land in one atomic request, `tmp` staging becomes optional. The
-  * seam exists precisely so that swap needs no change anywhere else.
+  * existing destination), and [[Warehouse.ConditionalPutCommit]] for
+  * object stores (S3/GCS/OSS schemes, selected automatically): the
+  * manifest CONTENT streams into the version key with
+  * create-exclusive — the conditional put (`If-None-Match: *` /
+  * `x-goog-if-generation-match: 0`) those stores expose, claim and
+  * content in one atomic request, no rename or link anywhere in the
+  * commit plane (WarehouseCommitPrimitiveSpec drives the lifecycle
+  * and race arms against an emulated store that forbids rename).
   */
 trait CommitPrimitive {
   def claim(fs: FileSystem, tmp: HPath, target: HPath): Boolean
 }
+
+/** TYPED signal that a write carried no rows to commit. Subclasses
+  * IllegalArgumentException so existing callers' catch blocks keep
+  * working, but lets a caller that must TOLERATE empty batches (the
+  * streaming sink: an all-filtered micro-batch is normal) match on
+  * the type instead of on message substrings (advisor r14: the
+  * wording-sensitive catch was brittle).
+  */
+class EmptyBatchException(msg: String) extends IllegalArgumentException(msg)
 
 /** Partitioned parquet warehouse table with copy-on-write MERGE,
   * merge-on-read DELTA commits, small-file compaction and file-level
@@ -232,6 +243,43 @@ object Warehouse {
       !fs.exists(target) && fs.rename(tmp, target)
   }
 
+  /** CONDITIONAL-PUT claim for OBJECT STORES (S3/GCS/OSS …), where
+    * rename is a copy and hard links don't exist: stream the staged
+    * manifest CONTENT into the version key with CREATE-EXCLUSIVE
+    * (`fs.create(target, overwrite = false)`) and never call rename
+    * or link — claim and content land in one store operation, the
+    * semantic these stores expose natively (S3 `If-None-Match: *`
+    * conditional create, which Hadoop's S3A maps create-exclusive
+    * onto; GCS `x-goog-if-generation-match: 0`). A racing writer's
+    * create fails `FileAlreadyExists` and this writer reports a lost
+    * claim — same contract as the link/rename primitives, no torn
+    * state (the store publishes an object only when its upload
+    * completes). Selected automatically for object-store URI schemes
+    * ([[primitiveFor]]); WarehouseCommitPrimitiveSpec drives the full
+    * lifecycle and the race arms against an emulated store whose
+    * commit plane forbids rename outright.
+    */
+  object ConditionalPutCommit extends CommitPrimitive {
+    override def claim(fs: FileSystem, tmp: HPath, target: HPath): Boolean = {
+      val in = fs.open(tmp)
+      try {
+        val out =
+          try fs.create(target, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              return false
+            case e: java.io.IOException =>
+              // HDFS-style create-exclusive signals an existing file as
+              // a plain IOException; re-check before failing the commit
+              if (fs.exists(target)) return false else throw e
+          }
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        finally out.close()
+        true
+      } finally in.close()
+    }
+  }
+
   /** Test seam: when set, every commit claims through this primitive
     * instead of the filesystem-selected one — specs inject racing or
     * failing claimers here. Production never sets it.
@@ -239,10 +287,20 @@ object Warehouse {
   @volatile private[graft] var primitiveOverride: Option[CommitPrimitive] = None
 
   private def primitiveFor(fs: FileSystem): CommitPrimitive =
-    primitiveOverride.getOrElse(fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem => LocalLinkCommit
-      case _ => RenameCommit
+    primitiveOverride.getOrElse((
+      // not every FileSystem implements getScheme (it may throw)
+      try fs.getScheme catch { case _: UnsupportedOperationException => "" }
+    ) match {
+      // object stores: no atomic rename, no links — the conditional
+      // put IS the native claim there (scheme checked before the
+      // class match so an S3-backed FS subclassing a local impl in
+      // tests still routes correctly)
+      case "s3a" | "s3" | "s3n" | "gs" | "oss" | "cos" => ConditionalPutCommit
+      case _ => fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem => LocalLinkCommit
+        case _ => RenameCommit
+      }
     })
 
   /** Publish `mapping` as version `n` — write the content to a temp
@@ -462,7 +520,8 @@ object Warehouse {
       mergeIntoDeltaHooked(spark, path, df, k, v, partCols, None, maxAttempts,
         _ => () => (), txn)
     } else {
-      require(partKeysOf(df, partCols).nonEmpty, "empty append batch")
+      if (partKeysOf(df, partCols).isEmpty)
+        throw new EmptyBatchException("empty append batch")
       val batchId = java.util.UUID.randomUUID().toString
       df.write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$path/data/batch=$batchId")
@@ -530,8 +589,17 @@ object Warehouse {
     require(mapping0.nonEmpty,
       s"table at $path has no live partitions - re-create() to repopulate")
     val partCols = partColsOf(mapping0)
-    if (dynamic) require(partKeysOf(df, partCols).nonEmpty,
-      "empty change batch - dynamic overwrite needs rows naming partitions")
+    // BOTH overwrite modes refuse an empty batch (advisor r14: a
+    // static overwrite with zero rows used to commit an EMPTY mapping,
+    // after which read/append/overwrite all refuse and only restore()
+    // recovers — an empty streaming Complete batch could brick the
+    // table). Truncate-to-empty is not a state this table can serve;
+    // an operator who really wants it deletes the path and re-creates.
+    if (partKeysOf(df, partCols).isEmpty)
+      throw new EmptyBatchException(
+        if (dynamic) "empty change batch - dynamic overwrite needs rows naming partitions"
+        else "empty change batch - static overwrite of a warehouse table " +
+          "to zero rows is refused (it would leave no live partitions)")
     val batchId = java.util.UUID.randomUUID().toString
     df.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/data/batch=$batchId")
@@ -676,6 +744,85 @@ object Warehouse {
       try {
         commit(fs, path, v + 1, newMapping)
         return deleted
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    0L // unreachable
+  }
+
+  /** ROW-LEVEL UPDATE, copy-on-write at partition granularity — the
+    * engine behind SQL `UPDATE t SET … WHERE …`
+    * ([[org.apache.spark.sql.graft.WarehouseDmlRule]]) and the direct
+    * API form. Rows where `pred` is TRUE (SQL semantics — NULL rows
+    * survive unchanged) take each assignment's value, cast to the
+    * column's stored type; every other row passes through bit-for-bit.
+    * One bounded pass finds the partitions carrying matches; ONLY
+    * those partitions' rows are re-read (delta chains folded first,
+    * so the update composes with merge-on-read commits) and rewritten
+    * under a fresh batch dir — untouched partitions keep byte-identical
+    * files, and one atomic version commit publishes the result
+    * (previous snapshots stay time-travelable until vacuum). A lost
+    * commit race re-runs the whole pass against the winner's snapshot,
+    * [[deleteWhere]]'s contract. Returns the number of rows updated.
+    *
+    * Assignments to PARTITION columns are refused loudly: a row's
+    * partition values are immutable (the fact-table contract at the
+    * top of this file) — a partition move is a delete + insert, which
+    * the merge API expresses. Cost scales with the touched partitions'
+    * data, never the table; for high-frequency keyed updates prefer
+    * [[mergeIntoDelta]] — O(changes) bytes per commit.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  assignments: Seq[(String, Column)],
+                  pred: Column, maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      val (v, mapping) = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))
+      if (mapping.isEmpty) return 0L
+      val partCols = partColsOf(mapping)
+      assignments.foreach { case (c, _) =>
+        require(!partCols.contains(c),
+          s"UPDATE cannot assign partition column '$c' - partition values " +
+            "are immutable; express a partition move as DELETE + INSERT " +
+            "(or a merge with a tombstone + fresh row)")
+      }
+      val touchedKeys = partKeysOf(read(spark, path).filter(pred), partCols).toSet
+      if (touchedKeys.isEmpty) return 0L
+      val touched = mapping.filter { case (k, _) => touchedKeys(k) }
+      val touchedRows = readMapped(spark, path, touched, partCols)
+      assignments.foreach { case (c, _) =>
+        require(touchedRows.columns.contains(c),
+          s"UPDATE references unknown column '$c'")
+      }
+      val updated = touchedRows.filter(pred).count()
+      val assignMap = assignments.toMap
+      // NULL-pred rows fall to otherwise(): exactly SQL's survive-unchanged
+      val rewritten = touchedRows.select(
+        touchedRows.schema.fields.toIndexedSeq.map { f =>
+          assignMap.get(f.name) match {
+            case Some(value) =>
+              when(pred, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val batchId = java.util.UUID.randomUUID().toString
+      rewritten.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(s"$path/data/batch=$batchId")
+      // updates never add or drop rows, so every touched partition
+      // rewrites in place
+      val written = partDirs(fs, path, batchId, partCols).toSet
+      val newMapping = (mapping -- touchedKeys) ++ written.map(_ -> batchId)
+      try {
+        commit(fs, path, v + 1, newMapping)
+        return updated
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("lost a race") =>
@@ -922,7 +1069,7 @@ object Warehouse {
     val (v, mapping) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
     val touched = partKeysOf(changes, partCols)
-    require(touched.nonEmpty, "empty change batch")
+    if (touched.isEmpty) throw new EmptyBatchException("empty change batch")
     val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
     val base0 =
       if (baseMap.isEmpty) None
@@ -1049,7 +1196,7 @@ object Warehouse {
       s"no committed version under $path - create() first")
     writeMetaIfAbsent(fs, path, keyCol, versionCol)
     val touched = partKeysOf(changes, partCols)
-    require(touched.nonEmpty, "empty change batch")
+    if (touched.isEmpty) throw new EmptyBatchException("empty change batch")
     val toWrite = deleteCol match {
       case Some(c) =>
         require(c != DelCol, s"$DelCol is reserved")
@@ -1131,6 +1278,210 @@ object Warehouse {
       }
     }
     attempt // unreachable
+  }
+
+  /** SQL `MERGE INTO` statement semantics — SOURCE-WINS and
+    * clause-ordered, the standard's contract (and Delta's), distinct
+    * from [[mergeInto]]'s latest-wins version algebra: a matched
+    * source row applies unconditionally to its target row (no version
+    * comparison), WHEN clauses are tried in statement order and the
+    * FIRST applicable one acts, and a target row matched by more than
+    * one source row is a loud cardinality error (the standard's
+    * requirement — an arbitrary winner would be a silent wrong
+    * answer). This is the engine behind
+    * [[org.apache.spark.sql.graft.WarehouseDmlRule]]'s `MERGE INTO`
+    * binding; CDC pipelines that DO want stale changes to lose keep
+    * using [[mergeInto]]/[[mergeIntoDelta]].
+    *
+    * `matched` is the ordered WHEN MATCHED clause list — `(condition,
+    * Some(assignments))` for UPDATE arms, `(condition, None)` for
+    * DELETE arms; `notMatched` the optional WHEN NOT MATCHED INSERT
+    * clause. Every [[Column]] here (conditions, assignment values,
+    * `sourceKey`) evaluates over the SOURCE frame alone — the shape
+    * CDC merges take (`WHEN MATCHED AND s.op = 'D' THEN DELETE`);
+    * conditions over target columns belong to the merge API's
+    * version algebra. Unassigned columns keep the target row's value
+    * (UPDATE) or land NULL (INSERT).
+    *
+    * Scale shape — exactly [[mergeInto]]'s copy-on-write contract:
+    * the source must carry the table's partition columns (a key's
+    * partition values are immutable, so its change row knows them),
+    * the touched-partition set is computed from the source alone,
+    * only those partitions are read (chains folded) and rewritten
+    * under a fresh batch, untouched partitions keep byte-identical
+    * files, and one atomic commit (retried on a lost race by
+    * re-running against the winner's snapshot) publishes the result.
+    * Brand-new partitions named by inserts join the mapping; an
+    * insert whose evaluated partition values land OUTSIDE the
+    * partitions the source named is refused loudly before the commit
+    * (it would silently drop the existing partition's rows), and an
+    * UPDATE assigning a partition column anything but the stored
+    * value (a row MOVE) is refused at execution. The pruning is also
+    * the matching boundary, exactly as for [[mergeInto]]: a source
+    * row that names a partition other than its key's true one
+    * reconciles nothing (the bounded pass never scans the table to
+    * second-guess the contract) — WarehouseDmlSpec pins both the
+    * refusals and the no-op.
+    */
+  def mergeStatement(spark: SparkSession, path: String, source: DataFrame,
+      targetKey: String, sourceKey: Column,
+      matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+      notMatched: Option[(Option[Column], Seq[(String, Column)])],
+      maxAttempts: Int = 5): Unit = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      val (v, mapping) = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version under $path - create() first"))
+      require(mapping.nonEmpty,
+        s"table at $path has no live partitions - re-create() to repopulate")
+      val partCols = partColsOf(mapping)
+      partCols.foreach(c => require(source.columns.contains(c),
+        s"MERGE source must carry partition column '$c' - a change row " +
+          "names the partition it belongs to (the mergeInto contract)"))
+      val tblSchema = read(spark, path).schema
+      require(tblSchema.fieldNames.contains(targetKey),
+        s"MERGE key '$targetKey' is not a column of the table at $path")
+      val allAssigned = matched.flatMap(_._2.getOrElse(Nil)).map(_._1) ++
+        notMatched.toSeq.flatMap(_._2.map(_._1))
+      allAssigned.foreach(c => require(tblSchema.fieldNames.contains(c),
+        s"MERGE assigns unknown column '$c'"))
+      val touched = partKeysOf(source, partCols)
+      if (touched.isEmpty) return // empty source: SQL MERGE is a no-op
+      val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
+      val base0 =
+        if (baseMap.isEmpty) None
+        else Some(readMapped(spark, path, baseMap, partCols))
+      def typeOf(c: String) = tblSchema.fields.find(_.name == c).get.dataType
+      // evaluate every clause's expressions over the source ONCE; the
+      // computed columns carry unique names so the join below is
+      // unambiguous whatever the source's own columns are called
+      val K = "_gm_key"
+      var src = source.withColumn(K, sourceKey)
+        .withColumn("_gm_m", lit(true))
+      matched.zipWithIndex.foreach { case ((cond, assigns), i) =>
+        src = src.withColumn(s"_gm_c$i",
+          coalesce(cond.getOrElse(lit(true)), lit(false)))
+        assigns.getOrElse(Nil).foreach { case (c, value) =>
+          src = src.withColumn(s"_gm_u${i}_$c", value.cast(typeOf(c)))
+        }
+      }
+      notMatched.foreach { case (cond, assigns) =>
+        src = src.withColumn("_gm_ic",
+          coalesce(cond.getOrElse(lit(true)), lit(false)))
+        assigns.foreach { case (c, value) =>
+          src = src.withColumn(s"_gm_i_$c", value.cast(typeOf(c)))
+        }
+      }
+      // the standard's cardinality rule: one source row per key, or
+      // the merge is ambiguous — one bounded aggregation over the
+      // (change-sized) source, never the table
+      if (matched.nonEmpty) {
+        val dup = src.groupBy(col(K)).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE source carries duplicate join keys - a target row may " +
+            "match at most one source row (SQL cardinality rule); " +
+            "de-duplicate the source (e.g. latest-wins argmax) first")
+      }
+      // first-applicable-clause index per matched base row; -1 = no
+      // clause applies (row passes through unchanged)
+      val act = {
+        val m = coalesce(col("_gm_m"), lit(false))
+        val chain = matched.zipWithIndex.foldLeft(
+          when(!m, lit(-1))) { case (w, ((_, _), i)) =>
+          w.when(col(s"_gm_c$i"), lit(i))
+        }
+        chain.otherwise(lit(-1))
+      }
+      val survivors = base0.map { base =>
+        val joined = base.join(src, base(targetKey) === src(K), "left")
+          .withColumn("_gm_act", act)
+        val deleteIdx = matched.zipWithIndex.collect {
+          case ((_, None), i) => i
+        }
+        val kept = deleteIdx.foldLeft(joined) { (d, i) =>
+          d.filter(col("_gm_act") =!= lit(i))
+        }
+        kept.select(tblSchema.fields.toIndexedSeq.map { f =>
+          val overlays = matched.zipWithIndex.collect {
+            case ((_, Some(assigns)), i) if assigns.exists(_._1 == f.name) => i
+          }
+          if (partCols.contains(f.name))
+            // partition values are IMMUTABLE: an UPDATE assignment to
+            // a partition column (UPDATE SET * carries one naturally)
+            // is admitted only when it equals the stored value — the
+            // row keeps its partition; a real MOVE fails loudly at
+            // execution instead of silently landing rows in a
+            // partition the pass never read
+            overlays.foldLeft(base(f.name)) { (prev, i) =>
+              when(col("_gm_act") === lit(i) &&
+                  !(col(s"_gm_u${i}_${f.name}") <=> base(f.name)),
+                raise_error(concat(
+                  lit(s"MERGE UPDATE moved a row across partition column " +
+                    s"'${f.name}' (stored "), base(f.name).cast("string"),
+                  lit(" vs assigned "),
+                  col(s"_gm_u${i}_${f.name}").cast("string"),
+                  lit(") - partition values are immutable; express a " +
+                    "move as DELETE + INSERT")))).otherwise(prev)
+            }.as(f.name)
+          else
+            overlays.foldLeft(base(f.name)) { (prev, i) =>
+              when(col("_gm_act") === lit(i), col(s"_gm_u${i}_${f.name}"))
+                .otherwise(prev)
+            }.as(f.name)
+        }: _*)
+      }
+      val inserts = notMatched.map { case (_, assigns) =>
+        val assignedCols = assigns.map(_._1).toSet
+        val anti = base0 match {
+          case Some(base) =>
+            src.join(base.select(col(targetKey).as("_gm_tk")),
+              src(K) === col("_gm_tk"), "left_anti")
+          case None => src
+        }
+        anti.filter(col("_gm_ic")).select(
+          tblSchema.fields.toIndexedSeq.map { f =>
+            if (assignedCols(f.name)) col(s"_gm_i_${f.name}").as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+      }
+      // matched-only merge against partitions that don't exist yet:
+      // nothing to rewrite, nothing to insert — a no-op, like SQL
+      if (survivors.isEmpty && inserts.isEmpty) return
+      val merged = (survivors.toSeq ++ inserts.toSeq)
+        .reduce(_.unionByName(_))
+      val batchId = java.util.UUID.randomUUID().toString
+      merged.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(s"$path/data/batch=$batchId")
+      val written = partDirs(fs, path, batchId, partCols).toSet
+      // an insert may NAME a brand-new partition (fine — it joins the
+      // mapping) but must never silently claim an EXISTING partition
+      // the source's partition columns did not name: that partition's
+      // base rows were not read, so mapping it to the fresh batch
+      // would drop them
+      val touchedSet = touched.toSet
+      val hijacked = written.filterNot(touchedSet).filter(mapping.contains)
+      require(hijacked.isEmpty,
+        s"MERGE inserts landed in existing partitions the source did not " +
+          s"name: ${hijacked.toSeq.sorted.mkString(", ")} - the insert " +
+          "values' partition columns must equal the source rows' own")
+      val newMapping = (mapping -- touchedSet.filterNot(written)) ++
+        written.map(_ -> batchId)
+      try {
+        commit(fs, path, v + 1, newMapping)
+        return
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
   }
 
   /** CHANGE DATA FEED: the row-level difference between committed
@@ -1304,6 +1655,54 @@ object Warehouse {
       st <- fs.listStatus(new HPath(s"$path/data/batch=$b/$key")).toSeq
       if st.isFile && st.getPath.getName.endsWith(".parquet")
     } yield st.getPath.toString)
+  }
+
+  /** UPPER-BOUND row count of the (possibly time-traveled) snapshot
+    * from parquet FOOTER metadata — the `numRows` the DSv2 connector
+    * reports so Catalyst's CBO/AQE see warehouse cardinality (a small
+    * dimension plans as the broadcast side on ROW statistics, not just
+    * byte guesses). Exact on fold-free tables; delta chains count
+    * every link's rows (superseded versions and tombstones included),
+    * an OVER-estimate — the safe direction: it can only miss a
+    * broadcast, never under-plan one. None above `maxFiles` footer
+    * reads — planning cost stays bounded whatever the table size (the
+    * tables where row stats change a join plan are exactly the small
+    * ones), and None on empty/corrupt listings (statistics are an
+    * optimization layer; absence is always safe).
+    */
+  private[graft] def rowCountEstimate(spark: SparkSession, path: String,
+      versionAsOf: Option[Long], maxFiles: Int = 1024): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val mapping = versionAsOf match {
+      case Some(n) =>
+        listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+          .map(readMapping(fs, _)).getOrElse(return None)
+      case None => snapshot(fs, path).map(_._2).getOrElse(return None)
+    }
+    if (mapping.isEmpty) return Some(0L)
+    try {
+      val files = for {
+        (key, chain) <- mapping.toSeq
+        b <- chainOf(chain)
+        st <- fs.listStatus(new HPath(s"$path/data/batch=$b/$key")).toSeq
+        if st.isFile && st.getPath.getName.endsWith(".parquet")
+      } yield st.getPath
+      if (files.length > maxFiles) None
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        var total = 0L
+        files.foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try {
+            val blocks = reader.getFooter.getBlocks
+            var i = 0
+            while (i < blocks.size()) { total += blocks.get(i).getRowCount; i += 1 }
+          } finally reader.close()
+        }
+        Some(total)
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
   /** The newest committed version number — the cursor a change-feed
@@ -1921,9 +2320,14 @@ object Warehouse {
     // LIMIT cap: any `limit` rows satisfy the query, so stop listing
     // files once footer row counts cover it — only when NO chain
     // folds (a fold changes row visibility, so raw footer counts
-    // cannot prove delivery there)
+    // cannot prove delivery there) and NO pruning bounds are in play
+    // (footer counts include rows a residual filter would drop, so a
+    // limit under pushed filters could under-deliver; Spark today
+    // never pushes a limit past residual filters, but this method
+    // enforces its own precondition rather than trusting the caller —
+    // advisor r14)
     val limited: Option[Seq[String]] =
-      if (limit.isEmpty || chained.nonEmpty) None
+      if (limit.isEmpty || chained.nonEmpty || bounds.nonEmpty) None
       else Some(limitFiles(spark,
         wholeDirs.flatMap { dir =>
           fs.listStatus(new HPath(dir))

@@ -1109,6 +1109,81 @@ object WarehouseQueries {
              |  WHERE user_id % 13 <> 4)
              |SELECT user_id, event_id, event_type, tier
              |FROM a2 JOIN b2 USING (user_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL20 — MERGE INTO as a STATEMENT: the reference's core CDC
+    // upsert (`New_Api_Sercom/function_app.py:309-365`) in its SQL
+    // form, bound by the analyzer extension (WarehouseDmlRule) to the
+    // warehouse's copy-on-write pass — ON key equality classifies,
+    // WHEN MATCHED THEN UPDATE SET * overwrites the stored row from
+    // the source (source-wins, the SQL contract), WHEN NOT MATCHED
+    // THEN INSERT * lands the new keys; only the partitions the
+    // source names are read and rewritten. Same change set and same
+    // oracle as m1 (the API merge) — the two planes must agree on the
+    // end state. The DELETE arm and cardinality/move refusals are
+    // spec-pinned (WarehouseDmlSpec).
+    Q("sql20_merge_into",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql20wh", "graft_sql20wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev.filter(col("event_id") % 19 =!= 3), "dt")
+          ev.filter(col("event_id") % 19 === 3 || col("event_id") % 23 === 5)
+            .withColumn("user_id", col("user_id") + 1000000L)
+            .withColumn("version", col("version") + 1L)
+            .createOrReplaceTempView("graft_sql20_changes")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql20_changes s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id, user_id + 1000000 AS user_id, event_type, dt
+             |FROM ev WHERE event_id % 19 = 3 OR event_id % 23 = 5
+             |UNION ALL
+             |SELECT event_id, user_id, event_type, dt
+             |FROM ev WHERE event_id % 19 <> 3 AND event_id % 23 <> 5
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL21 — row-level UPDATE as a STATEMENT: `UPDATE t SET … WHERE
+    // …` through the same analyzer binding, executing the CoW
+    // update pass — one bounded pass finds the match-carrying
+    // partitions, ONLY those rewrite (others stay byte-identical),
+    // NULL-predicate rows survive unchanged (SQL semantics), and the
+    // statement reports the standard num_affected_rows. Multi-column
+    // assignment with an expression over the stored row (not just a
+    // literal), so the rebind-by-name path is what goes green.
+    Q("sql21_update",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql21wh", "graft_sql21wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev, "dt")
+          s.sql(s"""UPDATE graft.`$p`
+                   |SET user_id = user_id + 5000000,
+                   |    event_type = concat(event_type, '_u')
+                   |WHERE event_id % 29 = 11""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 29 = 11 THEN user_id + 5000000
+             |       ELSE user_id END AS user_id,
+             |  CASE WHEN event_id % 29 = 11 THEN event_type || '_u'
+             |       ELSE event_type END AS event_type,
+             |  CAST(ts AS DATE) AS dt
+             |FROM events
              |ORDER BY event_id""".stripMargin))
   )
 }

@@ -114,11 +114,12 @@ class WarehouseStreamSink(path: String, params: Map[String, String],
       // an all-filtered micro-batch carries nothing to commit; the
       // txn cursor simply stays behind (a replay re-finds the same
       // empty batch — still a no-op), and the next non-empty batch
-      // advances it
-      case e: IllegalArgumentException
-          if e.getMessage != null && (
-            e.getMessage.contains("empty append batch") ||
-            e.getMessage.contains("empty change batch")) => ()
+      // advances it. TYPED (advisor r14): every empty-batch refusal in
+      // Warehouse — append, delta/CoW merge, and both overwrite modes,
+      // so an empty Complete batch can no longer truncate the table —
+      // throws this one exception class; message wording is free to
+      // change without silently turning skips into crash loops.
+      case _: graft.io.EmptyBatchException => ()
     }
     params.get("compactEvery").foreach { n =>
       val sortCol = params.getOrElse("sortCol",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, raise_error, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.io.Warehouse
@@ -163,16 +163,27 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     Warehouse.changeLog(spark, path, key, fromV = from, toV = Some(to),
       maxCommits = math.max(maxPerTrigger, (to - from).toInt))
 
+  /** Row-mode delivery: keep inserts and update post-images. The
+    * delete guard rides INSIDE the delivered plan — the filter
+    * predicate raises on the first 'delete' row it evaluates — so the
+    * page executes ONCE per trigger; a separate existence probe here
+    * used to run the whole change-diff plan as an extra driver job
+    * every micro-batch, doubling row-mode trigger cost (advisor r14).
+    * The failure surfaces as the micro-batch's task error with the
+    * same DELETE-contract message.
+    */
   private def postImages(pg: DataFrame): DataFrame = {
-    if (!ignoreDeletes &&
-        pg.filter(col("change_type") === "delete").limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"the stream over $path hit a DELETE commit; row-mode streams " +
-          "deliver inserts and update post-images only - pass " +
-          "option(\"ignoreDeletes\", true) to acknowledge dropped rows, " +
-          "or option(\"readChangeFeed\", true) for the full tagged diff")
-    align(pg.filter(col("change_type").isin("insert", "update_postimage")),
-      tableSchema)
+    val keep = col("change_type").isin("insert", "update_postimage")
+    val guarded =
+      if (ignoreDeletes) pg.filter(keep)
+      else pg.filter(
+        when(col("change_type") === "delete", raise_error(lit(
+          s"the stream over $path hit a DELETE commit; row-mode streams " +
+            "deliver inserts and update post-images only - pass " +
+            "option(\"ignoreDeletes\", true) to acknowledge dropped rows, " +
+            "or option(\"readChangeFeed\", true) for the full tagged diff")))
+          .otherwise(keep))
+    align(guarded, tableSchema)
   }
 
   /** Project to the declared source schema — by-name with null fill,

@@ -1,0 +1,310 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.{ExpressionUtils, Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+import graft.io.Warehouse
+import graft.sources.warehouse.WarehouseTable
+
+/** The SQL DML plane for graft-warehouse tables: an analyzer
+  * extension binding `UPDATE t SET … WHERE …` and `MERGE INTO t USING
+  * s ON … WHEN …` statements to the verified [[Warehouse.updateWhere]]
+  * / [[Warehouse.mergeStatement]] copy-on-write paths — the statement
+  * form of the reference's own core upsert
+  * (`New_Api_Sercom/function_app.py:309-365` lands CDC changes with
+  * keyed UPDATEs; at 100 TB the same merge is one CoW pass over the
+  * touched partitions).
+  *
+  * Spark plans these statements natively only for connectors
+  * implementing `SupportsRowLevelOperations`, whose group-based plans
+  * re-scan through the connector's own Batch — but this connector's
+  * scan is deliberately a V1 bridge (the merge-on-read FOLD needs a
+  * keyed aggregation no Batch can express, see
+  * [[graft.sources.warehouse.WarehouseDataSource]]), so the honest
+  * binding is one rule injected POST-HOC (after resolution, before
+  * Spark's DML-rewrite batch would refuse the table): a fully-resolved
+  * [[UpdateTable]]/[[MergeIntoTable]] over a current-snapshot
+  * warehouse relation becomes a leaf command that executes the
+  * warehouse pass — the pre-DSv2-row-level shape Delta shipped for
+  * years. Everything expression-shaped is converted HERE, at analysis
+  * time, into [[Column]]s (plan-opaque to Catalyst's reflection, so
+  * the command survives CheckAnalysis as a clean leaf):
+  *
+  *  - UPDATE assignments/condition reference the TARGET row — rebound
+  *    BY NAME onto the fresh snapshot frame the rewrite pass reads
+  *    (attribute identity cannot survive into a different scan).
+  *  - MERGE clause conditions and values must reference the SOURCE
+  *    side only (`WHEN MATCHED AND s.op = 'D' THEN DELETE` — the CDC
+  *    shape); they keep their attribute identity because the command
+  *    re-wraps the SAME analyzed source plan as its frame.
+  *    Target-referencing values, non-equi ON conditions, WHEN NOT
+  *    MATCHED BY SOURCE and schema-evolving merges are refused with
+  *    pointers to the merge API, never silently misplanned.
+  *
+  * This file lives under `org.apache.spark.sql` for the same reason
+  * Delta's does: [[LeafRunnableCommand]] and `Dataset.ofRows` are
+  * package-private extension seams.
+  */
+class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def warehouseOf(plan: LogicalPlan): Option[(String, DataSourceV2Relation)] = {
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => unwrap(child)
+      case other => other
+    }
+    unwrap(plan) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: WarehouseTable if t.isCurrentSnapshot => Some((t.tablePath, r))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Rebind a resolved target-side expression BY NAME so it can
+    * evaluate against the fresh frame the rewrite pass reads: every
+    * attribute becomes an [[UnresolvedAttribute]] carrying just its
+    * name (target columns are unique by name, so this is lossless).
+    */
+  private def byName(e: Expression): Column =
+    ExpressionUtils.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** A source-side expression keeps its attribute identity — the
+    * command evaluates it over the SAME analyzed source plan.
+    */
+  private def sourceOnly(e: Expression, source: AttributeSet,
+                         what: String): Column = {
+    require(e.references.subsetOf(source),
+      s"graft-warehouse MERGE supports $what over the SOURCE side only " +
+        s"(got $e) - conditions/values over target columns need the " +
+        "merge API's version algebra (Warehouse.mergeInto)")
+    ExpressionUtils.column(e)
+  }
+
+  /** Aligned UPDATE assignments include identity entries (col := its
+    * own attribute) for unassigned columns — skip them so the rewrite
+    * only casts/overlays what the statement actually set.
+    */
+  private def isIdentity(key: Expression, value: Expression): Boolean =
+    (key, value) match {
+      case (k: AttributeReference, v: AttributeReference) => k.exprId == v.exprId
+      case (k: AttributeReference, Cast(v: AttributeReference, _, _, _)) =>
+        k.exprId == v.exprId
+      case _ => false
+    }
+
+  private def nameOf(key: Expression): String = key match {
+    case a: Attribute => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft-warehouse DML cannot assign to nested field $other - " +
+        "only top-level columns")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(table, assignments, condition)
+        if u.resolved && warehouseOf(table).isDefined =>
+      val (path, _) = warehouseOf(table).get
+      val assigns = assignments.collect {
+        case Assignment(key, value) if !isIdentity(key, value) =>
+          nameOf(key) -> byName(value)
+      }
+      UpdateWarehouseCommand(path, assigns, condition.map(byName))
+
+    case m @ MergeIntoTable(target, source, cond, matchedActions,
+        notMatchedActions, notMatchedBySource, withSchemaEvolution)
+        if m.resolved && warehouseOf(target).isDefined =>
+      val (path, relation) = warehouseOf(target).get
+      require(notMatchedBySource.isEmpty,
+        "graft-warehouse MERGE does not support WHEN NOT MATCHED BY " +
+          "SOURCE - full-table reconciliation belongs to overwrite() or " +
+          "a change-feed diff, not a CoW merge pass")
+      require(!withSchemaEvolution,
+        "graft-warehouse MERGE does not widen schemas - schema evolution " +
+          "happens through widening merge batches (Warehouse.mergeInto)")
+      val targetAttrs = AttributeSet(relation.output)
+      val sourceAttrs = AttributeSet(source.output)
+      // the ON condition must pin one target key column to one
+      // source-side expression — the keyed-merge shape every verified
+      // warehouse write path shares
+      val (targetKey, sourceKey) = cond match {
+        case EqualTo(l: AttributeReference, r)
+            if targetAttrs.contains(l) && r.references.subsetOf(sourceAttrs) =>
+          (l.name, ExpressionUtils.column(r))
+        case EqualTo(l, r: AttributeReference)
+            if targetAttrs.contains(r) && l.references.subsetOf(sourceAttrs) =>
+          (r.name, ExpressionUtils.column(l))
+        case other => throw new UnsupportedOperationException(
+          s"graft-warehouse MERGE needs ON <target key column> = <source " +
+            s"expression> (got $other) - composite or non-equi merge " +
+            "conditions belong to the merge API")
+      }
+      def srcCond(c: Option[Expression], what: String): Option[Column] =
+        c.map(sourceOnly(_, sourceAttrs, what))
+      def srcAssigns(as: Seq[Assignment], what: String): Seq[(String, Column)] =
+        as.map(a => nameOf(a.key) ->
+          sourceOnly(a.value, sourceAttrs, what))
+      val matched = matchedActions.map {
+        case DeleteAction(c) =>
+          (srcCond(c, "WHEN MATCHED conditions"), None)
+        case UpdateAction(c, assigns, _) =>
+          (srcCond(c, "WHEN MATCHED conditions"),
+            Some(srcAssigns(assigns, "UPDATE SET values")))
+        case UpdateStarAction(c) =>
+          // star not expanded by resolution here: assign every target
+          // column from the same-named source column
+          val assigns = relation.output.map { a =>
+            val s = source.output.find(_.name == a.name).getOrElse(
+              throw new UnsupportedOperationException(
+                s"UPDATE SET * needs source column '${a.name}'"))
+            a.name -> ExpressionUtils.column(s)
+          }
+          (srcCond(c, "WHEN MATCHED conditions"), Some(assigns))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN MATCHED action $other")
+      }
+      val notMatched = notMatchedActions match {
+        case Seq() => None
+        case Seq(InsertAction(c, assigns)) =>
+          Some((srcCond(c, "WHEN NOT MATCHED conditions"),
+            srcAssigns(assigns, "INSERT values")))
+        case Seq(InsertStarAction(c)) =>
+          val assigns = relation.output.map { a =>
+            val s = source.output.find(_.name == a.name).getOrElse(
+              throw new UnsupportedOperationException(
+                s"INSERT * needs source column '${a.name}'"))
+            a.name -> ExpressionUtils.column(s)
+          }
+          Some((srcCond(c, "WHEN NOT MATCHED conditions"), assigns))
+        case other => throw new UnsupportedOperationException(
+          "graft-warehouse MERGE supports one WHEN NOT MATCHED clause, " +
+            s"got ${other.length}")
+      }
+      MergeWarehouseCommand(path, source, targetKey, sourceKey,
+        matched, notMatched)
+
+    case _ => plan
+  }
+}
+
+/** A [[DataSourceV2ScanRelation]] whose logical statistics come from
+  * the wrapped warehouse scan's [[WarehouseV1Scan.estimateStatistics]]
+  * — manifest bytes + footer row counts. Spark's
+  * `DataSourceV2ScanRelation.computeStats` consults the SCAN for
+  * statistics, but V1 fallback scans are wrapped in a plain
+  * [[V1ScanWrapper]] that hides `SupportsReportStatistics`, so every
+  * V1-bridge connector's statistics silently degrade to
+  * `defaultSizeInBytes` (effectively infinite — a small warehouse
+  * dimension would never auto-broadcast through the SQL plane).
+  * [[WarehouseStatsRule]] re-wraps the node with this subclass late in
+  * optimization, so physical planning (JoinSelection's broadcast
+  * threshold, AQE's initial estimates) sees the table's REAL
+  * cardinality. Subclassing keeps every existing pattern match and
+  * `makeCopy` shape intact — only `computeStats` changes.
+  */
+class StatsReportingScanRelation(
+    relation: DataSourceV2Relation,
+    scan: org.apache.spark.sql.connector.read.Scan,
+    output: Seq[AttributeReference],
+    keyGroupedPartitioning: Option[Seq[Expression]],
+    ordering: Option[Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]])
+    extends org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation(
+      relation, scan, output, keyGroupedPartitioning, ordering) {
+
+  /** Distinct from the base node under case-class equality IN BOTH
+    * directions — without this, `transform`/`mapChildren`'s fastEquals
+    * sees the rewrapped node as "unchanged" (same fields) and silently
+    * keeps the original. canEqual alone fixes only one direction:
+    * mapChildren compares NEW fastEquals OLD, where the inherited
+    * case equals would still say true.
+    */
+  override def canEqual(that: Any): Boolean =
+    that.isInstanceOf[StatsReportingScanRelation]
+
+  override def equals(that: Any): Boolean = that match {
+    case _: StatsReportingScanRelation => super.equals(that)
+    case _ => false
+  }
+
+  override def hashCode(): Int = super.hashCode()
+
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    scan match {
+      case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+        w.v1Scan match {
+          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+            DataSourceV2Relation.transformV2Stats(
+              s.estimateStatistics(), None, conf.defaultSizeInBytes, output)
+          case _ => super.computeStats()
+        }
+      case _ => super.computeStats()
+    }
+}
+
+/** Optimizer extension restoring statistics flow for warehouse V1
+  * scans (see [[StatsReportingScanRelation]]). Registered through
+  * `spark.experimental.extraOptimizations` (the "User Provided
+  * Optimizers" batch — the only seam that runs AFTER the scan-pushdown
+  * batch creates the relations this rewrites; physical planning reads
+  * statistics later still, so JoinSelection sees the result).
+  */
+class WarehouseStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if !r.isInstanceOf[StatsReportingScanRelation] && (r.scan match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+            w.v1Scan.isInstanceOf[graft.sources.warehouse.WarehouseV1Scan]
+          case _ => false
+        }) =>
+      new StatsReportingScanRelation(r.relation, r.scan, r.output,
+        r.keyGroupedPartitioning, r.ordering)
+  }
+}
+
+/** `UPDATE graft.…` as a leaf command: all expressions arrive
+  * pre-converted to name-bound [[Column]]s (see [[WarehouseDmlRule]]),
+  * so Catalyst sees a clean leaf; run() executes the copy-on-write
+  * pass and reports the SQL-standard affected-row count.
+  */
+case class UpdateWarehouseCommand(path: String,
+    assignments: Seq[(String, Column)], condition: Option[Column])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = Warehouse.updateWhere(spark, path, assignments,
+      condition.getOrElse(org.apache.spark.sql.functions.lit(true)))
+    Seq(Row(n))
+  }
+}
+
+/** `MERGE INTO graft.…` as a leaf command. The analyzed source plan
+  * rides along as a field (innerChildren — displayed, never planned
+  * until run()), so the pre-converted source-side [[Column]]s resolve
+  * against it by attribute identity.
+  */
+case class MergeWarehouseCommand(path: String, source: LogicalPlan,
+    targetKey: String, sourceKey: Column,
+    matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    notMatched: Option[(Option[Column], Seq[(String, Column)])])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = CDataset.ofRows(spark.asInstanceOf[CSparkSession], source)
+    Warehouse.mergeStatement(spark, path, src, targetKey, sourceKey,
+      matched, notMatched)
+    Seq.empty
+  }
+}

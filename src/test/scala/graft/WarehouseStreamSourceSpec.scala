@@ -132,8 +132,12 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
       Seq((2L, "gone", 2L, "d1", true)).toDF("k", "name", "ver", "part", "del"),
       "k", "ver", Seq("part"), Some("del"))
     val ex = intercept[StreamingQueryException](drain(path, ckptA))
-    assert(ex.getMessage.contains("DELETE") ||
-      Option(ex.getCause).exists(_.getMessage.contains("DELETE")),
+    // the guard rides inside the delivered plan (no per-trigger
+    // existence probe), so the contract message surfaces through the
+    // task-failure cause chain — walk it fully
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("DELETE")),
       s"the failure must name the delete contract, got $ex")
     // acknowledged: the delete-only commit delivers nothing and the stream lives
     assert(drain(path, ckptB, Map("ignoreDeletes" -> "true")).isEmpty)
