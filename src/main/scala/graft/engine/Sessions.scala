@@ -44,10 +44,14 @@ object Sessions {
       // keep saveAsTable warehouses (bucketed-join tests) out of cwd
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
-      // path-addressed SQL catalog for io.Warehouse tables:
-      // SELECT * FROM graft.`/path` [VERSION|TIMESTAMP AS OF ...]
+      // SQL catalog for io.Warehouse tables — path-addressed
+      // (SELECT * FROM graft.`/path` [VERSION|TIMESTAMP AS OF ...])
+      // and named (CREATE TABLE graft.db.name ... lives under the
+      // warehouseRoot's managed tree)
       .config("spark.sql.catalog.graft",
         "graft.sources.warehouse.WarehouseCatalog")
+      .config("spark.sql.catalog.graft.warehouseRoot",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // statistics flow for warehouse scans (real bytes + footer row

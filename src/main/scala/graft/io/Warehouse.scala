@@ -401,6 +401,67 @@ object Warehouse {
 
   private def metaPath(path: String) = new HPath(s"$path/_meta")
 
+  // ---------------------------------------------------------------
+  // explicit schema overlay (ALTER TABLE ADD COLUMN)
+  // ---------------------------------------------------------------
+
+  private def schemaPath(path: String) = new HPath(s"$path/_schema")
+
+  /** The table's declared EXTRA columns (`ALTER TABLE … ADD COLUMN`):
+    * (name, type) pairs appended after the stored files' own union
+    * schema. Readers add each one as typed NULL wherever no file
+    * carries it yet — exactly the widening-merge contract (m4), but
+    * declared explicitly instead of implied by a change batch. Once
+    * any batch writes the column, the overlay entry is a no-op for
+    * the rows that have it.
+    */
+  private def readSchemaOverlay(fs: FileSystem, path: String):
+      Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val p = schemaPath(path)
+    if (!fs.exists(p)) Nil
+    else readSmallFile(fs, p).split("\n").filter(_.nonEmpty).toSeq.map { l =>
+      val Array(n, ddl) = l.split("\t", 2)
+      n -> org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    }
+  }
+
+  /** Apply the overlay: any declared column the frame lacks reads as
+    * typed NULL. One small-file metadata read per plan build.
+    */
+  private def withOverlay(fs: FileSystem, path: String,
+                          df: DataFrame): DataFrame =
+    readSchemaOverlay(fs, path).foldLeft(df) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+    }
+
+  /** SQL `ALTER TABLE … ADD COLUMN` — declare new nullable columns on
+    * the table without touching a single data file: the names and
+    * types land in the `_schema` sidecar, existing rows read them as
+    * NULL (parquet never rewrites — the same physical contract as a
+    * widening merge, m4), and the next merge/append that carries the
+    * column stores it physically. Refuses columns that already exist
+    * (stored, declared, or partition). DDL is operator-rare, so the
+    * sidecar is read-modify-write (not versioned) — concurrent DDL on
+    * one table is out of contract, documented like vacuum's.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
+    require(cols.nonEmpty, "ALTER TABLE ADD COLUMN needs at least one column")
+    val fs = fsOf(spark, path)
+    val existing = read(spark, path).columns.toSet
+    val declared = readSchemaOverlay(fs, path)
+    cols.foreach { case (n, _) =>
+      require(!existing.contains(n) && !declared.exists(_._1 == n),
+        s"column '$n' already exists on the table at $path")
+      require(n.nonEmpty && !n.exists("=/\n\t".contains(_)),
+        s"invalid column name '$n'")
+    }
+    val lines = (declared ++ cols).map { case (n, t) => s"$n\t${t.sql}" }
+    val out = fs.create(schemaPath(path), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def writeMetaIfAbsent(fs: FileSystem, path: String,
                                 keyCol: String, versionCol: String): Unit = {
     val p = metaPath(path)
@@ -878,7 +939,8 @@ object Warehouse {
       }).drop("batch")),
       if (chained.isEmpty) None
       else Some(foldRead(spark, path, chained, partCols))).flatten
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    withOverlay(fsOf(spark, path), path,
+      parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** MERGE-ON-READ fold of chained partitions: read every (batch,
@@ -2347,6 +2409,7 @@ object Warehouse {
     if (scans.isEmpty)
       // everything skipped: an empty frame with the table's schema
       readMapped(spark, path, mapping, partCols).filter(lit(false))
-    else scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    else withOverlay(fs, path,
+      scans.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 }

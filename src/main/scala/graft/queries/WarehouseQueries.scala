@@ -1184,6 +1184,38 @@ object WarehouseQueries {
              |       ELSE event_type END AS event_type,
              |  CAST(ts AS DATE) AS dt
              |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL22 — NAMED-table addressing: the catalog's identifier plane
+    // (CREATE TABLE graft.bench.<name> … AS SELECT registers
+    // identifier → managed path + layout, CTAS writes version 1, and
+    // every later statement — INSERT, SELECT, time travel, DML,
+    // procedures — addresses the table BY NAME). At 100 TB this is
+    // how teams share tables: physical paths stay a catalog detail.
+    // The query round-trips events through a named CTAS + INSERT and
+    // reads it back by name; the oracle replays from events directly.
+    Q("sql22_named_table",
+      (s, d) => {
+        val ident = "graft.bench.events_" +
+          d.replaceAll("[^A-Za-z0-9]", "_").stripPrefix("_")
+        TempArtifacts.getOrBuild(s"$d#sql22wh", "graft_sql22wh") { _ =>
+          s.sql(s"DROP TABLE IF EXISTS $ident")
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+            .createOrReplaceTempView("graft_sql22_events")
+          s.sql(s"""CREATE TABLE $ident PARTITIONED BY (dt) AS
+                   |SELECT * FROM graft_sql22_events
+                   |WHERE event_id % 2 = 0""".stripMargin)
+          s.sql(s"""INSERT INTO $ident
+                   |SELECT * FROM graft_sql22_events
+                   |WHERE event_id % 2 = 1""".stripMargin): Unit
+        }
+        s.sql(s"""SELECT event_id, user_id, event_type, dt FROM $ident
+                 |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
              |ORDER BY event_id""".stripMargin))
   )
 }

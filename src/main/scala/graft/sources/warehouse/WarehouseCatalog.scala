@@ -1,7 +1,8 @@
 package graft.sources.warehouse
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
@@ -10,11 +11,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.Warehouse
 
-/** Path-addressed [[TableCatalog]] for warehouse tables — the
-  * Delta-style SQL identifier form, registered centrally as `graft`
-  * ([[graft.engine.Sessions]]), so the WHOLE SQL time-travel grammar
-  * works against any table path with zero registration ceremony:
+/** SQL catalog for warehouse tables, registered centrally as `graft`
+  * ([[graft.engine.Sessions]]), with TWO addressing planes:
   *
+  * '''Path-addressed''' — the Delta-style form, zero registration
+  * ceremony; the identifier IS the table path:
   * {{{
   *   SELECT * FROM graft.`/data/wh/events`                     -- newest
   *   SELECT * FROM graft.`/data/wh/events` VERSION AS OF 3     -- snapshot
@@ -22,55 +23,139 @@ import graft.io.Warehouse
   *     '2024-01-05 12:00:00'                                   -- as-of time
   * }}}
   *
-  * The identifier IS the table path (exactly Delta's
-  * ``delta.`/path/to/table` `` convention); the loaded table is the
-  * same [[WarehouseTable]] the `graft-warehouse` read format serves,
-  * so pushed-filter file skipping, column pruning and reported
-  * statistics all apply to catalog-addressed reads too. `TIMESTAMP AS
-  * OF` resolves to the NEWEST commit at-or-before the instant
-  * ([[Warehouse.versionAt]] — commit-file mtimes, the Delta
-  * convention), then reads that version exactly like `VERSION AS OF`.
+  * '''Named''' — `graft.db.name`, the way a multi-team deployment
+  * actually addresses tables (nobody carries physical paths at
+  * 100 TB). Backed by a `_catalog` directory under the configured
+  * `spark.sql.catalog.graft.warehouseRoot`: one small entry file per
+  * table holding identifier → physical path + partition layout +
+  * declared schema. The full DDL/DML plane works by name:
+  * {{{
+  *   CREATE TABLE graft.db.events (ev BIGINT, dt STRING)
+  *     PARTITIONED BY (dt)                      -- registers; data on 1st insert
+  *   CREATE TABLE graft.db.top AS SELECT …      -- CTAS
+  *   INSERT INTO graft.db.events …              -- creates v1 / appends
+  *   ALTER TABLE graft.db.events ADD COLUMN score BIGINT
+  *   SELECT * FROM graft.db.events VERSION AS OF 1
+  *   DROP TABLE graft.db.events                 -- entry + managed data
+  * }}}
+  * Entry creation is CREATE-EXCLUSIVE (racing CREATEs lose loudly,
+  * like version commits); the data itself stays a plain warehouse
+  * table at `<root>/<db>/<name>`, so the path plane, the merge API
+  * and every maintenance procedure keep working on named tables.
   *
-  * Writes: `INSERT INTO` appends ([[Warehouse.append]] — a blind '+'
-  * append-link commit on plain tables, a keyed delta merge on tables
-  * with recorded merge keys) and `INSERT OVERWRITE` truncates or —
-  * under `partitionOverwriteMode=dynamic` — replaces exactly the
-  * partitions the batch names ([[WarehouseWriteBuilder]]). `DELETE
-  * FROM … WHERE …` is metadata-only for partition-decidable
-  * predicates and a copy-on-write rewrite of just the touched
-  * partitions for any other translatable predicate
-  * ([[WarehouseTable.deleteWhere]]); keyed MERGE still goes through
-  * the merge API where the key/version vocabulary lives; DDL
-  * (create/alter/drop) fails loudly
-  * instead of corrupting a manifest — tables are created by
-  * [[Warehouse.create]], which names the partition layout.
+  * Either way the loaded table is the same [[WarehouseTable]] the
+  * `graft-warehouse` read format serves — pushed-filter file
+  * skipping, column pruning, reported statistics, the DML plane and
+  * `CALL graft.system.*` all apply. `TIMESTAMP AS OF` resolves to the
+  * newest commit at-or-before the instant ([[Warehouse.versionAt]] —
+  * commit-file mtimes, the Delta convention).
   */
 class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
+  private var warehouseRoot: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouseRoot = Option(options.get("warehouseRoot"))
+  }
 
   override def name(): String = catalogName
 
   private def pathOf(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString("/")
 
-  private def load(ident: Identifier, versionAsOf: Option[Long]): Table = {
-    val spark = SparkSession.active
-    val path = pathOf(ident)
-    val conf = WarehouseDataSource.ReadConf(path, versionAsOf,
-      keyCol = None, changeFeed = false, startingVersion = None,
-      endingVersion = None, maxCommits = 64)
-    val schema: StructType =
-      try conf.frame(spark).schema
+  private def isPathIdent(ident: Identifier): Boolean =
+    pathOf(ident).startsWith("/")
+
+  // -------------------------------------------------------------
+  // named-table entries: <root>/_catalog/<ns.ns.name>, lines
+  // "path\t…", "partCols\tc1,c2", "schema\t<DDL>"
+  // -------------------------------------------------------------
+
+  private case class Entry(path: String, partCols: Seq[String],
+                           schema: StructType)
+
+  private def root(): String = warehouseRoot.getOrElse(
+    throw new UnsupportedOperationException(
+      s"catalog '$catalogName' has no named-table root - set " +
+        s"spark.sql.catalog.$catalogName.warehouseRoot, or address the " +
+        s"table by path: SELECT * FROM $catalogName.`/abs/path`"))
+
+  private def fs(spark: SparkSession) =
+    new HPath(root()).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def entryKey(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  private def entryPath(ident: Identifier): HPath =
+    new HPath(s"${root()}/_catalog/${entryKey(ident)}")
+
+  private def readEntry(spark: SparkSession, ident: Identifier): Option[Entry] = {
+    val p = entryPath(ident)
+    val f = fs(spark)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
+        finally in.close()
+      val kv = lines.filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("\t", 2); k -> v
+      }.toMap
+      Some(Entry(kv("path"), kv("partCols").split(",").toSeq,
+        StructType.fromDDL(kv("schema"))))
+    }
+  }
+
+  private def writeEntry(spark: SparkSession, ident: Identifier,
+                         e: Entry, exclusive: Boolean): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new HPath(s"${root()}/_catalog"))
+    val out =
+      try f.create(entryPath(ident), !exclusive)
       catch {
-        case _: IllegalStateException =>
-          throw new NoSuchTableException(
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(
+            Seq(catalogName) ++ ident.namespace :+ ident.name)
+        case ex: java.io.IOException if exclusive && f.exists(entryPath(ident)) =>
+          throw new TableAlreadyExistsException(
             Seq(catalogName) ++ ident.namespace :+ ident.name)
       }
-    new WarehouseTable(schema, conf)
+    try out.write(
+      (s"path\t${e.path}\npartCols\t${e.partCols.mkString(",")}\n" +
+        s"schema\t${e.schema.toDDL}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def noSuch(ident: Identifier): Nothing =
+    throw new NoSuchTableException(
+      Seq(catalogName) ++ ident.namespace :+ ident.name)
+
+  private def load(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    val spark = SparkSession.active
+    if (isPathIdent(ident)) {
+      val path = pathOf(ident)
+      val conf = WarehouseDataSource.ReadConf(path, versionAsOf,
+        keyCol = None, changeFeed = false, startingVersion = None,
+        endingVersion = None, maxCommits = 64)
+      val schema: StructType =
+        try conf.frame(spark).schema
+        catch { case _: IllegalStateException => noSuch(ident) }
+      new WarehouseTable(schema, conf)
+    } else {
+      val e = readEntry(spark, ident).getOrElse(noSuch(ident))
+      val conf = WarehouseDataSource.ReadConf(e.path, versionAsOf,
+        keyCol = None, changeFeed = false, startingVersion = None,
+        endingVersion = None, maxCommits = 64)
+      // registered but not yet written: serve the declared schema over
+      // an empty snapshot; the first INSERT creates version 1 with the
+      // declared partition layout
+      val schema: StructType =
+        try conf.frame(spark).schema
+        catch { case _: IllegalStateException => e.schema }
+      new WarehouseTable(schema, conf, createPartCols = Some(e.partCols))
+    }
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -89,29 +174,128 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val spark = SparkSession.active
-    load(ident, Some(Warehouse.versionAt(spark, pathOf(ident), timestampMicros)))
+    val path =
+      if (isPathIdent(ident)) pathOf(ident)
+      else readEntry(spark, ident).getOrElse(noSuch(ident)).path
+    load(ident, Some(Warehouse.versionAt(spark, path, timestampMicros)))
   }
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: NoSuchTableException => false }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // path-addressed: there is no enumerable namespace
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    if (warehouseRoot.isEmpty) return Array.empty
+    val dir = new HPath(s"${root()}/_catalog")
+    val f = fs(spark)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).map(_.getPath.getName).flatMap { key =>
+      val parts = key.split("\\.")
+      val (ns, n) = (parts.init, parts.last)
+      if (namespace.isEmpty || ns.sameElements(namespace))
+        Some(Identifier.of(ns, n))
+      else None
+    }
+  }
 
+  /** `CREATE TABLE graft.db.name (…) PARTITIONED BY (…)` (and the
+    * catalog half of CTAS): registers identifier → managed path +
+    * layout + declared schema, CREATE-EXCLUSIVE. Data lands on the
+    * first INSERT ([[Warehouse.create]] via the write builder) — a
+    * warehouse table has no empty physical state, so registration and
+    * creation are deliberately two steps, like Delta's empty table
+    * with zero add-files. Only identity partition transforms exist
+    * here (bucket/days belong to the layout procedures).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft warehouse tables are created through Warehouse.create " +
-        "(merge semantics need key/version columns SQL DDL cannot name)")
+      properties: java.util.Map[String, String]): Table = {
+    require(!isPathIdent(ident),
+      "path-addressed graft tables are created by Warehouse.create " +
+        "(or CREATE TABLE a NAMED identifier: graft.db.name)")
+    val spark = SparkSession.active
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables partition by identity columns only, got $other")
+    }
+    require(partCols.nonEmpty,
+      "graft tables are hive-partitioned - declare PARTITIONED BY (col, …)")
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    val path = (Seq(root()) ++ ident.namespace :+ ident.name).mkString("/")
+    writeEntry(spark, ident, Entry(path, partCols, schema), exclusive = true)
+    new WarehouseTable(schema,
+      WarehouseDataSource.ReadConf(path, None, None, changeFeed = false,
+        None, None, 64),
+      createPartCols = Some(partCols))
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution happens through widening merges (Warehouse.mergeInto)")
+  /** `ALTER TABLE … ADD COLUMN` — binds to the warehouse's explicit
+    * schema overlay ([[Warehouse.addColumns]]): the declaration is one
+    * metadata write, existing rows read the column as NULL (no file
+    * rewritten — the m4 widening contract made explicit), and the next
+    * merge that carries it stores it physically. Works on both named
+    * and path identifiers; anything but a top-level nullable ADD
+    * COLUMN is refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val cols = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft ALTER TABLE adds top-level columns only, got " +
+            s"${add.fieldNames.mkString(".")}")
+        require(add.position() == null,
+          "graft ALTER TABLE does not support column positions - new " +
+            "columns append")
+        add.fieldNames.head -> add.dataType()
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMN only, got $other " +
+          "(schema evolution otherwise happens through widening merges)")
+    }
+    val entry = if (isPathIdent(ident)) None
+      else Some(readEntry(spark, ident).getOrElse(noSuch(ident)))
+    val path = entry.fold(pathOf(ident))(_.path)
+    val created =
+      try { Warehouse.currentVersion(spark, path); true }
+      catch { case _: IllegalStateException => false }
+    if (created) Warehouse.addColumns(spark, path, cols)
+    else entry match {
+      // registered-but-unwritten named table: widen the declared schema
+      case Some(e) =>
+        cols.foreach { case (n, _) =>
+          require(!e.schema.fieldNames.contains(n),
+            s"column '$n' already exists on ${entryKey(ident)}") }
+        writeEntry(spark, ident, e.copy(schema = StructType(
+          e.schema.fields ++ cols.map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, t) })),
+          exclusive = false)
+      case None => noSuch(ident)
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "drop a warehouse table by deleting its path; vacuum() reclaims history")
+  /** `DROP TABLE graft.db.name`: removes the entry and the MANAGED
+    * data directory (named tables live under the catalog root, so the
+    * data is catalog-owned — Delta's managed-table contract).
+    * Path-addressed tables still refuse: their data is external.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (isPathIdent(ident))
+      throw new UnsupportedOperationException(
+        "drop a path-addressed warehouse table by deleting its path; " +
+          "vacuum() reclaims history")
+    val spark = SparkSession.active
+    readEntry(spark, ident) match {
+      case None => false
+      case Some(e) =>
+        val f = fs(spark)
+        f.delete(new HPath(e.path), true)
+        f.delete(entryPath(ident), false)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

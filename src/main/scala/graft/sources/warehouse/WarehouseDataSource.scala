@@ -473,7 +473,8 @@ object WarehouseDataSource {
 }
 
 class WarehouseTable(tableSchema: StructType,
-                     conf: WarehouseDataSource.ReadConf)
+                     conf: WarehouseDataSource.ReadConf,
+                     createPartCols: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   /** The table's physical path — the handle the SQL DML plane
     * ([[org.apache.spark.sql.graft.WarehouseDmlRule]]) routes UPDATE /
@@ -524,7 +525,7 @@ class WarehouseTable(tableSchema: StructType,
       "cannot write to a time-travel read of a graft-warehouse table - " +
         "restore() the version instead")
     new WarehouseWriteBuilder(conf.path,
-      Option(info.options.get("partitionOverwriteMode")))
+      Option(info.options.get("partitionOverwriteMode")), createPartCols)
   }
 
   /** `DELETE FROM graft.\`path\` WHERE <partition predicate>` — a
@@ -601,7 +602,8 @@ class WarehouseTable(tableSchema: StructType,
   * claim with optimistic-concurrency retry, so SQL writers get the
   * same multi-writer contract as API writers.
   */
-class WarehouseWriteBuilder(path: String, overwriteModeOpt: Option[String])
+class WarehouseWriteBuilder(path: String, overwriteModeOpt: Option[String],
+                            createPartCols: Option[Seq[String]] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateMode: Boolean = false
@@ -613,7 +615,15 @@ class WarehouseWriteBuilder(path: String, overwriteModeOpt: Option[String])
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val spark = data.sparkSession
-          if (!(truncateMode || overwrite))
+          // a catalog-registered table that has never been written:
+          // the first INSERT (or the CTAS write) IS the create —
+          // version 1 with the declared partition layout
+          val uncreated = createPartCols.nonEmpty && (
+            try { graft.io.Warehouse.currentVersion(spark, path); false }
+            catch { case _: IllegalStateException => true })
+          if (uncreated)
+            graft.io.Warehouse.create(spark, path, data, createPartCols.get)
+          else if (!(truncateMode || overwrite))
             graft.io.Warehouse.append(spark, path, data): Unit
           else {
             val dynamic = overwriteModeOpt.getOrElse(spark.conf.get(
@@ -940,8 +950,17 @@ class WarehouseV1Scan(pruned: StructType,
     val spark = context.sparkSession
     val base =
       if (conf.changeFeed) conf.frame(spark)
-      else Warehouse.readForScan(spark, conf.path, conf.versionAsOf,
+      else try Warehouse.readForScan(spark, conf.path, conf.versionAsOf,
         WarehouseDataSource.boundsOf(pushed.toIndexedSeq), limit)
+      catch {
+        // a catalog-registered table nothing has written yet: an empty
+        // snapshot with the declared schema (the first INSERT creates
+        // version 1)
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("no committed version") =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pruned)
+      }
     val filtered = pushed.toIndexedSeq
       .flatMap(WarehouseDataSource.toColumn)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)
