@@ -38,7 +38,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
   private def load() = spark.read.format("graft-warehouse").load(tablePath)
 
   test("count(*), min/max over long and date answer from footers alone: every file statted, none scanned") {
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val row = load().agg(
       count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
       min("dt").as("min_dt"), max("dt").as("max_dt")).head()
@@ -52,7 +52,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
   }
 
   test("count(col) subtracts footer null counts exactly") {
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val row = load().agg(count(col("opt")).as("n")).head()
     assert(row.getLong(0) == 4000L - 800L)
     assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
@@ -60,26 +60,26 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
 
   test("refusals leave the exact plan: filters, non-partition group-by, string min/max, partition columns") {
     // filtered
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     assert(load().filter(col("k") > 2000L).agg(count(lit(1))).head().getLong(0) == 2000L)
     assert(WarehouseDataSource.lastAggPlanned.isEmpty, "filtered agg must not push")
     // grouped by a NON-partition column (footers carry no per-group split)
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     assert(load().groupBy("opt").agg(count(lit(1))).count() > 2)
     assert(WarehouseDataSource.lastAggPlanned.isEmpty,
       "non-partition grouped agg must not push")
     // string min/max (footer binary stats may be truncated - not exact)
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     assert(load().agg(min("name")).head().getString(0) == "name-000001")
     assert(WarehouseDataSource.lastAggPlanned.isEmpty, "string min must not push")
     // partition column (not physically in the files)
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     assert(load().agg(min("part")).head().getString(0) == "d1")
     assert(WarehouseDataSource.lastAggPlanned.isEmpty, "partition-column agg must not push")
   }
 
   test("GROUP BY partition columns answers from footers: per-group rollup, zero rows scanned") {
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val got = load().groupBy("part")
       .agg(count(lit(1)).as("n"), min("k").as("lo"), max("k").as("hi"),
         count(col("opt")).as("n_opt"))
@@ -94,7 +94,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
     assert(fallback == 0, s"expected pure metadata answer, $fallback files scanned")
     assert(statted > 2, "one partial row per FILE, folded by Spark")
     // the SQL form through the catalog takes the same path
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val viaSql = spark.sql(
       s"SELECT part, COUNT(*) AS n FROM graft.`$tablePath` GROUP BY part")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -113,7 +113,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
     Warehouse.mergeInto(spark, path,
       Seq((1L, 2L, "d1", 7L)).toDF("k", "ver", "part", "extra"),
       "k", "ver", "part")
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val got = spark.read.format("graft-warehouse").load(path)
       .groupBy("part").agg(min("extra").as("lo"), count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
@@ -136,7 +136,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
     try Warehouse.mergeInto(spark, path,
       Seq((31L, 2L, "d2")).toDF("k", "ver", "part"), "k", "ver", "part")
     finally hc.unset("parquet.column.statistics.enabled")
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val got = spark.read.format("graft-warehouse").load(path)
       .groupBy("part").agg(min("k").as("lo"), max("k").as("hi"),
         count(lit(1)).as("n"))
@@ -158,7 +158,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       Seq((1L, "newer", 2L, "d1"), (101L, "ins", 2L, "d1"))
         .toDF("k", "name", "ver", "part"),
       "k", "ver", "part")
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val n = spark.read.format("graft-warehouse").load(path)
       .agg(count(lit(1))).head().getLong(0)
     assert(n == 101L, "fold must still apply (delta insert + upsert)")
@@ -166,7 +166,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       "a chained table must refuse metadata aggregates")
     // after compaction the chain is gone and pushdown engages
     Warehouse.compact(spark, path, "k", 1L << 26)
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     assert(spark.read.format("graft-warehouse").load(path)
       .agg(count(lit(1))).head().getLong(0) == 101L)
     assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0),
@@ -179,7 +179,7 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       (1L to 50L).map(i => (i, "d1")).toDF("k", "part"), "part")
     Warehouse.overwrite(spark, path,
       (1L to 7L).map(i => (i, "d1")).toDF("k", "part"))
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val v1 = spark.read.format("graft-warehouse")
       .option("versionAsOf", "1").load(path)
     assert(v1.agg(count(lit(1)), max("k")).head() match {
@@ -190,8 +190,23 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       .agg(count(lit(1))).head().getLong(0) == 7L)
   }
 
+  test("EXPLAIN of a pushed aggregate runs ZERO jobs: the partials pipeline is fully lazy") {
+    // resolve the table first (schema inference runs its own
+    // mergeSchema footer job, independent of the aggregate path)
+    val t = load()
+    t.schema
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // building the executed plan (what EXPLAIN renders) must not
+    // launch the footer job — it runs when the action does
+    t.agg(count(lit(1)).as("n"), min("k").as("lo"))
+      .queryExecution.executedPlan.toString
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"planning launched ${after - before} job(s) - the aggregate path must be lazy")
+  }
+
   test("SQL over the catalog takes the same metadata path") {
-    WarehouseDataSource.lastAggPlanned = None
+    WarehouseDataSource.resetAggProbe()
     val r = spark.sql(
       s"SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi FROM graft.`$tablePath`")
       .head()
