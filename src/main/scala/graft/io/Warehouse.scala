@@ -1767,6 +1767,22 @@ object Warehouse {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** COMMIT HISTORY — `DESCRIBE HISTORY`'s data, metadata-only: one
+    * (version, committed-at epoch millis, live partitions, txn
+    * records) tuple per retained commit, newest first. One manifest
+    * read per commit — bounded by the vacuum retention, never by
+    * table size.
+    */
+  def history(spark: SparkSession, path: String): Seq[(Long, Long, Int, Int)] = {
+    val fs = fsOf(spark, path)
+    val versions = listVersions(fs, path)
+    require(versions.nonEmpty, s"no committed version under $path")
+    versions.sortBy(-_._1).map { case (v, p) =>
+      (v, fs.getFileStatus(p).getModificationTime,
+        readMapping(fs, p).size, readTxnsOf(fs, p).size)
+    }
+  }
+
   /** The newest committed version number — the cursor a change-feed
     * consumer checkpoints against.
     */

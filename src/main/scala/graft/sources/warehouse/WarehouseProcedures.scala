@@ -39,7 +39,8 @@ import graft.io.Warehouse
   */
 object WarehouseProcedures {
 
-  val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain")
+  val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain",
+    "history")
 
   def byName(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -47,6 +48,7 @@ object WarehouseProcedures {
       case "vacuum"   => Some(VacuumProcedure)
       case "restore"  => Some(RestoreProcedure)
       case "maintain" => Some(MaintainProcedure)
+      case "history"  => Some(HistoryProcedure)
       case _          => None
     }
 
@@ -65,10 +67,34 @@ object WarehouseProcedures {
     Option(input.getUTF8String(i)).map(_.toString).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** The `table` argument: an absolute warehouse path, or a NAMED
+    * catalog identifier (`db.name`) resolved through the `_catalog`
+    * entries under the session's configured warehouseRoot — so
+    * maintenance addresses tables the same two ways reads do.
+    */
   private def pathArg(input: InternalRow): String = {
     val p = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
-    require(p.nonEmpty, "procedure needs table => '<warehouse path>'")
-    p
+    require(p.nonEmpty,
+      "procedure needs table => '<warehouse path>' or '<db.name>'")
+    if (p.startsWith("/")) p
+    else {
+      val spark = SparkSession.active
+      val root = spark.conf.getOption("spark.sql.catalog.graft.warehouseRoot")
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$p' looks like a named table but no " +
+            "spark.sql.catalog.graft.warehouseRoot is configured - pass an " +
+            "absolute path or configure the named catalog"))
+      val entry = new org.apache.hadoop.fs.Path(s"$root/_catalog/$p")
+      val fs = entry.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(entry), s"no catalog entry for table '$p'")
+      val in = fs.open(entry)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
+        finally in.close()
+      lines.find(_.startsWith("path\t")).map(_.split("\t", 2)(1))
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt catalog entry for '$p'"))
+    }
   }
 
   private abstract class WarehouseProcedure extends UnboundProcedure
@@ -143,6 +169,38 @@ object WarehouseProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       result(out, Warehouse.restore(spark, pathArg(input), input.getLong(1)))
+    }
+  }
+
+  /** `DESCRIBE HISTORY` as a procedure: one row per retained commit,
+    * newest first — version, committed-at (epoch ms), live partition
+    * count, txn-record count. Metadata-only (one manifest read per
+    * commit, bounded by the vacuum retention).
+    */
+  private object HistoryProcedure extends WarehouseProcedure {
+    override def name: String = "history"
+    override def description: String =
+      "the table's retained commits, newest first (metadata-only)"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    private val out = StructType(Seq(
+      StructField("version", LongType),
+      StructField("committed_at_ms", LongType),
+      StructField("live_partitions", IntegerType),
+      StructField("txn_records", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val commits: Array[InternalRow] =
+        Warehouse.history(spark, pathArg(input)).map {
+          case (v, ts, parts, txns) =>
+            new GenericInternalRow(
+              Array[Any](v, ts, parts, txns)): InternalRow
+        }.toArray
+      val schema = out
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = commits
+        override def readSchema(): StructType = schema
+      }).iterator()
     }
   }
 

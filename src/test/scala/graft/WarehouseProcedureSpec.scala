@@ -103,6 +103,40 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     assert(due.getAs[Long]("version") == 6L)
   }
 
+  test("CALL history lists retained commits newest-first with partition and txn counts") {
+    val path = fragmentedTable()
+    Warehouse.mergeInto(spark, path,
+      Seq((1L, 99L, "n1b", 2L, "d1")).toDF("k", "v", "name", "ver", "part"),
+      "k", "ver", "part")
+    val rows = spark.sql(s"CALL graft.system.history(table => '$path')")
+      .collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L),
+      "newest first")
+    assert(rows.forall(_.getAs[Int]("live_partitions") == 2))
+    assert(rows.forall(r => r.getAs[Long]("committed_at_ms") > 0L))
+    // vacuum shrinks the history the procedure reports
+    spark.sql(s"CALL graft.system.vacuum(table => '$path')").collect()
+    assert(spark.sql(s"CALL graft.system.history(table => '$path')")
+      .count() == 1L)
+  }
+
+  test("procedures resolve NAMED catalog identifiers like reads do") {
+    val name = s"proc_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE graft.db.$name PARTITIONED BY (part) AS " +
+      "SELECT id AS k, CAST(id % 2 AS STRING) AS part FROM range(100)")
+    val hist = spark.sql(s"CALL graft.system.history(table => 'db.$name')")
+      .collect()
+    assert(hist.length == 1 && hist.head.getAs[Long]("version") == 1L)
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft.system.history(table => 'db.no_such_table')")
+        .collect()
+    }
+    def fullMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    assert(fullMessage(bad).contains("no catalog entry"))
+  }
+
   test("unknown procedures and wrong namespaces fail loudly; SHOW PROCEDURES lists the plane") {
     def fullMessage(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
