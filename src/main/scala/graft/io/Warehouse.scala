@@ -782,6 +782,18 @@ object Warehouse {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   pred: org.apache.spark.sql.Column,
+                  maxAttempts: Int = 5): Long =
+    deleteWhereBounded(spark, path, pred, Map.empty, maxAttempts)
+
+  /** [[deleteWhere]] with pruning BOUNDS for the touched-partition
+    * DISCOVERY scan — same contract as [[updateWhereBounded]]: the
+    * SQL layer's pushed-filter bounds route through the stats/bloom
+    * sidecars, so a point delete discovers its partitions from ~the
+    * carrying files, not the table; superset-safe, touched set exact.
+    */
+  private[graft] def deleteWhereBounded(spark: SparkSession, path: String,
+                  pred: org.apache.spark.sql.Column,
+                  bounds: Map[String, Bound],
                   maxAttempts: Int = 5): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
@@ -791,7 +803,8 @@ object Warehouse {
         throw new IllegalStateException(s"no committed version under $path"))
       if (mapping.isEmpty) return 0L
       val partCols = partColsOf(mapping)
-      val touchedKeys = partKeysOf(read(spark, path).filter(pred), partCols).toSet
+      val touchedKeys = partKeysOf(
+        readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
       val touchedRows = readMapped(spark, path, touched, partCols)
@@ -839,7 +852,24 @@ object Warehouse {
     */
   def updateWhere(spark: SparkSession, path: String,
                   assignments: Seq[(String, Column)],
-                  pred: Column, maxAttempts: Int = 5): Long = {
+                  pred: Column, maxAttempts: Int = 5): Long =
+    updateWhereBounded(spark, path, assignments, pred, Map.empty, maxAttempts)
+
+  /** [[updateWhere]] with pruning BOUNDS for the touched-partition
+    * DISCOVERY scan: the bounds (extracted from the SQL predicate by
+    * the DML rule, or built by an API caller) route through the
+    * `_stats`/`_bloom` sidecars exactly like a pushed read filter, so
+    * `UPDATE … WHERE id = x` on a compacted table discovers its
+    * touched partitions by opening ~the files that can carry the id
+    * instead of scanning the table. Pruning yields a SUPERSET of the
+    * matching files (a partition whose every file is proven empty of
+    * matches genuinely has none), so the touched set is exact; the
+    * rewrite itself is unchanged.
+    */
+  private[graft] def updateWhereBounded(spark: SparkSession, path: String,
+                  assignments: Seq[(String, Column)],
+                  pred: Column, bounds: Map[String, Bound],
+                  maxAttempts: Int = 5): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     val fs = fsOf(spark, path)
@@ -855,7 +885,8 @@ object Warehouse {
             "are immutable; express a partition move as DELETE + INSERT " +
             "(or a merge with a tombstone + fresh row)")
       }
-      val touchedKeys = partKeysOf(read(spark, path).filter(pred), partCols).toSet
+      val touchedKeys = partKeysOf(
+        readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
       val touchedRows = readMapped(spark, path, touched, partCols)

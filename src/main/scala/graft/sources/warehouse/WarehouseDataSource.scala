@@ -419,6 +419,18 @@ object WarehouseDataSource {
     }
   }
 
+  /** SQL `UPDATE`'s execution entry
+    * ([[org.apache.spark.sql.graft.UpdateWarehouseCommand]]): the
+    * statement's pushable conjuncts become stats/bloom pruning bounds
+    * for the touched-partition discovery scan
+    * ([[Warehouse.updateWhereBounded]]).
+    */
+  def updateWhereSkipping(spark: SparkSession, path: String,
+      assignments: Seq[(String, Column)], pred: Column,
+      filters: Seq[Filter]): Long =
+    Warehouse.updateWhereBounded(spark, path, assignments, pred,
+      boundsOf(filters))
+
   /** DSv1 `Filter` → pruning [[Warehouse.Bound]]s, per column: the
     * conjunction of every pushed range/equality predicate. Strict
     * comparisons use their inclusive superset — pruning only needs a
@@ -677,8 +689,12 @@ class WarehouseTable(tableSchema: StructType,
             throw new IllegalArgumentException(
               s"graft-warehouse DELETE cannot evaluate filter $f")))
         val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
-        graft.io.Warehouse.deleteWhere(
-          SparkSession.active, conf.path, pred): Unit
+        // the same filters drive file skipping in the touched-partition
+        // DISCOVERY scan (stats/bloom sidecars) — a point delete on a
+        // compacted table discovers from ~the carrying files
+        graft.io.Warehouse.deleteWhereBounded(
+          SparkSession.active, conf.path, pred,
+          WarehouseDataSource.boundsOf(filters.toIndexedSeq)): Unit
     }
 }
 

@@ -52,7 +52,34 @@ import graft.sources.warehouse.WarehouseTable
   * Delta's does: [[LeafRunnableCommand]] and `Dataset.ofRows` are
   * package-private extension seams.
   */
-class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  /** The predicate's pushable conjuncts as DSv1 [[Filter]]s, computed
+    * at analysis time: the command hands them to the warehouse's
+    * stats/bloom file skipping for the touched-partition DISCOVERY
+    * scan, so `UPDATE … WHERE id = x` on a compacted table discovers
+    * from ~the files that can carry the id instead of scanning the
+    * table. Untranslatable conjuncts just drop from the pruning set —
+    * pruning is a superset filter, the full predicate still decides
+    * every row.
+    */
+  private def pruningFilters(condition: Option[Expression]):
+      Seq[org.apache.spark.sql.sources.Filter] =
+    condition.toSeq.flatMap(splitConjunctivePredicates).flatMap { e =>
+      // analysis-time expressions carry unfolded literal casts
+      // (`id = CAST(2 AS BIGINT)`) that the Filter translation does
+      // not see through — fold constants first (the optimizer would
+      // have, but this runs before it)
+      val folded = e.transformUp {
+        case x if x.foldable && !x.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Literal] =>
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(x.eval(null), x.dataType)
+      }
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(folded, supportNestedPredicatePushdown = false)
+    }
 
   private def warehouseOf(plan: LogicalPlan): Option[(String, DataSourceV2Relation)] = {
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
@@ -117,7 +144,8 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Assignment(key, value) if !isIdentity(key, value) =>
           nameOf(key) -> byName(value)
       }
-      UpdateWarehouseCommand(path, assigns, condition.map(byName))
+      UpdateWarehouseCommand(path, assigns, condition.map(byName),
+        pruningFilters(condition))
 
     case m @ MergeIntoTable(target, source, cond, matchedActions,
         notMatchedActions, notMatchedBySource, withSchemaEvolution)
@@ -275,15 +303,17 @@ class WarehouseStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * pass and reports the SQL-standard affected-row count.
   */
 case class UpdateWarehouseCommand(path: String,
-    assignments: Seq[(String, Column)], condition: Option[Column])
+    assignments: Seq[(String, Column)], condition: Option[Column],
+    pruning: Seq[org.apache.spark.sql.sources.Filter])
     extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
     Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val n = Warehouse.updateWhere(spark, path, assignments,
-      condition.getOrElse(org.apache.spark.sql.functions.lit(true)))
+    val n = graft.sources.warehouse.WarehouseDataSource.updateWhereSkipping(
+      spark, path, assignments,
+      condition.getOrElse(org.apache.spark.sql.functions.lit(true)), pruning)
     Seq(Row(n))
   }
 }

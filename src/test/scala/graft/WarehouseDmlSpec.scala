@@ -258,6 +258,25 @@ class WarehouseDmlSpec extends AnyFunSuite {
     assert(e != null)
   }
 
+  test("UPDATE translates its pushable conjuncts into discovery pruning filters at analysis time") {
+    val path = freshDir()
+    seed(path)
+    val plan = spark.sessionState.analyzer.execute(
+      spark.sessionState.sqlParser.parsePlan(
+        s"UPDATE graft.`$path` SET v = 'p' WHERE id = 2 AND length(v) > 0"))
+    val cmd = plan.collectFirst {
+      case c: org.apache.spark.sql.graft.UpdateWarehouseCommand => c
+    }.getOrElse(fail(s"expected UpdateWarehouseCommand, got:\n$plan"))
+    // the equality conjunct prunes (routes into the stats/bloom
+    // sidecars); the length() conjunct is untranslatable and simply
+    // drops from the pruning set — the full predicate still decides
+    // every row
+    assert(cmd.pruning.exists {
+      case org.apache.spark.sql.sources.EqualTo("id", v) => v == 2
+      case _ => false
+    }, s"expected an EqualTo(id, 2) pruning filter, got ${cmd.pruning}")
+  }
+
   test("MERGE matched-only against a partition that does not exist is a no-op (no commit)") {
     val path = freshDir()
     seed(path)
