@@ -1389,9 +1389,13 @@ object Warehouse {
     * `matched` is the ordered WHEN MATCHED clause list — `(condition,
     * Some(assignments))` for UPDATE arms, `(condition, None)` for
     * DELETE arms; `notMatched` the optional WHEN NOT MATCHED INSERT
-    * clause. Every [[Column]] here (conditions, assignment values,
-    * `sourceKey`) evaluates over the SOURCE frame alone — the shape
-    * CDC merges take (`WHEN MATCHED AND s.op = 'D' THEN DELETE`);
+    * clause. The ON condition arrives decomposed: one target key
+    * column per source key expression — COMPOSITE keys are the
+    * conjunction (`ON t.k1 = s.a AND t.k2 = s.b`), matching null-free
+    * like SQL equality. Every [[Column]] here (conditions, assignment
+    * values, `sourceKeys`) evaluates over the SOURCE frame alone —
+    * the shape CDC merges take (`WHEN MATCHED AND s.op = 'D' THEN
+    * DELETE`);
     * conditions over target columns belong to the merge API's
     * version algebra. Unassigned columns keep the target row's value
     * (UPDATE) or land NULL (INSERT).
@@ -1417,13 +1421,17 @@ object Warehouse {
     * refusals and the no-op.
     */
   def mergeStatement(spark: SparkSession, path: String, source: DataFrame,
-      targetKey: String, sourceKey: Column,
+      targetKeys: Seq[String], sourceKeys: Seq[Column],
       matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
       notMatched: Option[(Option[Column], Seq[(String, Column)])],
       maxAttempts: Int = 5): Unit = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MERGE needs at least one WHEN clause")
+    require(targetKeys.nonEmpty && targetKeys.length == sourceKeys.length,
+      "MERGE needs one source key expression per target key column")
+    require(targetKeys.distinct == targetKeys,
+      s"MERGE ON names a target key column twice: ${targetKeys.mkString(", ")}")
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
@@ -1437,8 +1445,8 @@ object Warehouse {
         s"MERGE source must carry partition column '$c' - a change row " +
           "names the partition it belongs to (the mergeInto contract)"))
       val tblSchema = read(spark, path).schema
-      require(tblSchema.fieldNames.contains(targetKey),
-        s"MERGE key '$targetKey' is not a column of the table at $path")
+      targetKeys.foreach(k => require(tblSchema.fieldNames.contains(k),
+        s"MERGE key '$k' is not a column of the table at $path"))
       val allAssigned = matched.flatMap(_._2.getOrElse(Nil)).map(_._1) ++
         notMatched.toSeq.flatMap(_._2.map(_._1))
       allAssigned.foreach(c => require(tblSchema.fieldNames.contains(c),
@@ -1453,9 +1461,10 @@ object Warehouse {
       // evaluate every clause's expressions over the source ONCE; the
       // computed columns carry unique names so the join below is
       // unambiguous whatever the source's own columns are called
-      val K = "_gm_key"
-      var src = source.withColumn(K, sourceKey)
-        .withColumn("_gm_m", lit(true))
+      val keyCols = sourceKeys.indices.map(i => s"_gm_key$i")
+      var src = sourceKeys.zip(keyCols).foldLeft(source) {
+        case (d, (k, n)) => d.withColumn(n, k)
+      }.withColumn("_gm_m", lit(true))
       matched.zipWithIndex.foreach { case ((cond, assigns), i) =>
         src = src.withColumn(s"_gm_c$i",
           coalesce(cond.getOrElse(lit(true)), lit(false)))
@@ -1474,7 +1483,7 @@ object Warehouse {
       // the merge is ambiguous — one bounded aggregation over the
       // (change-sized) source, never the table
       if (matched.nonEmpty) {
-        val dup = src.groupBy(col(K)).count()
+        val dup = src.groupBy(keyCols.map(col): _*).count()
           .filter(col("count") > 1).limit(1).count()
         require(dup == 0L,
           "MERGE source carries duplicate join keys - a target row may " +
@@ -1491,8 +1500,10 @@ object Warehouse {
         }
         chain.otherwise(lit(-1))
       }
+      def keyCond(base: DataFrame) = targetKeys.zip(keyCols)
+        .map { case (tk, kc) => base(tk) === src(kc) }.reduce(_ && _)
       val survivors = base0.map { base =>
-        val joined = base.join(src, base(targetKey) === src(K), "left")
+        val joined = base.join(src, keyCond(base), "left")
           .withColumn("_gm_act", act)
         val deleteIdx = matched.zipWithIndex.collect {
           case ((_, None), i) => i
@@ -1533,8 +1544,12 @@ object Warehouse {
         val assignedCols = assigns.map(_._1).toSet
         val anti = base0 match {
           case Some(base) =>
-            src.join(base.select(col(targetKey).as("_gm_tk")),
-              src(K) === col("_gm_tk"), "left_anti")
+            val tks = targetKeys.zipWithIndex.map { case (tk, i) =>
+              col(tk).as(s"_gm_tk$i") }
+            val cond = keyCols.zipWithIndex
+              .map { case (kc, i) => src(kc) === col(s"_gm_tk$i") }
+              .reduce(_ && _)
+            src.join(base.select(tks: _*), cond, "left_anti")
           case None => src
         }
         anti.filter(col("_gm_ic")).select(

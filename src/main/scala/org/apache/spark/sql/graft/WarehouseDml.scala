@@ -160,21 +160,23 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
           "happens through widening merge batches (Warehouse.mergeInto)")
       val targetAttrs = AttributeSet(relation.output)
       val sourceAttrs = AttributeSet(source.output)
-      // the ON condition must pin one target key column to one
-      // source-side expression — the keyed-merge shape every verified
-      // warehouse write path shares
-      val (targetKey, sourceKey) = cond match {
-        case EqualTo(l: AttributeReference, r)
-            if targetAttrs.contains(l) && r.references.subsetOf(sourceAttrs) =>
-          (l.name, ExpressionUtils.column(r))
-        case EqualTo(l, r: AttributeReference)
-            if targetAttrs.contains(r) && l.references.subsetOf(sourceAttrs) =>
-          (r.name, ExpressionUtils.column(l))
-        case other => throw new UnsupportedOperationException(
-          s"graft-warehouse MERGE needs ON <target key column> = <source " +
-            s"expression> (got $other) - composite or non-equi merge " +
-            "conditions belong to the merge API")
-      }
+      // the ON condition must be a conjunction of equalities, each
+      // pinning one target key column to one source-side expression —
+      // single or COMPOSITE keys, the keyed-merge shape every
+      // verified warehouse write path shares
+      val keyPairs: Seq[(String, Column)] =
+        splitConjunctivePredicates(cond).map {
+          case EqualTo(l: AttributeReference, r)
+              if targetAttrs.contains(l) && r.references.subsetOf(sourceAttrs) =>
+            (l.name, ExpressionUtils.column(r))
+          case EqualTo(l, r: AttributeReference)
+              if targetAttrs.contains(r) && l.references.subsetOf(sourceAttrs) =>
+            (r.name, ExpressionUtils.column(l))
+          case other => throw new UnsupportedOperationException(
+            s"graft-warehouse MERGE needs ON <target key column> = <source " +
+              s"expression> [AND …] (got $other) - non-equi merge " +
+              "conditions belong to the merge API")
+        }
       def srcCond(c: Option[Expression], what: String): Option[Column] =
         c.map(sourceOnly(_, sourceAttrs, what))
       def srcAssigns(as: Seq[Assignment], what: String): Seq[(String, Column)] =
@@ -216,8 +218,8 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
           "graft-warehouse MERGE supports one WHEN NOT MATCHED clause, " +
             s"got ${other.length}")
       }
-      MergeWarehouseCommand(path, source, targetKey, sourceKey,
-        matched, notMatched)
+      MergeWarehouseCommand(path, source, keyPairs.map(_._1),
+        keyPairs.map(_._2), matched, notMatched)
 
     case _ => plan
   }
@@ -324,7 +326,7 @@ case class UpdateWarehouseCommand(path: String,
   * against it by attribute identity.
   */
 case class MergeWarehouseCommand(path: String, source: LogicalPlan,
-    targetKey: String, sourceKey: Column,
+    targetKeys: Seq[String], sourceKeys: Seq[Column],
     matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
     notMatched: Option[(Option[Column], Seq[(String, Column)])])
     extends LeafRunnableCommand {
@@ -333,7 +335,7 @@ case class MergeWarehouseCommand(path: String, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = CDataset.ofRows(spark.asInstanceOf[CSparkSession], source)
-    Warehouse.mergeStatement(spark, path, src, targetKey, sourceKey,
+    Warehouse.mergeStatement(spark, path, src, targetKeys, sourceKeys,
       matched, notMatched)
     Seq.empty
   }

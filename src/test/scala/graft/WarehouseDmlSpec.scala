@@ -160,6 +160,27 @@ class WarehouseDmlSpec extends AnyFunSuite {
       (3L, Some(2L), "z"), (5L, None, "fresh")))
   }
 
+  test("MERGE with a COMPOSITE ON key matches on the conjunction") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "v1", "a"), (1L, "y", "v2", "a"), (2L, "x", "v3", "b"))
+        .toDF("k1", "k2", "v", "dt"), "dt")
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), 'y', 'upd', 'a'),
+         |  (CAST(1 AS BIGINT), 'z', 'new', 'a')
+         |  AS s(k1, k2, v, dt)) s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("k1", "k2")
+      .select("k1", "k2", "v").as[(Long, String, String)].collect().toSeq
+    // only (1,y) matched — (1,x) must survive untouched, (1,z) inserts
+    assert(rows == Seq((1L, "x", "v1"), (1L, "y", "upd"),
+      (1L, "z", "new"), (2L, "x", "v3")))
+  }
+
   test("MERGE cardinality rule: duplicate source keys fail loudly") {
     val path = freshDir()
     seed(path)
