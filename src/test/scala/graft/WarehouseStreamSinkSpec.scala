@@ -51,6 +51,30 @@ class WarehouseStreamSinkSpec extends AnyFunSuite {
       "a restarted query must not re-apply committed batches")
   }
 
+  test("an EMPTY Complete-mode batch cannot truncate the table; the sink skips and later batches apply") {
+    // advisor r15 (medium): an empty aggregate micro-batch under
+    // OutputMode.Complete used to commit an EMPTY static overwrite,
+    // bricking the table (read/append/overwrite all then refuse) and
+    // crash-looping the query. The overwrite path now refuses empty
+    // batches with the typed EmptyBatchException and the sink
+    // tolerates it — table state unchanged, cursor advances later.
+    val path = freshTable(Seq((1L, "base", 1L, "d1")))
+    val sink = new WarehouseStreamSink(path,
+      Map("txnAppId" -> "appC"), OutputMode.Complete())
+    val v0 = Warehouse.currentVersion(spark, path)
+    sink.addBatch(0L,
+      Seq.empty[(Long, String, Long, String)].toDF("k", "name", "ver", "part"))
+    assert(Warehouse.currentVersion(spark, path) == v0,
+      "an empty Complete batch must commit nothing")
+    assert(Warehouse.read(spark, path).count() == 1,
+      "the table must keep serving its rows")
+    // the next non-empty Complete batch replaces the table normally
+    sink.addBatch(1L,
+      Seq((9L, "agg", 1L, "d1")).toDF("k", "name", "ver", "part"))
+    assert(Warehouse.read(spark, path).select("k").as[Long].collect().toSeq
+      == Seq(9L))
+  }
+
   test("a replayed addBatch is a no-op; later batches still apply") {
     val path = freshTable(Seq((1L, "base", 1L, "d1")))
     val sink = new WarehouseStreamSink(path,
