@@ -1186,6 +1186,47 @@ object WarehouseQueries {
              |FROM events
              |ORDER BY event_id""".stripMargin)),
 
+    // SQL23 — MERGE INTO with the DELETE arm: the full three-arm CDC
+    // statement (WHEN MATCHED AND s.is_del THEN DELETE / WHEN MATCHED
+    // THEN UPDATE SET * — clause order decides, tombstones ride the
+    // same source frame as updates, GDPR erasure through plain SQL).
+    // Same change set and same oracle as m2 (the API merge with the
+    // tombstone column) — the statement and API delete planes must
+    // agree on the end state.
+    Q("sql23_merge_delete",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql23wh", "graft_sql23wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val dels = ev.filter(col("event_id") % 31 === 7)
+            .withColumn("is_del", lit(true))
+          val ups = ev.filter(col("event_id") % 29 === 11 &&
+              col("event_id") % 31 =!= 7)
+            .withColumn("user_id", col("user_id") + 2000000L)
+            .withColumn("is_del", lit(false))
+          dels.unionByName(ups)
+            .withColumn("version", col("version") + 1L)
+            .createOrReplaceTempView("graft_sql23_changes")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql23_changes s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED AND s.is_del THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET *""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 29 = 11 THEN user_id + 2000000
+             |       ELSE user_id END AS user_id,
+             |  event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id % 31 <> 7
+             |ORDER BY event_id""".stripMargin)),
+
     // SQL22 — NAMED-table addressing: the catalog's identifier plane
     // (CREATE TABLE graft.bench.<name> … AS SELECT registers
     // identifier → managed path + layout, CTAS writes version 1, and
