@@ -33,6 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [[org.apache.spark.sql.graft.WarehouseDmlRule]].
     ext.injectPostHocResolutionRule(session =>
       new org.apache.spark.sql.graft.WarehouseDmlRule(session))
+    // CBO statistics + cost-based join ordering for warehouse
+    // relations: the PRE-CBO seam runs after operator optimization
+    // and before the scan-pushdown batch hides V1-bridge statistics,
+    // which is the one window where relations still expose ANALYZE'd
+    // column stats — the rule rewraps them and runs the cost-based
+    // reorder right there (Spark's own Join Reorder batch sits after
+    // pushdown and is stat-blind for every V1-bridge connector).
+    // No-op unless spark.sql.cbo.enabled — see
+    // [[org.apache.spark.sql.graft.WarehouseCboStatsRule]].
+    ext.injectPreCBORule(session =>
+      new org.apache.spark.sql.graft.WarehouseCboStatsRule(session))
     // NOTE: the statistics-restoring WarehouseStatsRule cannot be
     // injected here — every SparkSessionExtensions optimizer seam
     // (operator-optimization, pre-CBO) runs BEFORE the scan-pushdown

@@ -178,12 +178,69 @@ object Warehouse {
     */
   private val TxnPrefix = "#txn"
 
-  private def readMapping(fs: FileSystem, p: HPath): Map[String, String] =
-    readSmallFile(fs, p).split("\n")
+  private def parseMapping(content: String): Map[String, String] =
+    content.split("\n")
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(part, batch) = line.split("\t", 2)
         part -> batch
       }.toMap
+
+  private def readMapping(fs: FileSystem, p: HPath): Map[String, String] =
+    parseMapping(readSmallFile(fs, p))
+
+  /** Manifest TXN-PENDING header: `#txnpending\t<marker path>` — the
+    * manifest was STAGED by a cross-table transaction
+    * ([[transactAppend]]) and is VISIBLE only once the marker file it
+    * names exists with content `committed`. The version slot is
+    * claimed through the same single commit primitive as every normal
+    * commit (so no fork is possible); only visibility is deferred to
+    * the marker — ONE create-exclusive flip that publishes every
+    * staged table at the same instant.
+    */
+  private val PendingPrefix = "#txnpending"
+
+  private def pendingMarkerOf(content: String): Option[String] =
+    content.split("\n").headOption
+      .filter(_.startsWith(s"$PendingPrefix\t")).map(_.split("\t", 2)(1))
+
+  private def markerCommitted(fs: FileSystem, marker: String): Boolean =
+    try {
+      val mp = new HPath(marker)
+      fs.exists(mp) && readSmallFile(fs, mp).trim == "committed"
+    } catch { case _: java.io.IOException => false }
+
+  private def contentVisible(fs: FileSystem, content: String): Boolean =
+    pendingMarkerOf(content) match {
+      case None => true
+      case Some(m) => markerCommitted(fs, m)
+    }
+
+  private def visible(fs: FileSystem, p: HPath): Boolean =
+    contentVisible(fs, readSmallFile(fs, p))
+
+  /** Invisible (staged-uncommitted / aborted) manifests only ever form
+    * a contiguous TOP segment of the version sequence — a later commit
+    * cannot land above one because its claim of that version number
+    * fails loudly — so resolution is a walk down from the max until
+    * the first visible manifest, one small-file read per step and
+    * exactly one in the txn-free common case.
+    */
+  private def newestVisible(fs: FileSystem,
+                            path: String): Option[(Long, HPath, String)] =
+    listVersions(fs, path).sortBy(-_._1).iterator
+      .map { case (n, p) => (n, p, readSmallFile(fs, p)) }
+      .find { case (_, _, c) => contentVisible(fs, c) }
+
+  /** The mapping of exactly version `n`, or None when `n` was never
+    * committed OR is staged by an uncommitted/aborted transaction.
+    */
+  private def visibleMappingAt(fs: FileSystem, path: String,
+                               n: Long): Option[Map[String, String]] =
+    listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+      .flatMap { p =>
+        val c = readSmallFile(fs, p)
+        if (contentVisible(fs, c)) Some(parseMapping(c)) else None
+      }
 
   /** The txn records of one committed manifest file. */
   private def readTxnsOf(fs: FileSystem, p: HPath): Map[String, Long] =
@@ -199,20 +256,18 @@ object Warehouse {
     */
   def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
     val fs = fsOf(spark, path)
-    val versions = listVersions(fs, path)
-    if (versions.isEmpty) None
-    else readTxnsOf(fs, versions.maxBy(_._1)._2).get(appId)
-  }
-
-  /** (version number, partKey → chain) of the newest commit. */
-  private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] = {
-    val versions = listVersions(fs, path)
-    if (versions.isEmpty) None
-    else {
-      val (n, p) = versions.maxBy(_._1)
-      Some((n, readMapping(fs, p)))
+    newestVisible(fs, path).flatMap { case (_, p, _) =>
+      readTxnsOf(fs, p).get(appId)
     }
   }
+
+  /** (version number, partKey → chain) of the newest VISIBLE commit —
+    * a manifest staged by an in-flight or aborted cross-table
+    * transaction ([[transactAppend]]) is skipped until its marker
+    * flips to committed.
+    */
+  private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] =
+    newestVisible(fs, path).map { case (n, _, c) => (n, parseMapping(c)) }
 
   /** Hard-link claim for local filesystems: `link(2)` fails EEXIST
     * atomically — no check-then-rename window. Mounts behind
@@ -261,22 +316,51 @@ object Warehouse {
     */
   object ConditionalPutCommit extends CommitPrimitive {
     override def claim(fs: FileSystem, tmp: HPath, target: HPath): Boolean = {
-      val in = fs.open(tmp)
+      // Read the staged manifest FULLY into memory first (manifests
+      // are small driver-side metadata). An object store publishes an
+      // object when its upload COMPLETES — i.e. when the stream is
+      // closed — so a close() reached after a mid-copy read failure
+      // would publish a TRUNCATED manifest that still wins the claim:
+      // later claimers lose to it, and a line-truncated manifest
+      // parses as a valid smaller mapping (silent partition loss).
+      // Buffering the content means the single write-then-close below
+      // either publishes the complete manifest or throws before any
+      // bytes are committed.
+      val bytes = {
+        val in = fs.open(tmp)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          buf.toByteArray
+        } finally in.close()
+      }
+      val out =
+        try fs.create(target, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException =>
+            // HDFS-style create-exclusive signals an existing file as
+            // a plain IOException; re-check before failing the commit
+            if (fs.exists(target)) return false else throw e
+        }
+      var published = false
       try {
-        val out =
-          try fs.create(target, false)
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-              return false
-            case e: java.io.IOException =>
-              // HDFS-style create-exclusive signals an existing file as
-              // a plain IOException; re-check before failing the commit
-              if (fs.exists(target)) return false else throw e
-          }
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        finally out.close()
+        out.write(bytes)
+        out.close()
+        published = true
         true
-      } finally in.close()
+      } finally if (!published) {
+        // the upload failed before the manifest was fully written:
+        // abort instead of publishing — close quietly (may complete a
+        // torn upload on stores without abort), then best-effort
+        // delete the torn object so it can never win the claim, and
+        // let the original failure propagate (the commit is NOT
+        // half-published)
+        try out.close() catch { case _: java.io.IOException => () }
+        try fs.delete(target, false)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -319,7 +403,8 @@ object Warehouse {
     */
   private[graft] def commit(fs: FileSystem, path: String, n: Long,
                             mapping: Map[String, String],
-                            txnUpdate: Map[String, Long] = Map.empty): Unit = {
+                            txnUpdate: Map[String, Long] = Map.empty,
+                            pendingMarker: Option[String] = None): Unit = {
     val vdir = new HPath(s"$path/_versions")
     fs.mkdirs(vdir)
     val prevTxns =
@@ -331,16 +416,32 @@ object Warehouse {
     val tmp = new HPath(vdir, s".tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(
-      (txns.toSeq.sorted.map { case (a, b) => s"$TxnPrefix\t$a\t$b" } ++
+      (pendingMarker.map(m => s"$PendingPrefix\t$m").toSeq ++
+        txns.toSeq.sorted.map { case (a, b) => s"$TxnPrefix\t$a\t$b" } ++
         mapping.toSeq.sorted.map { case (p, b) => s"$p\t$b" })
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = new HPath(vdir, f"v$n%08d")
     val committed = primitiveFor(fs).claim(fs, tmp, target)
     fs.delete(tmp, false): Unit
-    if (!committed)
-      throw new IllegalStateException(
-        s"commit of version $n at $path lost a race - retry the merge")
+    if (!committed) {
+      // the slot may be held by a STAGED manifest of an in-flight (or
+      // crashed) cross-table transaction — snapshot resolution skips
+      // it, so a plain retry would re-claim the same number forever;
+      // fail with the recovery pointer instead of the retry hint
+      val blockedBy =
+        try pendingMarkerOf(readSmallFile(fs, target))
+          .filterNot(m => markerCommitted(fs, m))
+        catch { case _: java.io.IOException => None }
+      throw new IllegalStateException(blockedBy match {
+        case Some(m) =>
+          s"commit of version $n at $path is blocked by an in-flight or " +
+            s"crashed cross-table transaction (marker $m) - let it finish, " +
+            "or Warehouse.abortTransaction(marker, tables) to clean up"
+        case None =>
+          s"commit of version $n at $path lost a race - retry the merge"
+      })
+    }
   }
 
   // ---------------------------------------------------------------
@@ -402,37 +503,113 @@ object Warehouse {
   private def metaPath(path: String) = new HPath(s"$path/_meta")
 
   // ---------------------------------------------------------------
-  // explicit schema overlay (ALTER TABLE ADD COLUMN)
+  // explicit schema overlay (ALTER TABLE ADD / RENAME / DROP COLUMN)
   // ---------------------------------------------------------------
 
   private def schemaPath(path: String) = new HPath(s"$path/_schema")
 
-  /** The table's declared EXTRA columns (`ALTER TABLE … ADD COLUMN`):
-    * (name, type) pairs appended after the stored files' own union
-    * schema. Readers add each one as typed NULL wherever no file
-    * carries it yet — exactly the widening-merge contract (m4), but
-    * declared explicitly instead of implied by a change batch. Once
-    * any batch writes the column, the overlay entry is a no-op for
-    * the rows that have it.
+  /** One `_schema` overlay operation — the table's ORDERED DDL log.
+    * Every op is metadata-only: reads apply the mapping over whatever
+    * the files physically carry, writes land the current logical
+    * names, and the next compaction materializes the log for the
+    * rewritten files (the ops stay — they are no-ops on files that
+    * already carry the logical shape, and still map time-traveled
+    * pre-DDL batches).
     */
-  private def readSchemaOverlay(fs: FileSystem, path: String):
-      Seq[(String, org.apache.spark.sql.types.DataType)] = {
+  private[graft] sealed trait SchemaOp
+  private[graft] final case class AddCol(
+      name: String, dt: org.apache.spark.sql.types.DataType) extends SchemaOp
+  private[graft] final case class RenameCol(
+      from: String, to: String) extends SchemaOp
+  private[graft] final case class DropCol(name: String) extends SchemaOp
+
+  /** The ordered overlay log. Legacy format (round-15 ADD-only files:
+    * `name\tddl` lines) parses as adds; the v2 format is explicit
+    * (`add\tname\tddl` / `rename\tfrom\tto` / `drop\tname` under a
+    * `#v2` header).
+    */
+  private[graft] def readSchemaOverlay(fs: FileSystem,
+                                       path: String): Seq[SchemaOp] = {
     val p = schemaPath(path)
     if (!fs.exists(p)) Nil
-    else readSmallFile(fs, p).split("\n").filter(_.nonEmpty).toSeq.map { l =>
-      val Array(n, ddl) = l.split("\t", 2)
-      n -> org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    else {
+      val lines = readSmallFile(fs, p).split("\n").filter(_.nonEmpty).toSeq
+      if (lines.headOption.contains("#v2"))
+        lines.tail.map(_.split("\t", 3) match {
+          case Array("add", n, ddl) =>
+            AddCol(n, org.apache.spark.sql.types.DataType.fromDDL(ddl))
+          case Array("rename", from, to) => RenameCol(from, to)
+          case Array("drop", n) => DropCol(n)
+          case other => throw new IllegalStateException(
+            s"corrupt _schema overlay line: ${other.mkString("\t")}")
+        })
+      else lines.map { l =>
+        val Array(n, ddl) = l.split("\t", 2)
+        AddCol(n, org.apache.spark.sql.types.DataType.fromDDL(ddl))
+      }
     }
   }
 
-  /** Apply the overlay: any declared column the frame lacks reads as
-    * typed NULL. One small-file metadata read per plan build.
+  private def writeSchemaOverlay(fs: FileSystem, path: String,
+                                 ops: Seq[SchemaOp]): Unit = {
+    val lines = "#v2" +: ops.map {
+      case AddCol(n, t) => s"add\t$n\t${t.sql}"
+      case RenameCol(from, to) => s"rename\t$from\t$to"
+      case DropCol(n) => s"drop\t$n"
+    }
+    val out = fs.create(schemaPath(path), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Names RETIRED by the overlay log — every drop target and every
+    * rename's OLD name. They can never be reused: pre-DDL files still
+    * physically carry them, so a reused name would either resurrect
+    * dropped data or route a rename over fresh values. (Delta solves
+    * this with field IDs; this overlay is deliberately name-level and
+    * refuses instead.)
+    */
+  private def retiredNames(ops: Seq[SchemaOp]): Set[String] =
+    ops.collect { case DropCol(n) => n; case RenameCol(from, _) => from }.toSet
+
+  /** Apply the overlay log IN ORDER: an added column the frame lacks
+    * reads as typed NULL; a renamed column maps old→new (a
+    * mixed-generation frame — pre-rename files carry the old name,
+    * post-rename files the new — coalesces per row, which is exact
+    * because a file carries exactly one generation); a dropped column
+    * leaves the frame (files never rewrite). One small-file metadata
+    * read per plan build.
     */
   private def withOverlay(fs: FileSystem, path: String,
                           df: DataFrame): DataFrame =
-    readSchemaOverlay(fs, path).foldLeft(df) { case (d, (n, t)) =>
-      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+    readSchemaOverlay(fs, path).foldLeft(df) {
+      case (d, AddCol(n, t)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+      case (d, RenameCol(from, to)) =>
+        val hasFrom = d.columns.contains(from)
+        val hasTo = d.columns.contains(to)
+        if (hasFrom && hasTo) d.withColumn(to, coalesce(d(to), d(from))).drop(from)
+        else if (hasFrom) d.withColumnRenamed(from, to)
+        else d
+      case (d, DropCol(n)) =>
+        if (d.columns.contains(n)) d.drop(n) else d
     }
+
+  /** Shared ALTER preconditions; returns (fs, current log, current
+    * logical columns, partition columns, merge-key columns if any).
+    */
+  private def alterContext(spark: SparkSession, path: String): (
+      FileSystem, Seq[SchemaOp], Set[String], Seq[String], Set[String]) = {
+    val fs = fsOf(spark, path)
+    val existing = read(spark, path).columns.toSet
+    val ops = readSchemaOverlay(fs, path)
+    val mapping = snapshot(fs, path).map(_._2).getOrElse(Map.empty)
+    val partCols = if (mapping.isEmpty) Nil else partColsOf(mapping)
+    val metaCols =
+      if (fs.exists(metaPath(path))) { val (k, v) = readMeta(fs, path); Set(k, v) }
+      else Set.empty[String]
+    (fs, ops, existing, partCols, metaCols)
+  }
 
   /** SQL `ALTER TABLE … ADD COLUMN` — declare new nullable columns on
     * the table without touching a single data file: the names and
@@ -440,26 +617,80 @@ object Warehouse {
     * NULL (parquet never rewrites — the same physical contract as a
     * widening merge, m4), and the next merge/append that carries the
     * column stores it physically. Refuses columns that already exist
-    * (stored, declared, or partition). DDL is operator-rare, so the
-    * sidecar is read-modify-write (not versioned) — concurrent DDL on
-    * one table is out of contract, documented like vacuum's.
+    * (stored, declared, or partition) and RETIRED names (dropped, or
+    * the old side of a rename — pre-DDL files still carry them). DDL
+    * is operator-rare, so the sidecar is read-modify-write (not
+    * versioned) — concurrent DDL on one table is out of contract,
+    * documented like vacuum's.
     */
   def addColumns(spark: SparkSession, path: String,
                  cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
     require(cols.nonEmpty, "ALTER TABLE ADD COLUMN needs at least one column")
-    val fs = fsOf(spark, path)
-    val existing = read(spark, path).columns.toSet
-    val declared = readSchemaOverlay(fs, path)
+    val (fs, ops, existing, _, _) = alterContext(spark, path)
+    val retired = retiredNames(ops)
     cols.foreach { case (n, _) =>
-      require(!existing.contains(n) && !declared.exists(_._1 == n),
+      require(!existing.contains(n),
         s"column '$n' already exists on the table at $path")
+      require(!retired.contains(n),
+        s"column name '$n' was dropped or renamed away and cannot be " +
+          s"reused on the table at $path (pre-DDL files still carry it)")
       require(n.nonEmpty && !n.exists("=/\n\t".contains(_)),
         s"invalid column name '$n'")
     }
-    val lines = (declared ++ cols).map { case (n, t) => s"$n\t${t.sql}" }
-    val out = fs.create(schemaPath(path), true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    writeSchemaOverlay(fs, path, ops ++ cols.map { case (n, t) => AddCol(n, t) })
+  }
+
+  /** SQL `ALTER TABLE … RENAME COLUMN` — one metadata write, zero
+    * data files touched: the overlay log maps the old name to the new
+    * one at read time (old batches keep the old physical name until a
+    * compaction materializes it), writes land the new name, and time
+    * travel across the rename shows the CURRENT logical name (the
+    * overlay is table-level DDL state, not versioned history — the
+    * Delta column-mapping behavior). Partition columns and a delta
+    * table's merge key/version columns are immutable (the fold and
+    * the layout depend on them); the new name must be fresh.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Unit = {
+    val (fs, ops, existing, partCols, metaCols) = alterContext(spark, path)
+    require(existing.contains(from),
+      s"column '$from' does not exist on the table at $path")
+    require(!partCols.contains(from),
+      s"cannot rename partition column '$from' - the layout depends on it")
+    require(!metaCols.contains(from),
+      s"cannot rename '$from' - it is a merge key/version column the " +
+        "delta-chain fold depends on")
+    require(!existing.contains(to),
+      s"column '$to' already exists on the table at $path")
+    require(!retiredNames(ops).contains(to),
+      s"column name '$to' was dropped or renamed away and cannot be " +
+        s"reused on the table at $path (pre-DDL files still carry it)")
+    require(to.nonEmpty && !to.exists("=/\n\t".contains(_)),
+      s"invalid column name '$to'")
+    writeSchemaOverlay(fs, path, ops :+ RenameCol(from, to))
+  }
+
+  /** SQL `ALTER TABLE … DROP COLUMN` — one metadata write, zero data
+    * files touched: readers stop serving the column (files keep the
+    * bytes until compaction/vacuum rewrites them), writes no longer
+    * carry it, and the name is RETIRED (never reusable — see
+    * [[addColumns]]). Partition and merge key/version columns refuse.
+    */
+  def dropColumns(spark: SparkSession, path: String,
+                  names: Seq[String]): Unit = {
+    require(names.nonEmpty, "ALTER TABLE DROP COLUMN needs at least one column")
+    val (fs, ops, existing, partCols, metaCols) = alterContext(spark, path)
+    names.foreach { n =>
+      require(existing.contains(n),
+        s"column '$n' does not exist on the table at $path")
+      require(!partCols.contains(n),
+        s"cannot drop partition column '$n' - the layout depends on it")
+      require(!metaCols.contains(n),
+        s"cannot drop '$n' - it is a merge key/version column the " +
+          "delta-chain fold depends on")
+    }
+    require(names.toSet.size == names.size, s"duplicate names: $names")
+    writeSchemaOverlay(fs, path, ops ++ names.map(DropCol(_)))
   }
 
   private def writeMetaIfAbsent(fs: FileSystem, path: String,
@@ -609,6 +840,167 @@ object Warehouse {
     }
   }
 
+  /** CROSS-TABLE ATOMIC COMMIT — the warehouse plane of K4's staged +
+    * single-commit multi-table load (the reference loads four tables
+    * as one unit, `New_Api_Sercom/function_app.py:256`): append each
+    * frame to its table so that EITHER every table exposes its new
+    * version or none does, with no torn window.
+    *
+    * Protocol (spec-pinned in WarehouseTxnSpec):
+    *  1. STAGE — write every table's data batch (unreferenced dirs are
+    *     invisible), then claim each table's next version through the
+    *     SAME single commit primitive every normal commit uses (so no
+    *     version fork is possible), with a `#txnpending <marker>`
+    *     header naming the shared marker file.
+    *  2. FLIP — one create-exclusive write of the marker (content
+    *     `committed`). Readers resolve a pending manifest only when
+    *     its marker says committed, so the flip publishes every table
+    *     at the same instant; before it, every reader sees every
+    *     table's OLD version. A crash before the flip leaves all
+    *     tables old — never a torn set.
+    *
+    * A crashed transaction's stages block later writers of those
+    * version slots LOUDLY (the commit error names the marker);
+    * [[abortTransaction]] recovers: it claims the marker with content
+    * `aborted` through the same create-exclusive primitive — so abort
+    * and flip race to ONE winner — then deletes the dead stages.
+    * Returns the marker path (under the first table's `_txn/`).
+    *
+    * Scale shape: data writes are the same partitioned appends K1
+    * makes; the commit adds one small-file claim per table plus one
+    * marker write — driver metadata, independent of data size. Reads
+    * pay one extra marker check only while a txn commit is the newest
+    * version of a table.
+    */
+  def transactAppend(spark: SparkSession,
+                     tables: Seq[(String, DataFrame)]): String =
+    transactAppendHooked(spark, tables, () => ())
+
+  private[graft] def transactAppendHooked(spark: SparkSession,
+      tables: Seq[(String, DataFrame)], beforeFlip: () => Unit): String = {
+    require(tables.nonEmpty, "transactAppend needs at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "transactAppend lists a table twice")
+    val txnId = java.util.UUID.randomUUID().toString
+    val marker = s"${tables.head._1}/_txn/$txnId"
+    val markerFs = fsOf(spark, tables.head._1)
+    // stage the data batches first (all invisible until the flip)
+    val staged = tables.map { case (path, df) =>
+      val fs = fsOf(spark, path)
+      val mapping0 = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version under $path - create() first"))._2
+      require(mapping0.nonEmpty,
+        s"table at $path has no live partitions - re-create() to repopulate")
+      val partCols = partColsOf(mapping0)
+      require(!fs.exists(metaPath(path)),
+        s"transactAppend appends plain batches - the delta table at $path " +
+          "needs its keyed merge path (append() routes there, but a delta " +
+          "fold cannot stage invisibly across tables yet)")
+      if (partKeysOf(df, partCols).isEmpty)
+        throw new EmptyBatchException(s"empty append batch for $path")
+      val batchId = java.util.UUID.randomUUID().toString
+      df.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(s"$path/data/batch=$batchId")
+      (path, fs, batchId, partDirs(fs, path, batchId, partCols))
+    }
+    // claim each table's next version slot with the pending header;
+    // a lost race to a CONCURRENT NORMAL commit rebases (append
+    // semantics: re-union the written partitions onto the winner's
+    // mapping); a slot held by another transaction's stage fails
+    // loudly through commit()'s blocked-claim error — in which case
+    // THIS transaction self-aborts (marker claimed `aborted`, its own
+    // stages dropped) before rethrowing, so it never leaves blocked
+    // slots behind
+    try staged.foreach { case (path, fs, batchId, written) =>
+      var attempt = 1
+      var done = false
+      while (!done) {
+        val (v, mapping) = snapshot(fs, path).get
+        val newMapping = mapping ++ written.map(key =>
+          key -> (mapping.get(key) match {
+            case Some(chain) => s"$chain,+$batchId"
+            case None        => s"+$batchId"
+          }))
+        try {
+          commit(fs, path, v + 1, newMapping, pendingMarker = Some(marker))
+          done = true
+        } catch {
+          case e: IllegalStateException if e.getMessage != null &&
+              e.getMessage.contains("lost a race") =>
+            if (attempt >= 5) throw e
+            attempt += 1
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        try abortTransaction(spark, marker, tables.map(_._1))
+        catch { case _: Exception => () }
+        throw e
+    }
+    beforeFlip()
+    // the FLIP: one create-exclusive marker write publishes every
+    // staged table atomically; losing the claim means an abort won
+    markerFs.mkdirs(new HPath(s"${tables.head._1}/_txn"))
+    val tmp = new HPath(s"${tables.head._1}/_txn/.tmp_$txnId")
+    val out = markerFs.create(tmp, false)
+    try out.write("committed".getBytes("UTF-8")) finally out.close()
+    val flipped =
+      primitiveFor(markerFs).claim(markerFs, tmp, new HPath(marker))
+    markerFs.delete(tmp, false): Unit
+    if (!flipped) {
+      // aborted concurrently: drop the dead stages so the version
+      // slots free up, then report
+      staged.foreach { case (path, fs, _, _) => dropStagesOf(fs, path, marker) }
+      throw new IllegalStateException(
+        s"transaction $txnId was aborted before its commit marker " +
+          "flipped - no table changed")
+    }
+    marker
+  }
+
+  /** Delete the staged (pending) version manifests of `marker` under
+    * one table — only ever called once the marker can no longer flip
+    * to committed.
+    */
+  private def dropStagesOf(fs: FileSystem, path: String,
+                           marker: String): Unit =
+    listVersions(fs, path).foreach { case (_, p) =>
+      val isStage =
+        try pendingMarkerOf(readSmallFile(fs, p)).contains(marker)
+        catch { case _: java.io.IOException => false }
+      if (isStage) {
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+
+  /** Abort a cross-table transaction that crashed between stage and
+    * flip: claims the marker with content `aborted` through the same
+    * create-exclusive primitive the flip uses — abort and flip race
+    * to exactly one winner — then deletes the dead stages so the
+    * blocked version slots free up. Returns FALSE (and cleans nothing)
+    * when the transaction already committed.
+    */
+  def abortTransaction(spark: SparkSession, marker: String,
+                       tablePaths: Seq[String]): Boolean = {
+    require(tablePaths.nonEmpty, "abortTransaction needs the table list")
+    val fs = fsOf(spark, marker)
+    val mp = new HPath(marker)
+    fs.mkdirs(mp.getParent)
+    val tmp = new HPath(mp.getParent, s".abort_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write("aborted".getBytes("UTF-8")) finally out.close()
+    val claimed = primitiveFor(fs).claim(fs, tmp, mp)
+    fs.delete(tmp, false): Unit
+    if (!claimed && markerCommitted(fs, marker)) return false
+    // marker is now (or already was) aborted: the stages are dead
+    tablePaths.foreach { path =>
+      dropStagesOf(fsOf(spark, path), path, marker)
+    }
+    true
+  }
+
   /** TRUNCATE-AND-RELOAD — the INSERT OVERWRITE (static) plane:
     * replace the table's ENTIRE contents with `df` as version N+1.
     * The new mapping references only the fresh batch; every previous
@@ -695,11 +1087,9 @@ object Warehouse {
     */
   def restore(spark: SparkSession, path: String, n: Long): Long = {
     val fs = fsOf(spark, path)
-    val versions = listVersions(fs, path)
-    val vf = versions.collectFirst { case (v, p) if v == n => p }
+    val mapping = visibleMappingAt(fs, path, n)
       .getOrElse(throw new IllegalStateException(
         s"no committed version $n under $path"))
-    val mapping = readMapping(fs, vf)
     mapping.toSeq.sorted.foreach { case (key, chain) =>
       chainOf(chain).foreach { b =>
         if (!fs.exists(new HPath(s"$path/data/batch=$b/$key")))
@@ -708,7 +1098,7 @@ object Warehouse {
               s"data (batch=$b/$key) - history before the last vacuum is gone")
       }
     }
-    val newest = versions.map(_._1).max
+    val newest = newestVisible(fs, path).map(_._1).getOrElse(n)
     commit(fs, path, newest + 1, mapping)
     newest + 1
   }
@@ -1036,10 +1426,9 @@ object Warehouse {
     */
   def readVersion(spark: SparkSession, path: String, n: Long): DataFrame = {
     val fs = fsOf(spark, path)
-    val vf = listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+    val mapping = visibleMappingAt(fs, path, n)
       .getOrElse(throw new IllegalStateException(
         s"no committed version $n under $path"))
-    val mapping = readMapping(fs, vf)
     require(mapping.nonEmpty, s"version $n of $path has no live partitions")
     mapping.toSeq.sorted.foreach { case (key, chain) =>
       chainOf(chain).foreach { b =>
@@ -1073,7 +1462,18 @@ object Warehouse {
     */
   def vacuum(spark: SparkSession, path: String, minAgeMs: Long = 0L): Int = {
     val fs = fsOf(spark, path)
-    val versions = listVersions(fs, path)
+    val all = listVersions(fs, path)
+      .map { case (v, p) => (v, p, readSmallFile(fs, p)) }
+    require(all.nonEmpty, s"no committed version under $path")
+    // an in-flight (or crashed, or aborted-but-not-yet-cleaned)
+    // transaction stage is NOT history: its data must survive (the
+    // marker may still flip) and its version file is owned by the
+    // transaction protocol (abortTransaction deletes failed stages),
+    // so vacuum neither sweeps against it nor deletes it
+    val (pendingOpen, settled) = all.partition { case (_, _, c) =>
+      pendingMarkerOf(c).exists(m => !markerCommitted(fs, m))
+    }
+    val versions = settled.map { case (v, p, _) => (v, p) }
     require(versions.nonEmpty, s"no committed version under $path")
     val (newest, newestPath) = versions.maxBy(_._1)
     val mapping = readMapping(fs, newestPath)
@@ -1089,9 +1489,11 @@ object Warehouse {
     val retained = versions.filter { case (v, p) =>
       v < newest && fs.getFileStatus(p).getModificationTime > cutoff
     }
+    val protected0 = retained.map { case (_, p) => readMapping(fs, p) } ++
+      pendingOpen.map { case (_, _, c) => parseMapping(c) }
     val live =
-      if (retained.isEmpty) mapping
-      else mapping ++ retained.flatMap { case (_, p) => readMapping(fs, p) }
+      if (protected0.isEmpty) mapping
+      else mapping ++ protected0.flatten
         .groupBy(_._1).map { case (key, kvs) =>
           // keep every chain link any retained version references
           key -> (kvs.map(_._2) ++ mapping.get(key))
@@ -1379,59 +1781,98 @@ object Warehouse {
     * source row applies unconditionally to its target row (no version
     * comparison), WHEN clauses are tried in statement order and the
     * FIRST applicable one acts, and a target row matched by more than
-    * one source row is a loud cardinality error (the standard's
-    * requirement — an arbitrary winner would be a silent wrong
-    * answer). This is the engine behind
-    * [[org.apache.spark.sql.graft.WarehouseDmlRule]]'s `MERGE INTO`
-    * binding; CDC pipelines that DO want stale changes to lose keep
-    * using [[mergeInto]]/[[mergeIntoDelta]].
+    * one APPLICABLE source row is a loud cardinality error (the
+    * standard's requirement — an arbitrary winner would be a silent
+    * wrong answer; duplicate source keys that match NO target row all
+    * land in the insert arm, which the standard allows). This is the
+    * engine behind [[org.apache.spark.sql.graft.WarehouseDmlRule]]'s
+    * `MERGE INTO` binding; CDC pipelines that DO want stale changes
+    * to lose keep using [[mergeInto]]/[[mergeIntoDelta]].
     *
     * `matched` is the ordered WHEN MATCHED clause list — `(condition,
     * Some(assignments))` for UPDATE arms, `(condition, None)` for
     * DELETE arms; `notMatched` the optional WHEN NOT MATCHED INSERT
-    * clause. The ON condition arrives decomposed: one target key
-    * column per source key expression — COMPOSITE keys are the
-    * conjunction (`ON t.k1 = s.a AND t.k2 = s.b`), matching null-free
-    * like SQL equality. Every [[Column]] here (conditions, assignment
-    * values, `sourceKeys`) evaluates over the SOURCE frame alone —
-    * the shape CDC merges take (`WHEN MATCHED AND s.op = 'D' THEN
-    * DELETE`);
-    * conditions over target columns belong to the merge API's
-    * version algebra. Unassigned columns keep the target row's value
-    * (UPDATE) or land NULL (INSERT).
+    * clause; `notMatchedBySource` the ordered WHEN NOT MATCHED BY
+    * SOURCE clause list (same encoding), applied to target rows whose
+    * key no source row carries — full-table reconciliation, so its
+    * presence makes the pass read and rewrite EVERY live partition
+    * (inherently a full-target operation; the per-partition anti-join
+    * still never leaves its partition). The ON condition arrives
+    * decomposed: one target key column per source key expression —
+    * COMPOSITE keys are the conjunction (`ON t.k1 = s.a AND t.k2 =
+    * s.b`), matching null-free like SQL equality.
+    *
+    * Column evaluation frames: assignment values and `sourceKeys`
+    * evaluate over the SOURCE frame alone (the CDC shape). A matched
+    * clause CONDITION may also compare against the stored target row
+    * (`WHEN MATCHED AND s.updated_at > t.updated_at` — the reference's
+    * own CDC guard, `New_Api_Sercom/function_app.py:221`): list its
+    * clause index in `pairLevel` and reference target columns through
+    * the reserved `_gm_t_<name>` form (the SQL rule rebinds
+    * automatically; API callers alias by hand), with the referenced
+    * target names in `targetCondCols` — the pass aliases exactly
+    * those on the base frame before the join, so post-join resolution
+    * is never ambiguous against same-named source columns. `WHEN NOT
+    * MATCHED BY SOURCE` conditions/values reference the TARGET row
+    * only, through the same `_gm_t_<name>` form. Unassigned columns
+    * keep the target row's value (UPDATE) or land NULL (INSERT).
+    *
+    * `schemaEvolution` admits assignments to columns the table does
+    * not have yet (from matched-UPDATE and INSERT clauses only): the
+    * table WIDENS by the new columns — stored rows read them as NULL
+    * until rewritten (the m4 widening contract; readers merge footers)
+    * — and a new column's type is its resolved source type, required
+    * identical across every clause that assigns it. Without the flag,
+    * unknown assigned columns are refused loudly. Columns are never
+    * silently dropped either way.
     *
     * Scale shape — exactly [[mergeInto]]'s copy-on-write contract:
     * the source must carry the table's partition columns (a key's
     * partition values are immutable, so its change row knows them),
-    * the touched-partition set is computed from the source alone,
-    * only those partitions are read (chains folded) and rewritten
-    * under a fresh batch, untouched partitions keep byte-identical
-    * files, and one atomic commit (retried on a lost race by
-    * re-running against the winner's snapshot) publishes the result.
-    * Brand-new partitions named by inserts join the mapping; an
-    * insert whose evaluated partition values land OUTSIDE the
-    * partitions the source named is refused loudly before the commit
-    * (it would silently drop the existing partition's rows), and an
-    * UPDATE assigning a partition column anything but the stored
-    * value (a row MOVE) is refused at execution. The pruning is also
-    * the matching boundary, exactly as for [[mergeInto]]: a source
-    * row that names a partition other than its key's true one
-    * reconciles nothing (the bounded pass never scans the table to
-    * second-guess the contract) — WarehouseDmlSpec pins both the
-    * refusals and the no-op.
+    * the touched-partition set is computed from the source alone
+    * (plus every live partition when reconciling BY SOURCE), only
+    * those partitions are read (chains folded) and rewritten under a
+    * fresh batch, untouched partitions keep byte-identical files, and
+    * one atomic commit (retried on a lost race by re-running against
+    * the winner's snapshot) publishes the result. Brand-new
+    * partitions named by inserts join the mapping; an insert whose
+    * evaluated partition values land OUTSIDE the partitions the
+    * source named is refused loudly before the commit (it would
+    * silently drop the existing partition's rows), and an UPDATE
+    * assigning a partition column anything but the stored value (a
+    * row MOVE) is refused at execution. The pruning is also the
+    * matching boundary, exactly as for [[mergeInto]] — but because a
+    * source row that mis-names its key's true partition would
+    * otherwise INSERT a silent duplicate, the pass cross-checks
+    * insert keys against the untouched partitions' key columns (one
+    * column-pruned scan semi-joined against the broadcast
+    * change-sized key set) and fails loudly on a collision; disable
+    * via `spark.graft.merge.crossPartitionKeyCheck=false` when keys
+    * provably embed their partition. A merge whose DELETE arms would
+    * leave ZERO live partitions is refused ([[EmptyBatchException]])
+    * before the commit — the overwrite guard's rationale: an
+    * accidental full wipe through a tombstone-heavy source must not
+    * brick the table; an intended wipe is `DELETE FROM` (restorable
+    * by design) or `overwrite()`.
     */
   def mergeStatement(spark: SparkSession, path: String, source: DataFrame,
       targetKeys: Seq[String], sourceKeys: Seq[Column],
       matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
       notMatched: Option[(Option[Column], Seq[(String, Column)])],
-      maxAttempts: Int = 5): Unit = {
+      maxAttempts: Int = 5,
+      pairLevel: Set[Int] = Set.empty,
+      targetCondCols: Seq[String] = Nil,
+      notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
+      schemaEvolution: Boolean = false): Unit = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     require(targetKeys.nonEmpty && targetKeys.length == sourceKeys.length,
       "MERGE needs one source key expression per target key column")
     require(targetKeys.distinct == targetKeys,
       s"MERGE ON names a target key column twice: ${targetKeys.mkString(", ")}")
+    pairLevel.foreach(i => require(i >= 0 && i < matched.length,
+      s"pair-level clause index $i out of range (matched clauses: ${matched.length})"))
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
@@ -1447,48 +1888,108 @@ object Warehouse {
       val tblSchema = read(spark, path).schema
       targetKeys.foreach(k => require(tblSchema.fieldNames.contains(k),
         s"MERGE key '$k' is not a column of the table at $path"))
+      targetCondCols.foreach(c => require(tblSchema.fieldNames.contains(c),
+        s"MERGE condition references unknown target column '$c'"))
       val allAssigned = matched.flatMap(_._2.getOrElse(Nil)).map(_._1) ++
-        notMatched.toSeq.flatMap(_._2.map(_._1))
-      allAssigned.foreach(c => require(tblSchema.fieldNames.contains(c),
-        s"MERGE assigns unknown column '$c'"))
-      val touched = partKeysOf(source, partCols)
-      if (touched.isEmpty) return // empty source: SQL MERGE is a no-op
+        notMatched.toSeq.flatMap(_._2.map(_._1)) ++
+        notMatchedBySource.flatMap(_._2.getOrElse(Nil)).map(_._1)
+      val newCols = allAssigned.distinct.filterNot(tblSchema.fieldNames.contains)
+      require(schemaEvolution || newCols.isEmpty,
+        s"MERGE assigns unknown column(s) ${newCols.mkString(", ")} - " +
+          "add WITH SCHEMA EVOLUTION (or Warehouse.addColumns) to widen")
+      notMatchedBySource.flatMap(_._2.getOrElse(Nil)).map(_._1).foreach { c =>
+        require(!partCols.contains(c),
+          s"WHEN NOT MATCHED BY SOURCE cannot assign partition column '$c' " +
+            "- partition values are immutable")
+        require(!newCols.contains(c),
+          s"WHEN NOT MATCHED BY SOURCE cannot introduce new column '$c' - " +
+            "schema evolution takes new columns from the SOURCE side " +
+            "(matched UPDATE / INSERT clauses)")
+      }
+      val reconcile = notMatchedBySource.nonEmpty
+      val sourceTouched = partKeysOf(source, partCols)
+      if (sourceTouched.isEmpty && !reconcile) return // empty source: no-op
+      val touched =
+        if (reconcile) (mapping.keySet ++ sourceTouched).toSeq.sorted
+        else sourceTouched
       val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
       val base0 =
         if (baseMap.isEmpty) None
-        else Some(readMapped(spark, path, baseMap, partCols))
+        else Some {
+          val b = readMapped(spark, path, baseMap, partCols)
+          // alias the target columns that pair-level / BY SOURCE
+          // expressions reference: post-join, a plain name would be
+          // ambiguous against a same-named source column, so those
+          // expressions arrive rebound to the reserved _gm_t_<name>
+          // form and resolve against these aliases only
+          targetCondCols.distinct.foldLeft(b)((d, c) =>
+            d.withColumn(s"_gm_t_$c", d(c)))
+        }
       def typeOf(c: String) = tblSchema.fields.find(_.name == c).get.dataType
-      // evaluate every clause's expressions over the source ONCE; the
-      // computed columns carry unique names so the join below is
+      // evaluate every source-side expression over the source ONCE;
+      // the computed columns carry unique names so the join below is
       // unambiguous whatever the source's own columns are called
       val keyCols = sourceKeys.indices.map(i => s"_gm_key$i")
       var src = sourceKeys.zip(keyCols).foldLeft(source) {
         case (d, (k, n)) => d.withColumn(n, k)
       }.withColumn("_gm_m", lit(true))
       matched.zipWithIndex.foreach { case ((cond, assigns), i) =>
-        src = src.withColumn(s"_gm_c$i",
-          coalesce(cond.getOrElse(lit(true)), lit(false)))
+        // pair-level conditions compare against the stored row, so
+        // they evaluate POST-join (below); source-only ones here
+        if (!pairLevel(i))
+          src = src.withColumn(s"_gm_c$i",
+            coalesce(cond.getOrElse(lit(true)), lit(false)))
         assigns.getOrElse(Nil).foreach { case (c, value) =>
-          src = src.withColumn(s"_gm_u${i}_$c", value.cast(typeOf(c)))
+          src = src.withColumn(s"_gm_u${i}_$c",
+            if (newCols.contains(c)) value else value.cast(typeOf(c)))
         }
       }
       notMatched.foreach { case (cond, assigns) =>
         src = src.withColumn("_gm_ic",
           coalesce(cond.getOrElse(lit(true)), lit(false)))
         assigns.foreach { case (c, value) =>
-          src = src.withColumn(s"_gm_i_$c", value.cast(typeOf(c)))
+          src = src.withColumn(s"_gm_i_$c",
+            if (newCols.contains(c)) value else value.cast(typeOf(c)))
         }
       }
-      // the standard's cardinality rule: one source row per key, or
-      // the merge is ambiguous — one bounded aggregation over the
-      // (change-sized) source, never the table
-      if (matched.nonEmpty) {
-        val dup = src.groupBy(keyCols.map(col): _*).count()
+      // schema evolution: a new column's stored type is its resolved
+      // source type — required identical across every clause that
+      // assigns it (cast explicitly otherwise); old rows read NULL
+      val newFields = newCols.map { c =>
+        val carriers =
+          matched.indices.filter(i =>
+            matched(i)._2.exists(_.exists(_._1 == c)))
+            .map(i => s"_gm_u${i}_$c") ++
+          (if (notMatched.exists(_._2.exists(_._1 == c))) Seq(s"_gm_i_$c")
+           else Nil)
+        val types = carriers.map(n => src.schema(n).dataType).distinct
+        require(types.length == 1,
+          s"schema-evolving MERGE assigns new column '$c' with conflicting " +
+            s"types ${types.mkString(", ")} - cast the values explicitly")
+        org.apache.spark.sql.types.StructField(c, types.head, nullable = true)
+      }
+      val effFields = tblSchema.fields.toIndexedSeq ++ newFields
+      def keyCond(base: DataFrame) = targetKeys.zip(keyCols)
+        .map { case (tk, kc) => base(tk) === src(kc) }.reduce(_ && _)
+      // the standard's cardinality rule: a TARGET row may be matched
+      // by at most one source row — checked on the source keys that
+      // actually join a target row (duplicate keys that all land in
+      // the insert arm are legal), one bounded aggregation over the
+      // change-sized source, never the table
+      if (matched.nonEmpty) base0.foreach { base =>
+        val bkeys = base.select(targetKeys.zipWithIndex.map {
+          case (tk, i) => base(tk).as(s"_gm_tk$i") }: _*)
+        val cond = keyCols.zipWithIndex
+          .map { case (kc, i) => src(kc) === bkeys(s"_gm_tk$i") }
+          .reduce(_ && _)
+        val dup = src.join(bkeys, cond, "left_semi")
+          .groupBy(keyCols.map(col): _*).count()
           .filter(col("count") > 1).limit(1).count()
         require(dup == 0L,
-          "MERGE source carries duplicate join keys - a target row may " +
-            "match at most one source row (SQL cardinality rule); " +
-            "de-duplicate the source (e.g. latest-wins argmax) first")
+          "MERGE source carries duplicate join keys that match a target " +
+            "row - a target row may match at most one source row (SQL " +
+            "cardinality rule); de-duplicate the source (e.g. latest-wins " +
+            "argmax) first")
       }
       // first-applicable-clause index per matched base row; -1 = no
       // clause applies (row passes through unchanged)
@@ -1500,48 +2001,84 @@ object Warehouse {
         }
         chain.otherwise(lit(-1))
       }
-      def keyCond(base: DataFrame) = targetKeys.zip(keyCols)
-        .map { case (tk, kc) => base(tk) === src(kc) }.reduce(_ && _)
       val survivors = base0.map { base =>
-        val joined = base.join(src, keyCond(base), "left")
-          .withColumn("_gm_act", act)
+        var joined = base.join(src, keyCond(base), "left")
+        matched.zipWithIndex.foreach { case ((cond, _), i) =>
+          if (pairLevel(i))
+            joined = joined.withColumn(s"_gm_c$i",
+              coalesce(cond.getOrElse(lit(true)), lit(false)))
+        }
+        notMatchedBySource.zipWithIndex.foreach { case ((cond, assigns), j) =>
+          joined = joined.withColumn(s"_gm_bc$j",
+            coalesce(cond.getOrElse(lit(true)), lit(false)))
+          assigns.getOrElse(Nil).foreach { case (c, value) =>
+            joined = joined.withColumn(s"_gm_b${j}_$c", value.cast(typeOf(c)))
+          }
+        }
+        joined = joined.withColumn("_gm_act", act)
+        // first-applicable BY SOURCE clause for UNMATCHED base rows
+        joined =
+          if (reconcile) {
+            val m = coalesce(col("_gm_m"), lit(false))
+            val bchain = notMatchedBySource.zipWithIndex.foldLeft(
+              when(m, lit(-1))) { case (w, (_, j)) =>
+              w.when(col(s"_gm_bc$j"), lit(j))
+            }
+            joined.withColumn("_gm_bact", bchain.otherwise(lit(-1)))
+          } else joined.withColumn("_gm_bact", lit(-1))
         val deleteIdx = matched.zipWithIndex.collect {
           case ((_, None), i) => i
         }
-        val kept = deleteIdx.foldLeft(joined) { (d, i) =>
-          d.filter(col("_gm_act") =!= lit(i))
+        val bDeleteIdx = notMatchedBySource.zipWithIndex.collect {
+          case ((_, None), j) => j
         }
-        kept.select(tblSchema.fields.toIndexedSeq.map { f =>
+        val kept = bDeleteIdx.foldLeft(
+          deleteIdx.foldLeft(joined) { (d, i) =>
+            d.filter(col("_gm_act") =!= lit(i))
+          }) { (d, j) => d.filter(col("_gm_bact") =!= lit(j)) }
+        kept.select(effFields.map { f =>
+          val stored = tblSchema.fieldNames.contains(f.name)
+          val baseVal =
+            if (stored) base(f.name) else lit(null).cast(f.dataType)
           val overlays = matched.zipWithIndex.collect {
             case ((_, Some(assigns)), i) if assigns.exists(_._1 == f.name) => i
           }
-          if (partCols.contains(f.name))
-            // partition values are IMMUTABLE: an UPDATE assignment to
-            // a partition column (UPDATE SET * carries one naturally)
-            // is admitted only when it equals the stored value — the
-            // row keeps its partition; a real MOVE fails loudly at
-            // execution instead of silently landing rows in a
-            // partition the pass never read
-            overlays.foldLeft(base(f.name)) { (prev, i) =>
-              when(col("_gm_act") === lit(i) &&
-                  !(col(s"_gm_u${i}_${f.name}") <=> base(f.name)),
-                raise_error(concat(
-                  lit(s"MERGE UPDATE moved a row across partition column " +
-                    s"'${f.name}' (stored "), base(f.name).cast("string"),
-                  lit(" vs assigned "),
-                  col(s"_gm_u${i}_${f.name}").cast("string"),
-                  lit(") - partition values are immutable; express a " +
-                    "move as DELETE + INSERT")))).otherwise(prev)
-            }.as(f.name)
-          else
-            overlays.foldLeft(base(f.name)) { (prev, i) =>
-              when(col("_gm_act") === lit(i), col(s"_gm_u${i}_${f.name}"))
-                .otherwise(prev)
-            }.as(f.name)
+          val bOverlays = notMatchedBySource.zipWithIndex.collect {
+            case ((_, Some(assigns)), j) if assigns.exists(_._1 == f.name) => j
+          }
+          val value =
+            if (partCols.contains(f.name))
+              // partition values are IMMUTABLE: an UPDATE assignment to
+              // a partition column (UPDATE SET * carries one naturally)
+              // is admitted only when it equals the stored value — the
+              // row keeps its partition; a real MOVE fails loudly at
+              // execution instead of silently landing rows in a
+              // partition the pass never read
+              overlays.foldLeft(baseVal) { (prev, i) =>
+                when(col("_gm_act") === lit(i) &&
+                    !(col(s"_gm_u${i}_${f.name}") <=> base(f.name)),
+                  raise_error(concat(
+                    lit(s"MERGE UPDATE moved a row across partition column " +
+                      s"'${f.name}' (stored "), base(f.name).cast("string"),
+                    lit(" vs assigned "),
+                    col(s"_gm_u${i}_${f.name}").cast("string"),
+                    lit(") - partition values are immutable; express a " +
+                      "move as DELETE + INSERT")))).otherwise(prev)
+              }
+            else {
+              val afterMatched = overlays.foldLeft(baseVal) { (prev, i) =>
+                when(col("_gm_act") === lit(i), col(s"_gm_u${i}_${f.name}"))
+                  .otherwise(prev)
+              }
+              bOverlays.foldLeft(afterMatched) { (prev, j) =>
+                when(col("_gm_bact") === lit(j), col(s"_gm_b${j}_${f.name}"))
+                  .otherwise(prev)
+              }
+            }
+          value.as(f.name)
         }: _*)
       }
-      val inserts = notMatched.map { case (_, assigns) =>
-        val assignedCols = assigns.map(_._1).toSet
+      val insertRows = notMatched.map { case (_, assigns) =>
         val anti = base0 match {
           case Some(base) =>
             val tks = targetKeys.zipWithIndex.map { case (tk, i) =>
@@ -1552,11 +2089,44 @@ object Warehouse {
             src.join(base.select(tks: _*), cond, "left_anti")
           case None => src
         }
-        anti.filter(col("_gm_ic")).select(
-          tblSchema.fields.toIndexedSeq.map { f =>
-            if (assignedCols(f.name)) col(s"_gm_i_${f.name}").as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
+        (anti.filter(col("_gm_ic")), assigns)
+      }
+      val touchedSet = touched.toSet
+      // CROSS-PARTITION duplicate guard: a source row that mis-names
+      // its key's true partition is not-matched by the pruned join
+      // and would INSERT a silent duplicate key. Check the insert
+      // keys against the UNTOUCHED live partitions' key columns: one
+      // column-pruned scan, semi-joined against the broadcast
+      // change-sized key set — zero shuffle of the big side. Fails
+      // loudly; disable via the conf when keys provably embed their
+      // partition (then this scan is pure cost).
+      val untouchedMap = mapping.filter { case (k, _) => !touchedSet(k) }
+      if (untouchedMap.nonEmpty && insertRows.nonEmpty &&
+          spark.conf.getOption("spark.graft.merge.crossPartitionKeyCheck")
+            .forall(_.toBoolean)) {
+        val insKeys = insertRows.get._1.select(keyCols.map(col): _*)
+        val others = readMapped(spark, path, untouchedMap, partCols)
+          .select(targetKeys.zipWithIndex.map { case (tk, i) =>
+            col(tk).as(s"_gm_ok$i") }: _*)
+        val cond = keyCols.zipWithIndex
+          .map { case (kc, i) => col(s"_gm_ok$i") === col(kc) }
+          .reduce(_ && _)
+        val clash = others.join(broadcast(insKeys), cond, "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          "MERGE would INSERT a key that already exists in a live " +
+            "partition the source did not name - the source's partition " +
+            "columns must carry each key's true partition (the mergeInto " +
+            "contract); fix the source, or set " +
+            "spark.graft.merge.crossPartitionKeyCheck=false to skip this " +
+            "guard when keys provably embed their partition")
+      }
+      val inserts = insertRows.map { case (rows, assigns) =>
+        val assignedCols = assigns.map(_._1).toSet
+        rows.select(effFields.map { f =>
+          if (assignedCols(f.name)) col(s"_gm_i_${f.name}").as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
       }
       // matched-only merge against partitions that don't exist yet:
       // nothing to rewrite, nothing to insert — a no-op, like SQL
@@ -1572,7 +2142,6 @@ object Warehouse {
       // the source's partition columns did not name: that partition's
       // base rows were not read, so mapping it to the fresh batch
       // would drop them
-      val touchedSet = touched.toSet
       val hijacked = written.filterNot(touchedSet).filter(mapping.contains)
       require(hijacked.isEmpty,
         s"MERGE inserts landed in existing partitions the source did not " +
@@ -1580,6 +2149,16 @@ object Warehouse {
           "values' partition columns must equal the source rows' own")
       val newMapping = (mapping -- touchedSet.filterNot(written)) ++
         written.map(_ -> batchId)
+      // the overwrite guard's rationale, extended to the statement
+      // plane (advisor r15): a tombstone-heavy source must not brick
+      // the table into the read/append-refusing empty state by
+      // accident — an intended wipe is DELETE FROM (restorable) or
+      // overwrite()
+      if (newMapping.isEmpty) throw new EmptyBatchException(
+        "MERGE would leave the table with ZERO live partitions (every row " +
+          "deleted) - refusing to commit the empty state; use DELETE FROM " +
+          "for an intended full wipe (restorable via restore()) or " +
+          "overwrite() to replace the table")
       try {
         commit(fs, path, v + 1, newMapping)
         return
@@ -1617,9 +2196,8 @@ object Warehouse {
               keyCol: String): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     val fs = fsOf(spark, path)
-    val byV = listVersions(fs, path).toMap
-    def mappingOf(n: Long) = readMapping(fs, byV.getOrElse(n,
-      throw new IllegalStateException(s"no committed version $n under $path")))
+    def mappingOf(n: Long) = visibleMappingAt(fs, path, n).getOrElse(
+      throw new IllegalStateException(s"no committed version $n under $path"))
     val mapFrom = mappingOf(fromV)
     val mapTo = mappingOf(toV)
     val anyMap = if (mapTo.nonEmpty) mapTo else mapFrom
@@ -1707,13 +2285,13 @@ object Warehouse {
                 fromV: Long = 1L, toV: Option[Long] = None,
                 maxCommits: Int = 64): DataFrame = {
     val fs = fsOf(spark, path)
-    val vs = listVersions(fs, path).map(_._1)
-    require(vs.nonEmpty, s"no committed version under $path")
-    val newest = vs.max
+    val newest = newestVisible(fs, path).map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
     val to = toV.getOrElse(newest)
     require(to <= newest, s"toV $to exceeds newest committed version $newest")
-    require(fromV >= vs.min && fromV < to,
-      s"need ${vs.min} <= fromV < $to (toV), got $fromV")
+    val oldest = listVersions(fs, path).map(_._1).min
+    require(fromV >= oldest && fromV < to,
+      s"need $oldest <= fromV < $to (toV), got $fromV")
     require(to - fromV <= maxCommits,
       s"changeLog range ($fromV, $to] spans ${to - fromV} commits > " +
         s"maxCommits $maxCommits - page the walk (pass toV) or raise maxCommits")
@@ -1749,10 +2327,9 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val mapping = versionAsOf match {
       case Some(n) =>
-        val vf = listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
-          .getOrElse(throw new IllegalStateException(
+        visibleMappingAt(fs, path, n).getOrElse(
+          throw new IllegalStateException(
             s"no committed version $n under $path"))
-        readMapping(fs, vf)
       case None => snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))._2
     }
@@ -1778,13 +2355,11 @@ object Warehouse {
     * ones), and None on empty/corrupt listings (statistics are an
     * optimization layer; absence is always safe).
     */
-  private[graft] def rowCountEstimate(spark: SparkSession, path: String,
+  def rowCountEstimate(spark: SparkSession, path: String,
       versionAsOf: Option[Long], maxFiles: Int = 1024): Option[Long] = {
     val fs = fsOf(spark, path)
     val mapping = versionAsOf match {
-      case Some(n) =>
-        listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
-          .map(readMapping(fs, _)).getOrElse(return None)
+      case Some(n) => visibleMappingAt(fs, path, n).getOrElse(return None)
       case None => snapshot(fs, path).map(_._2).getOrElse(return None)
     }
     if (mapping.isEmpty) return Some(0L)
@@ -1823,10 +2398,11 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val versions = listVersions(fs, path)
     require(versions.nonEmpty, s"no committed version under $path")
-    versions.sortBy(-_._1).map { case (v, p) =>
-      (v, fs.getFileStatus(p).getModificationTime,
-        readMapping(fs, p).size, readTxnsOf(fs, p).size)
-    }
+    versions.sortBy(-_._1).filter { case (_, p) => visible(fs, p) }
+      .map { case (v, p) =>
+        (v, fs.getFileStatus(p).getModificationTime,
+          readMapping(fs, p).size, readTxnsOf(fs, p).size)
+      }
   }
 
   /** The newest committed version number — the cursor a change-feed
@@ -1853,7 +2429,12 @@ object Warehouse {
     require(atOrBefore.nonEmpty,
       s"no commit at or before timestamp $tsMicros us under $path - " +
         s"the oldest commit is version ${versions.map(_._1).min}")
-    atOrBefore.map(_._1).max
+    // skip uncommitted/aborted txn stages (only ever a top segment)
+    atOrBefore.sortBy(-_._1).collectFirst {
+      case (v, p) if visible(fs, p) => v
+    }.getOrElse(throw new IllegalStateException(
+      s"every commit at or before $tsMicros us under $path is an " +
+        "uncommitted transaction stage"))
   }
 
   /** Per-partition (partKey, chain, file count, bytes) off the newest
@@ -1873,6 +2454,120 @@ object Warehouse {
       }
       (key, chain, files.length, files.map(_.getLen).sum)
     }
+  }
+
+  // ---------------------------------------------------------------
+  // table-level column statistics (ANALYZE) — CBO join ordering
+  // ---------------------------------------------------------------
+
+  private def colStatsPath(path: String) = new HPath(s"$path/_colstats")
+
+  /** One analyzed column's TABLE-level statistics — the rollup CBO
+    * join estimation needs beyond sizeInBytes/numRows: approximate
+    * NDV (HLL++), null count, and — for types whose value round-trips
+    * a numeric string (integral/floating/date-as-days/
+    * timestamp-as-micros) — min/max. `avgLen`/`maxLen` carry string
+    * byte lengths; fixed-width types report their defaultSize.
+    */
+  final case class ColumnStats(
+      dataTypeDdl: String, ndv: Long, nullCount: Long,
+      min: Option[String], max: Option[String],
+      avgLen: Long, maxLen: Long)
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` for warehouse
+    * tables: ONE distributed aggregation over the current snapshot
+    * computes per-column NDV (approx_count_distinct — HLL++,
+    * map-side-combined, never a distinct shuffle per column), null
+    * count, min/max (numeric-normalized: dates as epoch days,
+    * timestamps as epoch micros) and string lengths; the one-row
+    * result lands in the `_colstats` sidecar stamped with the
+    * analyzed version. Reads serve it as ESTIMATES regardless of
+    * later commits (the Delta/Iceberg ANALYZE contract — re-run on a
+    * cadence); [[org.apache.spark.sql.graft.WarehouseCboStatsRule]]
+    * feeds it to Catalyst's cost-based join reorder, and
+    * `CALL graft.system.analyze` is the SQL binding. At 100 TB this
+    * is one scan-shaped job whose reduce state is a handful of HLL
+    * sketches per column — run it after large loads, like ANALYZE
+    * anywhere.
+    */
+  def analyzeColumns(spark: SparkSession, path: String,
+                     cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "ANALYZE needs at least one column")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    val df = read(spark, path)
+    val version = currentVersion(spark, path)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"ANALYZE references unknown column '$c'"))
+    val types = cols.map(c => c -> df.schema(c).dataType).toMap
+    import org.apache.spark.sql.types._
+    def minMaxExpr(c: String): (Column, Column) = types(c) match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        (min(col(c)).cast("string"), max(col(c)).cast("string"))
+      case DateType =>
+        (datediff(min(col(c)), lit("1970-01-01")).cast("string"),
+          datediff(max(col(c)), lit("1970-01-01")).cast("string"))
+      case TimestampType =>
+        (unix_micros(min(col(c))).cast("string"),
+          unix_micros(max(col(c))).cast("string"))
+      case _ => (lit(null).cast("string"), lit(null).cast("string"))
+    }
+    val aggs = cols.flatMap { c =>
+      val (mn, mx) = minMaxExpr(c)
+      val len = types(c) match {
+        case StringType => length(col(c))
+        case BinaryType => length(col(c))
+        case t => lit(t.defaultSize)
+      }
+      Seq(
+        approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        mn.as(s"__min_$c"), mx.as(s"__max_$c"),
+        coalesce(ceil(avg(len)), lit(types(c).defaultSize)).cast("long")
+          .as(s"__avg_$c"),
+        coalesce(max(len), lit(types(c).defaultSize)).cast("long")
+          .as(s"__max_len_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def opt(name: String): Option[String] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.get(i).toString)
+    }
+    val stats = cols.map { c =>
+      c -> ColumnStats(types(c).sql,
+        row.getLong(row.fieldIndex(s"__ndv_$c")),
+        row.getLong(row.fieldIndex(s"__nulls_$c")),
+        opt(s"__min_$c"), opt(s"__max_$c"),
+        row.getLong(row.fieldIndex(s"__avg_$c")),
+        row.getLong(row.fieldIndex(s"__max_len_$c")))
+    }
+    val fs = fsOf(spark, path)
+    // keep stats for columns analyzed earlier but not in this call
+    val kept = readColStats(spark, path).filterNot(kv => cols.contains(kv._1))
+    val lines = s"#analyzed_version\t$version" +:
+      (kept.toSeq ++ stats).sortBy(_._1).map { case (c, s) =>
+        Seq(c, s.dataTypeDdl, s.ndv, s.nullCount,
+          s.min.getOrElse(""), s.max.getOrElse(""),
+          s.avgLen, s.maxLen).mkString("\t")
+      }
+    val out = fs.create(colStatsPath(path), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `_colstats` sidecar, or empty if never analyzed. */
+  def readColStats(spark: SparkSession, path: String): Map[String, ColumnStats] = {
+    val fs = fsOf(spark, path)
+    val p = colStatsPath(path)
+    if (!fs.exists(p)) Map.empty
+    else readSmallFile(fs, p).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+        val a = l.split("\t", -1)
+        a(0) -> ColumnStats(a(1), a(2).toLong, a(3).toLong,
+          if (a(4).isEmpty) None else Some(a(4)),
+          if (a(5).isEmpty) None else Some(a(5)),
+          a(6).toLong, a(7).toLong)
+      }.toMap
   }
 
   /** Small-file COMPACTION (OPTIMIZE): rewrite every partition that
@@ -2393,10 +3088,9 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val mapping = versionAsOf match {
       case Some(n) =>
-        val vf = listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
-          .getOrElse(throw new IllegalStateException(
+        val m = visibleMappingAt(fs, path, n).getOrElse(
+          throw new IllegalStateException(
             s"no committed version $n under $path"))
-        val m = readMapping(fs, vf)
         m.toSeq.sorted.foreach { case (key, chain) =>
           chainOf(chain).foreach { b =>
             if (!fs.exists(new HPath(s"$path/data/batch=$b/$key")))

@@ -1257,6 +1257,95 @@ object WarehouseQueries {
       },
       Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
              |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL24 — MERGE with a TARGET-SIDE clause guard: the reference's
+    // own CDC rule (`New_Api_Sercom/function_app.py:221` updates a
+    // stored row only when the incoming updated_at is newer) as ONE
+    // SQL statement — `WHEN MATCHED AND s.version > t.version THEN
+    // UPDATE SET *`. The guard evaluates over the MATCHED PAIR
+    // (rebound to the base frame's _gm_t_ aliases by WarehouseDmlRule)
+    // so stale changes fall through and survive unchanged, fresh ones
+    // win, and new keys insert — E2's merge semantics without dropping
+    // to the version-algebra API. Changes: %17==4 keys arrive with
+    // version+1 when even (guard TRUE → update) and version-1 when odd
+    // (guard FALSE → survive); %13==6 keys shifted +50M insert.
+    Q("sql24_merge_guarded",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql24wh", "graft_sql24wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val ups = ev.filter(col("event_id") % 17 === 4)
+            .withColumn("user_id", col("user_id") + 3000000L)
+            .withColumn("version", col("version") +
+              when(col("event_id") % 2 === 0, 1L).otherwise(-1L))
+          val ins = ev.filter(col("event_id") % 13 === 6)
+            .withColumn("event_id", col("event_id") + 50000000L)
+          ups.unionByName(ins)
+            .createOrReplaceTempView("graft_sql24_changes")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql24_changes s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED AND s.version > t.version THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id,
+             |  CASE WHEN event_id % 17 = 4 AND event_id % 2 = 0
+             |       THEN user_id + 3000000 ELSE user_id END AS user_id,
+             |  event_type, dt
+             |FROM ev
+             |UNION ALL
+             |SELECT event_id + 50000000 AS event_id, user_id, event_type, dt
+             |FROM ev WHERE event_id % 13 = 6
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL25 — full-table reconciliation through WHEN NOT MATCHED BY
+    // SOURCE (Delta parity): the source is the system's CURRENT key
+    // set; stored rows whose key vanished are deleted (clicks) or
+    // tombstoned in place (user_id := -1), while surviving keys take
+    // the source row. Inherently a full-target CoW pass (every live
+    // partition reconciles — the per-partition anti-join never leaves
+    // its partition); the oracle recomputes the end state from
+    // scratch.
+    Q("sql25_merge_by_source",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql25wh", "graft_sql25wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          ev.filter(col("event_id") % 3 =!= 0)
+            .withColumn("user_id", col("user_id") + 4000000L)
+            .createOrReplaceTempView("graft_sql25_current")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql25_current s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'click' THEN DELETE
+                   |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET user_id = -1""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id,
+             |  CASE WHEN event_id % 3 <> 0 THEN user_id + 4000000
+             |       ELSE -1 END AS user_id,
+             |  event_type, dt
+             |FROM ev
+             |WHERE event_id % 3 <> 0 OR event_type <> 'click'
              |ORDER BY event_id""".stripMargin))
   )
 }

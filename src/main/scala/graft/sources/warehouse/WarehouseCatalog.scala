@@ -232,28 +232,23 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
       createPartCols = Some(partCols))
   }
 
-  /** `ALTER TABLE … ADD COLUMN` — binds to the warehouse's explicit
-    * schema overlay ([[Warehouse.addColumns]]): the declaration is one
-    * metadata write, existing rows read the column as NULL (no file
-    * rewritten — the m4 widening contract made explicit), and the next
-    * merge that carries it stores it physically. Works on both named
-    * and path identifiers; anything but a top-level nullable ADD
-    * COLUMN is refused loudly.
+  /** `ALTER TABLE … ADD / RENAME / DROP COLUMN` — binds to the
+    * warehouse's explicit schema overlay log ([[Warehouse.addColumns]]
+    * / [[Warehouse.renameColumn]] / [[Warehouse.dropColumns]]): every
+    * change is ONE metadata write, zero data files touched — added
+    * columns read as NULL until stored (the m4 widening contract made
+    * explicit), renames map old→new at read time, drops stop serving
+    * the column (and retire the name). Works on both named and path
+    * identifiers; nested fields, positions, and type changes are
+    * refused loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
-    val cols = changes.map {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"graft ALTER TABLE adds top-level columns only, got " +
-            s"${add.fieldNames.mkString(".")}")
-        require(add.position() == null,
-          "graft ALTER TABLE does not support column positions - new " +
-            "columns append")
-        add.fieldNames.head -> add.dataType()
-      case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMN only, got $other " +
-          "(schema evolution otherwise happens through widening merges)")
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft ALTER TABLE $what works on top-level columns only, got " +
+          s"${fieldNames.mkString(".")}")
+      fieldNames.head
     }
     val entry = if (isPathIdent(ident)) None
       else Some(readEntry(spark, ident).getOrElse(noSuch(ident)))
@@ -261,15 +256,46 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
     val created =
       try { Warehouse.currentVersion(spark, path); true }
       catch { case _: IllegalStateException => false }
-    if (created) Warehouse.addColumns(spark, path, cols)
-    else entry match {
-      // registered-but-unwritten named table: widen the declared schema
+    val adds = changes.collect {
+      case add: TableChange.AddColumn =>
+        require(add.position() == null,
+          "graft ALTER TABLE does not support column positions - new " +
+            "columns append")
+        topLevel(add.fieldNames, "ADD COLUMN") -> add.dataType()
+    }
+    val renames = changes.collect {
+      case rn: TableChange.RenameColumn =>
+        topLevel(rn.fieldNames, "RENAME COLUMN") -> rn.newName()
+    }
+    val drops = changes.collect {
+      case del: TableChange.DeleteColumn =>
+        topLevel(del.fieldNames, "DROP COLUMN")
+    }
+    require(adds.size + renames.size + drops.size == changes.size,
+      s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN only, got " +
+        s"${changes.mkString(", ")} (type changes need a rewrite; other " +
+        "schema evolution happens through widening merges)")
+    if (created) {
+      if (adds.nonEmpty) Warehouse.addColumns(spark, path, adds)
+      renames.foreach { case (from, to) =>
+        Warehouse.renameColumn(spark, path, from, to) }
+      if (drops.nonEmpty) Warehouse.dropColumns(spark, path, drops)
+    } else entry match {
+      // registered-but-unwritten named table: rewrite the declared schema
       case Some(e) =>
-        cols.foreach { case (n, _) =>
+        adds.foreach { case (n, _) =>
           require(!e.schema.fieldNames.contains(n),
             s"column '$n' already exists on ${entryKey(ident)}") }
+        (renames.map(_._1) ++ drops).foreach { n =>
+          require(e.schema.fieldNames.contains(n),
+            s"column '$n' does not exist on ${entryKey(ident)}")
+          require(!e.partCols.contains(n),
+            s"cannot rename/drop partition column '$n'") }
+        val renamed = e.schema.fields.map { f =>
+          renames.find(_._1 == f.name).fold(f)(r => f.copy(name = r._2)) }
+        val kept = renamed.filterNot(f => drops.contains(f.name))
         writeEntry(spark, ident, e.copy(schema = StructType(
-          e.schema.fields ++ cols.map { case (n, t) =>
+          kept ++ adds.map { case (n, t) =>
             org.apache.spark.sql.types.StructField(n, t) })),
           exclusive = false)
       case None => noSuch(ident)

@@ -615,10 +615,17 @@ class WarehouseTable(tableSchema: StructType,
     // V1 writes, so declaring it would plan an unexecutable node —
     // dynamic overwrite instead follows the V1 file-source contract
     // (`spark.sql.sources.partitionOverwriteMode`, see
-    // [[WarehouseWriteBuilder]]).
+    // [[WarehouseWriteBuilder]]). AUTOMATIC_SCHEMA_EVOLUTION lets
+    // `MERGE WITH SCHEMA EVOLUTION INTO` route through Spark's own
+    // ResolveMergeIntoSchemaEvolution: the analyzer computes the
+    // AddColumn changes, applies them through
+    // [[WarehouseCatalog.alterTable]] (one `_schema` overlay write,
+    // zero data files — the m4 widening contract), reloads the
+    // widened relation, and the star expansion then carries the new
+    // columns into the merge the DML rule binds.
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(tableSchema, conf)
 

@@ -40,7 +40,7 @@ import graft.io.Warehouse
 object WarehouseProcedures {
 
   val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain",
-    "history")
+    "history", "analyze")
 
   def byName(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -49,6 +49,7 @@ object WarehouseProcedures {
       case "restore"  => Some(RestoreProcedure)
       case "maintain" => Some(MaintainProcedure)
       case "history"  => Some(HistoryProcedure)
+      case "analyze"  => Some(AnalyzeProcedure)
       case _          => None
     }
 
@@ -226,6 +227,32 @@ object WarehouseProcedures {
         sortCol = input.getUTF8String(1).toString,
         targetBytes = input.getLong(2), everyNCommits = input.getInt(3))
       result(out, ran, Warehouse.currentVersion(spark, path))
+    }
+  }
+
+  /** `ANALYZE TABLE … FOR COLUMNS` as a procedure: one distributed
+    * aggregation rolls up per-column NDV/nulls/min/max into the
+    * `_colstats` sidecar ([[Warehouse.analyzeColumns]]) —
+    * the statistics Catalyst's cost-based join reorder consumes
+    * through [[org.apache.spark.sql.graft.WarehouseCboStatsRule]].
+    */
+  private object AnalyzeProcedure extends WarehouseProcedure {
+    override def name: String = "analyze"
+    override def description: String =
+      "compute table-level column statistics (NDV/nulls/min/max) for " +
+        "cost-based join ordering"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("columns", StringType))
+    private val out = StructType(Seq(
+      StructField("analyzed_columns", IntegerType),
+      StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = pathArg(input)
+      val cols = csv(input, 1)
+      Warehouse.analyzeColumns(spark, path, cols)
+      result(out, cols.length, Warehouse.currentVersion(spark, path))
     }
   }
 }

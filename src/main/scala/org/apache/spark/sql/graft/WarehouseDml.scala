@@ -40,13 +40,20 @@ import graft.sources.warehouse.WarehouseTable
   *  - UPDATE assignments/condition reference the TARGET row — rebound
   *    BY NAME onto the fresh snapshot frame the rewrite pass reads
   *    (attribute identity cannot survive into a different scan).
-  *  - MERGE clause conditions and values must reference the SOURCE
-  *    side only (`WHEN MATCHED AND s.op = 'D' THEN DELETE` — the CDC
-  *    shape); they keep their attribute identity because the command
-  *    re-wraps the SAME analyzed source plan as its frame.
-  *    Target-referencing values, non-equi ON conditions, WHEN NOT
-  *    MATCHED BY SOURCE and schema-evolving merges are refused with
-  *    pointers to the merge API, never silently misplanned.
+  *  - MERGE assignment VALUES reference the SOURCE side only (`WHEN
+  *    MATCHED AND s.op = 'D' THEN DELETE` — the CDC shape); they keep
+  *    their attribute identity because the command re-wraps the SAME
+  *    analyzed source plan as its frame. Matched clause CONDITIONS
+  *    may additionally compare against the stored row (`WHEN MATCHED
+  *    AND s.updated_at > t.updated_at`, the reference's CDC guard) —
+  *    target attributes rebind to the `_gm_t_<name>` aliases the pass
+  *    attaches before the join. WHEN NOT MATCHED BY SOURCE clauses
+  *    (full-table reconciliation) reference the target row only, the
+  *    same way. `WITH SCHEMA EVOLUTION` widens the table by the
+  *    source columns a star clause carries beyond the target schema.
+  *    Target-referencing matched VALUES and non-equi ON conditions
+  *    are refused with pointers to the merge API, never silently
+  *    misplanned.
   *
   * This file lives under `org.apache.spark.sql` for the same reason
   * Delta's does: [[LeafRunnableCommand]] and `Dataset.ofRows` are
@@ -67,18 +74,35 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def pruningFilters(condition: Option[Expression]):
       Seq[org.apache.spark.sql.sources.Filter] =
     condition.toSeq.flatMap(splitConjunctivePredicates).flatMap { e =>
-      // analysis-time expressions carry unfolded literal casts
-      // (`id = CAST(2 AS BIGINT)`) that the Filter translation does
-      // not see through — fold constants first (the optimizer would
-      // have, but this runs before it)
-      val folded = e.transformUp {
-        case x if x.foldable && !x.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.Literal] =>
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(x.eval(null), x.dataType)
+      // Time-dependent expressions (current_timestamp()/now()/
+      // current_date()/localtimestamp()) report foldable=true and
+      // evaluate at ANY time they are asked — so folding one HERE, at
+      // analysis time, would pin the pruning bound to analysis time
+      // while the real predicate re-evaluates later in the discovery/
+      // count/rewrite jobs. The bound would then NOT be a superset of
+      // the executed predicate (files holding rows between analysis
+      // and execution time get pruned and silently skipped). Drop such
+      // conjuncts — and anything nondeterministic — from the pruning
+      // set entirely; pruning is a superset filter, the full predicate
+      // still decides every row.
+      val timeDependent = e.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+        case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentBatchTimestamp => true
+        case x => !x.deterministic
       }
-      org.apache.spark.sql.execution.datasources.DataSourceStrategy
-        .translateFilter(folded, supportNestedPredicatePushdown = false)
+      if (timeDependent) Seq.empty
+      else {
+        val folded = e.transformUp {
+          case x if x.foldable && !x.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Literal] =>
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(x.eval(null), x.dataType)
+        }
+        org.apache.spark.sql.execution.datasources.DataSourceStrategy
+          .translateFilter(folded, supportNestedPredicatePushdown = false)
+      }
     }
 
   private def warehouseOf(plan: LogicalPlan): Option[(String, DataSourceV2Relation)] = {
@@ -117,6 +141,45 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
     ExpressionUtils.column(e)
   }
 
+  /** A PAIR-level clause condition (references both sides — `WHEN
+    * MATCHED AND s.updated_at > t.updated_at`, the CDC guard): source
+    * attributes keep their identity (the command re-wraps the same
+    * analyzed source plan), target attributes rebind to the reserved
+    * `_gm_t_<name>` aliases [[graft.io.Warehouse.mergeStatement]]
+    * attaches to the base frame before the join — post-join
+    * resolution is never ambiguous against same-named source columns.
+    * Returns the rebound column plus the referenced target names.
+    */
+  private def pairCond(e: Expression, source: AttributeSet,
+                       target: AttributeSet): (Column, Seq[String]) = {
+    require(e.references.subsetOf(source ++ target),
+      s"MERGE clause condition references columns of neither side: $e")
+    val tRefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rebound = e.transform {
+      case a: AttributeReference if target.contains(a) =>
+        tRefs += a.name
+        UnresolvedAttribute.quoted(s"_gm_t_${a.name}")
+    }
+    (ExpressionUtils.column(rebound), tRefs.toSeq.distinct)
+  }
+
+  /** A WHEN NOT MATCHED BY SOURCE expression references the TARGET
+    * row only (there is no source row) — every attribute rebinds to
+    * the `_gm_t_<name>` alias form.
+    */
+  private def targetOnly(e: Expression, target: AttributeSet,
+                         what: String): (Column, Seq[String]) = {
+    require(e.references.subsetOf(target),
+      s"WHEN NOT MATCHED BY SOURCE $what references the TARGET row only " +
+        s"(got $e) - there is no source row to read")
+    val tRefs = e.references.map(_.name).toSeq.distinct
+    val rebound = e.transform {
+      case a: AttributeReference =>
+        UnresolvedAttribute.quoted(s"_gm_t_${a.name}")
+    }
+    (ExpressionUtils.column(rebound), tRefs)
+  }
+
   /** Aligned UPDATE assignments include identity entries (col := its
     * own attribute) for unassigned columns — skip them so the rewrite
     * only casts/overlays what the statement actually set.
@@ -151,15 +214,10 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
         notMatchedActions, notMatchedBySource, withSchemaEvolution)
         if m.resolved && warehouseOf(target).isDefined =>
       val (path, relation) = warehouseOf(target).get
-      require(notMatchedBySource.isEmpty,
-        "graft-warehouse MERGE does not support WHEN NOT MATCHED BY " +
-          "SOURCE - full-table reconciliation belongs to overwrite() or " +
-          "a change-feed diff, not a CoW merge pass")
-      require(!withSchemaEvolution,
-        "graft-warehouse MERGE does not widen schemas - schema evolution " +
-          "happens through widening merge batches (Warehouse.mergeInto)")
       val targetAttrs = AttributeSet(relation.output)
       val sourceAttrs = AttributeSet(source.output)
+      val pairIdx = scala.collection.mutable.Set.empty[Int]
+      val tCondCols = scala.collection.mutable.ArrayBuffer.empty[String]
       // the ON condition must be a conjunction of equalities, each
       // pinning one target key column to one source-side expression —
       // single or COMPOSITE keys, the keyed-merge shape every
@@ -182,24 +240,83 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
       def srcAssigns(as: Seq[Assignment], what: String): Seq[(String, Column)] =
         as.map(a => nameOf(a.key) ->
           sourceOnly(a.value, sourceAttrs, what))
-      val matched = matchedActions.map {
-        case DeleteAction(c) =>
-          (srcCond(c, "WHEN MATCHED conditions"), None)
-        case UpdateAction(c, assigns, _) =>
-          (srcCond(c, "WHEN MATCHED conditions"),
-            Some(srcAssigns(assigns, "UPDATE SET values")))
-        case UpdateStarAction(c) =>
-          // star not expanded by resolution here: assign every target
-          // column from the same-named source column
-          val assigns = relation.output.map { a =>
-            val s = source.output.find(_.name == a.name).getOrElse(
-              throw new UnsupportedOperationException(
-                s"UPDATE SET * needs source column '${a.name}'"))
-            a.name -> ExpressionUtils.column(s)
+      // a matched clause condition may compare against the STORED row
+      // (`WHEN MATCHED AND s.updated_at > t.updated_at`, the CDC
+      // guard): such clauses evaluate over the matched pair — record
+      // the clause index and the referenced target columns for the
+      // command (values stay source-side)
+      def matchedCond(c: Option[Expression], i: Int): Option[Column] =
+        c.map { e =>
+          if (e.references.subsetOf(sourceAttrs))
+            sourceOnly(e, sourceAttrs, "WHEN MATCHED conditions")
+          else {
+            val (column, tRefs) = pairCond(e, sourceAttrs, targetAttrs)
+            pairIdx += i
+            tCondCols ++= tRefs
+            column
           }
-          (srcCond(c, "WHEN MATCHED conditions"), Some(assigns))
-        case other => throw new UnsupportedOperationException(
+        }
+      // star expansion: assign every target column from the same-named
+      // source column; WITH SCHEMA EVOLUTION additionally lands source
+      // columns the target lacks (the table widens by them)
+      def starAssigns(star: String): Seq[(String, Column)] = {
+        val known = relation.output.map { a =>
+          val s = source.output.find(_.name == a.name).getOrElse(
+            throw new UnsupportedOperationException(
+              s"$star needs source column '${a.name}'"))
+          a.name -> ExpressionUtils.column(s)
+        }
+        val extra =
+          if (withSchemaEvolution)
+            source.output.filterNot(s =>
+                relation.output.exists(_.name == s.name))
+              .map(s => s.name -> ExpressionUtils.column(s))
+          else Nil
+        known ++ extra
+      }
+      val matched = matchedActions.zipWithIndex.map {
+        case (DeleteAction(c), i) =>
+          (matchedCond(c, i), None)
+        case (UpdateAction(c, assigns, _), i) =>
+          (matchedCond(c, i),
+            Some(srcAssigns(assigns, "UPDATE SET values")))
+        case (UpdateStarAction(c), i) =>
+          (matchedCond(c, i), Some(starAssigns("UPDATE SET *")))
+        case (other, _) => throw new UnsupportedOperationException(
           s"unsupported WHEN MATCHED action $other")
+      }
+      // WHEN NOT MATCHED BY SOURCE: full-table reconciliation —
+      // delete/deactivate target rows whose key vanished from the
+      // source; conditions and values reference the TARGET row only
+      val bySource = notMatchedBySource.map {
+        case DeleteAction(c) =>
+          (c.map { e =>
+            val (column, tRefs) =
+              targetOnly(e, targetAttrs, "conditions")
+            tCondCols ++= tRefs
+            column
+          }, None)
+        case UpdateAction(c, assigns, _) =>
+          val cond = c.map { e =>
+            val (column, tRefs) =
+              targetOnly(e, targetAttrs, "conditions")
+            tCondCols ++= tRefs
+            column
+          }
+          // alignment may inject identity entries (col := itself) —
+          // skip them, as the UPDATE branch does
+          val as = assigns.filterNot(a => isIdentity(a.key, a.value))
+            .map { a =>
+              val (column, tRefs) =
+                targetOnly(a.value, targetAttrs, "UPDATE SET values")
+              tCondCols ++= tRefs
+              nameOf(a.key) -> column
+            }
+          (cond, Some(as))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action $other - " +
+            "DELETE and UPDATE SET <target expressions> are the " +
+            "reconciliation arms")
       }
       val notMatched = notMatchedActions match {
         case Seq() => None
@@ -207,19 +324,16 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
           Some((srcCond(c, "WHEN NOT MATCHED conditions"),
             srcAssigns(assigns, "INSERT values")))
         case Seq(InsertStarAction(c)) =>
-          val assigns = relation.output.map { a =>
-            val s = source.output.find(_.name == a.name).getOrElse(
-              throw new UnsupportedOperationException(
-                s"INSERT * needs source column '${a.name}'"))
-            a.name -> ExpressionUtils.column(s)
-          }
-          Some((srcCond(c, "WHEN NOT MATCHED conditions"), assigns))
+          Some((srcCond(c, "WHEN NOT MATCHED conditions"),
+            starAssigns("INSERT *")))
         case other => throw new UnsupportedOperationException(
           "graft-warehouse MERGE supports one WHEN NOT MATCHED clause, " +
             s"got ${other.length}")
       }
       MergeWarehouseCommand(path, source, keyPairs.map(_._1),
-        keyPairs.map(_._2), matched, notMatched)
+        keyPairs.map(_._2), matched, notMatched,
+        pairIdx.toSet, tCondCols.toSeq.distinct, bySource,
+        withSchemaEvolution)
 
     case _ => plan
   }
@@ -328,7 +442,11 @@ case class UpdateWarehouseCommand(path: String,
 case class MergeWarehouseCommand(path: String, source: LogicalPlan,
     targetKeys: Seq[String], sourceKeys: Seq[Column],
     matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
-    notMatched: Option[(Option[Column], Seq[(String, Column)])])
+    notMatched: Option[(Option[Column], Seq[(String, Column)])],
+    pairLevel: Set[Int] = Set.empty,
+    targetCondCols: Seq[String] = Nil,
+    notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
+    schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -336,7 +454,10 @@ case class MergeWarehouseCommand(path: String, source: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val src = CDataset.ofRows(spark.asInstanceOf[CSparkSession], source)
     Warehouse.mergeStatement(spark, path, src, targetKeys, sourceKeys,
-      matched, notMatched)
+      matched, notMatched, maxAttempts = 5, pairLevel = pairLevel,
+      targetCondCols = targetCondCols,
+      notMatchedBySource = notMatchedBySource,
+      schemaEvolution = schemaEvolution)
     Seq.empty
   }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+
+/** ALTER TABLE RENAME / DROP COLUMN through the `_schema` overlay log
+  * (round 16; ADD COLUMN landed in round 15): every DDL is ONE
+  * metadata write — zero data files touched — reads apply the ordered
+  * mapping over whatever generation each file physically carries,
+  * writes land the current logical names, compaction materializes,
+  * and retired names (drop targets, rename OLD names) can never be
+  * reused (pre-DDL files still carry them; Delta solves this with
+  * field IDs, this overlay deliberately refuses instead).
+  */
+class WarehouseAlterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_alterspec").toString + "/t"
+
+  private def dataFiles(path: String): Set[String] = {
+    val root = Paths.get(path, "data")
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p)).map(_.toString).toSet
+  }
+
+  test("RENAME COLUMN is metadata-only: zero data files touched, values preserved under the new name") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "dt"), "dt")
+    val before = dataFiles(path)
+    Warehouse.renameColumn(spark, path, "v", "label")
+    assert(dataFiles(path) == before, "rename must not touch data files")
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "label").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y")))
+    assert(!Warehouse.read(spark, path).columns.contains("v"))
+  }
+
+  test("mixed generations: files written before AND after the rename coalesce per row") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "old1", "a")).toDF("id", "v", "dt"), "dt")
+    Warehouse.renameColumn(spark, path, "v", "label")
+    // post-rename writers use the NEW name (they read the logical schema)
+    Warehouse.append(spark, path,
+      Seq((2L, "new2", "a")).toDF("id", "label", "dt"))
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "label").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "old1"), (2L, "new2")), s"got $rows")
+  }
+
+  test("time travel across a rename shows the CURRENT logical name (overlay is table-level DDL state)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a")).toDF("id", "v", "dt"), "dt")
+    Warehouse.append(spark, path,
+      Seq((2L, "y", "a")).toDF("id", "v", "dt"))
+    Warehouse.renameColumn(spark, path, "v", "label")
+    val v1 = Warehouse.readVersion(spark, path, 1L)
+    assert(v1.columns.contains("label") && !v1.columns.contains("v"))
+    assert(v1.select("label").as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("DROP COLUMN stops serving the column without touching files; the name is retired") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", 5L, "a")).toDF("id", "v", "score", "dt"), "dt")
+    val before = dataFiles(path)
+    Warehouse.dropColumns(spark, path, Seq("score"))
+    assert(dataFiles(path) == before, "drop must not touch data files")
+    assert(!Warehouse.read(spark, path).columns.contains("score"))
+    // retired: re-adding would resurrect the old files' bytes — refused
+    val eAdd = intercept[IllegalArgumentException] {
+      Warehouse.addColumns(spark, path,
+        Seq("score" -> org.apache.spark.sql.types.LongType))
+    }
+    assert(eAdd.getMessage.contains("cannot be reused"))
+    // and renaming another column ONTO a retired name is refused too
+    val eRen = intercept[IllegalArgumentException] {
+      Warehouse.renameColumn(spark, path, "v", "score")
+    }
+    assert(eRen.getMessage.contains("cannot be reused"))
+  }
+
+  test("refusal arms: partition column, merge key/version columns, existing target name, missing column") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, 1L, "x", "a")).toDF("id", "ver", "v", "dt"), "dt")
+    // make it a delta table so _meta records (id, ver)
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((2L, 1L, "y", "a")).toDF("id", "ver", "v", "dt"), "id", "ver", "dt")
+    assert(intercept[IllegalArgumentException](
+      Warehouse.renameColumn(spark, path, "dt", "day"))
+      .getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.dropColumns(spark, path, Seq("dt")))
+      .getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.renameColumn(spark, path, "id", "id2"))
+      .getMessage.contains("merge key"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.dropColumns(spark, path, Seq("ver")))
+      .getMessage.contains("merge key"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.renameColumn(spark, path, "v", "id"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.renameColumn(spark, path, "nope", "x2"))
+      .getMessage.contains("does not exist"))
+  }
+
+  test("SQL plane: ALTER TABLE RENAME COLUMN and DROP COLUMN bind through the catalog") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", 5L, "a")).toDF("id", "v", "score", "dt"), "dt")
+    spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN v TO label")
+    spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN score")
+    val df = spark.read.format("graft-warehouse").load(path)
+    assert(df.columns.toSeq == Seq("id", "label", "dt"),
+      s"got ${df.columns.toSeq}")
+    assert(df.select("label").as[String].head() == "x")
+  }
+
+  test("rename chain composes in order and compaction materializes the log (ops stay for time travel)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, 1L, "x", "a"), (2L, 1L, "y", "a"))
+        .toDF("id", "ver", "v", "dt"), "dt")
+    Warehouse.renameColumn(spark, path, "v", "tmp")
+    Warehouse.renameColumn(spark, path, "tmp", "label")
+    // chain into a delta so compact() has something to fold
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((2L, 2L, "y2", "a")).toDF("id", "ver", "label", "dt"),
+      "id", "ver", "dt")
+    Warehouse.compact(spark, path, "id", targetBytes = 64L * 1024 * 1024)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "label").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y2")), s"got $rows")
+    // post-compaction files physically carry 'label'; the overlay ops
+    // are no-ops on them but still map the pre-DDL batches
+    val v1 = Warehouse.readVersion(spark, path, 1L)
+    assert(v1.columns.contains("label"))
+  }
+
+  test("DML over a renamed column works on the logical name") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "a")).toDF("id", "v", "dt"), "dt")
+    Warehouse.renameColumn(spark, path, "v", "label")
+    val n = spark.sql(
+      s"UPDATE graft.`$path` SET label = 'hit' WHERE id = 1").as[Long].head()
+    assert(n == 1L)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "label").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "hit"), (2L, "y")))
+  }
+}

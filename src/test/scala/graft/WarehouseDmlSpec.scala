@@ -14,9 +14,12 @@ import graft.io.Warehouse
   * Warehouse.updateWhere / Warehouse.mergeStatement). Pinned here:
   * exact SQL semantics (source-wins, clause order, NULL-predicate
   * survival, the cardinality rule), the copy-on-write scale contract
-  * (untouched partitions keep byte-identical files), and every
-  * refusal arm — moves across partitions, target-side merge
-  * expressions, NOT MATCHED BY SOURCE — fails loudly rather than
+  * (untouched partitions keep byte-identical files), the round-16
+  * statement-plane extensions (target-side WHEN MATCHED guards, WHEN
+  * NOT MATCHED BY SOURCE reconciliation, WITH SCHEMA EVOLUTION
+  * widening, the cross-partition insert-key guard, the empty-table
+  * merge refusal), and every refusal arm — moves across partitions,
+  * target-side merge VALUES, non-equi ON — fails loudly rather than
   * silently misplanning.
   */
 class WarehouseDmlSpec extends AnyFunSuite {
@@ -236,18 +239,9 @@ class WarehouseDmlSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "x"), (2L, "y"), (3L, "z")))
   }
 
-  test("MERGE refusal arms: NOT MATCHED BY SOURCE, non-equi ON, target-side values") {
+  test("MERGE refusal arms: non-equi ON, target-side values") {
     val path = freshDir()
     seed(path)
-    val bySource = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO graft.`$path` t
-           |USING (SELECT CAST(2 AS BIGINT) AS id, 'p' AS nv, 'a' AS dt) s
-           |ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET v = s.nv
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
-    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
     val nonEqui = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO graft.`$path` t
@@ -308,5 +302,289 @@ class WarehouseDmlSpec extends AnyFunSuite {
          |ON t.id = s.id
          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
     assert(Warehouse.currentVersion(spark, path) == v0)
+  }
+
+  // -------------------------------------------------------------
+  // round 16: target-side guards, BY SOURCE, schema evolution,
+  // cross-partition insert guard, empty-table refusal
+  // -------------------------------------------------------------
+
+  test("MERGE target-side guard: WHEN MATCHED AND s.ver > t.ver updates only newer changes (guard-true/guard-false/null-guard)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, Some(5L), "x", "a"), (2L, Some(5L), "y", "a"),
+        (3L, None, "z", "a"))
+        .toDF("id", "ver", "v", "dt"), "dt")
+    // id=1: source ver 9 > stored 5  -> guard TRUE, updates
+    // id=2: source ver 3 < stored 5  -> guard FALSE, survives
+    // id=3: stored ver NULL          -> guard NULL, survives (SQL)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(9 AS BIGINT), 'nx', 'a'),
+         |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'ny', 'a'),
+         |  (CAST(3 AS BIGINT), CAST(9 AS BIGINT), 'nz', 'a')
+         |  AS s(id, ver, nv, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET v = s.nv, ver = s.ver""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "ver", "v").as[(Long, Option[Long], String)].collect().toSeq
+    assert(rows == Seq((1L, Some(9L), "nx"), (2L, Some(5L), "y"),
+      (3L, None, "z")), s"got $rows")
+  }
+
+  test("MERGE target-side guard composes with clause order and the DELETE arm") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, 5L, "x", "a"), (2L, 5L, "y", "a"), (3L, 5L, "z", "a"))
+        .toDF("id", "ver", "v", "dt"), "dt")
+    // clause order: a stale tombstone (id=2, ver 3 < 5) falls through
+    // BOTH guarded arms and survives; a fresh tombstone deletes; a
+    // fresh update updates
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(9 AS BIGINT), true,  'x2', 'a'),
+         |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), true,  'y2', 'a'),
+         |  (CAST(3 AS BIGINT), CAST(9 AS BIGINT), false, 'z2', 'a')
+         |  AS s(id, ver, del, nv, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.del AND s.ver > t.ver THEN DELETE
+         |WHEN MATCHED AND NOT s.del AND s.ver > t.ver THEN UPDATE SET v = s.nv, ver = s.ver""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "y"), (3L, "z2")), s"got $rows")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE reconciles the full table (and composes with MATCHED arms)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"), (4L, "w", "b"))
+        .toDF("id", "v", "dt"), "dt")
+    // source carries ids 1 and 3 only; 2 and 4 vanished -> deleted,
+    // ACROSS partitions (dt=b is reconciled even though the source
+    // only names dt=a rows for it via id=3)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), 'nx', 'a'), (CAST(3 AS BIGINT), 'nz', 'b')
+         |  AS s(id, nv, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "nx"), (3L, "nz")), s"got $rows")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE (deactivation) with and without an additional condition") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", true, "a"), (2L, "y", true, "a"), (3L, "z", true, "b"))
+        .toDF("id", "v", "active", "dt"), "dt")
+    // unconditioned arm: every vanished row deactivates
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT CAST(1 AS BIGINT) AS id, 'a' AS dt) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET active = false""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "active").as[(Long, Boolean)].collect().toSeq
+    assert(rows == Seq((1L, true), (2L, false), (3L, false)), s"got $rows")
+    // conditioned arm: only rows passing the TARGET-side predicate act
+    val path2 = freshDir()
+    Warehouse.create(spark, path2,
+      Seq((1L, "x", true, "a"), (2L, "y", true, "a"), (3L, "z", true, "b"))
+        .toDF("id", "v", "active", "dt"), "dt")
+    spark.sql(
+      s"""MERGE INTO graft.`$path2` t
+         |USING (SELECT CAST(1 AS BIGINT) AS id, 'a' AS dt) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.v = 'y' THEN UPDATE SET active = false""".stripMargin)
+    val rows2 = Warehouse.read(spark, path2).orderBy("id")
+      .select("id", "active").as[(Long, Boolean)].collect().toSeq
+    assert(rows2 == Seq((1L, true), (2L, false), (3L, true)), s"got $rows2")
+  }
+
+  test("BY SOURCE clause-order: DELETE then UPDATE arms act first-applicable, like MATCHED arms") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "old", "a"), (2L, "new", "a"), (3L, "keep", "a"))
+        .toDF("id", "v", "dt"), "dt")
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT CAST(3 AS BIGINT) AS id, 'a' AS dt) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.v = 'old' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'retired'""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "retired"), (3L, "keep")), s"got $rows")
+  }
+
+  test("MERGE cardinality rule relaxed per the standard: duplicate source keys that match NO target row all insert") {
+    val path = freshDir()
+    seed(path)
+    // id=9 does not exist: two source rows with the same key are both
+    // legal inserts (no unique-key constraint); the cardinality error
+    // fires only when a TARGET row is matched more than once
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(9 AS BIGINT), CAST(1 AS BIGINT), 'i1', 'a'),
+         |  (CAST(9 AS BIGINT), CAST(1 AS BIGINT), 'i2', 'a')
+         |  AS s(id, ver, v, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, ver, v, dt) VALUES (s.id, s.ver, s.v, s.dt)""".stripMargin)
+    val vs = Warehouse.read(spark, path).filter(col("id") === 9L)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(vs == Seq("i1", "i2"), s"got $vs")
+  }
+
+  test("cross-partition insert guard: a source row mis-naming its key's partition fails loudly instead of inserting a duplicate") {
+    val path = freshDir()
+    seed(path) // id=3 lives in dt=b
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` t
+           |USING (SELECT CAST(3 AS BIGINT) AS id, CAST(9 AS BIGINT) AS ver,
+           |              'dup' AS v, 'a' AS dt) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (id, ver, v, dt) VALUES (s.id, s.ver, s.v, s.dt)""".stripMargin)
+    }
+    assert(e.getMessage.contains("already exists in a live partition"),
+      s"wrong refusal: ${e.getMessage}")
+    // nothing committed, no duplicate
+    assert(Warehouse.read(spark, path).filter(col("id") === 3L).count() == 1L)
+    // with the guard disabled the caller owns the contract (documented)
+    spark.conf.set("spark.graft.merge.crossPartitionKeyCheck", "false")
+    try {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` t
+           |USING (SELECT CAST(3 AS BIGINT) AS id, CAST(9 AS BIGINT) AS ver,
+           |              'dup' AS v, 'a' AS dt) s
+           |ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, ver, v, dt) VALUES (s.id, s.ver, s.v, s.dt)""".stripMargin)
+      assert(Warehouse.read(spark, path).filter(col("id") === 3L).count() == 2L)
+    } finally spark.conf.unset("spark.graft.merge.crossPartitionKeyCheck")
+  }
+
+  test("a MERGE whose DELETE arms would empty the table is refused (EmptyBatchException), table intact") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "a")).toDF("id", "v", "dt"), "dt")
+    val v0 = Warehouse.currentVersion(spark, path)
+    val e = intercept[graft.io.EmptyBatchException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` t
+           |USING (SELECT * FROM VALUES
+           |  (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'a')
+           |  AS s(id, dt)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("ZERO live partitions"))
+    assert(Warehouse.currentVersion(spark, path) == v0)
+    assert(Warehouse.read(spark, path).count() == 2L)
+  }
+
+  test("UPDATE with a time-dependent predicate derives NO pruning bound from it (analysis-time fold would be unsound)") {
+    val path = freshDir()
+    seed(path)
+    val plan = spark.sessionState.analyzer.execute(
+      spark.sessionState.sqlParser.parsePlan(
+        s"UPDATE graft.`$path` SET v = 'p' " +
+          "WHERE ver <= unix_millis(current_timestamp()) AND id = 2"))
+    val cmd = plan.collectFirst {
+      case c: org.apache.spark.sql.graft.UpdateWarehouseCommand => c
+    }.getOrElse(fail(s"expected UpdateWarehouseCommand, got:\n$plan"))
+    // the deterministic conjunct still prunes; the current_timestamp()
+    // conjunct must NOT (its analysis-time fold would pin a bound the
+    // executed predicate re-evaluates past - files between analysis
+    // and execution time would be silently skipped)
+    assert(cmd.pruning.exists {
+      case org.apache.spark.sql.sources.EqualTo("id", v) => v == 2
+      case _ => false
+    }, s"expected the id=2 filter to survive, got ${cmd.pruning}")
+    assert(!cmd.pruning.exists {
+      case org.apache.spark.sql.sources.LessThanOrEqual("ver", _) => true
+      case _ => false
+    }, s"time-dependent bound must be dropped, got ${cmd.pruning}")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the table (new source column), old rows read NULL, narrow merges still refuse") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"))
+        .toDF("id", "v", "dt"), "dt")
+    // evolution: the star carries a column the table lacks — Spark's
+    // ResolveMergeIntoSchemaEvolution (admitted by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) routes it through the
+    // catalog's ALTER overlay (one metadata write), and the merge
+    // stores it physically for the touched partition
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` t
+         |USING (SELECT CAST(1 AS BIGINT) AS id, 'nx' AS v, 'a' AS dt,
+         |              CAST(42 AS INT) AS score) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v", "score").as[(Long, String, Option[Int])]
+      .collect().toSeq
+    // id=1 carries the value; id=2 (same partition, rewritten) and
+    // id=3 (untouched partition, overlay NULL) read NULL
+    assert(rows == Seq((1L, "nx", Some(42)), (2L, "y", None),
+      (3L, "z", None)), s"got $rows")
+    // WITHOUT the keyword, an unknown column is refused at analysis
+    val path2 = freshDir()
+    Warehouse.create(spark, path2,
+      Seq((1L, "x", "a")).toDF("id", "v", "dt"), "dt")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path2` t
+           |USING (SELECT CAST(1 AS BIGINT) AS id, 'nx' AS v, 'a' AS dt,
+           |              CAST(42 AS INT) AS score) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET score = s.score""".stripMargin)
+    }
+    assert(e.getMessage.contains("score"), s"wrong refusal: ${e.getMessage}")
+    // and a narrow source (missing a target column) never DROPS it:
+    // under evolution the star assigns the SOURCE's columns by name,
+    // unassigned target columns keep their stored values
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path2` t
+         |USING (SELECT CAST(1 AS BIGINT) AS id, 'a' AS dt) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(Warehouse.read(spark, path2).columns.toSet ==
+      Set("id", "v", "dt"), "narrow merge must not drop columns")
+    assert(Warehouse.read(spark, path2).select("v").as[String].head() == "x",
+      "unassigned target column keeps its stored value")
+  }
+
+  test("API-plane schema-evolving mergeStatement: new column typed from the source, conflicting types refused") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "a")).toDF("id", "v", "dt"), "dt")
+    val changes = Seq((1L, "nx", "a", 7L)).toDF("id", "v", "dt", "score")
+    Warehouse.mergeStatement(spark, path, changes,
+      Seq("id"), Seq(col("id")),
+      matched = Seq((None, Some(Seq("v" -> col("v"), "score" -> col("score"))))),
+      notMatched = None, schemaEvolution = true)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "score").as[(Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, Some(7L)), (2L, None)), s"got $rows")
+    // without the flag: loud refusal
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.mergeStatement(spark, path, changes
+          .withColumnRenamed("score", "other"),
+        Seq("id"), Seq(col("id")),
+        matched = Seq((None, Some(Seq("other" -> col("other"))))),
+        notMatched = None)
+    }
+    assert(e.getMessage.contains("unknown column"))
   }
 }
