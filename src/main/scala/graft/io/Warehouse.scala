@@ -872,20 +872,38 @@ object Warehouse {
     * pay one extra marker check only while a txn commit is the newest
     * version of a table.
     */
+  /** One table's write inside a cross-table transaction:
+    * `overwrite = false` appends the frame (the K1 shape);
+    * `overwrite = true` replaces the table's entire contents (the
+    * reference's `if_exists='replace'` reload, K2/K4) — both staged
+    * invisibly and published by the same marker flip.
+    */
+  final case class TxnWrite(path: String, df: DataFrame,
+                            overwrite: Boolean = false)
+
   def transactAppend(spark: SparkSession,
                      tables: Seq[(String, DataFrame)]): String =
-    transactAppendHooked(spark, tables, () => ())
+    transact(spark, tables.map { case (p, df) => TxnWrite(p, df) })
+
+  def transact(spark: SparkSession, writes: Seq[TxnWrite]): String =
+    transactHooked(spark, writes, () => ())
 
   private[graft] def transactAppendHooked(spark: SparkSession,
-      tables: Seq[(String, DataFrame)], beforeFlip: () => Unit): String = {
-    require(tables.nonEmpty, "transactAppend needs at least one table")
-    require(tables.map(_._1).distinct.size == tables.size,
-      "transactAppend lists a table twice")
+      tables: Seq[(String, DataFrame)], beforeFlip: () => Unit): String =
+    transactHooked(spark,
+      tables.map { case (p, df) => TxnWrite(p, df) }, beforeFlip)
+
+  private[graft] def transactHooked(spark: SparkSession,
+      writes: Seq[TxnWrite], beforeFlip: () => Unit): String = {
+    require(writes.nonEmpty, "transact needs at least one table")
+    require(writes.map(_.path).distinct.size == writes.size,
+      "transact lists a table twice")
+    val tables = writes.map(w => w.path -> w.df)
     val txnId = java.util.UUID.randomUUID().toString
     val marker = s"${tables.head._1}/_txn/$txnId"
     val markerFs = fsOf(spark, tables.head._1)
     // stage the data batches first (all invisible until the flip)
-    val staged = tables.map { case (path, df) =>
+    val staged = writes.map { case TxnWrite(path, df, overwrite) =>
       val fs = fsOf(spark, path)
       val mapping0 = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(
@@ -894,15 +912,15 @@ object Warehouse {
         s"table at $path has no live partitions - re-create() to repopulate")
       val partCols = partColsOf(mapping0)
       require(!fs.exists(metaPath(path)),
-        s"transactAppend appends plain batches - the delta table at $path " +
+        s"transact writes plain batches - the delta table at $path " +
           "needs its keyed merge path (append() routes there, but a delta " +
           "fold cannot stage invisibly across tables yet)")
       if (partKeysOf(df, partCols).isEmpty)
-        throw new EmptyBatchException(s"empty append batch for $path")
+        throw new EmptyBatchException(s"empty batch for $path")
       val batchId = java.util.UUID.randomUUID().toString
       df.write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$path/data/batch=$batchId")
-      (path, fs, batchId, partDirs(fs, path, batchId, partCols))
+      (path, fs, batchId, partDirs(fs, path, batchId, partCols), overwrite)
     }
     // claim each table's next version slot with the pending header;
     // a lost race to a CONCURRENT NORMAL commit rebases (append
@@ -912,16 +930,18 @@ object Warehouse {
     // THIS transaction self-aborts (marker claimed `aborted`, its own
     // stages dropped) before rethrowing, so it never leaves blocked
     // slots behind
-    try staged.foreach { case (path, fs, batchId, written) =>
+    try staged.foreach { case (path, fs, batchId, written, overwrite) =>
       var attempt = 1
       var done = false
       while (!done) {
         val (v, mapping) = snapshot(fs, path).get
-        val newMapping = mapping ++ written.map(key =>
-          key -> (mapping.get(key) match {
-            case Some(chain) => s"$chain,+$batchId"
-            case None        => s"+$batchId"
-          }))
+        val newMapping =
+          if (overwrite) written.map(_ -> batchId).toMap
+          else mapping ++ written.map(key =>
+            key -> (mapping.get(key) match {
+              case Some(chain) => s"$chain,+$batchId"
+              case None        => s"+$batchId"
+            }))
         try {
           commit(fs, path, v + 1, newMapping, pendingMarker = Some(marker))
           done = true
@@ -951,7 +971,8 @@ object Warehouse {
     if (!flipped) {
       // aborted concurrently: drop the dead stages so the version
       // slots free up, then report
-      staged.foreach { case (path, fs, _, _) => dropStagesOf(fs, path, marker) }
+      staged.foreach { case (path, fs, _, _, _) =>
+        dropStagesOf(fs, path, marker) }
       throw new IllegalStateException(
         s"transaction $txnId was aborted before its commit marker " +
           "flipped - no table changed")

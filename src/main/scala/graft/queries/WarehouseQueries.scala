@@ -1346,6 +1346,57 @@ object WarehouseQueries {
              |  event_type, dt
              |FROM ev
              |WHERE event_id % 3 <> 0 OR event_type <> 'click'
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL26 — schema-evolving MERGE as a STATEMENT (`MERGE WITH SCHEMA
+    // EVOLUTION INTO`): the source carries a column the table lacks
+    // (score); the table's AUTOMATIC_SCHEMA_EVOLUTION capability
+    // routes Spark's own ResolveMergeIntoSchemaEvolution through the
+    // catalog's ALTER overlay (ONE metadata write), the star expansion
+    // then lands the column physically for the touched partitions, and
+    // untouched rows read it as NULL — the m4 widening contract driven
+    // entirely from SQL. Matched %11==2 keys update (user_id shifted,
+    // score stored); %7==3 keys shifted +70M insert with score; every
+    // other row reads score NULL.
+    Q("sql26_merge_schema_evolution",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql26wh", "graft_sql26wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          val ups = ev.filter(col("event_id") % 11 === 2)
+            .withColumn("user_id", col("user_id") + 6000000L)
+          val ins = ev.filter(col("event_id") % 7 === 3)
+            .withColumn("event_id", col("event_id") + 70000000L)
+          ups.unionByName(ins)
+            .withColumn("score", col("user_id") % 100L)
+            .createOrReplaceTempView("graft_sql26_changes")
+          s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` t
+                   |USING graft_sql26_changes s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("dt"), col("score"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id,
+             |  CASE WHEN event_id % 11 = 2 THEN user_id + 6000000
+             |       ELSE user_id END AS user_id,
+             |  event_type, dt,
+             |  CASE WHEN event_id % 11 = 2
+             |       THEN (user_id + 6000000) % 100 END AS score
+             |FROM ev
+             |UNION ALL
+             |SELECT event_id + 70000000 AS event_id, user_id, event_type, dt,
+             |  user_id % 100 AS score
+             |FROM ev WHERE event_id % 7 = 3
              |ORDER BY event_id""".stripMargin))
   )
 }

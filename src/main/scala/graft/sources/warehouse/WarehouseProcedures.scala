@@ -40,7 +40,7 @@ import graft.io.Warehouse
 object WarehouseProcedures {
 
   val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain",
-    "history", "analyze")
+    "history", "analyze", "abort_txn")
 
   def byName(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -50,6 +50,7 @@ object WarehouseProcedures {
       case "maintain" => Some(MaintainProcedure)
       case "history"  => Some(HistoryProcedure)
       case "analyze"  => Some(AnalyzeProcedure)
+      case "abort_txn" => Some(AbortTxnProcedure)
       case _          => None
     }
 
@@ -77,6 +78,10 @@ object WarehouseProcedures {
     val p = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
     require(p.nonEmpty,
       "procedure needs table => '<warehouse path>' or '<db.name>'")
+    resolvePath(p)
+  }
+
+  private def resolvePath(p: String): String =
     if (p.startsWith("/")) p
     else {
       val spark = SparkSession.active
@@ -96,7 +101,6 @@ object WarehouseProcedures {
         .getOrElse(throw new IllegalStateException(
           s"corrupt catalog entry for '$p'"))
     }
-  }
 
   private abstract class WarehouseProcedure extends UnboundProcedure
       with BoundProcedure {
@@ -253,6 +257,33 @@ object WarehouseProcedures {
       val cols = csv(input, 1)
       Warehouse.analyzeColumns(spark, path, cols)
       result(out, cols.length, Warehouse.currentVersion(spark, path))
+    }
+  }
+
+  /** Recovery plane for a crashed cross-table transaction
+    * ([[Warehouse.abortTransaction]]): claims the marker `aborted`
+    * (abort and the coordinator's flip race to ONE winner through the
+    * same create-exclusive primitive) and drops the dead stages so
+    * the blocked version slots free up. `aborted = false` means the
+    * transaction had already committed — nothing was touched.
+    */
+  private object AbortTxnProcedure extends WarehouseProcedure {
+    override def name: String = "abort_txn"
+    override def description: String =
+      "abort a crashed cross-table transaction: claim its marker " +
+        "aborted and drop the dead stages"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("marker", StringType),
+      in("tables", StringType))
+    private val out = StructType(Seq(StructField("aborted", BooleanType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val marker = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
+      require(marker.nonEmpty, "abort_txn needs marker => '<marker path>'")
+      val paths = csv(input, 1).map(resolvePath)
+      require(paths.nonEmpty,
+        "abort_txn needs tables => '<path-or-name>,<path-or-name>,...'")
+      result(out, Warehouse.abortTransaction(spark, marker, paths))
     }
   }
 }

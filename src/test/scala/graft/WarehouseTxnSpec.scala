@@ -144,4 +144,51 @@ class WarehouseTxnSpec extends AnyFunSuite {
     assert(ids(a) == Set(1L, 2L) && ids(b) == Set(10L, 20L))
     assert(Warehouse.readVersion(spark, a, 2L).count() == 2L)
   }
+
+  test("transact with mixed APPEND and OVERWRITE writes publishes both shapes atomically") {
+    val (a, b) = mkTables()
+    var preA: Set[Long] = null
+    var preB: Set[Long] = null
+    Warehouse.transactHooked(spark,
+      Seq(
+        Warehouse.TxnWrite(a, Seq((2L, "a2", "p1")).toDF("id", "v", "dt")),
+        Warehouse.TxnWrite(b, Seq((99L, "b!", "p2")).toDF("id", "v", "dt"),
+          overwrite = true)),
+      beforeFlip = () => { preA = ids(a); preB = ids(b) })
+    assert(preA == Set(1L) && preB == Set(10L), "pre-flip: both OLD")
+    // a appended; b REPLACED (old partition p1 gone from the snapshot,
+    // still time-travelable)
+    assert(ids(a) == Set(1L, 2L))
+    assert(ids(b) == Set(99L), s"overwrite must replace, got ${ids(b)}")
+    assert(Warehouse.readVersion(spark, b, 1L)
+      .select("id").as[Long].collect().toSet == Set(10L))
+  }
+
+  test("CALL graft.system.abort_txn recovers a crashed transaction from SQL") {
+    val (a, b) = mkTables()
+    intercept[RuntimeException] {
+      Warehouse.transactAppendHooked(spark,
+        Seq(a -> Seq((2L, "a2", "p1")).toDF("id", "v", "dt"),
+          b -> Seq((20L, "b2", "p1")).toDF("id", "v", "dt")),
+        beforeFlip = () => throw new RuntimeException("crash"))
+    }
+    val blocked = intercept[IllegalStateException] {
+      Warehouse.append(spark, a, Seq((3L, "a3", "p1")).toDF("id", "v", "dt"))
+    }
+    val marker = blocked.getMessage.split("marker ")(1).split("\\)")(0)
+    val res = spark.sql(
+      s"CALL graft.system.abort_txn(marker => '$marker', tables => '$a,$b')")
+      .collect()(0)
+    assert(res.getBoolean(0), "abort must report success")
+    Warehouse.append(spark, a, Seq((3L, "a3", "p1")).toDF("id", "v", "dt"))
+    assert(ids(a) == Set(1L, 3L) && ids(b) == Set(10L))
+    // aborting a COMMITTED txn from SQL refuses (aborted = false)
+    val m2 = Warehouse.transactAppend(spark,
+      Seq(a -> Seq((5L, "a5", "p1")).toDF("id", "v", "dt")))
+    val res2 = spark.sql(
+      s"CALL graft.system.abort_txn(marker => '$m2', tables => '$a')")
+      .collect()(0)
+    assert(!res2.getBoolean(0))
+    assert(ids(a) == Set(1L, 3L, 5L))
+  }
 }
