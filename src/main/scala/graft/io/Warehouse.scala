@@ -2126,21 +2126,34 @@ object Warehouse {
           spark.conf.getOption("spark.graft.merge.crossPartitionKeyCheck")
             .forall(_.toBoolean)) {
         val insKeys = insertRows.get._1.select(keyCols.map(col): _*)
-        val others = readMapped(spark, path, untouchedMap, partCols)
-          .select(targetKeys.zipWithIndex.map { case (tk, i) =>
-            col(tk).as(s"_gm_ok$i") }: _*)
-        val cond = keyCols.zipWithIndex
-          .map { case (kc, i) => col(s"_gm_ok$i") === col(kc) }
-          .reduce(_ && _)
-        val clash = others.join(broadcast(insKeys), cond, "left_semi")
-          .limit(1).count()
-        require(clash == 0L,
-          "MERGE would INSERT a key that already exists in a live " +
-            "partition the source did not name - the source's partition " +
-            "columns must carry each key's true partition (the mergeInto " +
-            "contract); fix the source, or set " +
-            "spark.graft.merge.crossPartitionKeyCheck=false to skip this " +
-            "guard when keys provably embed their partition")
+        // an all-matched source inserts nothing: one bounded count over
+        // the change-sized key set decides whether the untouched-
+        // partition scan runs at all (a semi join against an EMPTY
+        // broadcast side would still scan the big side), and whether
+        // the key set is small enough to broadcast (a bulk-load merge
+        // can insert millions of keys — then let the planner pick the
+        // join, correct either way)
+        val broadcastCap = 1000000L
+        val nIns = insKeys.limit((broadcastCap + 1).toInt).count()
+        if (nIns > 0) {
+          val probe =
+            if (nIns <= broadcastCap) broadcast(insKeys) else insKeys
+          val others = readMapped(spark, path, untouchedMap, partCols)
+            .select(targetKeys.zipWithIndex.map { case (tk, i) =>
+              col(tk).as(s"_gm_ok$i") }: _*)
+          val cond = keyCols.zipWithIndex
+            .map { case (kc, i) => col(s"_gm_ok$i") === col(kc) }
+            .reduce(_ && _)
+          val clash = others.join(probe, cond, "left_semi")
+            .limit(1).count()
+          require(clash == 0L,
+            "MERGE would INSERT a key that already exists in a live " +
+              "partition the source did not name - the source's partition " +
+              "columns must carry each key's true partition (the mergeInto " +
+              "contract); fix the source, or set " +
+              "spark.graft.merge.crossPartitionKeyCheck=false to skip this " +
+              "guard when keys provably embed their partition")
+        }
       }
       val inserts = insertRows.map { case (rows, assigns) =>
         val assignedCols = assigns.map(_._1).toSet
