@@ -200,6 +200,28 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS a, b / FOR ALL
+    // COLUMNS — Spark has no v2 binding for this statement (the child
+    // resolves to a ResolvedTable, then CheckAnalysis refuses), so
+    // route it to the warehouse's `_colstats` rollup
+    // (Warehouse.analyzeColumns — the stats the pre-CBO join-reorder
+    // rule consumes)
+    case a: AnalyzeColumn =>
+      val wt = a.child match {
+        case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+          r.table match {
+            case t: WarehouseTable if t.isCurrentSnapshot => Some(t)
+            case _ => None
+          }
+        case _ => None
+      }
+      wt.fold(plan) { t =>
+        val cols =
+          if (a.allColumns) t.schema().fieldNames.toSeq
+          else a.columnNames.getOrElse(Nil)
+        AnalyzeWarehouseCommand(t.tablePath, cols)
+      }
+
     case u @ UpdateTable(table, assignments, condition)
         if u.resolved && warehouseOf(table).isDefined =>
       val (path, _) = warehouseOf(table).get
@@ -410,6 +432,18 @@ class WarehouseStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }) =>
       new StatsReportingScanRelation(r.relation, r.scan, r.output,
         r.keyGroupedPartitioning, r.ordering)
+  }
+}
+
+/** `ANALYZE TABLE graft.… COMPUTE STATISTICS FOR COLUMNS` as a leaf
+  * command — one distributed aggregation into the `_colstats` sidecar
+  * ([[Warehouse.analyzeColumns]]).
+  */
+case class AnalyzeWarehouseCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Warehouse.analyzeColumns(spark, path, cols)
+    Seq.empty
   }
 }
 

@@ -161,4 +161,17 @@ class WarehouseCboSpec extends AnyFunSuite {
     assert(res.getInt(0) == 2)
     assert(Warehouse.readColStats(spark, path).keySet == Set("id", "v"))
   }
+
+  test("ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS binds as a statement (and FOR ALL COLUMNS)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a"), (2L, "y", "a")).toDF("id", "v", "dt"), "dt")
+    spark.sql(
+      s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR COLUMNS id")
+    assert(Warehouse.readColStats(spark, path).keySet == Set("id"))
+    spark.sql(
+      s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(Warehouse.readColStats(spark, path).keySet == Set("id", "v", "dt"))
+    assert(Warehouse.readColStats(spark, path)("id").ndv == 2L)
+  }
 }
