@@ -522,6 +522,8 @@ object Warehouse {
   private[graft] final case class RenameCol(
       from: String, to: String) extends SchemaOp
   private[graft] final case class DropCol(name: String) extends SchemaOp
+  private[graft] final case class WidenCol(
+      name: String, dt: org.apache.spark.sql.types.DataType) extends SchemaOp
 
   /** The ordered overlay log. Legacy format (round-15 ADD-only files:
     * `name\tddl` lines) parses as adds; the v2 format is explicit
@@ -540,6 +542,8 @@ object Warehouse {
             AddCol(n, org.apache.spark.sql.types.DataType.fromDDL(ddl))
           case Array("rename", from, to) => RenameCol(from, to)
           case Array("drop", n) => DropCol(n)
+          case Array("widen", n, ddl) =>
+            WidenCol(n, org.apache.spark.sql.types.DataType.fromDDL(ddl))
           case other => throw new IllegalStateException(
             s"corrupt _schema overlay line: ${other.mkString("\t")}")
         })
@@ -556,6 +560,7 @@ object Warehouse {
       case AddCol(n, t) => s"add\t$n\t${t.sql}"
       case RenameCol(from, to) => s"rename\t$from\t$to"
       case DropCol(n) => s"drop\t$n"
+      case WidenCol(n, t) => s"widen\t$n\t${t.sql}"
     }
     val out = fs.create(schemaPath(path), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
@@ -593,6 +598,13 @@ object Warehouse {
         else d
       case (d, DropCol(n)) =>
         if (d.columns.contains(n)) d.drop(n) else d
+      case (d, WidenCol(n, t)) =>
+        // normally a no-op: the explicit read schema already delivered
+        // the widened type (see widenedOf/rawRead); casts only frames
+        // built outside that path
+        if (d.columns.contains(n) && d.schema(n).dataType != t)
+          d.withColumn(n, d(n).cast(t))
+        else d
     }
 
   /** Shared ALTER preconditions; returns (fs, current log, current
@@ -669,6 +681,63 @@ object Warehouse {
       s"invalid column name '$to'")
     writeSchemaOverlay(fs, path, ops :+ RenameCol(from, to))
   }
+
+  /** The widening lattice `ALTER TABLE … ALTER COLUMN … TYPE` admits:
+    * exactly the promotions the vectorized parquet reader performs
+    * in-scan when handed a wider requested schema (SPARK-40876), so a
+    * widened table needs ZERO file rewrites — old files decode
+    * straight into the wider type.
+    */
+  private def widenable(from: org.apache.spark.sql.types.DataType,
+                        to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType | ShortType, IntegerType) => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** SQL `ALTER TABLE … ALTER COLUMN … TYPE <wider>` — one metadata
+    * write, zero data files touched: the overlay log records the
+    * widened type; reads hand the parquet scan an EXPLICIT widened
+    * schema (the vectorized reader promotes int32→int64 / float→double
+    * in-scan), writes land the wider type physically, and the next
+    * compaction materializes it. Only the reader-promotable widenings
+    * are admitted ([[widenable]]); narrowing or incompatible changes,
+    * partition columns, and a delta table's columns (the fold reads
+    * per-rank — compact first) refuse loudly.
+    */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+                      to: org.apache.spark.sql.types.DataType): Unit = {
+    val (fs, ops, existing, partCols, metaCols) = alterContext(spark, path)
+    require(existing.contains(name),
+      s"column '$name' does not exist on the table at $path")
+    require(!partCols.contains(name),
+      s"cannot retype partition column '$name' - the layout depends on it")
+    require(!metaCols.contains(name),
+      s"cannot retype '$name' - it is a merge key/version column the " +
+        "delta-chain fold depends on")
+    require(!fs.exists(metaPath(path)),
+      s"cannot widen columns of the delta table at $path - the fold " +
+        "reads per-rank; compact() the chains into a pure base first")
+    val current = read(spark, path).schema(name).dataType
+    require(current != to, s"column '$name' already has type ${to.sql}")
+    require(widenable(current, to),
+      s"cannot change column '$name' from ${current.sql} to ${to.sql} - " +
+        "only reader-promotable widenings (tinyint/smallint->int, " +
+        "tinyint/smallint/int->bigint, float->double) are metadata-only; " +
+        "anything else needs a rewrite")
+    writeSchemaOverlay(fs, path, ops :+ WidenCol(name, to))
+  }
+
+  /** The ACTIVE widened types by (current logical) column name — the
+    * last widen op per name wins; used by the read path to build the
+    * explicit scan schema.
+    */
+  private def widensOf(ops: Seq[SchemaOp]): Map[String, org.apache.spark.sql.types.DataType] =
+    ops.collect { case WidenCol(n, t) => n -> t }.toMap
 
   /** SQL `ALTER TABLE … DROP COLUMN` — one metadata write, zero data
     * files touched: readers stop serving the column (files keep the
@@ -1355,12 +1424,74 @@ object Warehouse {
   // mergeSchema: batches written before a schema-widening merge lack
   // the new columns — footer merging surfaces the union schema and
   // old rows read null there (the widening contract); the extra
-  // footer pass is per-file metadata, not data
+  // footer pass is per-file metadata, not data. A table with WIDENED
+  // column types instead passes an EXPLICIT schema (mergeSchema
+  // refuses int32-vs-int64 footers; the vectorized reader PROMOTES
+  // them in-scan when the requested schema is wider — SPARK-40876).
   private def rawRead(spark: SparkSession, path: String,
-                      dirs: Seq[String]): DataFrame =
-    spark.read.option("basePath", s"$path/data")
-      .option("mergeSchema", "true")
-      .parquet(dirs: _*)
+                      dirs: Seq[String],
+                      expected: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    expected match {
+      case Some(s) =>
+        spark.read.schema(s).option("basePath", s"$path/data").parquet(dirs: _*)
+      case None =>
+        spark.read.option("basePath", s"$path/data")
+          .option("mergeSchema", "true")
+          .parquet(dirs: _*)
+    }
+
+  /** The explicit scan schema for dirs/files spanning mixed TYPE
+    * generations (post-`ALTER COLUMN TYPE` reads): per BATCH, probe
+    * one schema (footer metadata — a batch is written atomically with
+    * one schema), map the widened columns to their declared target
+    * type, then merge by name — all types must now agree (a conflict
+    * beyond the declared widenings is a loud error, exactly where
+    * mergeSchema would have thrown). None when the table has no widen
+    * ops: the zero-probe mergeSchema fast path stays.
+    */
+  private def widenedScanSchema(spark: SparkSession, path: String,
+      dirs: Seq[String],
+      widens: Map[String, org.apache.spark.sql.types.DataType]):
+      Option[org.apache.spark.sql.types.StructType] =
+    if (widens.isEmpty || dirs.isEmpty) None
+    else {
+      import org.apache.spark.sql.types.StructType
+      val byBatch = dirs.groupBy { d =>
+        val i = d.indexOf("/batch=")
+        d.substring(i + 7).takeWhile(_ != '/')
+      }
+      val schemas = byBatch.toSeq.sortBy(_._1).map { case (_, group) =>
+        val s = spark.read.option("basePath", s"$path/data")
+          .option("mergeSchema", "true").parquet(group: _*).schema
+        StructType(s.fields.map { f =>
+          widens.get(f.name) match {
+            case Some(t) if f.dataType != t =>
+              require(widenable(f.dataType, t),
+                s"stored type ${f.dataType.sql} of '${f.name}' cannot " +
+                  s"promote to the declared ${t.sql} at $path")
+              f.copy(dataType = t)
+            case _ => f
+          }
+        })
+      }
+      Some(schemas.reduce { (a, b) =>
+        val bByName = b.fields.map(f => f.name -> f).toMap
+        val merged = a.fields.map { f =>
+          bByName.get(f.name) match {
+            case Some(g) if g.dataType == f.dataType =>
+              f.copy(nullable = f.nullable || g.nullable)
+            case Some(g) => throw new IllegalStateException(
+              s"cannot merge batch schemas at $path: column '${f.name}' " +
+                s"is ${f.dataType.sql} in one batch and ${g.dataType.sql} " +
+                "in another beyond the declared widenings - widen the " +
+                "column (ALTER COLUMN TYPE) or compact")
+            case None => f.copy(nullable = true)
+          }
+        } ++ b.fields.filterNot(g => a.fieldNames.contains(g.name))
+          .map(_.copy(nullable = true))
+        StructType(merged)
+      })
+    }
 
   /** Resolve a (possibly chained) mapping to the table's logical rows:
     * chain-free partitions scan as-is, chained partitions fold. The
@@ -1371,17 +1502,23 @@ object Warehouse {
   private def readMapped(spark: SparkSession, path: String,
                          mapping: Map[String, String],
                          partCols: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, path)
+    val widens = widensOf(readSchemaOverlay(fs, path))
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val parts = Seq(
       if (pure.isEmpty) None
-      else Some(rawRead(spark, path, pure.toSeq.sorted.flatMap {
-        case (key, chain) =>
-          // append-only chains scan every link plainly (no fold)
-          chainOf(chain).map(b => s"$path/data/batch=$b/$key")
-      }).drop("batch")),
+      else {
+        val dirs = pure.toSeq.sorted.flatMap {
+          case (key, chain) =>
+            // append-only chains scan every link plainly (no fold)
+            chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+        }
+        Some(rawRead(spark, path, dirs,
+          widenedScanSchema(spark, path, dirs, widens)).drop("batch"))
+      },
       if (chained.isEmpty) None
       else Some(foldRead(spark, path, chained, partCols))).flatten
-    withOverlay(fsOf(spark, path), path,
+    withOverlay(fs, path,
       parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
@@ -3186,13 +3323,17 @@ object Warehouse {
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
             .map(_.getPath.toString).sorted.toSeq
         } ++ keptFiles, limit.get))
+    val widens = widensOf(readSchemaOverlay(fs, path))
+    def readWidened(targets: Seq[String]) =
+      rawRead(spark, path, targets,
+        widenedScanSchema(spark, path, targets, widens)).drop("batch")
     val scans = Seq(
       limited match {
         case Some(fls) =>
-          if (fls.isEmpty) None else Some(rawRead(spark, path, fls).drop("batch"))
+          if (fls.isEmpty) None else Some(readWidened(fls))
         case None =>
           if (keptFiles.isEmpty && wholeDirs.isEmpty) None
-          else Some(rawRead(spark, path, wholeDirs ++ keptFiles).drop("batch"))
+          else Some(readWidened(wholeDirs ++ keptFiles))
       },
       if (chained.isEmpty) None
       else Some(foldRead(spark, path, chained, partCols))).flatten

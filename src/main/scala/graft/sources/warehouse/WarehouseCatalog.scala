@@ -271,15 +271,23 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
       case del: TableChange.DeleteColumn =>
         topLevel(del.fieldNames, "DROP COLUMN")
     }
-    require(adds.size + renames.size + drops.size == changes.size,
-      s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN only, got " +
-        s"${changes.mkString(", ")} (type changes need a rewrite; other " +
-        "schema evolution happens through widening merges)")
+    val widens = changes.collect {
+      case up: TableChange.UpdateColumnType =>
+        topLevel(up.fieldNames, "ALTER COLUMN TYPE") -> up.newDataType()
+    }
+    require(adds.size + renames.size + drops.size + widens.size ==
+        changes.size,
+      s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN and " +
+        s"reader-promotable ALTER COLUMN TYPE widenings only, got " +
+        s"${changes.mkString(", ")} (other schema evolution happens " +
+        "through widening merges)")
     if (created) {
       if (adds.nonEmpty) Warehouse.addColumns(spark, path, adds)
       renames.foreach { case (from, to) =>
         Warehouse.renameColumn(spark, path, from, to) }
       if (drops.nonEmpty) Warehouse.dropColumns(spark, path, drops)
+      widens.foreach { case (n, t) =>
+        Warehouse.widenColumnType(spark, path, n, t) }
     } else entry match {
       // registered-but-unwritten named table: rewrite the declared schema
       case Some(e) =>
@@ -294,8 +302,10 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
         val renamed = e.schema.fields.map { f =>
           renames.find(_._1 == f.name).fold(f)(r => f.copy(name = r._2)) }
         val kept = renamed.filterNot(f => drops.contains(f.name))
+        val retyped = kept.map { f =>
+          widens.find(_._1 == f.name).fold(f)(w => f.copy(dataType = w._2)) }
         writeEntry(spark, ident, e.copy(schema = StructType(
-          kept ++ adds.map { case (n, t) =>
+          retyped ++ adds.map { case (n, t) =>
             org.apache.spark.sql.types.StructField(n, t) })),
           exclusive = false)
       case None => noSuch(ident)

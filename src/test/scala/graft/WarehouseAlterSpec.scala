@@ -162,4 +162,63 @@ class WarehouseAlterSpec extends AnyFunSuite {
       .select("id", "label").as[(Long, String)].collect().toSeq
     assert(rows == Seq((1L, "hit"), (2L, "y")))
   }
+
+  test("ALTER COLUMN TYPE widening is metadata-only: old int32 files promote in-scan, new writes land the wider type") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1, 5, "a")).toDF("id", "x", "dt"), "dt") // id, x: INT
+    val before = dataFiles(path)
+    Warehouse.widenColumnType(spark, path, "x",
+      org.apache.spark.sql.types.LongType)
+    assert(dataFiles(path) == before, "widen must not touch data files")
+    val df = Warehouse.read(spark, path)
+    assert(df.schema("x").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.select("x").as[Long].collect().toSeq == Seq(5L))
+    // a post-widen append stores int64; BOTH generations read as long
+    Warehouse.append(spark, path,
+      Seq((2, 7L, "a")).toDF("id", "x", "dt"))
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "x").as[(Int, Long)].collect().toSeq
+    assert(rows == Seq((1, 5L), (2, 7L)), s"got $rows")
+    // DML over the mixed generations works on the logical type
+    spark.sql(s"UPDATE graft.`$path` SET x = x + 10 WHERE id = 1")
+    assert(Warehouse.read(spark, path).orderBy("id")
+      .select("x").as[Long].collect().toSeq == Seq(15L, 7L))
+  }
+
+  test("ALTER COLUMN TYPE refusal arms: narrowing, incompatible, partition col, delta table") {
+    import org.apache.spark.sql.types._
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, 5, "x", "a")).toDF("id", "x", "v", "dt"), "dt")
+    assert(intercept[IllegalArgumentException](
+      Warehouse.widenColumnType(spark, path, "id", IntegerType))
+      .getMessage.contains("widenings"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.widenColumnType(spark, path, "v", LongType))
+      .getMessage.contains("widenings"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.widenColumnType(spark, path, "dt", LongType))
+      .getMessage.contains("partition"))
+    val delta = freshDir()
+    Warehouse.create(spark, delta,
+      Seq((1L, 1L, 5, "a")).toDF("id", "ver", "x", "dt"), "dt")
+    Warehouse.mergeIntoDelta(spark, delta,
+      Seq((2L, 1L, 6, "a")).toDF("id", "ver", "x", "dt"), "id", "ver", "dt")
+    assert(intercept[IllegalArgumentException](
+      Warehouse.widenColumnType(spark, delta, "x", LongType))
+      .getMessage.contains("compact"))
+  }
+
+  test("SQL plane: ALTER TABLE ALTER COLUMN TYPE binds through the catalog and composes with rename") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1, 1.5f, "a")).toDF("id", "score", "dt"), "dt")
+    spark.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN score TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN score TO weight")
+    val df = spark.read.format("graft-warehouse").load(path)
+    assert(df.schema("weight").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(math.abs(df.select("weight").as[Double].head() - 1.5) < 1e-6)
+  }
 }
