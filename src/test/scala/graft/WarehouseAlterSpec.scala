@@ -221,4 +221,18 @@ class WarehouseAlterSpec extends AnyFunSuite {
       org.apache.spark.sql.types.DoubleType)
     assert(math.abs(df.select("weight").as[Double].head() - 1.5) < 1e-6)
   }
+
+  test("footer-aggregate pushdown over a WIDENED column mixes int32/int64 generations correctly") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1, 5, "a"), (2, 90, "a")).toDF("id", "x", "dt"), "dt") // INT
+    Warehouse.widenColumnType(spark, path, "x",
+      org.apache.spark.sql.types.LongType)
+    Warehouse.append(spark, path,
+      Seq((3, 7L, "a"), (4, 4000000000L, "a")).toDF("id", "x", "dt")) // INT64
+    val df = spark.read.format("graft-warehouse").load(path)
+      .agg(min("x").as("mn"), max("x").as("mx"), count("x").as("n"))
+    val (mn, mx, n) = df.as[(Long, Long, Long)].head()
+    assert((mn, mx, n) == (5L, 4000000000L, 4L), s"got ($mn, $mx, $n)")
+  }
 }
