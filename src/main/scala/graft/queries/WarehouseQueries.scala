@@ -1269,7 +1269,10 @@ object WarehouseQueries {
     // win, and new keys insert — E2's merge semantics without dropping
     // to the version-algebra API. Changes: %17==4 keys arrive with
     // version+1 when even (guard TRUE → update) and version-1 when odd
-    // (guard FALSE → survive); %13==6 keys shifted +50M insert.
+    // (guard FALSE → survive); %13==6 keys insert under NEGATED ids
+    // (stored ids are non-negative at every scale, so the fresh keys
+    // can never collide with a replica range — an additive shift did,
+    // at sf1).
     Q("sql24_merge_guarded",
       (s, d) => {
         val path = TempArtifacts.getOrBuild(s"$d#sql24wh", "graft_sql24wh") { p =>
@@ -1283,7 +1286,7 @@ object WarehouseQueries {
             .withColumn("version", col("version") +
               when(col("event_id") % 2 === 0, 1L).otherwise(-1L))
           val ins = ev.filter(col("event_id") % 13 === 6)
-            .withColumn("event_id", col("event_id") + 50000000L)
+            .withColumn("event_id", -col("event_id") - 1L)
           ups.unionByName(ins)
             .createOrReplaceTempView("graft_sql24_changes")
           s.sql(s"""MERGE INTO graft.`$p` t
@@ -1304,7 +1307,7 @@ object WarehouseQueries {
              |  event_type, dt
              |FROM ev
              |UNION ALL
-             |SELECT event_id + 50000000 AS event_id, user_id, event_type, dt
+             |SELECT -event_id - 1 AS event_id, user_id, event_type, dt
              |FROM ev WHERE event_id % 13 = 6
              |ORDER BY event_id""".stripMargin)),
 
@@ -1369,7 +1372,7 @@ object WarehouseQueries {
           val ups = ev.filter(col("event_id") % 11 === 2)
             .withColumn("user_id", col("user_id") + 6000000L)
           val ins = ev.filter(col("event_id") % 7 === 3)
-            .withColumn("event_id", col("event_id") + 70000000L)
+            .withColumn("event_id", -col("event_id") - 1L)
           ups.unionByName(ins)
             .withColumn("score", col("user_id") % 100L)
             .createOrReplaceTempView("graft_sql26_changes")
@@ -1394,7 +1397,7 @@ object WarehouseQueries {
              |       THEN (user_id + 6000000) % 100 END AS score
              |FROM ev
              |UNION ALL
-             |SELECT event_id + 70000000 AS event_id, user_id, event_type, dt,
+             |SELECT -event_id - 1 AS event_id, user_id, event_type, dt,
              |  user_id % 100 AS score
              |FROM ev WHERE event_id % 7 = 3
              |ORDER BY event_id""".stripMargin))
