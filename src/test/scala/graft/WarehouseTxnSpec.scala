@@ -164,6 +164,144 @@ class WarehouseTxnSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(10L))
   }
 
+  test("a DELTA (merge-on-read) table participates in a transaction: the staged chain link is invisible until the flip, atomic with a CoW table") {
+    val (a, d) = mkTables()
+    // make d a KEYED delta table (records _meta)
+    Warehouse.mergeIntoDelta(spark, d,
+      Seq((10L, "b1v2", 2L, "p1")).toDF("id", "v", "ver", "dt"),
+      "id", "ver", "dt")
+    assert(Warehouse.read(spark, d).select("v").as[String].collect().toSet
+      == Set("b1v2"))
+    var preA: Set[Long] = null
+    var preDv: Set[String] = null
+    Warehouse.transactHooked(spark,
+      Seq(
+        Warehouse.TxnWrite(a, Seq((2L, "a2", "p1")).toDF("id", "v", "dt")),
+        // an UPSERT of key 10 plus a new key 11 — the delta link must
+        // fold with latest-wins after the flip
+        Warehouse.TxnWrite(d,
+          Seq((10L, "b1v3", 3L, "p1"), (11L, "new", 1L, "p1"))
+            .toDF("id", "v", "ver", "dt"))),
+      beforeFlip = () => {
+        preA = ids(a)
+        preDv = Warehouse.read(spark, d).select("v").as[String].collect().toSet
+      })
+    assert(preA == Set(1L) && preDv == Set("b1v2"),
+      s"pre-flip: both OLD, got $preA / $preDv")
+    assert(ids(a) == Set(1L, 2L))
+    assert(Warehouse.read(spark, d)
+      .select("id", "v").as[(Long, String)].collect().toSet
+      == Set((10L, "b1v3"), (11L, "new")),
+      "the staged delta link must fold latest-wins after the flip")
+  }
+
+  test("a crashed CoW+delta transaction leaves both tables old; abort drops the staged chain link") {
+    val (a, d) = mkTables()
+    Warehouse.mergeIntoDelta(spark, d,
+      Seq((10L, "b1v2", 2L, "p1")).toDF("id", "v", "ver", "dt"),
+      "id", "ver", "dt")
+    intercept[RuntimeException] {
+      Warehouse.transactHooked(spark,
+        Seq(
+          Warehouse.TxnWrite(a, Seq((2L, "a2", "p1")).toDF("id", "v", "dt")),
+          Warehouse.TxnWrite(d,
+            Seq((10L, "b1v3", 3L, "p1")).toDF("id", "v", "ver", "dt"))),
+        beforeFlip = () => throw new RuntimeException("crash"))
+    }
+    assert(ids(a) == Set(1L))
+    assert(Warehouse.read(spark, d).select("v").as[String].collect().toSet
+      == Set("b1v2"))
+    val blocked = intercept[IllegalStateException] {
+      Warehouse.append(spark, a, Seq((3L, "a3", "p1")).toDF("id", "v", "dt"))
+    }
+    val marker = blocked.getMessage.split("marker ")(1).split("\\)")(0)
+    assert(Warehouse.abortTransaction(spark, marker, Seq(a, d)))
+    // the staged chain link is gone: the delta table still serves v2
+    // and takes new keyed writes
+    assert(Warehouse.read(spark, d).select("v").as[String].collect().toSet
+      == Set("b1v2"))
+    Warehouse.append(spark, d,
+      Seq((12L, "x", 1L, "p1")).toDF("id", "v", "ver", "dt"))
+    assert(ids(d) == Set(10L, 12L))
+  }
+
+  test("transact refuses OVERWRITE of a delta table loudly") {
+    val (_, d) = mkTables()
+    Warehouse.mergeIntoDelta(spark, d,
+      Seq((10L, "b1v2", 2L, "p1")).toDF("id", "v", "ver", "dt"),
+      "id", "ver", "dt")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.transact(spark, Seq(Warehouse.TxnWrite(d,
+        Seq((1L, "z", 1L, "p1")).toDF("id", "v", "ver", "dt"),
+        overwrite = true)))
+    }
+    assert(e.getMessage.contains("cannot OVERWRITE the delta table"))
+  }
+
+  test("transact refuses a delta-table write missing the merge columns") {
+    val (a, d) = mkTables()
+    Warehouse.mergeIntoDelta(spark, d,
+      Seq((10L, "b1v2", 2L, "p1")).toDF("id", "v", "ver", "dt"),
+      "id", "ver", "dt")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.transactAppend(spark,
+        Seq(d -> Seq((11L, "new", "p1")).toDF("id", "v", "dt")))
+    }
+    assert(e.getMessage.contains("must carry its merge columns"))
+    assert(ids(a) == Set(1L))
+  }
+
+  test("committed visibility MATERIALIZES: after the flip the other participants survive losing the first table's _txn dir") {
+    val (a, b) = mkTables()
+    val marker = Warehouse.transactAppend(spark,
+      Seq(a -> Seq((2L, "a2", "p1")).toDF("id", "v", "dt"),
+        b -> Seq((20L, "b2", "p1")).toDF("id", "v", "dt")))
+    // the advisor-r16 scenario: the marker lives under table a; wipe
+    // a's _txn dir entirely — b's committed version must NOT
+    // time-travel back, because the flip already materialized it
+    val fs = new org.apache.hadoop.fs.Path(marker)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$a/_txn"), true)
+    assert(ids(b) == Set(10L, 20L),
+      "materialized commit must survive losing the marker dir")
+    assert(ids(a) == Set(1L, 2L))
+  }
+
+  test("vacuum sweeps settled _txn markers past the retention age, keeps young ones, and never breaks an unmaterialized committed txn") {
+    val (a, b) = mkTables()
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers(): Set[String] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$a/_txn")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).map(_.getPath.getName).toSet
+    }
+    // a committed txn: marker exists, manifests materialize at flip
+    Warehouse.transactAppend(spark,
+      Seq(a -> Seq((2L, "a2", "p1")).toDF("id", "v", "dt"),
+        b -> Seq((20L, "b2", "p1")).toDF("id", "v", "dt")))
+    // an aborted txn: crash before flip, then abort
+    intercept[RuntimeException] {
+      Warehouse.transactAppendHooked(spark,
+        Seq(a -> Seq((3L, "a3", "p1")).toDF("id", "v", "dt")),
+        beforeFlip = () => throw new RuntimeException("crash"))
+    }
+    val blocked = intercept[IllegalStateException] {
+      Warehouse.append(spark, a, Seq((4L, "a4", "p1")).toDF("id", "v", "dt"))
+    }
+    val m = blocked.getMessage.split("marker ")(1).split("\\)")(0)
+    Warehouse.abortTransaction(spark, m, Seq(a))
+    assert(markers().size == 2, s"both settled markers on disk: ${markers()}")
+    // a LONG retention keeps them (young markers never sweep)
+    Warehouse.vacuum(spark, a, minAgeMs = 3600L * 1000L)
+    assert(markers().size == 2, "young markers must survive vacuum")
+    // zero retention: both are settled and proved unreferenced → gone
+    Warehouse.vacuum(spark, a, minAgeMs = 0L)
+    assert(markers().isEmpty, s"settled markers must reclaim: ${markers()}")
+    // the tables still serve the committed state
+    assert(ids(a) == Set(1L, 2L) && ids(b) == Set(10L, 20L))
+  }
+
   test("CALL graft.system.abort_txn recovers a crashed transaction from SQL") {
     val (a, b) = mkTables()
     intercept[RuntimeException] {
