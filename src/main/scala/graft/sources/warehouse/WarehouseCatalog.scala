@@ -301,9 +301,29 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
             s"cannot rename/drop partition column '$n'") }
         val renamed = e.schema.fields.map { f =>
           renames.find(_._1 == f.name).fold(f)(r => f.copy(name = r._2)) }
+        // the same freshness check the written-table path runs: a
+        // rename target must not collide with an existing or
+        // co-renamed column (advisor r16)
+        renames.foreach { case (_, to) =>
+          require(renamed.count(_.name == to) == 1,
+            s"column '$to' already exists on ${entryKey(ident)}") }
         val kept = renamed.filterNot(f => drops.contains(f.name))
+        widens.foreach { case (n, _) =>
+          require(kept.exists(_.name == n),
+            s"column '$n' does not exist on ${entryKey(ident)}")
+          require(!e.partCols.contains(n),
+            s"cannot retype partition column '$n'") }
         val retyped = kept.map { f =>
-          widens.find(_._1 == f.name).fold(f)(w => f.copy(dataType = w._2)) }
+          widens.find(_._1 == f.name).fold(f) { w =>
+            // only the widenings the written-table path admits — a
+            // declared-then-written table must behave exactly like a
+            // written-then-altered one (advisor r16)
+            require(graft.io.Warehouse.widenable(f.dataType, w._2),
+              s"cannot change column '${f.name}' from ${f.dataType.sql} " +
+                s"to ${w._2.sql} - only reader-promotable widenings are " +
+                "admitted, declared or written")
+            f.copy(dataType = w._2)
+          } }
         writeEntry(spark, ident, e.copy(schema = StructType(
           retyped ++ adds.map { case (n, t) =>
             org.apache.spark.sql.types.StructField(n, t) })),

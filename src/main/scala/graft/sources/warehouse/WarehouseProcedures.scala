@@ -221,7 +221,11 @@ object WarehouseProcedures {
       in("table", StringType),
       in("sort_col", StringType),
       inDefault("target_bytes", LongType, "CAST(67108864 AS BIGINT)"),
-      inDefault("every_n_commits", IntegerType, "10"))
+      inDefault("every_n_commits", IntegerType, "10"),
+      // > 0: also re-ANALYZE the previously-analyzed columns whenever
+      // the table advanced this many commits past the stats' stamped
+      // version, so CBO estimates track ingest (0 = never)
+      inDefault("analyze_every", IntegerType, "0"))
     private val out = StructType(Seq(
       StructField("compacted", BooleanType), StructField("version", LongType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -229,7 +233,8 @@ object WarehouseProcedures {
       val path = pathArg(input)
       val ran = Warehouse.maintain(spark, path,
         sortCol = input.getUTF8String(1).toString,
-        targetBytes = input.getLong(2), everyNCommits = input.getInt(3))
+        targetBytes = input.getLong(2), everyNCommits = input.getInt(3),
+        analyzeEvery = input.getInt(4))
       result(out, ran, Warehouse.currentVersion(spark, path))
     }
   }

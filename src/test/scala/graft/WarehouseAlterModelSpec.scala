@@ -43,10 +43,12 @@ class WarehouseAlterModelSpec extends AnyFunSuite {
         Map(("c0", 0L) -> 0L), Set.empty, nextCol = 1, nextRow = 1L)
       for (step <- 1 to 8) {
         rnd.nextInt(5) match {
-          case 0 => // ADD a fresh long column
+          case 0 => // ADD a fresh long OR decimal(10,0) column
             val n = s"c${m.nextCol}"
-            Warehouse.addColumns(spark, path, Seq(n -> LongType))
-            m = m.copy(cols = m.cols :+ (n -> LongType), nextCol = m.nextCol + 1)
+            val t: DataType =
+              if (rnd.nextBoolean()) LongType else DecimalType(10, 0)
+            Warehouse.addColumns(spark, path, Seq(n -> t))
+            m = m.copy(cols = m.cols :+ (n -> t), nextCol = m.nextCol + 1)
           case 1 if m.cols.nonEmpty => // RENAME a random column
             val (from, t) = m.cols(rnd.nextInt(m.cols.size))
             val to = s"c${m.nextCol}"
@@ -63,22 +65,30 @@ class WarehouseAlterModelSpec extends AnyFunSuite {
             m = m.copy(cols = m.cols.filterNot(_._1 == victim),
               values = m.values.filterNot(_._1._1 == victim),
               retired = m.retired + victim)
-          case 3 => // WIDEN a random INT column (if any)
-            val ints = m.cols.filter(_._2 == IntegerType)
-            if (ints.nonEmpty) {
-              val (c, _) = ints(rnd.nextInt(ints.size))
-              Warehouse.widenColumnType(spark, path, c, LongType)
-              m = m.copy(cols = m.cols.map { case (n, t) =>
-                if (n == c) (n, LongType) else (n, t) })
+          case 3 => // WIDEN a random INT (→ LONG) or DECIMAL
+            // (→ +4 precision, same scale) column, if any
+            val widenableCols = m.cols.filter {
+              case (_, IntegerType) => true
+              case (_, d: DecimalType) => d.precision + 4 <= 38
+              case _ => false
+            }
+            if (widenableCols.nonEmpty) {
+              val (c, t) = widenableCols(rnd.nextInt(widenableCols.size))
+              val wider: DataType = t match {
+                case IntegerType => LongType
+                case d: DecimalType => DecimalType(d.precision + 4, d.scale)
+                case other => other
+              }
+              Warehouse.widenColumnType(spark, path, c, wider)
+              m = m.copy(cols = m.cols.map { case (n, ct) =>
+                if (n == c) (n, wider) else (n, ct) })
             }
           case _ => // APPEND one row carrying the current logical shape
             val rowId = m.nextRow
             val vals = m.cols.map { case (c, _) => c -> (rowId * 100 + c.drop(1).toLong) }
             val df0 = Seq((rowId, "p")).toDF("id", "dt")
             val df = vals.foldLeft(df0) { case (d, (c, v)) =>
-              d.withColumn(c,
-                if (m.cols.find(_._1 == c).get._2 == IntegerType)
-                  lit(v.toInt) else lit(v))
+              d.withColumn(c, lit(v).cast(m.cols.find(_._1 == c).get._2))
             }
             Warehouse.append(spark, path, df)
             m = m.copy(values = m.values ++ vals.map { case (c, v) =>

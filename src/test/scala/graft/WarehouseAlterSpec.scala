@@ -222,6 +222,89 @@ class WarehouseAlterSpec extends AnyFunSuite {
     assert(math.abs(df.select("weight").as[Double].head() - 1.5) < 1e-6)
   }
 
+  test("DECIMAL precision widening is metadata-only and mixes generations (round 17)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1, "1.25", "a"), (2, "99999999.50", "a")).toDF("id", "d", "dt")
+        .select($"id", $"d".cast("decimal(10,2)").as("d"), $"dt"), "dt")
+    val before = dataFiles(path)
+    Warehouse.widenColumnType(spark, path, "d",
+      org.apache.spark.sql.types.DecimalType(14, 2))
+    assert(dataFiles(path) == before, "decimal widen must not touch files")
+    val df = Warehouse.read(spark, path)
+    assert(df.schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 2))
+    // a post-widen append stores decimal(14,2) — a value OVER the old
+    // precision proves the wider physical type landed; both
+    // generations read as decimal(14,2)
+    Warehouse.append(spark, path,
+      Seq((3, "999999999999.75", "a")).toDF("id", "d", "dt")
+        .select($"id", $"d".cast("decimal(14,2)").as("d"), $"dt"))
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select($"d".cast("string")).as[String].collect().toSeq
+    assert(rows == Seq("1.25", "99999999.50", "999999999999.75"), s"got $rows")
+    // scale change and narrowing refuse
+    assert(intercept[IllegalArgumentException](
+      Warehouse.widenColumnType(spark, path, "d",
+        org.apache.spark.sql.types.DecimalType(20, 4)))
+      .getMessage.contains("widenings"))
+    assert(intercept[IllegalArgumentException](
+      Warehouse.widenColumnType(spark, path, "d",
+        org.apache.spark.sql.types.DecimalType(10, 2)))
+      .getMessage.contains("widenings"))
+  }
+
+  test("the _colstats sidecar follows DDL: RENAME re-keys, WIDEN retypes, DROP removes (round 17)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, 5, "x", "a"), (2L, 7, "y", "a"))
+        .toDF("id", "x", "v", "dt"), "dt")
+    Warehouse.analyzeColumns(spark, path, Seq("id", "x", "v"))
+    val v0 = Warehouse.colStatsVersion(spark, path)
+    assert(v0.contains(1L))
+    Warehouse.renameColumn(spark, path, "x", "score")
+    val afterRename = Warehouse.readColStats(spark, path)
+    assert(!afterRename.contains("x") && afterRename.contains("score"),
+      s"stats must re-key on rename, got ${afterRename.keySet}")
+    assert(afterRename("score").ndv == 2L)
+    Warehouse.widenColumnType(spark, path, "score",
+      org.apache.spark.sql.types.LongType)
+    assert(Warehouse.readColStats(spark, path)("score").dataTypeDdl
+      == "BIGINT")
+    Warehouse.dropColumns(spark, path, Seq("v"))
+    assert(!Warehouse.readColStats(spark, path).contains("v"),
+      "dropped column's stats must not serve stale estimates")
+    // the analyzed-version header survives every metadata rewrite
+    assert(Warehouse.colStatsVersion(spark, path) == v0)
+  }
+
+  test("a registered-but-unwritten named table refuses the same retypes and rename collisions as a written one (round 17)") {
+    val name = s"alter_unwritten_${System.nanoTime()}"
+    val tbl = s"graft.db.$name"
+    spark.sql(s"CREATE TABLE $tbl (id INT, v STRING, dt STRING) " +
+      "PARTITIONED BY (dt)")
+    // narrowing refuses (Spark's own upcast check catches it upstream)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE SMALLINT"))
+    // int→double IS a Spark upcast but NOT reader-promotable — this
+    // one must hit the catalog's widenable() guard, which the
+    // unwritten branch previously skipped (advisor r16)
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE DOUBLE"))
+      .getMessage.contains("widenings"))
+    // rename onto an existing column refused
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO id"))
+      .getMessage.contains("already exists"))
+    // a legal widening + rename still applies to the declared schema
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO label")
+    val schema = spark.table(tbl).schema
+    assert(schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema.fieldNames.contains("label"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("footer-aggregate pushdown over a WIDENED column mixes int32/int64 generations correctly") {
     val path = freshDir()
     Warehouse.create(spark, path,

@@ -151,6 +151,85 @@ class WarehouseCboSpec extends AnyFunSuite {
     assert(rows == joined.count())
   }
 
+  test("CBO join reorder survives RENAME COLUMN: the re-keyed sidecar keeps feeding the reductive-dim-first order (round 17)") {
+    val factPath = freshDir()
+    val midPath = freshDir()
+    val smallPath = freshDir()
+    Warehouse.create(spark, factPath,
+      (1L to 2000L).map(i => (i, i % 400, i % 100, s"p${i % 2}"))
+        .toDF("id", "mid_id", "small_id", "dt"), "dt")
+    Warehouse.create(spark, midPath,
+      (0L to 399L).map(i => (i, s"m$i", "p0")).toDF("mid_id", "mname", "dt"), "dt")
+    Warehouse.create(spark, smallPath,
+      (0L to 9L).map(i => (i, s"s$i", "p0")).toDF("small_id", "sname", "dt"), "dt")
+    Warehouse.analyzeColumns(spark, factPath, Seq("id", "mid_id", "small_id"))
+    Warehouse.analyzeColumns(spark, midPath, Seq("mid_id"))
+    Warehouse.analyzeColumns(spark, smallPath, Seq("small_id"))
+    // RENAME the fact's join keys AFTER the analyze — the sidecar
+    // re-keys with them, so the reorder must still fire
+    Warehouse.renameColumn(spark, factPath, "small_id", "sid")
+    Warehouse.renameColumn(spark, smallPath, "small_id", "sid")
+    def joined = {
+      val f = spark.read.format("graft-warehouse").load(factPath)
+      val m = spark.read.format("graft-warehouse").load(midPath)
+      val s = spark.read.format("graft-warehouse").load(smallPath)
+      f.join(m, "mid_id").join(s, "sid").select("id", "mname", "sname")
+    }
+    def firstJoinLeaves(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      joins.last.collectLeaves().flatMap {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table match {
+            case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
+            case _ => None
+          }
+        case _ => None
+      }.toSet
+    }
+    withCbo {
+      val leaves = firstJoinLeaves(joined)
+      assert(leaves == Set(factPath, smallPath),
+        s"CBO must keep reordering after the rename, got $leaves")
+    }
+  }
+
+  test("maintain(analyzeEvery) refreshes previously-analyzed stats once the table advances past the cadence (round 17)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "a")).toDF("id", "v", "dt"), "dt")
+    Warehouse.analyzeColumns(spark, path, Seq("id"))
+    assert(Warehouse.colStatsVersion(spark, path).contains(1L))
+    assert(Warehouse.readColStats(spark, path)("id").ndv == 1L)
+    Warehouse.append(spark, path, Seq((2L, "y", "a")).toDF("id", "v", "dt"))
+    Warehouse.append(spark, path, Seq((3L, "z", "a")).toDF("id", "v", "dt"))
+    // cadence not reached with analyzeEvery = 5 → stats stay stamped v1
+    Warehouse.maintain(spark, path, "id", 64L << 20,
+      everyNCommits = 1000, analyzeEvery = 5)
+    assert(Warehouse.colStatsVersion(spark, path).contains(1L))
+    // cadence reached with analyzeEvery = 2 → refreshed at v3, NDV 3
+    Warehouse.maintain(spark, path, "id", 64L << 20,
+      everyNCommits = 1000, analyzeEvery = 2)
+    assert(Warehouse.colStatsVersion(spark, path).contains(3L))
+    assert(Warehouse.readColStats(spark, path)("id").ndv == 3L)
+    // only the previously-analyzed column set refreshes
+    assert(Warehouse.readColStats(spark, path).keySet == Set("id"))
+    // the SQL procedure binds the cadence too
+    Warehouse.append(spark, path, Seq((4L, "w", "a")).toDF("id", "v", "dt"))
+    Warehouse.append(spark, path, Seq((5L, "q", "a")).toDF("id", "v", "dt"))
+    spark.sql(s"CALL graft.system.maintain(table => '$path', " +
+      "sort_col => 'id', every_n_commits => 1000, analyze_every => 2)")
+    assert(Warehouse.colStatsVersion(spark, path).contains(5L))
+    // a never-analyzed table: the cadence initiates nothing
+    val fresh = freshDir()
+    Warehouse.create(spark, fresh,
+      Seq((1L, "x", "a")).toDF("id", "v", "dt"), "dt")
+    Warehouse.maintain(spark, fresh, "id", 64L << 20,
+      everyNCommits = 1000, analyzeEvery = 1)
+    assert(Warehouse.colStatsVersion(spark, fresh).isEmpty)
+  }
+
   test("CALL graft.system.analyze binds the procedure") {
     val path = freshDir()
     Warehouse.create(spark, path,
