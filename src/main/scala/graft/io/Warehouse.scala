@@ -2168,10 +2168,30 @@ object Warehouse {
     * automatically; API callers alias by hand), with the referenced
     * target names in `targetCondCols` — the pass aliases exactly
     * those on the base frame before the join, so post-join resolution
-    * is never ambiguous against same-named source columns. `WHEN NOT
-    * MATCHED BY SOURCE` conditions/values reference the TARGET row
-    * only, through the same `_gm_t_<name>` form. Unassigned columns
-    * keep the target row's value (UPDATE) or land NULL (INSERT).
+    * is never ambiguous against same-named source columns. A matched
+    * UPDATE's assignment VALUES may reference the stored row the same
+    * way (`SET t.cnt = t.cnt + s.delta` — the incremental-aggregate
+    * upsert, Delta parity): list the clause index in `pairValues`;
+    * those assignments evaluate over the matched PAIR, post-join, on
+    * the already-pruned touched partitions — the same rebinding, one
+    * field over. Pair-valued clauses cannot introduce NEW columns
+    * (schema evolution takes a new column's type from the resolved
+    * SOURCE side). `WHEN NOT MATCHED BY SOURCE` conditions/values
+    * reference the TARGET row only, through the same `_gm_t_<name>`
+    * form. Unassigned columns keep the target row's value (UPDATE) or
+    * land NULL (INSERT).
+    *
+    * `residual` carries the ON condition's non-key conjuncts (`ON
+    * t.id = s.id AND t.dt >= s.dt_floor` — Delta accepts these), in
+    * the same pair-level rebound form, and participates in MATCHING
+    * itself, exactly as SQL defines: a key-equal pair that fails the
+    * residual is NOT matched — the target row falls to the BY SOURCE
+    * arms and the source row to the insert arm. A NULL residual
+    * counts as not-matched (SQL three-valued logic under a WHERE-like
+    * predicate). The SQL cardinality guard stays at key granularity —
+    * duplicate source keys that key-match a target row are refused
+    * even when the residual would disambiguate them (conservative and
+    * loud, never a silent wrong answer).
     *
     * `schemaEvolution` admits assignments to columns the table does
     * not have yet (from matched-UPDATE and INSERT clauses only): the
@@ -2219,7 +2239,9 @@ object Warehouse {
       pairLevel: Set[Int] = Set.empty,
       targetCondCols: Seq[String] = Nil,
       notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
-      schemaEvolution: Boolean = false): Unit = {
+      schemaEvolution: Boolean = false,
+      pairValues: Set[Int] = Set.empty,
+      residual: Option[Column] = None): Unit = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -2229,6 +2251,13 @@ object Warehouse {
       s"MERGE ON names a target key column twice: ${targetKeys.mkString(", ")}")
     pairLevel.foreach(i => require(i >= 0 && i < matched.length,
       s"pair-level clause index $i out of range (matched clauses: ${matched.length})"))
+    pairValues.foreach { i =>
+      require(i >= 0 && i < matched.length,
+        s"pair-value clause index $i out of range (matched clauses: ${matched.length})")
+      require(matched(i)._2.isDefined,
+        s"pair-value clause index $i is a DELETE arm - only UPDATE SET " +
+          "values can reference the stored row")
+    }
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
@@ -2253,6 +2282,17 @@ object Warehouse {
       require(schemaEvolution || newCols.isEmpty,
         s"MERGE assigns unknown column(s) ${newCols.mkString(", ")} - " +
           "add WITH SCHEMA EVOLUTION (or Warehouse.addColumns) to widen")
+      // a pair-valued assignment evaluates post-join, so its resolved
+      // type is not knowable from the source frame — a NEW column's
+      // stored type must come from the source side
+      pairValues.foreach { i =>
+        matched(i)._2.getOrElse(Nil).foreach { case (c, _) =>
+          require(!newCols.contains(c),
+            s"target-referencing UPDATE values cannot introduce new column " +
+              s"'$c' - schema evolution takes a new column's type from the " +
+              "SOURCE side (assign it source-only values, or addColumns first)")
+        }
+      }
       notMatchedBySource.flatMap(_._2.getOrElse(Nil)).map(_._1).foreach { c =>
         require(!partCols.contains(c),
           s"WHEN NOT MATCHED BY SOURCE cannot assign partition column '$c' " +
@@ -2290,15 +2330,16 @@ object Warehouse {
         case (d, (k, n)) => d.withColumn(n, k)
       }.withColumn("_gm_m", lit(true))
       matched.zipWithIndex.foreach { case ((cond, assigns), i) =>
-        // pair-level conditions compare against the stored row, so
-        // they evaluate POST-join (below); source-only ones here
+        // pair-level conditions/values compare against the stored row,
+        // so they evaluate POST-join (below); source-only ones here
         if (!pairLevel(i))
           src = src.withColumn(s"_gm_c$i",
             coalesce(cond.getOrElse(lit(true)), lit(false)))
-        assigns.getOrElse(Nil).foreach { case (c, value) =>
-          src = src.withColumn(s"_gm_u${i}_$c",
-            if (newCols.contains(c)) value else value.cast(typeOf(c)))
-        }
+        if (!pairValues(i))
+          assigns.getOrElse(Nil).foreach { case (c, value) =>
+            src = src.withColumn(s"_gm_u${i}_$c",
+              if (newCols.contains(c)) value else value.cast(typeOf(c)))
+          }
       }
       notMatched.foreach { case (cond, assigns) =>
         src = src.withColumn("_gm_ic",
@@ -2348,21 +2389,30 @@ object Warehouse {
             "argmax) first")
       }
       // first-applicable-clause index per matched base row; -1 = no
-      // clause applies (row passes through unchanged)
+      // clause applies (row passes through unchanged). Matching is
+      // key equality AND the residual (a key-equal pair failing the
+      // residual is NOT matched — SQL's ON semantics), folded into
+      // the `_gm_meff` marker post-join.
       val act = {
-        val m = coalesce(col("_gm_m"), lit(false))
         val chain = matched.zipWithIndex.foldLeft(
-          when(!m, lit(-1))) { case (w, ((_, _), i)) =>
+          when(!col("_gm_meff"), lit(-1))) { case (w, ((_, _), i)) =>
           w.when(col(s"_gm_c$i"), lit(i))
         }
         chain.otherwise(lit(-1))
       }
       val survivors = base0.map { base =>
         var joined = base.join(src, keyCond(base), "left")
-        matched.zipWithIndex.foreach { case ((cond, _), i) =>
+          .withColumn("_gm_meff",
+            coalesce(col("_gm_m"), lit(false)) &&
+              residual.map(r => coalesce(r, lit(false))).getOrElse(lit(true)))
+        matched.zipWithIndex.foreach { case ((cond, assigns), i) =>
           if (pairLevel(i))
             joined = joined.withColumn(s"_gm_c$i",
               coalesce(cond.getOrElse(lit(true)), lit(false)))
+          if (pairValues(i))
+            assigns.getOrElse(Nil).foreach { case (c, value) =>
+              joined = joined.withColumn(s"_gm_u${i}_$c", value.cast(typeOf(c)))
+            }
         }
         notMatchedBySource.zipWithIndex.foreach { case ((cond, assigns), j) =>
           joined = joined.withColumn(s"_gm_bc$j",
@@ -2373,11 +2423,11 @@ object Warehouse {
         }
         joined = joined.withColumn("_gm_act", act)
         // first-applicable BY SOURCE clause for UNMATCHED base rows
+        // (unmatched under the FULL ON: key miss OR residual failure)
         joined =
           if (reconcile) {
-            val m = coalesce(col("_gm_m"), lit(false))
             val bchain = notMatchedBySource.zipWithIndex.foldLeft(
-              when(m, lit(-1))) { case (w, (_, j)) =>
+              when(col("_gm_meff"), lit(-1))) { case (w, (_, j)) =>
               w.when(col(s"_gm_bc$j"), lit(j))
             }
             joined.withColumn("_gm_bact", bchain.otherwise(lit(-1)))
@@ -2437,11 +2487,18 @@ object Warehouse {
       val insertRows = notMatched.map { case (_, assigns) =>
         val anti = base0 match {
           case Some(base) =>
+            // "not matched" is defined by the FULL ON condition: the
+            // anti-join carries the residual too (resolved against the
+            // base side's _gm_t_ aliases), so a key-equal source row
+            // that fails the residual correctly lands in the insert arm
             val tks = targetKeys.zipWithIndex.map { case (tk, i) =>
-              col(tk).as(s"_gm_tk$i") }
-            val cond = keyCols.zipWithIndex
+              col(tk).as(s"_gm_tk$i") } ++
+              (if (residual.isEmpty) Nil
+               else targetCondCols.distinct.map(c => base(s"_gm_t_$c")))
+            val keyEq = keyCols.zipWithIndex
               .map { case (kc, i) => src(kc) === col(s"_gm_tk$i") }
               .reduce(_ && _)
+            val cond = residual.fold(keyEq)(r => keyEq && r)
             src.join(base.select(tks: _*), cond, "left_anti")
           case None => src
         }
@@ -3414,6 +3471,43 @@ object Warehouse {
       * min/max. None for ranges and string bounds.
       */
     def point: Option[Long] = None
+    /** The long point SET this bound pins — equality and IN shapes
+      * that can consult a file's bloom sidecar (a file is provably
+      * matchless only when EVERY point is absent). None for ranges
+      * and string bounds.
+      */
+    def points: Option[Array[Long]] = point.map(Array(_))
+    /** Could a partition whose column carries this RAW hive-path
+      * value (unescaped string form) hold a matching row? True on any
+      * parse ambiguity — partition pruning, like file pruning, is a
+      * SUPERSET filter; the residual predicate exacts it. Integral
+      * and ISO-date forms compare as longs/epoch-days; strings by
+      * UTF-8 byte order (Spark's own binary string comparison — Java
+      * UTF-16 order diverges on supplementary characters in the
+      * direction that could DROP a matching partition).
+      */
+    def matchesPartitionValue(raw: String): Boolean = true
+  }
+  /** Integral/date partition-value parse for pruning: a long, or an
+    * ISO date as days-since-epoch (the recorded stat form). None for
+    * anything else — unparseable keeps the partition.
+    */
+  private def longValueOf(raw: String): Option[Long] =
+    try Some(raw.toLong) catch {
+      case _: NumberFormatException =>
+        try Some(java.time.LocalDate.parse(raw).toEpochDay)
+        catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  /** UTF-8 byte-order string comparison — matches Spark's binary
+    * string semantics where Java's UTF-16 compareTo diverges.
+    */
+  private[graft] def byteCmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0; var r = 0
+    while (i < math.min(x.length, y.length) && r == 0) {
+      r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+    }
+    if (r != 0) r else x.length - y.length
   }
   private[graft] final case class LongBound(lo: Option[Long], hi: Option[Long])
       extends Bound {
@@ -3425,6 +3519,8 @@ object Warehouse {
       case (Some(a), Some(b)) if a == b => Some(a)
       case _ => None
     }
+    override def matchesPartitionValue(raw: String): Boolean =
+      longValueOf(raw).forall(v => lo.forall(v >= _) && hi.forall(v <= _))
   }
   private[graft] final case class StrBound(lo: Option[String], hi: Option[String])
       extends Bound {

@@ -1400,6 +1400,106 @@ object WarehouseQueries {
              |SELECT -event_id - 1 AS event_id, user_id, event_type, dt,
              |  user_id % 100 AS score
              |FROM ev WHERE event_id % 7 = 3
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL27 — the incremental-aggregate upsert as ONE statement (the
+    // r16 verdict's #1 ask, Delta parity): `SET t.cnt = t.cnt +
+    // s.delta` references the STORED row, so the assignment evaluates
+    // over the matched pair post-join (the `_gm_t_` rebinding applied
+    // to values). A per-user counter table takes two delta merges —
+    // clicks, then views — each O(touched partitions); the second
+    // merge also inserts brand-new keys (negated user ids, collision
+    // impossible against non-negative stored ids). The oracle
+    // recomputes the final counters from scratch.
+    Q("sql27_merge_accumulate",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql27wh", "graft_sql27wh") { p =>
+          val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+          val base = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+            .withColumn("bucket", pmod(col("user_id"), lit(10L)))
+          Warehouse.create(s, p, base, "bucket")
+          ev.filter(col("event_type") === "click")
+            .groupBy("user_id").agg(count(lit(1)).as("delta"))
+            .withColumn("bucket", pmod(col("user_id"), lit(10L)))
+            .createOrReplaceTempView("graft_sql27_d1")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql27_d1 s
+                   |ON t.user_id = s.user_id
+                   |WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.delta""".stripMargin): Unit
+          val views = ev.filter(col("event_type") === "view")
+            .groupBy("user_id").agg(count(lit(1)).as("delta"))
+          views.unionByName(
+              views.select((-col("user_id") - 1L).as("user_id"), col("delta")))
+            .withColumn("bucket", pmod(col("user_id"), lit(10L)))
+            .createOrReplaceTempView("graft_sql27_d2")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql27_d2 s
+                   |ON t.user_id = s.user_id
+                   |WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.delta
+                   |WHEN NOT MATCHED THEN INSERT (user_id, cnt, bucket)
+                   |  VALUES (s.user_id, s.delta, s.bucket)""".stripMargin): Unit
+        }
+        Warehouse.read(s, path).select("user_id", "cnt").orderBy("user_id")
+      },
+      Some("""WITH base AS (SELECT user_id, count(*) AS cnt
+             |              FROM events GROUP BY user_id),
+             |c AS (SELECT user_id, count(*) AS d FROM events
+             |      WHERE event_type = 'click' GROUP BY user_id),
+             |v AS (SELECT user_id, count(*) AS d FROM events
+             |      WHERE event_type = 'view' GROUP BY user_id)
+             |SELECT b.user_id,
+             |  b.cnt + COALESCE(c.d, 0) + COALESCE(v.d, 0) AS cnt
+             |FROM base b
+             |LEFT JOIN c ON b.user_id = c.user_id
+             |LEFT JOIN v ON b.user_id = v.user_id
+             |UNION ALL
+             |SELECT -user_id - 1 AS user_id, d AS cnt FROM v
+             |ORDER BY user_id""".stripMargin)),
+
+    // SQL28 — residual (non-key) ON conjuncts (Delta parity, r16
+    // verdict #8): `ON t.event_id = s.event_id AND t.version >=
+    // s.vfloor` — the residual participates in MATCHING itself, so a
+    // key-equal pair failing it sends the source row to the INSERT
+    // arm and leaves the stored row untouched. Even %5==1 keys carry
+    // vfloor = stored version (match → user_id shifted); odd ones
+    // carry version+1 (miss → a fresh 'late' row under a negated key,
+    // landing in the source row's own partition).
+    Q("sql28_merge_residual_on",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql28wh", "graft_sql28wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          ev.filter(col("event_id") % 5 === 1)
+            .select(col("event_id"),
+              (col("user_id") + 9000000L).as("user_id"), col("dt"),
+              (col("version") + when(col("event_id") % 2 === 0, 0L)
+                .otherwise(1L)).as("vfloor"))
+            .createOrReplaceTempView("graft_sql28_changes")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql28_changes s
+                   |ON t.event_id = s.event_id AND t.version >= s.vfloor
+                   |WHEN MATCHED THEN UPDATE SET user_id = s.user_id
+                   |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, dt, version)
+                   |  VALUES (-s.event_id - 1, s.user_id, 'late', s.dt, s.vfloor)""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt FROM events)
+             |SELECT event_id,
+             |  CASE WHEN event_id % 5 = 1 AND event_id % 2 = 0
+             |       THEN user_id + 9000000 ELSE user_id END AS user_id,
+             |  event_type, dt
+             |FROM ev
+             |UNION ALL
+             |SELECT -event_id - 1 AS event_id, user_id + 9000000 AS user_id,
+             |  'late' AS event_type, dt
+             |FROM ev WHERE event_id % 5 = 1 AND event_id % 2 = 1
              |ORDER BY event_id""".stripMargin))
   )
 }

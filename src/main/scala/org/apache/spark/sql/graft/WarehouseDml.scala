@@ -49,11 +49,17 @@ import graft.sources.warehouse.WarehouseTable
   *    target attributes rebind to the `_gm_t_<name>` aliases the pass
   *    attaches before the join. WHEN NOT MATCHED BY SOURCE clauses
   *    (full-table reconciliation) reference the target row only, the
-  *    same way. `WITH SCHEMA EVOLUTION` widens the table by the
-  *    source columns a star clause carries beyond the target schema.
-  *    Target-referencing matched VALUES and non-equi ON conditions
-  *    are refused with pointers to the merge API, never silently
-  *    misplanned.
+  *    same way. Matched UPDATE assignment VALUES may reference the
+  *    stored row too (`SET t.cnt = t.cnt + s.delta` — the
+  *    incremental-aggregate upsert, Delta parity): the clause's
+  *    values then evaluate over the matched pair through the same
+  *    `_gm_t_<name>` rebinding. Non-key ON conjuncts (`ON t.id = s.id
+  *    AND t.dt >= s.dt_floor`) become the pair-level RESIDUAL and
+  *    participate in matching itself — a key-equal pair failing the
+  *    residual is NOT matched. `WITH SCHEMA EVOLUTION` widens the
+  *    table by the source columns a star clause carries beyond the
+  *    target schema. An ON with zero key equalities is refused with
+  *    a pointer to the merge API, never silently misplanned.
   *
   * This file lives under `org.apache.spark.sql` for the same reason
   * Delta's does: [[LeafRunnableCommand]] and `Dataset.ofRows` are
@@ -239,23 +245,39 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
       val targetAttrs = AttributeSet(relation.output)
       val sourceAttrs = AttributeSet(source.output)
       val pairIdx = scala.collection.mutable.Set.empty[Int]
+      val pairValueIdx = scala.collection.mutable.Set.empty[Int]
       val tCondCols = scala.collection.mutable.ArrayBuffer.empty[String]
-      // the ON condition must be a conjunction of equalities, each
-      // pinning one target key column to one source-side expression —
-      // single or COMPOSITE keys, the keyed-merge shape every
-      // verified warehouse write path shares
-      val keyPairs: Seq[(String, Column)] =
-        splitConjunctivePredicates(cond).map {
-          case EqualTo(l: AttributeReference, r)
-              if targetAttrs.contains(l) && r.references.subsetOf(sourceAttrs) =>
-            (l.name, ExpressionUtils.column(r))
-          case EqualTo(l, r: AttributeReference)
-              if targetAttrs.contains(r) && l.references.subsetOf(sourceAttrs) =>
-            (r.name, ExpressionUtils.column(l))
-          case other => throw new UnsupportedOperationException(
-            s"graft-warehouse MERGE needs ON <target key column> = <source " +
-              s"expression> [AND …] (got $other) - non-equi merge " +
-              "conditions belong to the merge API")
+      // the ON condition: equality conjuncts pinning one target key
+      // column to one source-side expression drive the keyed merge
+      // (single or COMPOSITE keys — the shape every verified warehouse
+      // write path shares); any OTHER conjunct (`AND t.dt >=
+      // s.dt_floor`, Delta parity) becomes the pair-level RESIDUAL,
+      // part of matching itself. At least one key equality is
+      // required — a key-free ON would make every merge a cross join.
+      val keyPairsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      val residualBuf = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      splitConjunctivePredicates(cond).foreach {
+        case EqualTo(l: AttributeReference, r)
+            if targetAttrs.contains(l) && r.references.subsetOf(sourceAttrs) &&
+              !keyPairsBuf.exists(_._1 == l.name) =>
+          keyPairsBuf += ((l.name, ExpressionUtils.column(r)))
+        case EqualTo(l, r: AttributeReference)
+            if targetAttrs.contains(r) && l.references.subsetOf(sourceAttrs) &&
+              !keyPairsBuf.exists(_._1 == r.name) =>
+          keyPairsBuf += ((r.name, ExpressionUtils.column(l)))
+        case other => residualBuf += other
+      }
+      if (keyPairsBuf.isEmpty) throw new UnsupportedOperationException(
+        s"graft-warehouse MERGE needs at least one ON <target key column> " +
+          s"= <source expression> equality conjunct (got $cond) - a " +
+          "key-free ON cannot drive a keyed merge")
+      val keyPairs: Seq[(String, Column)] = keyPairsBuf.toSeq
+      val residual: Option[Column] = residualBuf
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+        .map { e =>
+          val (column, tRefs) = pairCond(e, sourceAttrs, targetAttrs)
+          tCondCols ++= tRefs
+          column
         }
       def srcCond(c: Option[Expression], what: String): Option[Column] =
         c.map(sourceOnly(_, sourceAttrs, what))
@@ -296,12 +318,27 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
           else Nil
         known ++ extra
       }
+      // matched-UPDATE assignment values may reference the STORED row
+      // (`SET t.cnt = t.cnt + s.delta`, the incremental-aggregate
+      // upsert): the clause's assignments then all evaluate over the
+      // matched pair — the same `_gm_t_<name>` rebinding as pair-level
+      // conditions, applied to the value side
+      def matchedAssigns(assigns: Seq[Assignment], i: Int): Seq[(String, Column)] =
+        if (assigns.forall(_.value.references.subsetOf(sourceAttrs)))
+          srcAssigns(assigns, "UPDATE SET values")
+        else {
+          pairValueIdx += i
+          assigns.map { a =>
+            val (column, tRefs) = pairCond(a.value, sourceAttrs, targetAttrs)
+            tCondCols ++= tRefs
+            nameOf(a.key) -> column
+          }
+        }
       val matched = matchedActions.zipWithIndex.map {
         case (DeleteAction(c), i) =>
           (matchedCond(c, i), None)
         case (UpdateAction(c, assigns, _), i) =>
-          (matchedCond(c, i),
-            Some(srcAssigns(assigns, "UPDATE SET values")))
+          (matchedCond(c, i), Some(matchedAssigns(assigns, i)))
         case (UpdateStarAction(c), i) =>
           (matchedCond(c, i), Some(starAssigns("UPDATE SET *")))
         case (other, _) => throw new UnsupportedOperationException(
@@ -355,7 +392,7 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
       MergeWarehouseCommand(path, source, keyPairs.map(_._1),
         keyPairs.map(_._2), matched, notMatched,
         pairIdx.toSet, tCondCols.toSeq.distinct, bySource,
-        withSchemaEvolution)
+        withSchemaEvolution, pairValueIdx.toSet, residual)
 
     case _ => plan
   }
@@ -480,7 +517,9 @@ case class MergeWarehouseCommand(path: String, source: LogicalPlan,
     pairLevel: Set[Int] = Set.empty,
     targetCondCols: Seq[String] = Nil,
     notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
-    schemaEvolution: Boolean = false)
+    schemaEvolution: Boolean = false,
+    pairValues: Set[Int] = Set.empty,
+    residual: Option[Column] = None)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -491,7 +530,8 @@ case class MergeWarehouseCommand(path: String, source: LogicalPlan,
       matched, notMatched, maxAttempts = 5, pairLevel = pairLevel,
       targetCondCols = targetCondCols,
       notMatchedBySource = notMatchedBySource,
-      schemaEvolution = schemaEvolution)
+      schemaEvolution = schemaEvolution,
+      pairValues = pairValues, residual = residual)
     Seq.empty
   }
 }

@@ -18,8 +18,11 @@ import graft.io.Warehouse
   * statement-plane extensions (target-side WHEN MATCHED guards, WHEN
   * NOT MATCHED BY SOURCE reconciliation, WITH SCHEMA EVOLUTION
   * widening, the cross-partition insert-key guard, the empty-table
-  * merge refusal), and every refusal arm — moves across partitions,
-  * target-side merge VALUES, non-equi ON — fails loudly rather than
+  * merge refusal), the round-17 extensions (target-referencing UPDATE
+  * SET values — the incremental-aggregate upsert — and residual
+  * non-key ON conjuncts that participate in matching itself), and
+  * every refusal arm — moves across partitions, key-free ON,
+  * pair-valued SET on a NEW column — fails loudly rather than
   * silently misplanning.
   */
 class WarehouseDmlSpec extends AnyFunSuite {
@@ -239,7 +242,7 @@ class WarehouseDmlSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "x"), (2L, "y"), (3L, "z")))
   }
 
-  test("MERGE refusal arms: non-equi ON, target-side values") {
+  test("MERGE refusal arm: an ON with zero key equalities is refused (a key-free ON cannot drive a keyed merge)") {
     val path = freshDir()
     seed(path)
     val nonEqui = intercept[Exception] {
@@ -250,14 +253,171 @@ class WarehouseDmlSpec extends AnyFunSuite {
            |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
     }
     assert(nonEqui.getMessage.contains("ON <target key column>"))
-    val targetSide = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO graft.`$path` t
-           |USING (SELECT CAST(2 AS BIGINT) AS id, 'p' AS nv, 'a' AS dt) s
-           |ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET v = concat(t.v, s.nv)""".stripMargin)
+    // nothing committed
+    assert(Warehouse.currentVersion(spark, path) == 1L)
+  }
+
+  // -------------------------------------------------------------
+  // Target-referencing UPDATE values (round 17)
+  // -------------------------------------------------------------
+
+  test("MERGE UPDATE SET values may reference the stored row: accumulator upsert composes across repeated merges") {
+    val path = freshDir()
+    seed(path)
+    def acc(delta: Long): Unit = spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT CAST(1 AS BIGINT) AS id, CAST($delta AS BIGINT) AS delta,
+         |       '+' AS nv, 'a' AS dt) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET ver = t.ver + s.delta, v = concat(t.v, s.nv)""".stripMargin): Unit
+    acc(10L)
+    acc(5L)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "ver", "v").as[(Long, Long, String)].collect().toSeq
+    // ver: 1 + 10 + 5; v accretes one '+' per merge (mixed
+    // source/target expression in the same SET list); other rows and
+    // the dt=b partition untouched
+    assert(rows == Seq((1L, 16L, "x++"), (2L, 1L, "y"), (3L, 2L, "z")))
+  }
+
+  test("MERGE target-valued SET follows SQL NULL arithmetic: NULL + delta stays NULL") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, Some(5L), "a"), (2L, None, "a"))
+        .toDF("id", "score", "dt"), "dt")
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(7 AS BIGINT), 'a'),
+         |  (CAST(2 AS BIGINT), CAST(7 AS BIGINT), 'a') AS s(id, delta, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET score = t.score + s.delta""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "score").as[(Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, Some(12L)), (2L, None)))
+  }
+
+  test("MERGE target-valued SET composes with a target-side guard and the insert arm") {
+    val path = freshDir()
+    seed(path)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'a'),
+         |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'a'),
+         |  (CAST(7 AS BIGINT), CAST(9 AS BIGINT), 'a')
+         |  AS s(id, nver, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.nver > t.ver THEN UPDATE SET ver = t.ver + s.nver
+         |WHEN NOT MATCHED THEN INSERT (id, ver, v, dt) VALUES (s.id, s.nver, 'new', s.dt)""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "ver", "v").as[(Long, Long, String)].collect().toSeq
+    // id=1: guard 2 > 1 → ver = 1 + 2; id=2: guard 0 > 1 false →
+    // survives unchanged; id=7 inserts
+    assert(rows == Seq((1L, 3L, "x"), (2L, 1L, "y"), (3L, 2L, "z"),
+      (7L, 9L, "new")))
+  }
+
+  test("pair-valued SET cannot introduce a NEW column (schema evolution types come from the source side)") {
+    val path = freshDir()
+    seed(path)
+    // the SQL plane never gets here (the analyzer cannot resolve a
+    // target-referencing value for a column the table lacks), so the
+    // guard is an API-plane contract: a pairValues clause assigning a
+    // column outside the table schema refuses loudly
+    val src = Seq((1L, 3L, "a")).toDF("id", "delta", "dt")
+    val e = intercept[Exception] {
+      Warehouse.mergeStatement(spark, path, src,
+        targetKeys = Seq("id"), sourceKeys = Seq(col("id")),
+        matched = Seq((None,
+          Some(Seq("bonus" -> (col("_gm_t_ver") + col("delta")))))),
+        notMatched = None,
+        pairValues = Set(0), targetCondCols = Seq("ver"),
+        schemaEvolution = true)
     }
-    assert(targetSide.getMessage.contains("SOURCE side only"))
+    assert(e.getMessage.contains("cannot introduce new column"),
+      s"wrong refusal: ${e.getMessage}")
+    assert(Warehouse.currentVersion(spark, path) == 1L)
+  }
+
+  // -------------------------------------------------------------
+  // Residual (non-key) ON conjuncts (round 17)
+  // -------------------------------------------------------------
+
+  test("MERGE residual ON conjuncts participate in matching: a key-equal pair failing the residual is NOT matched") {
+    val path = freshDir()
+    seed(path)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'hit',  'a'),
+         |  (CAST(2 AS BIGINT), CAST(9 AS BIGINT), 'miss', 'a')
+         |  AS s(id, vfloor, nv, dt)) s
+         |ON t.id = s.id AND t.ver >= s.vfloor
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (id, ver, v, dt)
+         |  VALUES (s.id + 100, s.vfloor, s.nv, s.dt)""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "ver", "v").as[(Long, Long, String)].collect().toSeq
+    // id=1: 1 >= 1 → matched, updated; id=2: 1 >= 9 fails → the
+    // source row lands in the INSERT arm (SQL's ON semantics), the
+    // stored row survives unchanged
+    assert(rows == Seq((1L, 1L, "hit"), (2L, 1L, "y"), (3L, 2L, "z"),
+      (102L, 9L, "miss")))
+  }
+
+  test("MERGE residual ON with BY SOURCE: a residual-failing base row is unmatched and takes the BY SOURCE arm") {
+    val path = freshDir()
+    seed(path)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a'),
+         |  (CAST(2 AS BIGINT), CAST(9 AS BIGINT), 'a'),
+         |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'b')
+         |  AS s(id, vfloor, dt)) s
+         |ON t.id = s.id AND t.ver >= s.vfloor
+         |WHEN MATCHED THEN UPDATE SET v = 'kept'
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'orphan'""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    // id=1 matched (1 >= 1); id=2 key-joins but 1 >= 9 fails →
+    // unmatched under the FULL ON → BY SOURCE arm; id=3 matched
+    assert(rows == Seq((1L, "kept"), (2L, "orphan"), (3L, "kept")))
+  }
+
+  test("MERGE residual NULL counts as not-matched (three-valued logic) and a duplicate target-key equality folds into the residual") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      Seq((1L, Some(5L), "x", "a"), (2L, None, "y", "a"))
+        .toDF("id", "score", "v", "dt"), "dt")
+    // id=2's stored score is NULL → residual NULL → not matched →
+    // no clause fires (no insert arm), row survives
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a'),
+         |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'a')
+         |  AS s(id, floor, dt)) s
+         |ON t.id = s.id AND t.score >= s.floor
+         |WHEN MATCHED THEN UPDATE SET v = 'hit'""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "hit"), (2L, "y")))
+    // a SECOND equality on the already-keyed id column is a residual,
+    // not a duplicate key: t.id = s.id AND t.id = s.other
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a'),
+         |  (CAST(2 AS BIGINT), CAST(99 AS BIGINT), 'a')
+         |  AS s(id, other, dt)) s
+         |ON t.id = s.id AND t.id = s.other
+         |WHEN MATCHED THEN UPDATE SET v = 'both'""".stripMargin)
+    val rows2 = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    // id=1: both equalities hold → updated; id=2: 2 = 99 fails → not
+    // matched
+    assert(rows2 == Seq((1L, "both"), (2L, "y")))
   }
 
   test("MERGE and UPDATE refuse time-travel relations (history is immutable)") {
