@@ -63,6 +63,14 @@ object Sessions {
         _.isInstanceOf[org.apache.spark.sql.graft.WarehouseStatsRule]))
       spark.experimental.extraOptimizations ++=
         Seq(new org.apache.spark.sql.graft.WarehouseStatsRule(spark))
+    // runtime (dynamic) file/partition pruning for warehouse fact ⋈
+    // dim joins — must see the ScanRelations pushdown built AND the
+    // real statistics the stats rule restores, so it rides the same
+    // post-pushdown batch, after it
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.WarehouseRuntimeFilterRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(new org.apache.spark.sql.graft.WarehouseRuntimeFilterRule(spark))
     spark
   }
 }

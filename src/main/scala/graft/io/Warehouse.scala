@@ -3528,6 +3528,58 @@ object Warehouse {
       case StrStat(mn, mx) => lo.forall(mx >= _) && hi.forall(mn <= _)
       case _ => true
     }
+    override def matchesPartitionValue(raw: String): Boolean =
+      lo.forall(byteCmp(raw, _) >= 0) && hi.forall(byteCmp(raw, _) <= 0)
+  }
+  /** An IN-set of integral/date points (static `IN (…)` pushdown and
+    * the runtime join-key sets of
+    * [[org.apache.spark.sql.graft.WarehouseRuntimeFilterRule]]).
+    * `values` arrives SORTED ascending: per-file intersection is one
+    * binary search (the pruning loop is driver-side over every
+    * candidate file — a linear scan over a 100k-key runtime set would
+    * not survive a 100 TB file count). An EMPTY set prunes every
+    * file/partition — the dim side of an inner join matched nothing,
+    * so the correct scan is the empty scan.
+    */
+  private[graft] final case class LongSetBound(values: Array[Long])
+      extends Bound {
+    def intersects(s: Stat): Boolean = s match {
+      case LongStat(mn, mx) =>
+        val i = java.util.Arrays.binarySearch(values, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < values.length && values(from) <= mx
+      case _ => true
+    }
+    override def points: Option[Array[Long]] = Some(values)
+    override def matchesPartitionValue(raw: String): Boolean =
+      longValueOf(raw).forall(v =>
+        java.util.Arrays.binarySearch(values, v) >= 0)
+  }
+  /** An IN-set of strings; `values` SORTED by UTF-8 byte order, range
+    * intersection by binary search, membership by exact equality
+    * (order-independent, so plain string equality is safe).
+    */
+  private[graft] final case class StrSetBound(values: Array[String])
+      extends Bound {
+    def intersects(s: Stat): Boolean = s match {
+      case StrStat(mn, mx) =>
+        // first value >= mn (byte order), then check <= mx
+        var lo = 0; var hi = values.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (byteCmp(values(mid), mn) < 0) lo = mid + 1 else hi = mid
+        }
+        lo < values.length && byteCmp(values(lo), mx) <= 0
+      case _ => true
+    }
+    override def matchesPartitionValue(raw: String): Boolean = {
+      var lo = 0; var hi = values.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (byteCmp(values(mid), raw) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < values.length && values(lo) == raw
+    }
   }
 
   /** DATA-SKIPPING read: the table's rows with `statsCol` in
@@ -3569,14 +3621,19 @@ object Warehouse {
   /** File-pruned (and optionally time-traveled) table read — the
     * pruning engine behind [[readSkipping]] and the DSv2 connector's
     * pushed filters ([[graft.sources.warehouse.WarehouseDataSource]]).
-    * Per chain-free partition, a file is OPENED unless some bound's
-    * recorded stat proves it holds no matching row — a superset of
-    * the matching files, so the caller's residual predicate gives
-    * exact results; delta-chained partitions read in full (their fold
-    * must see every version of every key before filtering — pruning
-    * pre-fold could resurrect a superseded row). The pruned FILE list
-    * is observable via the returned plan's inputFiles (the spec's
-    * assertion).
+    * Bounds over PARTITION columns drop whole partition dirs from the
+    * manifest first (safe even for delta-chained partitions — a fold
+    * never moves a row across partitions); per surviving chain-free
+    * partition, a file is OPENED unless some bound's recorded stat or
+    * bloom proves it holds no matching row — a superset of the
+    * matching files, so the caller's residual predicate gives exact
+    * results; delta-chained partitions read in full (their fold must
+    * see every version of every key before filtering — pruning
+    * pre-fold could resurrect a superseded row). `extraBounds`
+    * carries RUNTIME join-key sets (several bounds may conjoin on one
+    * column — each is independently a superset filter). The pruned
+    * FILE list is observable via the returned plan's inputFiles (the
+    * spec's assertion).
     */
   /** The shortest prefix of `files` whose parquet footers prove at
     * least `limit` rows — LIMIT pushdown's file cap. Footer row
@@ -3608,9 +3665,10 @@ object Warehouse {
   private[graft] def readForScan(spark: SparkSession, path: String,
                    versionAsOf: Option[Long],
                    bounds: Map[String, Bound],
-                   limit: Option[Int] = None): DataFrame = {
+                   limit: Option[Int] = None,
+                   extraBounds: Seq[(String, Bound)] = Nil): DataFrame = {
     val fs = fsOf(spark, path)
-    val mapping = versionAsOf match {
+    val fullMapping = versionAsOf match {
       case Some(n) =>
         val m = visibleMappingAt(fs, path, n).getOrElse(
           throw new IllegalStateException(
@@ -3627,8 +3685,30 @@ object Warehouse {
       case None => snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))._2
     }
-    require(mapping.nonEmpty, s"table at $path has no live partitions")
-    val partCols = partColsOf(mapping)
+    require(fullMapping.nonEmpty, s"table at $path has no live partitions")
+    val partCols = partColsOf(fullMapping)
+    // the combined pruning set: the connector's static pushed bounds
+    // plus runtime join-key sets (several bounds may target one
+    // column — each is a superset filter, so they conjoin)
+    val boundSeq: Seq[(String, Bound)] = bounds.toSeq ++ extraBounds
+    // PARTITION-DIR pruning: a bound over a partition column decides
+    // from the manifest key alone — no file listing, no stats read.
+    // Safe for chained partitions too (a fold never moves a row
+    // across partitions — keys are partition-immutable), and always a
+    // superset: parse-ambiguous values keep the partition.
+    val partBounds = boundSeq.filter { case (c, _) => partCols.contains(c) }
+    val mapping =
+      if (partBounds.isEmpty) fullMapping
+      else fullMapping.filter { case (key, _) =>
+        val kv = key.split("/").map { seg =>
+          val i = seg.indexOf('=')
+          seg.take(i) -> org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+        }.toMap
+        partBounds.forall { case (c, b) =>
+          kv.get(c).forall(b.matchesPartitionValue)
+        }
+      }
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val statsByBatch = scala.collection.mutable.Map[String, Option[Map[(String, String), Stat]]]()
     val bloomsByBatch = scala.collection.mutable.Map[String,
@@ -3639,7 +3719,7 @@ object Warehouse {
       case ((files, dirs), (key, b)) =>
         val stats = statsByBatch.getOrElseUpdate(b, readStats(fs, path, b))
         val blooms = bloomsByBatch.getOrElseUpdate(b, readBlooms(fs, path, b))
-        if (bounds.nonEmpty && (stats.nonEmpty || blooms.nonEmpty)) {
+        if (boundSeq.nonEmpty && (stats.nonEmpty || blooms.nonEmpty)) {
             val byFile = stats.getOrElse(Map.empty)
             val bloomByFile = blooms.getOrElse(Map.empty)
             val dir = s"$path/data/batch=$b/$key"
@@ -3647,12 +3727,16 @@ object Warehouse {
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
               .toVector.flatMap { st =>
                 val rel = s"$key/${st.getPath.getName}"
-                val skip = bounds.exists { case (c, bound) =>
+                val skip = boundSeq.exists { case (c, bound) =>
                   byFile.get((rel, c)).exists(s => !bound.intersects(s)) ||
-                    // an equality bound additionally consults the
-                    // file's bloom: absence there PROVES no match
-                    bound.point.exists(v => bloomByFile.get((rel, c))
-                      .exists(!_.mightContainLong(v)))
+                    // an equality/IN bound additionally consults the
+                    // file's bloom: a file is provably matchless only
+                    // when EVERY point is absent (capped — a huge
+                    // runtime set would cost more to probe than the
+                    // stats check saved)
+                    bound.points.exists(vs => vs.length <= 1024 &&
+                      bloomByFile.get((rel, c))
+                        .exists(bf => vs.forall(v => !bf.mightContainLong(v))))
                 }
                 if (skip) None else Some(s"$dir/${st.getPath.getName}")
               }
@@ -3669,7 +3753,7 @@ object Warehouse {
     // enforces its own precondition rather than trusting the caller —
     // advisor r14)
     val limited: Option[Seq[String]] =
-      if (limit.isEmpty || chained.nonEmpty || bounds.nonEmpty) None
+      if (limit.isEmpty || chained.nonEmpty || boundSeq.nonEmpty) None
       else Some(limitFiles(spark,
         wholeDirs.flatMap { dir =>
           fs.listStatus(new HPath(dir))
@@ -3691,8 +3775,9 @@ object Warehouse {
       if (chained.isEmpty) None
       else Some(foldRead(spark, path, chained, partCols))).flatten
     if (scans.isEmpty)
-      // everything skipped: an empty frame with the table's schema
-      readMapped(spark, path, mapping, partCols).filter(lit(false))
+      // everything skipped (possibly every PARTITION): an empty frame
+      // with the table's schema, built from the unpruned mapping
+      readMapped(spark, path, fullMapping, partCols).filter(lit(false))
     else withOverlay(fs, path,
       scans.reduce(_.unionByName(_, allowMissingColumns = true)))
   }

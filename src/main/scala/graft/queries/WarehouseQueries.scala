@@ -1500,6 +1500,41 @@ object WarehouseQueries {
              |SELECT -event_id - 1 AS event_id, user_id + 9000000 AS user_id,
              |  'late' AS event_type, dt
              |FROM ev WHERE event_id % 5 = 1 AND event_id % 2 = 1
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // K10 — RUNTIME (dynamic) partition/file pruning on the warehouse
+    // scan (r16 verdict #2): the dim's surviving dts are knowable only
+    // at execution (a HAVING over a computed count — no static
+    // predicate reaches the fact side), so the fact scan is pruned by
+    // a dim-side key probe attached by WarehouseRuntimeFilterRule —
+    // the DPP shape that is THE scan-cost lever for fact ⋈ dim at
+    // 100 TB. The oracle is the same join unpruned, from raw parquet:
+    // pruning may only change which files open, never a row.
+    Q("k10_runtime_pruned_join",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#k10wh", "graft_k10wh") { p =>
+          Warehouse.create(s, p, Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt")), "dt")
+        }
+        val fact = s.read.format("graft-warehouse")
+          .option("runtimeFilteringEager", "true").load(path)
+        val dim = Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .groupBy(to_date(col("ts")).as("dt"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") % 3 === 0)
+          .select("dt")
+        fact.join(dim, "dt").groupBy("dt")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("dt")
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS dt, event_type
+             |            FROM events),
+             |dim AS (SELECT dt FROM ev WHERE event_type = 'click'
+             |        GROUP BY dt HAVING count(*) % 3 = 0)
+             |SELECT e.dt, count(*) AS n_events
+             |FROM ev e JOIN dim ON e.dt = dim.dt
+             |GROUP BY e.dt ORDER BY e.dt""".stripMargin))
   )
 }

@@ -133,7 +133,8 @@ object WarehouseDataSource {
   final case class ReadConf(
       path: String, versionAsOf: Option[Long], keyCol: Option[String],
       changeFeed: Boolean, startingVersion: Option[Long],
-      endingVersion: Option[Long], maxCommits: Int) {
+      endingVersion: Option[Long], maxCommits: Int,
+      rfEager: Boolean = false) {
     def frame(spark: SparkSession): org.apache.spark.sql.DataFrame =
       if (changeFeed) {
         val key = keyCol.getOrElse {
@@ -167,7 +168,11 @@ object WarehouseDataSource {
       changeFeed = options.getBoolean("readChangeFeed", false),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
       endingVersion = Option(options.get("endingVersion")).map(_.toLong),
-      maxCommits = options.getInt("maxCommits", 64))
+      maxCommits = options.getInt("maxCommits", 64),
+      // per-read opt-in: bypass the runtime-filter rule's fact-size
+      // gate for THIS table handle (a reader that knows its fact ⋈
+      // dim shape wants pruning regardless of current size)
+      rfEager = options.getBoolean("runtimeFilteringEager", false))
   }
 
   /** Test probe: file count and pushed-filter set of the most recently
@@ -435,8 +440,51 @@ object WarehouseDataSource {
     * conjunction of every pushed range/equality predicate. Strict
     * comparisons use their inclusive superset — pruning only needs a
     * superset of the matching files; the residual filter exacts it.
+    * A pushed `IN (…)` whose column carries NO range bound becomes a
+    * point-set bound (stats + bloom + partition pruning per point);
+    * under a coexisting range the IN simply drops from the pruning
+    * set — the range already prunes, and a superset filter may always
+    * weaken.
     */
   private[warehouse] def boundsOf(filters: Seq[Filter]): Map[String, Warehouse.Bound] = {
+    val ranged = rangeBoundsOf(filters)
+    val inSets: Map[String, Warehouse.Bound] = filters.collect {
+      // a NULL element never equality-matches, so it is prune-inert:
+      // dropping it keeps the bound a superset (the residual IN still
+      // decides every row)
+      case In(a, vs) if !ranged.contains(a) =>
+        a -> vs.toIndexedSeq.filter(_ != null)
+    }.groupBy(_._1).flatMap { case (c, groups) =>
+      // several INs on one column conjoin: intersect the value sets
+      val sets: Seq[IndexedSeq[Any]] = groups.map(_._2)
+      if (sets.forall(_.forall(v => asLongValue(v).isDefined))) {
+        val inter = sets.map(_.flatMap(asLongValue).toSet)
+          .reduce(_ intersect _)
+        Some(c -> Warehouse.LongSetBound(inter.toArray.sorted))
+      } else if (sets.forall(_.forall(_.isInstanceOf[String]))) {
+        val inter = sets.map(_.collect { case s: String => s }.toSet)
+          .reduce(_ intersect _)
+        Some(c -> Warehouse.StrSetBound(
+          inter.toArray.sortWith(Warehouse.byteCmp(_, _) < 0)))
+      } else None
+    }
+    ranged ++ inSets
+  }
+
+  /** A pushed literal as a pruning long: integral kinds, plus dates
+    * as days-since-epoch (the recorded stat form).
+    */
+  private def asLongValue(v: Any): Option[Long] = v match {
+    case n: java.lang.Long    => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short   => Some(n.longValue)
+    case n: java.lang.Byte    => Some(n.longValue)
+    case d: java.sql.Date     => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def rangeBoundsOf(filters: Seq[Filter]): Map[String, Warehouse.Bound] = {
     sealed trait Side; case object Lo extends Side; case object Hi extends Side
     def sides(f: Filter): Seq[(String, Side, Any)] = f match {
       case EqualTo(a, v)            => Seq((a, Lo, v), (a, Hi, v))
@@ -999,16 +1047,39 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
   }
 }
 
+/** A runtime join-key probe attached to a warehouse scan by
+  * [[org.apache.spark.sql.graft.WarehouseRuntimeFilterRule]]: `plan`
+  * projects the dim side's join-key expression as the single column
+  * `_gw_k`; executing it (distinct, null-dropped, capped at
+  * `maxKeys + 1`) yields the key set the fact scan prunes
+  * files/partitions by. Over the cap → no pruning (superset-safe).
+  */
+final case class RuntimeProbe(col: String,
+    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    maxKeys: Int)
+
 /** The V1 bridge scan: resolves the manifest, prunes files through
-  * the pushed bounds, folds chains, projects — all by composing the
-  * verified [[Warehouse]] read path — and hands Spark the resulting
-  * plan's RDD.
+  * the pushed bounds (and, when the optimizer attached
+  * [[RuntimeProbe]]s, through runtime join-key sets — the dynamic
+  * file/partition pruning a fact ⋈ filtered-dim join needs at
+  * 100 TB), folds chains, projects — all by composing the verified
+  * [[Warehouse]] read path — and hands Spark the resulting plan's
+  * RDD.
   */
 class WarehouseV1Scan(pruned: StructType,
                       conf: WarehouseDataSource.ReadConf,
                       pushed: Array[Filter],
-                      limit: Option[Int] = None)
+                      limit: Option[Int] = None,
+                      val runtimeProbes: Seq[RuntimeProbe] = Nil)
     extends V1Scan with SupportsReportStatistics {
+
+  def withProbes(ps: Seq[RuntimeProbe]): WarehouseV1Scan =
+    new WarehouseV1Scan(pruned, conf, pushed, limit, ps)
+
+  /** This handle opted into runtime filtering regardless of fact
+    * size (`option("runtimeFilteringEager", "true")`).
+    */
+  def runtimeFilterEager: Boolean = conf.rfEager
 
   override def readSchema(): StructType = pruned
 
@@ -1041,7 +1112,47 @@ class WarehouseV1Scan(pruned: StructType,
     s"graft-warehouse ${conf.path}${conf.versionAsOf.fold("")(v => s"@v$v")}" +
       s"${if (conf.changeFeed) " changeFeed" else ""} " +
       s"fields=${pruned.fieldNames.mkString(",")} " +
-      s"pushed=[${pushed.mkString(", ")}]"
+      s"pushed=[${pushed.mkString(", ")}]" +
+      (if (runtimeProbes.isEmpty) ""
+       else s" runtimeFilters=[${runtimeProbes.map(_.col).mkString(",")}]")
+
+  /** Execute the attached runtime probes (one small dim-side job
+    * each, exactly DPP's no-reuse shape) into pruning bounds. A probe
+    * whose key set exceeds its cap, or whose key type the stats can't
+    * compare, contributes nothing — pruning is a superset filter, the
+    * join itself still decides every row. An EMPTY key set is a real
+    * bound (the dim matched nothing → the fact scan is empty).
+    */
+  private def runtimeBounds(spark: SparkSession): Seq[(String, Warehouse.Bound)] =
+    runtimeProbes.flatMap { p =>
+      val keys = org.apache.spark.sql.graft.PlanFrames
+        .ofRows(spark, p.plan)
+        .filter(col("_gw_k").isNotNull).distinct()
+        .limit(p.maxKeys + 1).collect()
+      if (keys.length > p.maxKeys) None
+      else {
+        import org.apache.spark.sql.types.{ByteType => BT, DateType => DT, IntegerType => IT, LongType => LT, ShortType => ST, StringType => StrT}
+        val bound: Option[Warehouse.Bound] = p.plan.schema.head.dataType match {
+          case LT | IT | ST | BT =>
+            Some(Warehouse.LongSetBound(
+              keys.map(r => r.get(0) match {
+                case n: java.lang.Number => n.longValue
+              }).sorted))
+          case DT =>
+            Some(Warehouse.LongSetBound(
+              keys.map(r => r.get(0) match {
+                case d: java.sql.Date => d.toLocalDate.toEpochDay
+                case d: java.time.LocalDate => d.toEpochDay
+              }).sorted))
+          case StrT =>
+            Some(Warehouse.StrSetBound(
+              keys.map(_.getString(0))
+                .sortWith(Warehouse.byteCmp(_, _) < 0)))
+          case _ => None
+        }
+        bound.map(p.col -> _)
+      }
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -1049,7 +1160,8 @@ class WarehouseV1Scan(pruned: StructType,
     val base =
       if (conf.changeFeed) conf.frame(spark)
       else try Warehouse.readForScan(spark, conf.path, conf.versionAsOf,
-        WarehouseDataSource.boundsOf(pushed.toIndexedSeq), limit)
+        WarehouseDataSource.boundsOf(pushed.toIndexedSeq), limit,
+        extraBounds = runtimeBounds(spark))
       catch {
         // a catalog-registered table nothing has written yet: an empty
         // snapshot with the declared schema (the first INSERT creates

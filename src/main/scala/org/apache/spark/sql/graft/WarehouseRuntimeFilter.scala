@@ -1,0 +1,162 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+
+import graft.sources.warehouse.{RuntimeProbe, WarehouseV1Scan}
+
+/** Package-private bridge: materialize a captured logical plan as a
+  * DataFrame (the seam [[WarehouseRuntimeFilterRule]]'s probes execute
+  * through — `Dataset.ofRows` is private[sql], exactly why this file
+  * lives under `org.apache.spark.sql`).
+  */
+object PlanFrames {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+}
+
+/** RUNTIME (dynamic) file/partition pruning for warehouse scans — the
+  * largest remaining scan-cost lever at 100 TB: a fact ⋈ dim join
+  * with a selective dim-side filter should read only the fact
+  * files/partitions that can carry the dim's surviving join keys,
+  * decided at execution from the dim's ACTUAL keys, not at analysis
+  * from static predicates.
+  *
+  * Spark's own `SupportsRuntimeV2Filtering` cannot reach this
+  * connector: runtime filters are delivered exclusively through
+  * `BatchScanExec`, and the warehouse scan is deliberately a
+  * [[org.apache.spark.sql.connector.read.V1Scan]] bridge (the
+  * merge-on-read fold needs a keyed aggregation no Batch can express
+  * — see [[graft.sources.warehouse.WarehouseDataSource]]), which
+  * plans as `RowDataSourceScanExec`. So the honest seam is the scan's
+  * own stats/bloom/partition pruning ([[graft.io.Warehouse]]
+  * `readForScan`), fed by a dim-side key probe attached here and
+  * executed when the scan plans — one small extra dim-side job,
+  * exactly the shape Spark's DPP takes when exchange reuse is
+  * unavailable (the subquery executes ahead of the main query).
+  *
+  * Injection is deliberately conservative — pruning is free to
+  * WEAKEN, never to fire wrongly:
+  *
+  *  - join types where the fact side's unmatched rows are DROPPED:
+  *    Inner (both sides eligible), LeftSemi (left), LeftOuter (right
+  *    side only — all left rows survive), RightOuter (left side).
+  *    Plain `EqualTo` keys only (a null-safe `<=>` can match NULL
+  *    keys, which stats/blooms never record).
+  *  - the fact-side key must be the warehouse scan's own attribute,
+  *    reached through deterministic Project/Filter nodes only —
+  *    anything else (aggregates, windows, generators) between the
+  *    scan and the join could make row-dropping below it unsound.
+  *  - the dim side must be deterministic, non-streaming, and small
+  *    (`spark.graft.warehouse.runtimeFiltering.maxProbeBytes`,
+  *    default 64 MiB — a side that small broadcasts in the join
+  *    anyway, so re-executing it as a probe costs far less than the
+  *    fact files it prunes); the fact scan must be big enough to
+  *    matter (`…minFactBytes`, default 64 MiB — below that the probe
+  *    overhead rivals the scan itself). Probe key sets above
+  *    `…maxKeys` (default 100 000) abandon pruning at execution,
+  *    superset-safe.
+  *
+  * Disable entirely with
+  * `spark.graft.warehouse.runtimeFiltering=false`. Registered through
+  * `spark.experimental.extraOptimizations` — the only seam that runs
+  * AFTER the scan-pushdown batch creates the
+  * [[DataSourceV2ScanRelation]]s this rewrites (and after
+  * [[WarehouseStatsRule]] in the same batch restores the real size
+  * statistics the gates read).
+  */
+class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private def longConf(key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  /** The warehouse scan inside `p`, reached through deterministic
+    * Project/Filter (and alias) nodes only — the row-dropping-safe
+    * corridor.
+    */
+  private def findScan(p: LogicalPlan): Option[DataSourceV2ScanRelation] =
+    p match {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case w: V1ScanWrapper if w.v1Scan.isInstanceOf[WarehouseV1Scan] =>
+          Some(r)
+        case _ => None
+      }
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        findScan(pr.child)
+      case f: Filter if f.condition.deterministic => findScan(f.child)
+      case a: SubqueryAlias => findScan(a.child)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption("spark.graft.warehouse.runtimeFiltering")
+        .forall(_.toBoolean)) return plan
+    val maxProbeBytes = longConf(
+      "spark.graft.warehouse.runtimeFiltering.maxProbeBytes", 64L << 20)
+    val minFactBytes = longConf(
+      "spark.graft.warehouse.runtimeFiltering.minFactBytes", 64L << 20)
+    val maxKeys = longConf(
+      "spark.graft.warehouse.runtimeFiltering.maxKeys", 100000L).toInt
+
+    def inject(fact: LogicalPlan, dim: LogicalPlan,
+               conjuncts: Seq[Expression]): LogicalPlan = {
+      val scan = findScan(fact).getOrElse(return fact)
+      val w = scan.scan.asInstanceOf[V1ScanWrapper].v1Scan
+        .asInstanceOf[WarehouseV1Scan]
+      if (!w.runtimeFilterEager &&
+          BigInt(minFactBytes) > scan.stats.sizeInBytes) return fact
+      if (dim.isStreaming || dim.stats.sizeInBytes > BigInt(maxProbeBytes) ||
+          dim.exists(_.expressions.exists(!_.deterministic))) return fact
+      val dimOut = dim.outputSet
+      val pairs = conjuncts.collect {
+        case EqualTo(a: AttributeReference, b)
+            if scan.outputSet.contains(a) && b.deterministic &&
+              b.references.nonEmpty && b.references.subsetOf(dimOut) => (a, b)
+        case EqualTo(b, a: AttributeReference)
+            if scan.outputSet.contains(a) && b.deterministic &&
+              b.references.nonEmpty && b.references.subsetOf(dimOut) => (a, b)
+      }.filter { case (a, _) => !w.runtimeProbes.exists(_.col == a.name) }
+        .groupBy(_._1.name).map(_._2.head).toSeq // one probe per column
+      if (pairs.isEmpty) return fact
+      val probes = pairs.map { case (a, b) =>
+        RuntimeProbe(a.name,
+          Project(Seq(Alias(b, "_gw_k")()), dim), maxKeys)
+      }
+      val newWrapper = scan.scan.asInstanceOf[V1ScanWrapper]
+        .copy(v1Scan = w.withProbes(w.runtimeProbes ++ probes))
+      fact.transformUp {
+        case r: DataSourceV2ScanRelation if r eq scan =>
+          r match {
+            case s: StatsReportingScanRelation =>
+              new StatsReportingScanRelation(s.relation, newWrapper,
+                s.output, s.keyGroupedPartitioning, s.ordering)
+            case _ => r.copy(scan = newWrapper)
+          }
+      }
+    }
+
+    plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _)
+          if jt == Inner || jt == LeftSemi || jt == LeftOuter ||
+            jt == RightOuter =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        // prune only the side whose UNMATCHED rows the join drops
+        val newLeft =
+          if (jt == Inner || jt == LeftSemi || jt == RightOuter)
+            inject(left, right, conjuncts)
+          else left
+        val newRight =
+          if (jt == Inner || jt == LeftOuter)
+            inject(right, left, conjuncts)
+          else right
+        if ((newLeft eq left) && (newRight eq right)) j
+        else j.copy(left = newLeft, right = newRight)
+    }
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+import graft.sources.warehouse.WarehouseDataSource
+
+/** Runtime (dynamic) file/partition pruning for warehouse fact ⋈ dim
+  * joins — [[org.apache.spark.sql.graft.WarehouseRuntimeFilterRule]]
+  * attaching dim-side key probes to the V1-bridge scan (Spark's own
+  * `SupportsRuntimeV2Filtering` only reaches `BatchScanExec`, which a
+  * V1 bridge never plans). Pinned: a selective dim shrinks the fact
+  * scan's planned FILE set at execution (the k8 pattern, but decided
+  * from runtime keys); partition-column keys drop whole partition
+  * dirs; results are identical to the unpruned join; over-cap key
+  * sets and disabled-conf runs fall back to the full scan, never a
+  * wrong answer; outer-join sides whose rows all survive are never
+  * pruned.
+  */
+class WarehouseRuntimeFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A compacted, stats-carrying fact: 4000 keys across 4 partitions,
+    * many files, sorted on k with recorded stats.
+    */
+  private lazy val factPath: String = {
+    val path = Files.createTempDirectory("graft_rtf").toString + "/t"
+    val base = (1L to 4000L).map(i =>
+      (i, f"name-$i%06d", s"p${i % 4}")).toDF("k", "name", "part")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 100L)
+    try Warehouse.create(spark, path, base.repartition(8), "part")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val target = math.max(1L,
+      Warehouse.partitionStats(spark, path).map(_._4).sum / 16)
+    Warehouse.compact(spark, path, "k", target, statsCols = Seq("name"))
+    path
+  }
+
+  private def fact(eager: Boolean = true) = {
+    val r = spark.read.format("graft-warehouse")
+    (if (eager) r.option("runtimeFilteringEager", "true") else r)
+      .load(factPath)
+  }
+
+  private def plannedFiles[A](action: => A): (A, Int) = {
+    WarehouseDataSource.lastPlanned = None
+    val a = action
+    (a, WarehouseDataSource.lastPlanned.get._1)
+  }
+
+  private lazy val fullFiles: Int = {
+    val (n, files) = plannedFiles(fact().count())
+    assert(n == 4000L && files > 8, s"need a multi-file layout, got $files")
+    files
+  }
+
+  test("an inner join with a selective dim prunes the fact scan's files at runtime, results identical") {
+    val full = fullFiles
+    val dim = (100L to 120L).map(i => (i, s"d$i")).toDF("k", "tag")
+    val (rows, pruned) = plannedFiles {
+      fact().join(dim, "k").select("k", "name", "tag")
+        .orderBy("k").collect().toSeq
+    }
+    assert(rows.size == 21 && rows.head.getLong(0) == 100L)
+    assert(pruned < full,
+      s"runtime join-key pruning must open fewer files: $pruned vs $full")
+    // identical to the unpruned join
+    spark.conf.set("spark.graft.warehouse.runtimeFiltering", "false")
+    try {
+      val (unpruned, files) = plannedFiles {
+        fact().join(dim, "k").select("k", "name", "tag")
+          .orderBy("k").collect().toSeq
+      }
+      assert(files == full, "conf off must scan the full file set")
+      assert(rows == unpruned)
+    } finally spark.conf.unset("spark.graft.warehouse.runtimeFiltering")
+  }
+
+  test("a partition-column join key drops whole partition dirs") {
+    val full = fullFiles
+    val dim = Seq(("p3", 1L)).toDF("part", "w")
+    val (n, pruned) = plannedFiles {
+      fact().join(dim, "part").count()
+    }
+    assert(n == 1000L)
+    // one of four partitions: at most ~a quarter of the files (plus
+    // rounding slack)
+    assert(pruned <= full / 2,
+      s"partition pruning must drop the other dirs: $pruned vs $full")
+  }
+
+  test("a dim that is empty only at RUNTIME prunes everything: zero rows, zero files planned") {
+    // a statically-empty dim never reaches the rule —
+    // PropagateEmptyRelation collapses the whole join first (also
+    // correct, also scan-free); the interesting case is a dim the
+    // optimizer CANNOT fold, whose key set turns out empty when the
+    // probe runs
+    val dimPath = Files.createTempDirectory("graft_rtf_dim").toString + "/d"
+    (1L to 5L).map(i => (i, s"d$i")).toDF("k", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("k") > 100L)
+    val (n, pruned) = plannedFiles {
+      fact().join(dim, "k").count()
+    }
+    assert(n == 0L && pruned == 0,
+      s"runtime-empty dim must plan an empty scan, planned $pruned files")
+  }
+
+  test("an over-cap key set abandons pruning (superset-safe), results still exact") {
+    val full = fullFiles
+    spark.conf.set("spark.graft.warehouse.runtimeFiltering.maxKeys", "5")
+    try {
+      val dim = (100L to 120L).map(i => (i, s"d$i")).toDF("k", "tag")
+      val (n, planned) = plannedFiles {
+        fact().join(dim, "k").count()
+      }
+      assert(n == 21L)
+      assert(planned == full,
+        s"21 keys over a cap of 5 must fall back to the full scan, got $planned")
+    } finally
+      spark.conf.unset("spark.graft.warehouse.runtimeFiltering.maxKeys")
+  }
+
+  test("the default fact-size gate leaves a small un-opted table unprobed") {
+    val dim = (100L to 120L).map(i => (i, s"d$i")).toDF("k", "tag")
+    val (n, planned) = plannedFiles {
+      fact(eager = false).join(dim, "k").count()
+    }
+    assert(n == 21L && planned == fullFiles,
+      "a tiny fact without the eager option must not probe under the 64 MiB gate")
+  }
+
+  test("a left-outer join never prunes the left (all-surviving) side") {
+    val dim = (100L to 120L).map(i => (i, s"d$i")).toDF("k", "tag")
+    val (n, planned) = plannedFiles {
+      fact().join(dim, Seq("k"), "left_outer").count()
+    }
+    assert(n == 4000L, "left outer keeps every fact row")
+    assert(planned == fullFiles,
+      s"left side of a left-outer join must not be pruned, got $planned")
+  }
+
+  test("string join keys prune through the typed stats") {
+    val full = fullFiles
+    val dim = Seq("name-000150", "name-000151", "name-003990")
+      .toDF("name")
+    val (rows, pruned) = plannedFiles {
+      fact().join(dim, "name").select("k").as[Long]
+        .collect().sorted.toSeq
+    }
+    assert(rows == Seq(150L, 151L, 3990L))
+    assert(pruned < full,
+      s"string runtime keys must prune: $pruned vs $full")
+  }
+}
