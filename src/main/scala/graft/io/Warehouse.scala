@@ -2147,8 +2147,11 @@ object Warehouse {
     *
     * `matched` is the ordered WHEN MATCHED clause list — `(condition,
     * Some(assignments))` for UPDATE arms, `(condition, None)` for
-    * DELETE arms; `notMatched` the optional WHEN NOT MATCHED INSERT
-    * clause; `notMatchedBySource` the ordered WHEN NOT MATCHED BY
+    * DELETE arms; `notMatched` the ordered WHEN NOT MATCHED INSERT
+    * clause list — like the matched arms, the FIRST clause whose
+    * condition holds inserts the row, and a source row matching no
+    * arm is ignored (the multi-arm conditional-insert shape Delta
+    * accepts); `notMatchedBySource` the ordered WHEN NOT MATCHED BY
     * SOURCE clause list (same encoding), applied to target rows whose
     * key no source row carries — full-table reconciliation, so its
     * presence makes the pass read and rewrite EVERY live partition
@@ -2234,7 +2237,7 @@ object Warehouse {
   def mergeStatement(spark: SparkSession, path: String, source: DataFrame,
       targetKeys: Seq[String], sourceKeys: Seq[Column],
       matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
-      notMatched: Option[(Option[Column], Seq[(String, Column)])],
+      notMatched: Seq[(Option[Column], Seq[(String, Column)])],
       maxAttempts: Int = 5,
       pairLevel: Set[Int] = Set.empty,
       targetCondCols: Seq[String] = Nil,
@@ -2276,7 +2279,7 @@ object Warehouse {
       targetCondCols.foreach(c => require(tblSchema.fieldNames.contains(c),
         s"MERGE condition references unknown target column '$c'"))
       val allAssigned = matched.flatMap(_._2.getOrElse(Nil)).map(_._1) ++
-        notMatched.toSeq.flatMap(_._2.map(_._1)) ++
+        notMatched.flatMap(_._2.map(_._1)) ++
         notMatchedBySource.flatMap(_._2.getOrElse(Nil)).map(_._1)
       val newCols = allAssigned.distinct.filterNot(tblSchema.fieldNames.contains)
       require(schemaEvolution || newCols.isEmpty,
@@ -2341,14 +2344,21 @@ object Warehouse {
               if (newCols.contains(c)) value else value.cast(typeOf(c)))
           }
       }
-      notMatched.foreach { case (cond, assigns) =>
-        src = src.withColumn("_gm_ic",
+      notMatched.zipWithIndex.foreach { case ((cond, assigns), j) =>
+        src = src.withColumn(s"_gm_ic$j",
           coalesce(cond.getOrElse(lit(true)), lit(false)))
         assigns.foreach { case (c, value) =>
-          src = src.withColumn(s"_gm_i_$c",
+          src = src.withColumn(s"_gm_i${j}_$c",
             if (newCols.contains(c)) value else value.cast(typeOf(c)))
         }
       }
+      // first-applicable INSERT arm per not-matched source row; -1 =
+      // no arm applies (the row is ignored, like an unmatched base row)
+      if (notMatched.nonEmpty)
+        src = src.withColumn("_gm_iact",
+          notMatched.indices.foldLeft(when(lit(false), lit(-1))) {
+            (w, j) => w.when(col(s"_gm_ic$j"), lit(j))
+          }.otherwise(lit(-1)))
       // schema evolution: a new column's stored type is its resolved
       // source type — required identical across every clause that
       // assigns it (cast explicitly otherwise); old rows read NULL
@@ -2357,8 +2367,9 @@ object Warehouse {
           matched.indices.filter(i =>
             matched(i)._2.exists(_.exists(_._1 == c)))
             .map(i => s"_gm_u${i}_$c") ++
-          (if (notMatched.exists(_._2.exists(_._1 == c))) Seq(s"_gm_i_$c")
-           else Nil)
+          notMatched.zipWithIndex.collect {
+            case ((_, as), j) if as.exists(_._1 == c) => s"_gm_i${j}_$c"
+          }
         val types = carriers.map(n => src.schema(n).dataType).distinct
         require(types.length == 1,
           s"schema-evolving MERGE assigns new column '$c' with conflicting " +
@@ -2484,26 +2495,28 @@ object Warehouse {
           value.as(f.name)
         }: _*)
       }
-      val insertRows = notMatched.map { case (_, assigns) =>
-        val anti = base0 match {
-          case Some(base) =>
-            // "not matched" is defined by the FULL ON condition: the
-            // anti-join carries the residual too (resolved against the
-            // base side's _gm_t_ aliases), so a key-equal source row
-            // that fails the residual correctly lands in the insert arm
-            val tks = targetKeys.zipWithIndex.map { case (tk, i) =>
-              col(tk).as(s"_gm_tk$i") } ++
-              (if (residual.isEmpty) Nil
-               else targetCondCols.distinct.map(c => base(s"_gm_t_$c")))
-            val keyEq = keyCols.zipWithIndex
-              .map { case (kc, i) => src(kc) === col(s"_gm_tk$i") }
-              .reduce(_ && _)
-            val cond = residual.fold(keyEq)(r => keyEq && r)
-            src.join(base.select(tks: _*), cond, "left_anti")
-          case None => src
+      val insertRows: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else Some {
+          val anti = base0 match {
+            case Some(base) =>
+              // "not matched" is defined by the FULL ON condition: the
+              // anti-join carries the residual too (resolved against the
+              // base side's _gm_t_ aliases), so a key-equal source row
+              // that fails the residual correctly lands in the insert arm
+              val tks = targetKeys.zipWithIndex.map { case (tk, i) =>
+                col(tk).as(s"_gm_tk$i") } ++
+                (if (residual.isEmpty) Nil
+                 else targetCondCols.distinct.map(c => base(s"_gm_t_$c")))
+              val keyEq = keyCols.zipWithIndex
+                .map { case (kc, i) => src(kc) === col(s"_gm_tk$i") }
+                .reduce(_ && _)
+              val cond = residual.fold(keyEq)(r => keyEq && r)
+              src.join(base.select(tks: _*), cond, "left_anti")
+            case None => src
+          }
+          anti.filter(col("_gm_iact") >= 0)
         }
-        (anti.filter(col("_gm_ic")), assigns)
-      }
       val touchedSet = touched.toSet
       // CROSS-PARTITION duplicate guard: a source row that mis-names
       // its key's true partition is not-matched by the pruned join
@@ -2517,7 +2530,7 @@ object Warehouse {
       if (untouchedMap.nonEmpty && insertRows.nonEmpty &&
           spark.conf.getOption("spark.graft.merge.crossPartitionKeyCheck")
             .forall(_.toBoolean)) {
-        val insKeys = insertRows.get._1.select(keyCols.map(col): _*)
+        val insKeys = insertRows.get.select(keyCols.map(col): _*)
         // an all-matched source inserts nothing: one bounded count over
         // the change-sized key set decides whether the untouched-
         // partition scan runs at all (a semi join against an EMPTY
@@ -2547,11 +2560,19 @@ object Warehouse {
               "guard when keys provably embed their partition")
         }
       }
-      val inserts = insertRows.map { case (rows, assigns) =>
-        val assignedCols = assigns.map(_._1).toSet
+      val inserts = insertRows.map { rows =>
         rows.select(effFields.map { f =>
-          if (assignedCols(f.name)) col(s"_gm_i_${f.name}").as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          // first-applicable arm's value; arms not assigning the
+          // column leave it NULL (exactly the single-arm contract)
+          val armOverlays = notMatched.zipWithIndex.collect {
+            case ((_, as), j) if as.exists(_._1 == f.name) => j
+          }
+          val value = armOverlays.foldLeft(
+            lit(null).cast(f.dataType)) { (prev, j) =>
+            when(col("_gm_iact") === lit(j), col(s"_gm_i${j}_${f.name}"))
+              .otherwise(prev)
+          }
+          value.as(f.name)
         }: _*)
       }
       // matched-only merge against partitions that don't exist yet:

@@ -1535,6 +1535,52 @@ object WarehouseQueries {
              |        GROUP BY dt HAVING count(*) % 3 = 0)
              |SELECT e.dt, count(*) AS n_events
              |FROM ev e JOIN dim ON e.dt = dim.dt
-             |GROUP BY e.dt ORDER BY e.dt""".stripMargin))
+             |GROUP BY e.dt ORDER BY e.dt""".stripMargin)),
+
+    // SQL29 — MULTIPLE conditional WHEN NOT MATCHED INSERT arms
+    // (Delta parity; SQL arms act first-applicable like the matched
+    // side): fresh negated keys route into different INSERT shapes by
+    // a source condition — user_id%3==0 keys land typed 'u3' with a
+    // version, %3==1 keys land 'u1' versionless (NULL), %3==2 keys
+    // match NO arm and are ignored. One CoW pass; the oracle
+    // recomputes the routing from scratch.
+    Q("sql29_merge_multi_insert",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#sql29wh", "graft_sql29wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"),
+              unix_micros(col("ts")).as("version"))
+          Warehouse.create(s, p, ev, "dt")
+          ev.filter(col("event_id") % 5 === 2)
+            .select((-col("event_id") - 1L).as("event_id"),
+              col("user_id"), col("dt"))
+            .createOrReplaceTempView("graft_sql29_changes")
+          s.sql(s"""MERGE INTO graft.`$p` t
+                   |USING graft_sql29_changes s
+                   |ON t.event_id = s.event_id
+                   |WHEN NOT MATCHED AND s.user_id % 3 = 0
+                   |  THEN INSERT (event_id, user_id, event_type, dt, version)
+                   |  VALUES (s.event_id, s.user_id, 'u3', s.dt, 0)
+                   |WHEN NOT MATCHED AND s.user_id % 3 = 1
+                   |  THEN INSERT (event_id, user_id, event_type, dt)
+                   |  VALUES (s.event_id, s.user_id, 'u1', s.dt)""".stripMargin): Unit
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("dt"), col("version"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |              CAST(ts AS DATE) AS dt,
+             |              epoch_us(ts) AS version FROM events)
+             |SELECT event_id, user_id, event_type, dt, version FROM ev
+             |UNION ALL
+             |SELECT -event_id - 1 AS event_id, user_id,
+             |  CASE WHEN user_id % 3 = 0 THEN 'u3' ELSE 'u1' END AS event_type,
+             |  dt,
+             |  CASE WHEN user_id % 3 = 0 THEN 0 END AS version
+             |FROM ev WHERE event_id % 5 = 2 AND user_id % 3 <= 1
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -377,17 +377,18 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
             "DELETE and UPDATE SET <target expressions> are the " +
             "reconciliation arms")
       }
-      val notMatched = notMatchedActions match {
-        case Seq() => None
-        case Seq(InsertAction(c, assigns)) =>
-          Some((srcCond(c, "WHEN NOT MATCHED conditions"),
-            srcAssigns(assigns, "INSERT values")))
-        case Seq(InsertStarAction(c)) =>
-          Some((srcCond(c, "WHEN NOT MATCHED conditions"),
-            starAssigns("INSERT *")))
+      // ordered, first-applicable — several conditional INSERT arms
+      // are the Delta shape (`WHEN NOT MATCHED AND s.kind = 'a' THEN
+      // INSERT … WHEN NOT MATCHED THEN INSERT …`)
+      val notMatched = notMatchedActions.map {
+        case InsertAction(c, assigns) =>
+          (srcCond(c, "WHEN NOT MATCHED conditions"),
+            srcAssigns(assigns, "INSERT values"))
+        case InsertStarAction(c) =>
+          (srcCond(c, "WHEN NOT MATCHED conditions"),
+            starAssigns("INSERT *"))
         case other => throw new UnsupportedOperationException(
-          "graft-warehouse MERGE supports one WHEN NOT MATCHED clause, " +
-            s"got ${other.length}")
+          s"unsupported WHEN NOT MATCHED action $other")
       }
       MergeWarehouseCommand(path, source, keyPairs.map(_._1),
         keyPairs.map(_._2), matched, notMatched,
@@ -513,7 +514,7 @@ case class UpdateWarehouseCommand(path: String,
 case class MergeWarehouseCommand(path: String, source: LogicalPlan,
     targetKeys: Seq[String], sourceKeys: Seq[Column],
     matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
-    notMatched: Option[(Option[Column], Seq[(String, Column)])],
+    notMatched: Seq[(Option[Column], Seq[(String, Column)])],
     pairLevel: Set[Int] = Set.empty,
     targetCondCols: Seq[String] = Nil,
     notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,

@@ -330,13 +330,39 @@ class WarehouseDmlSpec extends AnyFunSuite {
         targetKeys = Seq("id"), sourceKeys = Seq(col("id")),
         matched = Seq((None,
           Some(Seq("bonus" -> (col("_gm_t_ver") + col("delta")))))),
-        notMatched = None,
+        notMatched = Nil,
         pairValues = Set(0), targetCondCols = Seq("ver"),
         schemaEvolution = true)
     }
     assert(e.getMessage.contains("cannot introduce new column"),
       s"wrong refusal: ${e.getMessage}")
     assert(Warehouse.currentVersion(spark, path) == 1L)
+  }
+
+  test("multiple WHEN NOT MATCHED INSERT arms act first-applicable; a row matching no arm is ignored") {
+    val path = freshDir()
+    seed(path)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT * FROM VALUES
+         |  (CAST(10 AS BIGINT), CAST(0 AS BIGINT), 'a'),
+         |  (CAST(11 AS BIGINT), CAST(1 AS BIGINT), 'a'),
+         |  (CAST(12 AS BIGINT), CAST(2 AS BIGINT), 'a'),
+         |  (CAST(1  AS BIGINT), CAST(0 AS BIGINT), 'a')
+         |  AS s(id, kind, dt)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 'touched'
+         |WHEN NOT MATCHED AND s.kind = 0 THEN INSERT (id, ver, v, dt)
+         |  VALUES (s.id, 100, 'zero', s.dt)
+         |WHEN NOT MATCHED AND s.kind <= 1 THEN INSERT (id, v, dt)
+         |  VALUES (s.id, 'one', s.dt)""".stripMargin)
+    val rows = Warehouse.read(spark, path).orderBy("id")
+      .select("id", "ver", "v").as[(Long, Option[Long], String)].collect().toSeq
+    // id=1 matched; id=10 takes the FIRST arm (kind=0 also satisfies
+    // the second — order decides) with ver assigned; id=11 takes the
+    // second arm (ver unassigned → NULL); id=12 matches no arm → ignored
+    assert(rows == Seq((1L, Some(1L), "touched"), (2L, Some(1L), "y"),
+      (3L, Some(2L), "z"), (10L, Some(100L), "zero"), (11L, None, "one")))
   }
 
   // -------------------------------------------------------------
@@ -733,7 +759,7 @@ class WarehouseDmlSpec extends AnyFunSuite {
     Warehouse.mergeStatement(spark, path, changes,
       Seq("id"), Seq(col("id")),
       matched = Seq((None, Some(Seq("v" -> col("v"), "score" -> col("score"))))),
-      notMatched = None, schemaEvolution = true)
+      notMatched = Nil, schemaEvolution = true)
     val rows = Warehouse.read(spark, path).orderBy("id")
       .select("id", "score").as[(Long, Option[Long])].collect().toSeq
     assert(rows == Seq((1L, Some(7L)), (2L, None)), s"got $rows")
@@ -743,7 +769,7 @@ class WarehouseDmlSpec extends AnyFunSuite {
           .withColumnRenamed("score", "other"),
         Seq("id"), Seq(col("id")),
         matched = Seq((None, Some(Seq("other" -> col("other"))))),
-        notMatched = None)
+        notMatched = Nil)
     }
     assert(e.getMessage.contains("unknown column"))
   }
