@@ -495,19 +495,12 @@ object WarehouseDataSource {
       case And(l, r)                => sides(l) ++ sides(r)
       case _                        => Seq.empty
     }
-    def asLong(v: Any): Option[Long] = v match {
-      case n: java.lang.Long    => Some(n.longValue)
-      case n: java.lang.Integer => Some(n.longValue)
-      case n: java.lang.Short   => Some(n.longValue)
-      case d: java.sql.Date     => Some(d.toLocalDate.toEpochDay)
-      case d: java.time.LocalDate => Some(d.toEpochDay)
-      case _ => None
-    }
     filters.flatMap(sides).filter(_._3 != null)
       .groupBy(_._1).flatMap { case (c, ss) =>
         val los = ss.collect { case (_, Lo, v) => v }
         val his = ss.collect { case (_, Hi, v) => v }
-        val longLo = los.flatMap(asLong); val longHi = his.flatMap(asLong)
+        val longLo = los.flatMap(asLongValue)
+        val longHi = his.flatMap(asLongValue)
         val strLo = los.collect { case s: String => s }
         val strHi = his.collect { case s: String => s }
         if (longLo.nonEmpty || longHi.nonEmpty)

@@ -144,6 +144,23 @@ class WarehouseRuntimeFilterSpec extends AnyFunSuite {
       s"left side of a left-outer join must not be pruned, got $planned")
   }
 
+  test("runtime-empty pruning on a DDL-overlaid (renamed-column) table returns the logical empty schema, never an error") {
+    val path = Files.createTempDirectory("graft_rtf_ddl").toString + "/t"
+    Warehouse.create(spark, path,
+      Seq((1L, "x", "p0"), (2L, "y", "p1")).toDF("k", "name", "part"), "part")
+    Warehouse.renameColumn(spark, path, "name", "title")
+    val dimPath = Files.createTempDirectory("graft_rtf_ddl_d").toString + "/d"
+    (1L to 3L).map(i => (i, s"d$i")).toDF("k", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("k") > 100L)
+    val joined = spark.read.format("graft-warehouse")
+      .option("runtimeFilteringEager", "true").load(path)
+      .join(dim, "k").select("k", "title", "tag")
+    assert(joined.count() == 0L,
+      "runtime-empty prune over an overlaid table must yield an empty result")
+    assert(joined.columns.contains("title"),
+      "the empty result must carry the LOGICAL (renamed) schema")
+  }
+
   test("string join keys prune through the typed stats") {
     val full = fullFiles
     val dim = Seq("name-000150", "name-000151", "name-003990")
