@@ -1143,25 +1143,33 @@ object Warehouse {
 
   /** Delete the staged (pending) version manifests of `marker` under
     * one table — only ever called once the marker can no longer flip
-    * to committed.
+    * to committed. Returns true only when the table PROVABLY holds no
+    * remaining reference to the marker: every manifest read clean and
+    * every matching stage deleted — the one-pass proof vacuum's
+    * marker sweep needs before the marker file itself may go (an
+    * unreadable manifest or a failed delete returns false, keeping
+    * the marker for a later sweep; deleting it anyway would orphan
+    * stages as pending-open forever).
     */
   private def dropStagesOf(fs: FileSystem, path: String,
-                           marker: String): Unit = {
+                           marker: String): Boolean = {
     // match by full string OR by marker NAME (a UUID — globally
     // unique), so a caller spelling the table path differently than
     // the writer did (trailing slash, scheme-qualified URI) still
     // finds the stages
     val markerName = new HPath(marker).getName
+    var cleared = true
     listVersions(fs, path).foreach { case (_, p) =>
       val isStage =
         try pendingMarkerOf(readSmallFile(fs, p)).exists(m =>
           m == marker || new HPath(m).getName == markerName)
-        catch { case _: java.io.IOException => false }
+        catch { case _: java.io.IOException => cleared = false; false }
       if (isStage) {
-        try fs.delete(p, false)
-        catch { case _: java.io.IOException => () }
+        try { if (!fs.delete(p, false)) cleared = false }
+        catch { case _: java.io.IOException => cleared = false }
       }
     }
+    cleared
   }
 
   /** Abort a cross-table transaction that crashed between stage and
@@ -1861,8 +1869,8 @@ object Warehouse {
     // TEMP files are different: one may belong to a flip/abort IN
     // FLIGHT right now (created moments before its claim), and
     // vacuum's contract says an in-flight transaction is NEVER at
-    // risk — so temps keep a fixed one-hour grace regardless of
-    // minAgeMs; a temp that old is crashed-writer garbage. A marker
+    // risk — so temps keep AT LEAST a one-hour grace (and never less
+    // than minAgeMs); a temp that old is crashed-writer garbage. A marker
     // sweeps only once PROVED load-bearing for nothing: an aborted
     // one after re-dropping every participant's dead stages AND
     // re-verifying no stage still references it (dropStagesOf is
@@ -1889,10 +1897,12 @@ object Warehouse {
             val marker = s"$path/_txn/$name"
             val unreferenced = lines.headOption.map(_.trim) match {
               case Some("aborted") if participants.nonEmpty =>
-                participants.foreach(t =>
+                // one pass per participant: dropStagesOf itself proves
+                // clearance (no short-circuit — every participant's
+                // stages drop even when an earlier one stays dirty)
+                participants.map(t =>
                   dropStagesOf(fsOf(spark, t), t, marker))
-                participants.forall(t =>
-                  !referencesMarkerNamed(fsOf(spark, t), t, name))
+                  .forall(identity)
               case Some("committed") if participants.nonEmpty =>
                 participants.forall(t =>
                   materializeCommitted(fsOf(spark, t), t) == 0)
@@ -1905,21 +1915,6 @@ object Warehouse {
     }
     old.size
   }
-
-  /** Does any version manifest under `path` still carry a
-    * `#txnpending` header naming a marker with this file NAME? Marker
-    * names are UUIDs, so name equality is exact across path-spelling
-    * differences (trailing slash, scheme-qualified URI); an
-    * UNREADABLE manifest counts as referencing — the sweep must keep
-    * the marker unless absence is proved.
-    */
-  private def referencesMarkerNamed(fs: FileSystem, path: String,
-                                    markerName: String): Boolean =
-    listVersions(fs, path).exists { case (_, p) =>
-      try pendingMarkerOf(readSmallFile(fs, p))
-        .exists(m => new HPath(m).getName == markerName)
-      catch { case _: java.io.IOException => true }
-    }
 
   /** Latest-wins copy-on-write MERGE of `changes` into the table: per
     * key, the row with the highest `versionCol` survives, change rows
@@ -3379,8 +3374,14 @@ object Warehouse {
               case (Some(LongStat(l2, h2)), Some(LongStat(l1, h1))) =>
                 acc(name) = LongStat(math.min(l1, l2), math.max(h1, h2))
               case (Some(StrStat(l2, h2)), Some(StrStat(l1, h1))) =>
-                acc(name) = StrStat(if (l1 <= l2) l1 else l2,
-                  if (h1 >= h2) h1 else h2)
+                // merge row groups in UTF-8 BYTE order — the order
+                // parquet recorded the per-group stats in and the
+                // order StrBound.intersects prunes with; a UTF-16
+                // merge could record a non-extremal file min/max and
+                // prune a file holding matching rows
+                acc(name) = StrStat(
+                  if (byteCmp(l1, l2) <= 0) l1 else l2,
+                  if (byteCmp(h1, h2) >= 0) h1 else h2)
               case _ =>
                 dead += name; acc -= name
             }

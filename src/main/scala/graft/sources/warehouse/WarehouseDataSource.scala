@@ -506,9 +506,14 @@ object WarehouseDataSource {
         if (longLo.nonEmpty || longHi.nonEmpty)
           Some(c -> Warehouse.LongBound(longLo.maxOption, longHi.minOption))
         else if (strLo.nonEmpty || strHi.nonEmpty)
+          // conjoin string bounds in UTF-8 byte order — the order the
+          // downstream StrBound prunes with (a UTF-16 pick is safe but
+          // looser than the conjunction allows)
           Some(c -> Warehouse.StrBound(
-            if (strLo.isEmpty) None else Some(strLo.max),
-            if (strHi.isEmpty) None else Some(strHi.min)))
+            strLo.reduceOption((a, b) =>
+              if (Warehouse.byteCmp(a, b) >= 0) a else b),
+            strHi.reduceOption((a, b) =>
+              if (Warehouse.byteCmp(a, b) <= 0) a else b)))
         else None
       }
   }
