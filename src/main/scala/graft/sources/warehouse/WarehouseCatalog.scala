@@ -74,7 +74,15 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
   // -------------------------------------------------------------
 
   private case class Entry(path: String, partCols: Seq[String],
-                           schema: StructType)
+                           schema: StructType,
+                           props: Map[String, String] = Map.empty)
+
+  /** The TBLPROPERTIES this catalog persists in its entries — only
+    * keys the engine actually reads (everything else Spark passes in
+    * `createTable`'s properties map — provider, location, owner — is
+    * connector-internal noise and is deliberately dropped).
+    */
+  private val PersistedProps = Set("runtimeFilteringEager")
 
   private def root(): String = warehouseRoot.getOrElse(
     throw new UnsupportedOperationException(
@@ -103,8 +111,13 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
       val kv = lines.filter(_.nonEmpty).map { l =>
         val Array(k, v) = l.split("\t", 2); k -> v
       }.toMap
+      val props = kv.get("props").map(_.split(",").filter(_.nonEmpty).map { p =>
+        val Array(k, v) = p.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap).getOrElse(Map.empty)
       Some(Entry(kv("path"), kv("partCols").split(",").toSeq,
-        StructType.fromDDL(kv("schema"))))
+        StructType.fromDDL(kv("schema")), props))
     }
   }
 
@@ -122,9 +135,15 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
           throw new TableAlreadyExistsException(
             Seq(catalogName) ++ ident.namespace :+ ident.name)
       }
+    val propsLine =
+      if (e.props.isEmpty) ""
+      else "\nprops\t" + e.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${java.net.URLEncoder.encode(k, "UTF-8")}=" +
+          java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString(",")
     try out.write(
       (s"path\t${e.path}\npartCols\t${e.partCols.mkString(",")}\n" +
-        s"schema\t${e.schema.toDDL}").getBytes("UTF-8"))
+        s"schema\t${e.schema.toDDL}" + propsLine).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -147,7 +166,11 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
       val e = readEntry(spark, ident).getOrElse(noSuch(ident))
       val conf = WarehouseDataSource.ReadConf(e.path, versionAsOf,
         keyCol = None, changeFeed = false, startingVersion = None,
-        endingVersion = None, maxCommits = 64)
+        endingVersion = None, maxCommits = 64,
+        // a table-level TBLPROPERTIES declaration: every reader of
+        // this named table opts into runtime join-key pruning
+        // regardless of current size
+        rfEager = e.props.get("runtimeFilteringEager").exists(_.toBoolean))
       // registered but not yet written: serve the declared schema over
       // an empty snapshot; the first INSERT creates version 1 with the
       // declared partition layout
@@ -225,10 +248,18 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' is not in the table schema"))
     val path = (Seq(root()) ++ ident.namespace :+ ident.name).mkString("/")
-    writeEntry(spark, ident, Entry(path, partCols, schema), exclusive = true)
+    import scala.jdk.CollectionConverters._
+    // normalize to the canonical key spelling at write time, so the
+    // read side matches exactly whatever case the DDL used
+    val kept = properties.asScala.toMap.flatMap { case (k, v) =>
+      PersistedProps.find(_.equalsIgnoreCase(k)).map(_ -> v)
+    }
+    writeEntry(spark, ident, Entry(path, partCols, schema, kept),
+      exclusive = true)
     new WarehouseTable(schema,
       WarehouseDataSource.ReadConf(path, None, None, changeFeed = false,
-        None, None, 64),
+        None, None, 64,
+        rfEager = kept.get("runtimeFilteringEager").exists(_.toBoolean)),
       createPartCols = Some(partCols))
   }
 

@@ -161,6 +161,32 @@ class WarehouseRuntimeFilterSpec extends AnyFunSuite {
       "the empty result must carry the LOGICAL (renamed) schema")
   }
 
+  test("a named table created with TBLPROPERTIES('runtimeFilteringEager'='true') opts every reader into runtime pruning") {
+    spark.sql("DROP TABLE IF EXISTS graft.rtfspec.fact")
+    spark.sql(
+      """CREATE TABLE graft.rtfspec.fact (k BIGINT, name STRING, part STRING)
+        |PARTITIONED BY (part)
+        |TBLPROPERTIES ('runtimeFilteringEager' = 'true')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.rtfspec.fact
+        |SELECT id AS k, concat('n', id) AS name,
+        |       concat('p', id % 4) AS part FROM range(2000)""".stripMargin)
+    val (full, fullFiles) = plannedFiles {
+      spark.table("graft.rtfspec.fact").count()
+    }
+    assert(full == 2000L)
+    val dim = Seq(("p3", 1L)).toDF("part", "w")
+    val (n, pruned) = plannedFiles {
+      spark.table("graft.rtfspec.fact").join(dim, "part").count()
+    }
+    assert(n == 500L)
+    // the table-level property carries the eager opt-in — no reader
+    // option, no session conf, the tiny table still prunes
+    assert(pruned < fullFiles,
+      s"TBLPROPERTIES eager opt-in must prune: $pruned vs $fullFiles")
+    spark.sql("DROP TABLE graft.rtfspec.fact")
+  }
+
   test("string join keys prune through the typed stats") {
     val full = fullFiles
     val dim = Seq("name-000150", "name-000151", "name-003990")
