@@ -306,10 +306,25 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
       case up: TableChange.UpdateColumnType =>
         topLevel(up.fieldNames, "ALTER COLUMN TYPE") -> up.newDataType()
     }
-    require(adds.size + renames.size + drops.size + widens.size ==
-        changes.size,
-      s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN and " +
-        s"reader-promotable ALTER COLUMN TYPE widenings only, got " +
+    // SET/UNSET TBLPROPERTIES — only the keys the engine reads (an
+    // unknown key refuses loudly: silently recording a property no
+    // reader consults would misrepresent the table's behavior)
+    def canonProp(k: String): String =
+      PersistedProps.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft tables support TBLPROPERTIES " +
+            s"${PersistedProps.mkString(", ")} only, got '$k'"))
+    val setProps = changes.collect {
+      case sp: TableChange.SetProperty => canonProp(sp.property()) -> sp.value()
+    }
+    val unsetProps = changes.collect {
+      case rp: TableChange.RemoveProperty => canonProp(rp.property())
+    }
+    require(adds.size + renames.size + drops.size + widens.size +
+        setProps.size + unsetProps.size == changes.size,
+      s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN, " +
+        s"reader-promotable ALTER COLUMN TYPE widenings, and " +
+        s"SET/UNSET TBLPROPERTIES only, got " +
         s"${changes.mkString(", ")} (other schema evolution happens " +
         "through widening merges)")
     if (created) {
@@ -360,6 +375,18 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
             org.apache.spark.sql.types.StructField(n, t) })),
           exclusive = false)
       case None => noSuch(ident)
+    }
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      if (entry.isEmpty) throw new UnsupportedOperationException(
+        "TBLPROPERTIES live in the named catalog entry - path-addressed " +
+          "tables take the reader option (option(\"runtimeFilteringEager\", " +
+          "…)) instead")
+      // re-read: the unwritten-entry branch above may have just
+      // rewritten the declared schema
+      val e = readEntry(spark, ident).getOrElse(noSuch(ident))
+      writeEntry(spark, ident,
+        e.copy(props = e.props ++ setProps -- unsetProps),
+        exclusive = false)
     }
     loadTable(ident)
   }

@@ -187,6 +187,45 @@ class WarehouseRuntimeFilterSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.rtfspec.fact")
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES toggles the eager opt-in on an existing named table; unknown keys refuse") {
+    spark.sql("DROP TABLE IF EXISTS graft.rtfspec.fact2")
+    spark.sql(
+      """CREATE TABLE graft.rtfspec.fact2 (k BIGINT, part STRING)
+        |PARTITIONED BY (part)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.rtfspec.fact2
+        |SELECT id AS k, concat('p', id % 4) AS part FROM range(2000)""".stripMargin)
+    val dim = Seq(("p3", 1L)).toDF("part", "w")
+    val (_, fullFiles) = plannedFiles {
+      spark.table("graft.rtfspec.fact2").count()
+    }
+    val (_, before) = plannedFiles {
+      spark.table("graft.rtfspec.fact2").join(dim, "part").count()
+    }
+    assert(before == fullFiles,
+      "without the property a tiny table stays under the size gate")
+    spark.sql("ALTER TABLE graft.rtfspec.fact2 " +
+      "SET TBLPROPERTIES ('runtimeFilteringEager' = 'true')")
+    val (_, after) = plannedFiles {
+      spark.table("graft.rtfspec.fact2").join(dim, "part").count()
+    }
+    assert(after < fullFiles,
+      s"SET TBLPROPERTIES must engage pruning: $after vs $fullFiles")
+    spark.sql("ALTER TABLE graft.rtfspec.fact2 " +
+      "UNSET TBLPROPERTIES ('runtimeFilteringEager')")
+    val (_, off) = plannedFiles {
+      spark.table("graft.rtfspec.fact2").join(dim, "part").count()
+    }
+    assert(off == fullFiles, "UNSET must disengage the opt-in")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rtfspec.fact2 " +
+        "SET TBLPROPERTIES ('no.such.knob' = '1')")
+    }
+    assert(e.getMessage.contains("TBLPROPERTIES"),
+      s"unknown keys must refuse loudly: ${e.getMessage}")
+    spark.sql("DROP TABLE graft.rtfspec.fact2")
+  }
+
   test("string join keys prune through the typed stats") {
     val full = fullFiles
     val dim = Seq("name-000150", "name-000151", "name-003990")
