@@ -2796,6 +2796,17 @@ object Warehouse {
     }.reduce(_.unionByName(_))
   }
 
+  /** The oldest RETAINED committed version — the first diffable
+    * change-feed base after vacuums reclaim older history. One
+    * directory listing, no data access.
+    */
+  def oldestVersion(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val vs = listVersions(fs, path)
+    require(vs.nonEmpty, s"no committed version under $path")
+    vs.map(_._1).min
+  }
+
   /** The table's ordered partition columns, off the newest manifest —
     * the layout a writer must partition by and the identity transforms
     * the DSv2 table reports. One manifest read, no data access.

@@ -149,8 +149,22 @@ object WarehouseDataSource {
                 s"without recorded merge keys: ${e.getMessage}")
           }
         }
-        Warehouse.changeLog(spark, path, key,
-          fromV = startingVersion.map(_ - 1).getOrElse(1L),
+        // default base = the first RETAINED commit (a hardcoded 1
+        // crashed the read on vacuumed tables); when the retained
+        // window holds NOTHING diffable yet (create-only table, or
+        // vacuum collapsed history to one version), the DEFAULT read
+        // is an EMPTY feed with the changeLog schema — an explicit
+        // startingVersion keeps changeLog's loud range contract
+        val from = startingVersion.map(_ - 1).getOrElse(
+          math.max(1L, Warehouse.oldestVersion(spark, path)))
+        val to = endingVersion.getOrElse(
+          Warehouse.currentVersion(spark, path))
+        if (startingVersion.isEmpty && from >= to)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            WarehouseStreamSource.schemaFor(spark, path,
+              Map("readChangeFeed" -> "true", "keyCol" -> key)))
+        else Warehouse.changeLog(spark, path, key, fromV = from,
           toV = endingVersion, maxCommits = maxCommits)
       } else versionAsOf match {
         case Some(n) => Warehouse.readVersion(spark, path, n)
