@@ -206,6 +206,31 @@ object Warehouse {
     */
   private val PendingPrefix = "#txnpending"
 
+  /** Manifest DELETION-VECTOR header: `#dv\t<dvId>\t<rowCount>` — one
+    * line per ACTIVE deletion-vector sidecar (`_dv/<dvId>/`, a tiny
+    * parquet of `(file, pos)` pairs naming rows deleted
+    * merge-on-read). Every read path subtracts the named positions
+    * from the named files; a row-level delete commits O(deleted rows)
+    * bytes instead of rewriting partitions ([[deleteWhereDv]]).
+    * [[commit]] carries the active list forward exactly like `#txn`
+    * records (a writer that doesn't touch DVs preserves them);
+    * [[compactOnce]] materializes the subtraction back into fresh
+    * base files and prunes entries left referencing no live file;
+    * [[vacuum]] sweeps unreferenced sidecar dirs. The count is
+    * metadata for observability/estimates only — correctness reads
+    * the sidecar rows.
+    */
+  private val DvPrefix = "#dv"
+
+  private def parseDvs(content: String): Seq[(String, Long)] =
+    content.split("\n").filter(_.startsWith(s"$DvPrefix\t")).toSeq
+      .map { line =>
+        val parts = line.split("\t", 3)
+        (parts(1), parts(2).toLong)
+      }
+
+  private def dvDir(path: String, id: String) = s"$path/_dv/$id"
+
   private def pendingMarkerOf(content: String): Option[String] =
     content.split("\n").headOption
       .filter(_.startsWith(s"$PendingPrefix\t")).map(_.split("\t", 2)(1))
@@ -275,13 +300,17 @@ object Warehouse {
         if (contentVisible(fs, c)) Some(parseMapping(c)) else None
       }
 
-  /** The txn records of one committed manifest file. */
-  private def readTxnsOf(fs: FileSystem, p: HPath): Map[String, Long] =
-    readSmallFile(fs, p).split("\n")
+  /** The txn records of one manifest's content. */
+  private def parseTxns(content: String): Map[String, Long] =
+    content.split("\n")
       .filter(_.startsWith(s"$TxnPrefix\t")).map { line =>
         val Array(_, app, batch) = line.split("\t", 3)
         app -> batch.toLong
       }.toMap
+
+  /** The txn records of one committed manifest file. */
+  private def readTxnsOf(fs: FileSystem, p: HPath): Map[String, Long] =
+    parseTxns(readSmallFile(fs, p))
 
   /** The last batch id `appId` committed to this table, off the
     * newest manifest — None for a writer the table has never seen.
@@ -294,13 +323,25 @@ object Warehouse {
     }
   }
 
-  /** (version number, partKey → chain) of the newest VISIBLE commit —
-    * a manifest staged by an in-flight or aborted cross-table
-    * transaction ([[transactAppend]]) is skipped until its marker
-    * flips to committed.
+  /** (version number, partKey → chain, active deletion vectors) of
+    * the newest VISIBLE commit — a manifest staged by an in-flight or
+    * aborted cross-table transaction ([[transactAppend]]) is skipped
+    * until its marker flips to committed.
     */
-  private def snapshot(fs: FileSystem, path: String): Option[(Long, Map[String, String])] =
-    newestVisible(fs, path).map { case (n, _, c) => (n, parseMapping(c)) }
+  private def snapshot(fs: FileSystem,
+      path: String): Option[(Long, Map[String, String], Seq[(String, Long)])] =
+    newestVisible(fs, path).map { case (n, _, c) =>
+      (n, parseMapping(c), parseDvs(c))
+    }
+
+  /** The active deletion-vector list of exactly version `n` (empty
+    * when `n` is missing/invisible — callers pair this with
+    * [[visibleMappingAt]], which is the existence gate).
+    */
+  private def visibleDvAt(fs: FileSystem, path: String,
+                          n: Long): Seq[(String, Long)] =
+    listVersions(fs, path).collectFirst { case (v, p) if v == n => p }
+      .map(p => parseDvs(readSmallFile(fs, p))).getOrElse(Nil)
 
   /** Hard-link claim for local filesystems: `link(2)` fails EEXIST
     * atomically — no check-then-rename window. Mounts behind
@@ -437,20 +478,26 @@ object Warehouse {
   private[graft] def commit(fs: FileSystem, path: String, n: Long,
                             mapping: Map[String, String],
                             txnUpdate: Map[String, Long] = Map.empty,
-                            pendingMarker: Option[String] = None): Unit = {
+                            pendingMarker: Option[String] = None,
+                            dvUpdate: Option[Seq[(String, Long)]] = None): Unit = {
     val vdir = new HPath(s"$path/_versions")
     fs.mkdirs(vdir)
-    val prevTxns =
-      if (n <= 1L) Map.empty[String, Long]
+    val prevContent =
+      if (n <= 1L) None
       else listVersions(fs, path).collectFirst {
-        case (v, p) if v == n - 1 => readTxnsOf(fs, p)
-      }.getOrElse(Map.empty)
-    val txns = prevTxns ++ txnUpdate
+        case (v, p) if v == n - 1 => readSmallFile(fs, p)
+      }
+    val txns = prevContent.map(parseTxns).getOrElse(Map.empty) ++ txnUpdate
+    // deletion vectors carry forward like txn records: a writer that
+    // doesn't touch them (append/merge/overwrite-partitions) must not
+    // silently resurrect DV-deleted rows by dropping the header
+    val dvs = dvUpdate.getOrElse(prevContent.map(parseDvs).getOrElse(Nil))
     val tmp = new HPath(vdir, s".tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(
       (pendingMarker.map(m => s"$PendingPrefix\t$m").toSeq ++
         txns.toSeq.sorted.map { case (a, b) => s"$TxnPrefix\t$a\t$b" } ++
+        dvs.map { case (id, c) => s"$DvPrefix\t$id\t$c" } ++
         mapping.toSeq.sorted.map { case (p, b) => s"$p\t$b" })
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -940,7 +987,7 @@ object Warehouse {
       val written = partDirs(fs, path, batchId, partCols)
       var attempt = 1
       while (true) {
-        val (v, mapping) = snapshot(fs, path).get
+        val (v, mapping, _) = snapshot(fs, path).get
         val newMapping = mapping ++ written.map(key =>
           key -> (mapping.get(key) match {
             case Some(chain) => s"$chain,+$batchId"
@@ -1073,7 +1120,7 @@ object Warehouse {
       var attempt = 1
       var done = false
       while (!done) {
-        val (v, mapping) = snapshot(fs, path).get
+        val (v, mapping, _) = snapshot(fs, path).get
         val link = if (isDelta) "~" else "+"
         val newMapping =
           if (overwrite) written.map(_ -> batchId).toMap
@@ -1336,12 +1383,16 @@ object Warehouse {
     val written = partDirs(fs, path, batchId, partCols)
     var attempt = 1
     while (true) {
-      val (v, mapping) = snapshot(fs, path).get
+      val (v, mapping, _) = snapshot(fs, path).get
       val newMapping =
         if (dynamic) mapping ++ written.map(_ -> batchId)
         else written.map(_ -> batchId).toMap
       try {
-        commit(fs, path, v + 1, newMapping, txn)
+        // a STATIC overwrite unreferences every previous file, so the
+        // active deletion vectors are all stale - clear them; dynamic
+        // mode keeps untouched partitions and carries the list forward
+        commit(fs, path, v + 1, newMapping, txn,
+          dvUpdate = if (dynamic) None else Some(Nil))
         return attempt
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
@@ -1376,7 +1427,11 @@ object Warehouse {
       }
     }
     val newest = newestVisible(fs, path).map(_._1).getOrElse(n)
-    commit(fs, path, newest + 1, mapping)
+    // version n's DELETION VECTORS are part of its logical state -
+    // restore them with the mapping (their sidecars survive vacuum
+    // exactly as long as the version file does, checked above)
+    commit(fs, path, newest + 1, mapping,
+      dvUpdate = Some(visibleDvAt(fs, path, n)))
     newest + 1
   }
 
@@ -1405,7 +1460,7 @@ object Warehouse {
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
-      val (v, mapping) = snapshot(fs, path).getOrElse(
+      val (v, mapping, _) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))
       val dropped = mapping.keySet.filter { key =>
         pred(key.split("/").toSeq.map { seg =>
@@ -1466,7 +1521,7 @@ object Warehouse {
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
-      val (v, mapping) = snapshot(fs, path).getOrElse(
+      val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))
       if (mapping.isEmpty) return 0L
       val partCols = partColsOf(mapping)
@@ -1474,7 +1529,7 @@ object Warehouse {
         readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
-      val touchedRows = readMapped(spark, path, touched, partCols)
+      val touchedRows = readMapped(spark, path, touched, partCols, dvs.map(_._1))
       val deleted = touchedRows.filter(pred).count()
       val survivors = touchedRows.filter(pred.isNull || !pred)
       val batchId = java.util.UUID.randomUUID().toString
@@ -1488,6 +1543,163 @@ object Warehouse {
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Distinct (batch, partition-key) pairs the given deletion vectors
+    * target — the distinct runs distributed, so the collect is
+    * bounded by the touched (batch, partition) count (partition
+    * metadata, [[partKeysOf]]'s contract), never by deleted rows.
+    */
+  private def dvTargets(spark: SparkSession, path: String,
+                        dvIds: Seq[String]): Set[(String, String)] =
+    if (dvIds.isEmpty) Set.empty
+    else loadDv(spark, path, dvIds).get
+      .select(
+        regexp_extract(col("file"), "^batch=([^/]+)/", 1).as("b"),
+        regexp_extract(col("file"), "^[^/]+/(.*)/[^/]+$", 1).as("k"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  /** Exact row count of the parquet files directly under `dir`, from
+    * footers alone — the post-write count of a just-written sidecar
+    * (no second scan of the matching rows).
+    */
+  private def parquetRowsUnder(spark: SparkSession, fs: FileSystem,
+                               dir: HPath): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var total = 0L
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var i = 0
+          while (i < blocks.size()) { total += blocks.get(i).getRowCount; i += 1 }
+        } finally reader.close()
+      }
+    total
+  }
+
+  /** ROW-LEVEL DELETE, merge-on-read via DELETION VECTORS — the
+    * O(table) → O(change) form of [[deleteWhere]]: instead of
+    * rewriting every partition that carries a match, commit an
+    * O(deleted rows) sidecar of `(file, row position)` pairs under
+    * `_dv/` and subtract it on every read path (scan, fold, change
+    * feed, streaming source; footer fast paths fall back to exact
+    * scans). A scattered 1k-row GDPR delete across 1k partitions
+    * writes kilobytes and touches NO data file — every data file
+    * stays byte-identical, time travel across the delete works
+    * unchanged, and [[compact]] later materializes the subtraction
+    * into fresh base files and drops the vector.
+    *
+    * FOLDED (delta-chain) partitions rewrite copy-on-write exactly as
+    * [[deleteWhere]] does — a DV removes a PHYSICAL row, and removing
+    * a fold winner would resurrect the superseded version beneath it;
+    * the [[maintain]] cadence keeps such partitions rare. Pure
+    * (base / append-only) partitions — the normal state of a
+    * compacted 100 TB table — always take the vector path. Returns
+    * rows deleted across both arms; NULL-predicate rows survive (SQL
+    * semantics), matching [[deleteWhere]] exactly (spec-pinned
+    * equivalence, m20's oracle).
+    */
+  def deleteWhereDv(spark: SparkSession, path: String,
+                    pred: org.apache.spark.sql.Column,
+                    maxAttempts: Int = 5): Long =
+    deleteWhereDvBounded(spark, path, pred, Map.empty, maxAttempts)
+
+  /** [[deleteWhereDv]] with pruning BOUNDS for the touched-partition
+    * discovery scan — [[deleteWhereBounded]]'s contract.
+    */
+  private[graft] def deleteWhereDvBounded(spark: SparkSession, path: String,
+                  pred: org.apache.spark.sql.Column,
+                  bounds: Map[String, Bound],
+                  maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))
+      if (mapping.isEmpty) return 0L
+      val partCols = partColsOf(mapping)
+      val touchedKeys = partKeysOf(
+        readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
+      if (touchedKeys.isEmpty) return 0L
+      val touched = mapping.filter { case (k, _) => touchedKeys(k) }
+      val (chainedT, pureT) = touched.partition { case (_, c) => needsFold(c) }
+      // ---- vector arm: pure partitions' matches become (file, pos) ----
+      var dvAdd: Option[(String, Long)] = None
+      var dvDeleted = 0L
+      if (pureT.nonEmpty) {
+        val dv = loadDv(spark, path, dvs.map(_._1))
+        val widens = widensOf(readSchemaOverlay(fs, path))
+        val dirs = pureT.toSeq.sorted.flatMap { case (key, chain) =>
+          chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+        }
+        // the pure branch of readMapped with row LINEAGE kept: attach
+        // (file, pos) off the scan, subtract already-deleted rows,
+        // THEN apply the DDL overlay (overlay ops touch only logical
+        // columns) so `pred` sees exactly the logical table
+        val lined = withLineage(rawRead(spark, path, dirs,
+          widenedScanSchema(spark, path, dirs, widens))).drop("batch")
+        val alive = dv match {
+          case None => lined
+          case Some(d) => lined.join(broadcast(d),
+            lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
+            "left_anti")
+        }
+        val matches = withOverlay(fs, path, alive).filter(pred)
+          .select(col("_gdvf").as("file"), col("_gdvp").as("pos"))
+        val dvId = java.util.UUID.randomUUID().toString
+        // the sidecar lands as ONE compact file: the repartition
+        // shuffles only the MATCHED rows (16 bytes each - the scan
+        // itself keeps full parallelism upstream), and readers
+        // broadcast the result, so a single file is the right read
+        // shape. Deletes so large that one O(deletes) file hurts are
+        // exactly the ones [[deleteWhere]]'s partition rewrite serves
+        // better.
+        matches.repartition(1).write.parquet(dvDir(path, dvId))
+        val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvId)))
+        if (n == 0L) { fs.delete(new HPath(dvDir(path, dvId)), true): Unit }
+        else { dvAdd = Some((dvId, n)); dvDeleted = n }
+      }
+      // ---- copy-on-write arm: folded partitions rewrite ----
+      var cowDeleted = 0L
+      var newMapping = mapping
+      if (chainedT.nonEmpty) {
+        val rows = readMapped(spark, path, chainedT, partCols, dvs.map(_._1))
+        cowDeleted = rows.filter(pred).count()
+        if (cowDeleted > 0L) {
+          val survivors = rows.filter(pred.isNull || !pred)
+          val batchId = java.util.UUID.randomUUID().toString
+          survivors.write.mode("overwrite").partitionBy(partCols: _*)
+            .parquet(s"$path/data/batch=$batchId")
+          val written = partDirs(fs, path, batchId, partCols).toSet
+          newMapping = (mapping -- chainedT.keySet) ++ written.map(_ -> batchId)
+        }
+      }
+      if (dvDeleted == 0L && cowDeleted == 0L) return 0L
+      try {
+        commit(fs, path, v + 1, newMapping,
+          dvUpdate = Some(dvs ++ dvAdd.toSeq))
+        return dvDeleted + cowDeleted
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          // the losing attempt's sidecar is unreferenced garbage -
+          // drop it eagerly (vacuum would sweep it anyway)
+          dvAdd.foreach { case (id, _) =>
+            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+            catch { case _: java.io.IOException => () }
+          }
           if (attempt >= maxAttempts) throw e
           attempt += 1
       }
@@ -1542,7 +1754,7 @@ object Warehouse {
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
-      val (v, mapping) = snapshot(fs, path).getOrElse(
+      val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))
       if (mapping.isEmpty) return 0L
       val partCols = partColsOf(mapping)
@@ -1556,7 +1768,7 @@ object Warehouse {
         readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
-      val touchedRows = readMapped(spark, path, touched, partCols)
+      val touchedRows = readMapped(spark, path, touched, partCols, dvs.map(_._1))
       assignments.foreach { case (c, _) =>
         require(touchedRows.columns.contains(c),
           s"UPDATE references unknown column '$c'")
@@ -1600,13 +1812,52 @@ object Warehouse {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)
-    val (_, mapping) = snapshot(fs, path).getOrElse(
+    val (_, mapping, dvs) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     require(mapping.nonEmpty,
       s"table at $path has no live partitions (every row deleted) - " +
         "no schema to serve; re-create() to repopulate")
-    readMapped(spark, path, mapping, partColsOf(mapping))
+    readMapped(spark, path, mapping, partColsOf(mapping), dvs.map(_._1))
   }
+
+  /** The union of the named deletion-vector sidecars as one small
+    * `(file, pos)` frame — None when the active list is empty, so the
+    * common no-DV scan plans with zero extra operators.
+    */
+  private def loadDv(spark: SparkSession, path: String,
+                     dvIds: Seq[String]): Option[DataFrame] =
+    if (dvIds.isEmpty) None
+    else Some(spark.read
+      .schema("file STRING, pos BIGINT")
+      .parquet(dvIds.map(id => dvDir(path, id)): _*))
+
+  /** Attach each row's physical lineage — its file's path relative to
+    * `$path/data/` and its row ordinal within the file — straight off
+    * the parquet reader's metadata struct (constant-per-file /
+    * generated, no data cost). `substring_index(…, '/data/', -1)`
+    * is exact: partition values hive-escape '/', batch ids are UUIDs
+    * and file names are parquet part files, so the LAST '/data/' in
+    * the absolute path is always the table's own data root.
+    */
+  private def withLineage(df: DataFrame): DataFrame = df
+    .withColumn("_gdvf",
+      substring_index(col("_metadata.file_path"), "/data/", -1))
+    .withColumn("_gdvp", col("_metadata.row_index"))
+
+  /** Subtract deletion-vector rows from a raw file scan: a broadcast
+    * ANTI join on (file, pos) — O(deleted rows) build side, streamed
+    * probe, stays in whole-stage codegen. Identity when no DV is
+    * active.
+    */
+  private def applyDv(df: DataFrame, dv: Option[DataFrame]): DataFrame =
+    dv match {
+      case None => df
+      case Some(d) =>
+        val t = withLineage(df)
+        t.join(broadcast(d),
+          t("_gdvf") === d("file") && t("_gdvp") === d("pos"), "left_anti")
+          .drop("_gdvf", "_gdvp")
+    }
 
   // mergeSchema: batches written before a schema-widening merge lack
   // the new columns — footer merging surfaces the union schema and
@@ -1615,17 +1866,20 @@ object Warehouse {
   // column types instead passes an EXPLICIT schema (mergeSchema
   // refuses int32-vs-int64 footers; the vectorized reader PROMOTES
   // them in-scan when the requested schema is wider — SPARK-40876).
+  // Deletion vectors subtract HERE, on the raw scan itself, so every
+  // caller (plain read, fold, pruned scan) sees only live rows.
   private def rawRead(spark: SparkSession, path: String,
                       dirs: Seq[String],
-                      expected: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    expected match {
+                      expected: Option[org.apache.spark.sql.types.StructType] = None,
+                      dv: Option[DataFrame] = None): DataFrame =
+    applyDv(expected match {
       case Some(s) =>
         spark.read.schema(s).option("basePath", s"$path/data").parquet(dirs: _*)
       case None =>
         spark.read.option("basePath", s"$path/data")
           .option("mergeSchema", "true")
           .parquet(dirs: _*)
-    }
+    }, dv)
 
   /** The explicit scan schema for dirs/files spanning mixed TYPE
     * generations (post-`ALTER COLUMN TYPE` reads): per BATCH, probe
@@ -1688,9 +1942,11 @@ object Warehouse {
     */
   private def readMapped(spark: SparkSession, path: String,
                          mapping: Map[String, String],
-                         partCols: Seq[String]): DataFrame = {
+                         partCols: Seq[String],
+                         dvIds: Seq[String]): DataFrame = {
     val fs = fsOf(spark, path)
     val widens = widensOf(readSchemaOverlay(fs, path))
+    val dv = loadDv(spark, path, dvIds)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     val parts = Seq(
       if (pure.isEmpty) None
@@ -1701,10 +1957,10 @@ object Warehouse {
             chainOf(chain).map(b => s"$path/data/batch=$b/$key")
         }
         Some(rawRead(spark, path, dirs,
-          widenedScanSchema(spark, path, dirs, widens)).drop("batch"))
+          widenedScanSchema(spark, path, dirs, widens), dv).drop("batch"))
       },
       if (chained.isEmpty) None
-      else Some(foldRead(spark, path, chained, partCols))).flatten
+      else Some(foldRead(spark, path, chained, partCols, dv))).flatten
     withOverlay(fs, path,
       parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -1730,7 +1986,8 @@ object Warehouse {
     */
   private def foldRead(spark: SparkSession, path: String,
                        chained: Map[String, String],
-                       partCols: Seq[String]): DataFrame = {
+                       partCols: Seq[String],
+                       dv: Option[DataFrame]): DataFrame = {
     val fs = fsOf(spark, path)
     val (keyCol, versionCol) = readMeta(fs, path)
     // dirs grouped by their link's position in the owning partition's
@@ -1743,8 +2000,13 @@ object Warehouse {
         }
       }.groupMap(_._1)(_._2).toSeq.sortBy(_._1)
     require(byRank.nonEmpty, "empty chain mapping")
+    // DVs subtract PRE-fold (a DV entry names a physical row; the
+    // fold then races only live rows) — [[deleteWhereDv]] never
+    // targets chained partitions precisely because deleting a fold
+    // WINNER would resurrect the superseded version beneath it, but
+    // a partition may grow a chain AFTER its base files took DVs
     val ranked = byRank.map { case (i, ds) =>
-      rawRead(spark, path, ds.distinct).withColumn("_grank", lit(i))
+      rawRead(spark, path, ds.distinct, None, dv).withColumn("_grank", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("batch")
     val hasDel = ranked.columns.contains(DelCol)
     val del = if (hasDel) coalesce(col(DelCol), lit(false)) else lit(false)
@@ -1783,7 +2045,8 @@ object Warehouse {
               s"(batch=$b/$key) - history before the last vacuum is gone")
       }
     }
-    readMapped(spark, path, mapping, partColsOf(mapping))
+    readMapped(spark, path, mapping, partColsOf(mapping),
+      visibleDvAt(fs, path, n).map(_._1))
   }
 
   /** Reclaim history: delete every version file but the newest and
@@ -1856,6 +2119,28 @@ object Warehouse {
     old.foreach { case (_, p) =>
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () }
+    }
+    // DELETION-VECTOR retention: a sidecar lives exactly as long as
+    // some surviving manifest (newest, young-retained, or pending
+    // stage) names it. Everything else under _dv/ is either
+    // superseded history or a lost-race orphan - swept age-gated like
+    // batch dirs (an IN-FLIGHT deleteWhereDv has an unreferenced
+    // sidecar on disk during its write-to-commit window; the same
+    // minAgeMs valve that protects in-flight batch dirs protects it)
+    val dvDirRoot = new HPath(s"$path/_dv")
+    if (fs.exists(dvDirRoot)) {
+      val liveDv: Set[String] =
+        (Seq(readSmallFile(fs, newestPath)) ++
+          retained.map { case (_, p) => readSmallFile(fs, p) } ++
+          pendingOpen.map { case (_, _, c) => c })
+          .flatMap(c => parseDvs(c).map(_._1)).toSet
+      fs.listStatus(dvDirRoot).foreach { st =>
+        if (!liveDv.contains(st.getPath.getName) &&
+          st.getModificationTime <= cutoff) {
+          try { fs.delete(st.getPath, true): Unit }
+          catch { case _: java.io.IOException => () }
+        }
+      }
     }
     // `_txn` retention (judge r16 #7): settled markers and crashed
     // temp files otherwise accumulate forever under the FIRST table's
@@ -1965,14 +2250,14 @@ object Warehouse {
                 txn: Map[String, Long] = Map.empty): Unit = {
     requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
-    val (v, mapping) = snapshot(fs, path).getOrElse(
+    val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
     val touched = partKeysOf(changes, partCols)
     if (touched.isEmpty) throw new EmptyBatchException("empty change batch")
     val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
     val base0 =
       if (baseMap.isEmpty) None
-      else Some(readMapped(spark, path, baseMap, partCols))
+      else Some(readMapped(spark, path, baseMap, partCols, dvs.map(_._1)))
     // SCHEMA EVOLUTION: the merged schema is the by-name UNION of the
     // change batch's and the stored table's data columns — a change
     // batch may WIDEN the table (new column: stored rows read null
@@ -2110,7 +2395,7 @@ object Warehouse {
     val written = partDirs(fs, path, batchId, partCols).toSet
     var attempt = 1
     while (true) {
-      val (v, mapping) = snapshot(fs, path).get
+      val (v, mapping, _) = snapshot(fs, path).get
       val newMapping = mapping ++ written.map(key =>
         key -> (mapping.get(key) match {
           case Some(chain) => s"$chain,~$batchId"
@@ -2312,7 +2597,7 @@ object Warehouse {
     val fs = fsOf(spark, path)
     var attempt = 1
     while (true) {
-      val (v, mapping) = snapshot(fs, path).getOrElse(
+      val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(
           s"no committed version under $path - create() first"))
       require(mapping.nonEmpty,
@@ -2363,7 +2648,7 @@ object Warehouse {
       val base0 =
         if (baseMap.isEmpty) None
         else Some {
-          val b = readMapped(spark, path, baseMap, partCols)
+          val b = readMapped(spark, path, baseMap, partCols, dvs.map(_._1))
           // alias the target columns that pair-level / BY SOURCE
           // expressions reference: post-join, a plain name would be
           // ambiguous against a same-named source column, so those
@@ -2591,7 +2876,8 @@ object Warehouse {
         if (nIns > 0) {
           val probe =
             if (nIns <= broadcastCap) broadcast(insKeys) else insKeys
-          val others = readMapped(spark, path, untouchedMap, partCols)
+          val others = readMapped(spark, path, untouchedMap, partCols,
+            dvs.map(_._1))
             .select(targetKeys.zipWithIndex.map { case (tk, i) =>
               col(tk).as(s"_gm_ok$i") }: _*)
           val cond = keyCols.zipWithIndex
@@ -2695,20 +2981,32 @@ object Warehouse {
       throw new IllegalStateException(s"no committed version $n under $path"))
     val mapFrom = mappingOf(fromV)
     val mapTo = mappingOf(toV)
+    val dvFrom = visibleDvAt(fs, path, fromV).map(_._1)
+    val dvTo = visibleDvAt(fs, path, toV).map(_._1)
     val anyMap = if (mapTo.nonEmpty) mapTo else mapFrom
     require(anyMap.nonEmpty, s"versions $fromV and $toV of $path are both empty")
     val partCols = partColsOf(anyMap)
+    // a deletion-vector commit changes no chain, so partitions its
+    // ADDED vectors target must join the moved set — their old-side
+    // image carries the rows the vector deleted. (A REMOVED vector is
+    // never content-bearing: compact/prune only drop a vector once
+    // its entries reference no live file.)
+    val addedDv = dvTo.filterNot(dvFrom.toSet)
+    val dvMoved: Set[String] =
+      if (addedDv.isEmpty) Set.empty
+      else dvTargets(spark, path, addedDv).map(_._2)
     val moved = (mapFrom.keySet ++ mapTo.keySet)
-      .filter(key => mapFrom.get(key) != mapTo.get(key))
-    def side(m: Map[String, String]): Option[DataFrame] = {
+      .filter(key => mapFrom.get(key) != mapTo.get(key) || dvMoved(key))
+    def side(m: Map[String, String], dvIds: Seq[String]): Option[DataFrame] = {
       val sub = m.filter { case (key, _) => moved(key) }
-      if (sub.isEmpty) None else Some(readMapped(spark, path, sub, partCols))
+      if (sub.isEmpty) None
+      else Some(readMapped(spark, path, sub, partCols, dvIds))
     }
-    val oldS = side(mapFrom)
-    val newS = side(mapTo)
+    val oldS = side(mapFrom, dvFrom)
+    val newS = side(mapTo, dvTo)
     if (oldS.isEmpty && newS.isEmpty) {
       // identical manifests: an EMPTY feed with the table's schema
-      val proto = readMapped(spark, path, anyMap, partCols).limit(0)
+      val proto = readMapped(spark, path, anyMap, partCols, Nil).limit(0)
       val rest = proto.columns.filterNot(_ == keyCol)
       return proto.select(col(keyCol) +: lit("").as("change_type") +:
         rest.map(col).toSeq: _*).filter(lit(false))
@@ -2831,15 +3129,22 @@ object Warehouse {
   private[graft] def foldFreeFiles(spark: SparkSession, path: String,
                                    versionAsOf: Option[Long]): Option[Seq[String]] = {
     val fs = fsOf(spark, path)
-    val mapping = versionAsOf match {
+    val (mapping, dvIds) = versionAsOf match {
       case Some(n) =>
-        visibleMappingAt(fs, path, n).getOrElse(
+        (visibleMappingAt(fs, path, n).getOrElse(
           throw new IllegalStateException(
-            s"no committed version $n under $path"))
-      case None => snapshot(fs, path).getOrElse(
-        throw new IllegalStateException(s"no committed version under $path"))._2
+            s"no committed version $n under $path")),
+          visibleDvAt(fs, path, n))
+      case None =>
+        val (_, m, dvs) = snapshot(fs, path).getOrElse(
+          throw new IllegalStateException(s"no committed version under $path"))
+        (m, dvs)
     }
-    if (mapping.isEmpty || mapping.values.exists(needsFold)) None
+    // active deletion vectors make footer row counts and raw file
+    // reads over-deliver deleted rows - callers (footer aggregate
+    // pushdown, LIMIT capping) must take the exact scan path instead
+    if (mapping.isEmpty || mapping.values.exists(needsFold) ||
+      dvIds.nonEmpty) None
     else Some(for {
       (key, chain) <- mapping.toSeq.sorted
       b <- chainOf(chain)
@@ -2854,8 +3159,10 @@ object Warehouse {
     * dimension plans as the broadcast side on ROW statistics, not just
     * byte guesses). Exact on fold-free tables; delta chains count
     * every link's rows (superseded versions and tombstones included),
-    * an OVER-estimate — the safe direction: it can only miss a
-    * broadcast, never under-plan one. None above `maxFiles` footer
+    * and active deletion vectors are NOT subtracted (their entries may
+    * also reference already-rewritten files, so subtraction could
+    * under-count) — both make it an OVER-estimate, the safe
+    * direction: it can only miss a broadcast, never under-plan one. None above `maxFiles` footer
     * reads — planning cost stays bounded whatever the table size (the
     * tables where row stats change a join plan are exactly the small
     * ones), and None on empty/corrupt listings (statistics are an
@@ -2951,7 +3258,7 @@ object Warehouse {
     */
   def partitionStats(spark: SparkSession, path: String): Seq[(String, String, Int, Long)] = {
     val fs = fsOf(spark, path)
-    val (_, mapping) = snapshot(fs, path).getOrElse(
+    val (_, mapping, _) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     mapping.toSeq.sorted.map { case (key, chain) =>
       val files = chainOf(chain).flatMap { b =>
@@ -3191,25 +3498,47 @@ object Warehouse {
                           zorderCols: Seq[String],
                           bloomCols: Seq[String] = Nil,
                           bloomExpectedItems: Long = 100000L): Int = {
-    val (v, mapping) = snapshot(fs, path).getOrElse(
+    val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     val partCols = partColsOf(mapping)
     val stats = partitionStats(spark, path)
-    val frag = stats.filter { case (_, chain, nFiles, bytes) =>
+    // which live (batch, partition) links carry deletion-vector
+    // entries: those partitions MATERIALIZE this pass (the DV's
+    // subtraction folds into the fresh base and the vector drops)
+    val liveLinks: Set[(String, String)] = mapping.toSeq
+      .flatMap { case (k, c) => chainOf(c).map(b => (b, k)) }.toSet
+    val perDvLive: Seq[(String, Set[(String, String)])] =
+      dvs.map { case (id, _) =>
+        id -> dvTargets(spark, path, Seq(id)).filter(liveLinks)
+      }
+    val dvKeys: Set[String] = perDvLive.flatMap(_._2.map(_._2)).toSet
+    val frag = stats.filter { case (key, chain, nFiles, bytes) =>
       // delta chains (fold debt), append chains (listing debt — one FS
-      // listing per link per read), and plain small-file fragmentation
-      // all collapse to a single fresh base
-      needsFold(chain) || chainOf(chain).length > 1 ||
+      // listing per link per read), deletion-vector debt (per-read
+      // anti-join + footer fast paths disabled), and plain small-file
+      // fragmentation all collapse to a single fresh base
+      needsFold(chain) || chainOf(chain).length > 1 || dvKeys(key) ||
         nFiles > math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
-    if (frag.isEmpty) 0
-    else {
+    if (frag.isEmpty) {
+      // nothing to rewrite; still drop vectors whose every target is
+      // already unreferenced (left behind by partition rewrites) — a
+      // pure metadata commit, and only when it actually shrinks the
+      // list, so the cadence never ratchets versions
+      if (perDvLive.exists(_._2.isEmpty)) {
+        val kept = perDvLive.collect { case (id, live) if live.nonEmpty =>
+          dvs.find(_._1 == id).get
+        }
+        commit(fs, path, v + 1, mapping, dvUpdate = Some(kept))
+      }
+      0
+    } else {
       val nOut = math.max(1L, frag.map { case (_, _, _, bytes) =>
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       }.sum).toInt
       val fragMap = frag.map { case (key, chain, _, _) => key -> chain }.toMap
       val batchId = java.util.UUID.randomUUID().toString
-      val selected = readMapped(spark, path, fragMap, partCols)
+      val selected = readMapped(spark, path, fragMap, partCols, dvs.map(_._1))
       val layoutKey =
         if (zorderCols.isEmpty) col(sortCol)
         else Layout.zValueFor(selected, zorderCols)
@@ -3220,12 +3549,22 @@ object Warehouse {
         .parquet(s"$path/data/batch=$batchId")
       writeFileStats(spark, path, batchId, statsCols)
       writeFileBlooms(spark, path, batchId, bloomCols, bloomExpectedItems)
-      // a chained partition whose fold is EMPTY (every key tombstoned)
-      // writes no dir and must leave the mapping
+      // a chained partition whose fold is EMPTY (every key tombstoned
+      // or every row DV-deleted) writes no dir and must leave the
+      // mapping
       val written = partDirs(fs, path, batchId, partCols).toSet
       val newMapping = (mapping -- fragMap.keySet.filterNot(written)) ++
         written.map(_ -> batchId)
-      commit(fs, path, v + 1, newMapping)
+      // prune vectors the rewrite fully materialized: keep one only
+      // while some entry still references a live link of the NEW
+      // mapping (superset-safe - a kept-but-stale entry never matches
+      // a fresh file's lineage)
+      val newLive: Set[(String, String)] = newMapping.toSeq
+        .flatMap { case (k, c) => chainOf(c).map(b => (b, k)) }.toSet
+      val keptDvs = perDvLive.collect {
+        case (id, live) if live.exists(newLive) => dvs.find(_._1 == id).get
+      }
+      commit(fs, path, v + 1, newMapping, dvUpdate = Some(keptDvs))
       frag.length
     }
   }
@@ -3266,7 +3605,7 @@ object Warehouse {
     require(everyNCommits >= 1, s"everyNCommits must be >= 1, got $everyNCommits")
     require(analyzeEvery >= 0, s"analyzeEvery must be >= 0, got $analyzeEvery")
     val fs = fsOf(spark, path)
-    val (v, _) = snapshot(fs, path).getOrElse(
+    val (v, _, _) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
     val compacted =
       v % everyNCommits == 0 && compact(spark, path, sortCol, targetBytes) > 0
@@ -3762,7 +4101,7 @@ object Warehouse {
                    limit: Option[Int] = None,
                    extraBounds: Seq[(String, Bound)] = Nil): DataFrame = {
     val fs = fsOf(spark, path)
-    val fullMapping = versionAsOf match {
+    val (fullMapping, dvIds) = versionAsOf match {
       case Some(n) =>
         val m = visibleMappingAt(fs, path, n).getOrElse(
           throw new IllegalStateException(
@@ -3775,9 +4114,11 @@ object Warehouse {
                   s"(batch=$b/$key) - history before the last vacuum is gone")
           }
         }
-        m
-      case None => snapshot(fs, path).getOrElse(
-        throw new IllegalStateException(s"no committed version under $path"))._2
+        (m, visibleDvAt(fs, path, n).map(_._1))
+      case None =>
+        val (_, m, dvs) = snapshot(fs, path).getOrElse(
+          throw new IllegalStateException(s"no committed version under $path"))
+        (m, dvs.map(_._1))
     }
     require(fullMapping.nonEmpty, s"table at $path has no live partitions")
     val partCols = partColsOf(fullMapping)
@@ -3846,8 +4187,11 @@ object Warehouse {
     // never pushes a limit past residual filters, but this method
     // enforces its own precondition rather than trusting the caller —
     // advisor r14)
+    // … and no ACTIVE deletion vectors (a DV'd file's footer count
+    // includes its deleted rows, so the cap could under-deliver)
     val limited: Option[Seq[String]] =
-      if (limit.isEmpty || chained.nonEmpty || boundSeq.nonEmpty) None
+      if (limit.isEmpty || chained.nonEmpty || boundSeq.nonEmpty ||
+        dvIds.nonEmpty) None
       else Some(limitFiles(spark,
         wholeDirs.flatMap { dir =>
           fs.listStatus(new HPath(dir))
@@ -3855,9 +4199,10 @@ object Warehouse {
             .map(_.getPath.toString).sorted.toSeq
         } ++ keptFiles, limit.get))
     val widens = widensOf(readSchemaOverlay(fs, path))
+    val dv = loadDv(spark, path, dvIds)
     def readWidened(targets: Seq[String]) =
       rawRead(spark, path, targets,
-        widenedScanSchema(spark, path, targets, widens)).drop("batch")
+        widenedScanSchema(spark, path, targets, widens), dv).drop("batch")
     val scans = Seq(
       limited match {
         case Some(fls) =>
@@ -3867,14 +4212,14 @@ object Warehouse {
           else Some(readWidened(wholeDirs ++ keptFiles))
       },
       if (chained.isEmpty) None
-      else Some(foldRead(spark, path, chained, partCols))).flatten
+      else Some(foldRead(spark, path, chained, partCols, dv))).flatten
     if (scans.isEmpty)
       // everything skipped (possibly every PARTITION): an empty frame
       // with the table's LOGICAL schema from the unpruned mapping
       // (readMapped applies the DDL overlay internally, so renamed/
       // added columns are present on exactly-empty results too —
-      // spec-pinned)
-      readMapped(spark, path, fullMapping, partCols).filter(lit(false))
+      // spec-pinned; dvIds Nil — schema only, every row filtered)
+      readMapped(spark, path, fullMapping, partCols, Nil).filter(lit(false))
     else withOverlay(fs, path,
       scans.reduce(_.unionByName(_, allowMissingColumns = true)))
   }

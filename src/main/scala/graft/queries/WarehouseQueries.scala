@@ -151,6 +151,22 @@ object WarehouseQueries {
         deleteCol = Some("is_del"))
     }
 
+  /** m20's deletion-vector table, built once per (sfDir, JVM): create
+    * from events, then TWO stacked merge-on-read deletes — each
+    * commits a `(file, pos)` sidecar, no data file is rewritten (the
+    * second vector's scan already subtracts the first, so the stack
+    * composes exactly like sequential CoW deletes would).
+    */
+  private def m20Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m20wh", "graft_m20wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"))
+      Warehouse.create(s, p, ev, "dt")
+      Warehouse.deleteWhereDv(s, p, col("event_id") % 47 === 8): Unit
+      Warehouse.deleteWhereDv(s, p, col("user_id") % 89 === 7): Unit
+    }
+
   private val m9OracleSql =
     """SELECT event_id,
       |  CASE WHEN event_id % 59 = 6 THEN user_id + 5000000
@@ -1109,6 +1125,28 @@ object WarehouseQueries {
              |  WHERE user_id % 13 <> 4)
              |SELECT user_id, event_id, event_type, tier
              |FROM a2 JOIN b2 USING (user_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // M20 — DELETION VECTORS: merge-on-read row-level delete. Two
+    // stacked deleteWhereDv calls commit O(deleted rows) `(file, pos)`
+    // sidecars — every data file of the table stays byte-identical
+    // (WarehouseDvSpec pins the zero-rewrite invariant and the
+    // CoW-equivalence at the API layer) — and the scan subtracts them
+    // with one broadcast anti-join. The oracle replays the two
+    // predicates over the raw events, so a green row proves the
+    // vector-subtracted scan ≡ the copy-on-write delete's end state
+    // (deleteWhere's contract IS the SQL predicate). At 100 TB this
+    // is the GDPR shape: a scattered 1k-row erasure commits kilobytes
+    // instead of rewriting every touched partition.
+    Q("m20_dv_delete",
+      (s, d) => {
+        Warehouse.read(s, m20Table(s, d))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
+             |WHERE event_id % 47 <> 8 AND user_id % 89 <> 7
              |ORDER BY event_id""".stripMargin)),
 
     // SQL20 — MERGE INTO as a STATEMENT: the reference's core CDC

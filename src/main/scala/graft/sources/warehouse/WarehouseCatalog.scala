@@ -82,7 +82,7 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
     * `createTable`'s properties map — provider, location, owner — is
     * connector-internal noise and is deliberately dropped).
     */
-  private val PersistedProps = Set("runtimeFilteringEager")
+  private val PersistedProps = Set("runtimeFilteringEager", "deletionVectors")
 
   private def root(): String = warehouseRoot.getOrElse(
     throw new UnsupportedOperationException(
@@ -170,7 +170,11 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
         // a table-level TBLPROPERTIES declaration: every reader of
         // this named table opts into runtime join-key pruning
         // regardless of current size
-        rfEager = e.props.get("runtimeFilteringEager").exists(_.toBoolean))
+        rfEager = e.props.get("runtimeFilteringEager").exists(_.toBoolean),
+        // table-level declaration: DELETE FROM this table commits
+        // deletion-vector sidecars (merge-on-read) instead of
+        // rewriting partitions
+        dvDeletes = e.props.get("deletionVectors").exists(_.toBoolean))
       // registered but not yet written: serve the declared schema over
       // an empty snapshot; the first INSERT creates version 1 with the
       // declared partition layout
@@ -259,7 +263,8 @@ class WarehouseCatalog extends TableCatalog with ProcedureCatalog {
     new WarehouseTable(schema,
       WarehouseDataSource.ReadConf(path, None, None, changeFeed = false,
         None, None, 64,
-        rfEager = kept.get("runtimeFilteringEager").exists(_.toBoolean)),
+        rfEager = kept.get("runtimeFilteringEager").exists(_.toBoolean),
+        dvDeletes = kept.get("deletionVectors").exists(_.toBoolean)),
       createPartCols = Some(partCols))
   }
 

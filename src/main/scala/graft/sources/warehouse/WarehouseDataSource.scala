@@ -134,7 +134,7 @@ object WarehouseDataSource {
       path: String, versionAsOf: Option[Long], keyCol: Option[String],
       changeFeed: Boolean, startingVersion: Option[Long],
       endingVersion: Option[Long], maxCommits: Int,
-      rfEager: Boolean = false) {
+      rfEager: Boolean = false, dvDeletes: Boolean = false) {
     def frame(spark: SparkSession): org.apache.spark.sql.DataFrame =
       if (changeFeed) {
         val key = keyCol.getOrElse {
@@ -186,7 +186,10 @@ object WarehouseDataSource {
       // per-read opt-in: bypass the runtime-filter rule's fact-size
       // gate for THIS table handle (a reader that knows its fact ⋈
       // dim shape wants pruning regardless of current size)
-      rfEager = options.getBoolean("runtimeFilteringEager", false))
+      rfEager = options.getBoolean("runtimeFilteringEager", false),
+      // DELETE FROM routes through deletion vectors (merge-on-read,
+      // O(deleted rows) commits) instead of partition rewrites
+      dvDeletes = options.getBoolean("deletionVectors", false))
   }
 
   /** Test probe: file count and pushed-filter set of the most recently
@@ -758,10 +761,16 @@ class WarehouseTable(tableSchema: StructType,
         val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
         // the same filters drive file skipping in the touched-partition
         // DISCOVERY scan (stats/bloom sidecars) — a point delete on a
-        // compacted table discovers from ~the carrying files
-        graft.io.Warehouse.deleteWhereBounded(
-          SparkSession.active, conf.path, pred,
-          WarehouseDataSource.boundsOf(filters.toIndexedSeq)): Unit
+        // compacted table discovers from ~the carrying files. With the
+        // deletionVectors property/option set, the delete commits an
+        // O(deleted rows) sidecar instead of rewriting partitions
+        val bounds = WarehouseDataSource.boundsOf(filters.toIndexedSeq)
+        if (conf.dvDeletes)
+          graft.io.Warehouse.deleteWhereDvBounded(
+            SparkSession.active, conf.path, pred, bounds): Unit
+        else
+          graft.io.Warehouse.deleteWhereBounded(
+            SparkSession.active, conf.path, pred, bounds): Unit
     }
 }
 

@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+
+/** DELETION VECTORS — merge-on-read row-level deletes. A
+  * `deleteWhereDv` commits an O(deleted rows) `(file, pos)` sidecar
+  * instead of rewriting match-carrying partitions: every data file
+  * stays byte-identical, every read path (scan, SQL, fold, change
+  * feed, time travel) subtracts the vector, footer fast paths fall
+  * back to exact scans, `compact()` materializes the subtraction and
+  * drops the vector, and `vacuum()` sweeps unreferenced sidecars.
+  * End-state equivalence with the copy-on-write delete is the
+  * contract (m20's shared oracle pins it at the query layer too).
+  */
+class WarehouseDvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_dvspec").toString + "/t"
+
+  private def dataFiles(path: String): Map[String, Long] = {
+    val root = Paths.get(path, "data")
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+  }
+
+  private def dvBytes(path: String): Long = {
+    val root = Paths.get(path, "_dv")
+    if (!Files.exists(root)) 0L
+    else Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  private def newestManifest(path: String): String = {
+    val vdir = Paths.get(path, "_versions")
+    val newest = Files.list(vdir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v")).toSeq
+      .maxBy(_.getFileName.toString)
+    new String(Files.readAllBytes(newest), "UTF-8")
+  }
+
+  private def activeDvIds(path: String): Seq[String] =
+    newestManifest(path).split("\n").toSeq
+      .filter(_.startsWith("#dv\t")).map(_.split("\t")(1))
+
+  private def seed(n: Long = 600L): DataFrame =
+    (1L to n).map(i => (i, s"n$i", i * 10L, s"p${(i % 3) + 1}"))
+      .toDF("k", "name", "qty", "part")
+
+  test("DV delete == CoW delete: same survivors, same count, but zero data files touched and O(deletes) bytes written") {
+    val cow = freshDir(); val dv = freshDir()
+    Warehouse.create(spark, cow, seed(), "part")
+    Warehouse.create(spark, dv, seed(), "part")
+    val filesBefore = dataFiles(dv)
+    val nCow = Warehouse.deleteWhere(spark, cow, col("qty") % 70 === 0)
+    val nDv = Warehouse.deleteWhereDv(spark, dv, col("qty") % 70 === 0)
+    assert(nCow == nDv && nDv > 0)
+    val a = Warehouse.read(spark, cow).collect().map(_.toSeq).toSet
+    val b = Warehouse.read(spark, dv).collect().map(_.toSeq).toSet
+    assert(a == b, "DV and CoW deletes must agree on the end state")
+    // merge-on-read: the delete touched NO data file (names AND mtimes)
+    assert(dataFiles(dv) == filesBefore,
+      "a DV delete must leave every data file byte-identical")
+    // O(deleted rows): the sidecar is tiny next to the table
+    val sidecar = dvBytes(dv)
+    val tableBytes = dataFiles(dv).keys.map(f => Files.size(Paths.get(f))).sum
+    assert(sidecar > 0 && sidecar < tableBytes / 4)
+    assert(activeDvIds(dv).size == 1)
+  }
+
+  test("SQL surface subtracts the vector: filter, count(*) footer fallback, group-by") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(), "part")
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$path`").as[Long].head() == 600L)
+    val n = Warehouse.deleteWhereDv(spark, path, col("k") <= 100)
+    assert(n == 100L)
+    // count(*) previously answered from footers alone; with an active
+    // vector it must take the exact path and see 500
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$path`").as[Long].head() == 500L)
+    assert(spark.sql(
+      s"SELECT count(*) c FROM graft.`$path` WHERE k <= 100").as[Long].head() == 0L)
+    val byPart = spark.sql(
+      s"SELECT part, count(*) c FROM graft.`$path` GROUP BY part ORDER BY part")
+      .as[(String, Long)].collect().toSeq
+    assert(byPart.map(_._2).sum == 500L)
+  }
+
+  test("time travel and restore: the pre-delete snapshot keeps its rows; restore resurrects them; re-restore re-applies the vector") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(300), "part")
+    val v0 = Warehouse.currentVersion(spark, path)
+    Warehouse.deleteWhereDv(spark, path, col("k") > 250)
+    val v1 = Warehouse.currentVersion(spark, path)
+    assert(Warehouse.readVersion(spark, path, v0).count() == 300L)
+    assert(Warehouse.readVersion(spark, path, v1).count() == 250L)
+    val v2 = Warehouse.restore(spark, path, v0)
+    assert(Warehouse.read(spark, path).count() == 300L)
+    assert(activeDvIds(path).isEmpty, "restore to pre-delete clears the DV list")
+    Warehouse.restore(spark, path, v1)
+    assert(Warehouse.read(spark, path).count() == 250L)
+    assert(activeDvIds(path).size == 1, "restore to post-delete restores the DV list")
+    assert(v2 == v1 + 1)
+  }
+
+  test("vectors stack: consecutive DV deletes compose, and NULL-predicate rows survive") {
+    val path = freshDir()
+    val df = (1L to 200L)
+      .map(i => (i, if (i % 10 == 0) null else s"n$i", "p1"))
+      .toDF("k", "name", "part")
+    Warehouse.create(spark, path, df, "part")
+    // name LIKE predicate is NULL on the null rows - they must survive
+    val n1 = Warehouse.deleteWhereDv(spark, path, col("name") < "n2")
+    val n2 = Warehouse.deleteWhereDv(spark, path, col("k") > 150)
+    assert(activeDvIds(path).size == 2)
+    val left = Warehouse.read(spark, path)
+    val expected = (1L to 200L)
+      .map(i => (i, if (i % 10 == 0) null else s"n$i"))
+      .filterNot { case (_, nm) => nm != null && nm < "n2" }
+      .filterNot { case (k, nm) => k > 150 && !(nm != null && nm < "n2") }
+    assert(n1 + n2 == 200L - expected.size)
+    assert(left.count() == expected.size.toLong)
+    assert(left.filter(col("name").isNull).count() ==
+      expected.count(_._2 == null).toLong)
+    // a second delete whose matches were all already vector-deleted
+    // is a no-op: no commit, no new vector
+    val v = Warehouse.currentVersion(spark, path)
+    assert(Warehouse.deleteWhereDv(spark, path, col("k") > 150) == 0L)
+    assert(Warehouse.currentVersion(spark, path) == v)
+  }
+
+  test("folded (delta-chain) partitions fall back to copy-on-write inside the same delete; pure partitions still take the vector") {
+    val path = freshDir()
+    // keyed delta table: partition p1 grows a delta chain, p2 stays pure
+    Warehouse.create(spark, path,
+      (1L to 100L).map(i => (i, 1L, i * 2, if (i <= 50) "p1" else "p2"))
+        .toDF("k", "ver", "qty", "part"), "part")
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((5L, 2L, 5000L, "p1")).toDF("k", "ver", "qty", "part"),
+      "k", "ver", "part")
+    val n = Warehouse.deleteWhereDv(spark, path, col("qty") >= 100 && col("qty") < 130)
+    // qty in [100,130): stored keys 50..64 -> k 50..64 minus k=5 (now 5000)
+    assert(n == 15L)
+    val left = Warehouse.read(spark, path)
+    assert(left.count() == 85L)
+    assert(left.filter(col("k") === 5L).select("qty").as[Long].head() == 5000L)
+    assert(left.filter(col("qty").between(100, 129)).count() == 0L)
+    // p2's matches went through a vector (data files untouched there);
+    // p1's through a rewrite (its chain collapsed)
+    assert(activeDvIds(path).nonEmpty)
+    assert(!newestManifest(path).linesIterator
+      .filter(_.startsWith("part=p1")).mkString.contains("~"),
+      "the folded partition must have been rewritten copy-on-write")
+  }
+
+  test("change feed across a DV commit emits exactly the deleted keys as deletes; page-fold law holds") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(120), "part")
+    val v0 = Warehouse.currentVersion(spark, path)
+    Warehouse.deleteWhereDv(spark, path, col("k").between(10, 25))
+    val v1 = Warehouse.currentVersion(spark, path)
+    val feed = Warehouse.changes(spark, path, v0, v1, "k")
+    val rows = feed.select("change_type", "k").as[(String, Long)].collect().toSeq
+    assert(rows.forall(_._1 == "delete"))
+    assert(rows.map(_._2).sorted == (10L to 25L))
+    // a second DV delete in a later commit: per-commit changeLog pages
+    // carry each vector's deletes under its own commit_version
+    Warehouse.deleteWhereDv(spark, path, col("k") === 100L)
+    val log = Warehouse.changeLog(spark, path, "k", fromV = v0)
+    val byCommit = log.groupBy("commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byCommit == Map(v1 -> 16L, (v1 + 1) -> 1L))
+  }
+
+  test("compact materializes the subtraction: vector dropped, data equal, footer fast paths live again, vacuum sweeps the sidecar") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(400), "part")
+    Warehouse.deleteWhereDv(spark, path, col("k") % 7 === 0)
+    val before = Warehouse.read(spark, path).collect().map(_.toSeq).toSet
+    assert(activeDvIds(path).nonEmpty)
+    // vacuum BEFORE compact must keep the referenced sidecar
+    Warehouse.vacuum(spark, path)
+    assert(dvBytes(path) > 0, "vacuum must not sweep a live deletion vector")
+    assert(Warehouse.read(spark, path).collect().map(_.toSeq).toSet == before)
+    val rewritten = Warehouse.compact(spark, path, "k", targetBytes = 64L << 20)
+    assert(rewritten > 0)
+    assert(activeDvIds(path).isEmpty,
+      "compact must drop a fully-materialized vector")
+    assert(Warehouse.read(spark, path).collect().map(_.toSeq).toSet == before)
+    Warehouse.vacuum(spark, path)
+    assert(dvBytes(path) == 0L,
+      "vacuum must sweep the unreferenced sidecar after compaction")
+    // footer-only count(*) is answerable again post-compact
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$path`")
+      .as[Long].head() == before.size.toLong)
+  }
+
+  test("SQL DELETE FROM a table with TBLPROPERTIES('deletionVectors'='true') commits a vector: zero data files touched") {
+    spark.sql("DROP TABLE IF EXISTS graft.dvspec.t")
+    spark.sql(
+      """CREATE TABLE graft.dvspec.t (k BIGINT, name STRING, part STRING)
+        |PARTITIONED BY (part)
+        |TBLPROPERTIES ('deletionVectors' = 'true')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.dvspec.t
+        |SELECT id AS k, concat('n', id) AS name,
+        |       concat('p', id % 3) AS part FROM range(300)""".stripMargin)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
+    val path = s"$root/dvspec/t"
+    val before = dataFiles(path)
+    spark.sql("DELETE FROM graft.dvspec.t WHERE k < 60")
+    assert(dataFiles(path) == before,
+      "SQL DELETE under the deletionVectors property must not touch a data file")
+    assert(activeDvIds(path).size == 1)
+    assert(spark.table("graft.dvspec.t").count() == 240L)
+    assert(spark.sql("SELECT count(*) c FROM graft.dvspec.t WHERE k < 60")
+      .as[Long].head() == 0L)
+    // a partition-decidable DELETE still takes the metadata-only plane
+    // (no vector, no file): the whole partition drops from the mapping
+    spark.sql("DELETE FROM graft.dvspec.t WHERE part = 'p2'")
+    assert(dataFiles(path) == before)
+    assert(activeDvIds(path).size == 1, "partition drop adds no vector")
+    // p2 held 100 keys; 20 of them (k<60, k%3==2) were already
+    // vector-deleted - the drop removes the remaining 80
+    assert(spark.table("graft.dvspec.t").count() == 160L)
+    spark.sql("DROP TABLE graft.dvspec.t")
+  }
+
+  test("later writers carry the vector forward: append, update, CoW delete and merge never resurrect DV-deleted rows") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(200), "part")
+    Warehouse.deleteWhereDv(spark, path, col("k") <= 40)
+    Warehouse.append(spark, path,
+      Seq((1000L, "new", 1L, "p1")).toDF("k", "name", "qty", "part"))
+    assert(Warehouse.read(spark, path).count() == 161L)
+    assert(activeDvIds(path).size == 1, "append must carry the DV header")
+    val updated = Warehouse.updateWhere(spark, path,
+      Seq("name" -> lit("upd")), col("k") === 50L)
+    assert(updated == 1L)
+    val after = Warehouse.read(spark, path)
+    assert(after.count() == 161L && after.filter(col("k") <= 40).count() == 0L)
+    // a CoW delete on OTHER rows must not resurrect the vector's rows
+    Warehouse.deleteWhere(spark, path, col("k") === 1000L)
+    val fin = Warehouse.read(spark, path)
+    assert(fin.count() == 160L && fin.filter(col("k") <= 40).count() == 0L)
+  }
+}
