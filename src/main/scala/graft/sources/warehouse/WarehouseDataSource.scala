@@ -198,6 +198,12 @@ object WarehouseDataSource {
     */
   @volatile var lastPlanned: Option[(Int, Seq[String])] = None
 
+  /** Test probe: RUNTIME-PROBE executions since JVM start (one tick
+    * per dim-side probe job). The probe-reuse spec pins one dim job
+    * per query whatever re-planning happens.
+    */
+  val probeExecutions = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Test probe for the metadata-only aggregate path: (files answered
     * from footers alone, files that fell back to an exact in-task
     * scan) of the most recently EXECUTED aggregate scan. Backed by
@@ -1146,6 +1152,7 @@ class WarehouseV1Scan(pruned: StructType,
     */
   private def runtimeBounds(spark: SparkSession): Seq[(String, Warehouse.Bound)] =
     runtimeProbes.flatMap { p =>
+      WarehouseDataSource.probeExecutions.incrementAndGet(): Unit
       val keys = org.apache.spark.sql.graft.PlanFrames
         .ofRows(spark, p.plan)
         .filter(col("_gw_k").isNotNull).distinct()
@@ -1175,6 +1182,28 @@ class WarehouseV1Scan(pruned: StructType,
       }
     }
 
+  /** The probe results, computed ONCE per scan instance (= once per
+    * optimized query): re-planning the same query (a second
+    * toV1TableScan call, AQE re-optimization, statistics passes)
+    * reuses the collected key sets instead of re-running the dim-side
+    * jobs — the probe-reuse half of DPP's exchange-reuse, which the
+    * V1 bridge cannot get from Spark itself. Never cached ACROSS
+    * queries: a dim table's contents may change between statements,
+    * and each fresh optimization builds a fresh scan instance, so the
+    * memo's lifetime is exactly the query's (advisor r17).
+    */
+  @volatile private var memoBounds: Seq[(String, Warehouse.Bound)] = null
+
+  private def runtimeBoundsCached(spark: SparkSession): Seq[(String, Warehouse.Bound)] = {
+    val c = memoBounds
+    if (c != null) c
+    else {
+      val r = runtimeBounds(spark)
+      memoBounds = r
+      r
+    }
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val spark = context.sparkSession
@@ -1182,7 +1211,7 @@ class WarehouseV1Scan(pruned: StructType,
       if (conf.changeFeed) conf.frame(spark)
       else try Warehouse.readForScan(spark, conf.path, conf.versionAsOf,
         WarehouseDataSource.boundsOf(pushed.toIndexedSeq), limit,
-        extraBounds = runtimeBounds(spark))
+        extraBounds = runtimeBoundsCached(spark))
       catch {
         // a catalog-registered table nothing has written yet: an empty
         // snapshot with the declared schema (the first INSERT creates

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset, Project, Sample, SubqueryAlias, Tail}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
@@ -77,8 +77,15 @@ class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
     spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
   /** The warehouse scan inside `p`, reached through deterministic
-    * Project/Filter (and alias) nodes only — the row-dropping-safe
-    * corridor.
+    * Project/Filter/Aggregate (and alias) nodes only — the
+    * row-dropping-safe corridor. An Aggregate is safe because the
+    * probe key must be the SCAN's own attribute (checked by exprId at
+    * the join), which through an Aggregate is only possible for a
+    * pass-through GROUPING attribute: file pruning keeps every file
+    * that can carry a dim-matching key, so a surviving group keeps
+    * every one of its rows (exact aggregate), and a group losing rows
+    * has a provably non-matching key — the join drops it whatever its
+    * aggregate values.
     */
   private def findScan(p: LogicalPlan): Option[DataSourceV2ScanRelation] =
     p match {
@@ -90,8 +97,27 @@ class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
       case pr: Project if pr.projectList.forall(_.deterministic) =>
         findScan(pr.child)
       case f: Filter if f.condition.deterministic => findScan(f.child)
+      case ag: Aggregate
+          if ag.groupingExpressions.forall(_.deterministic) &&
+            ag.aggregateExpressions.forall(_.deterministic) =>
+        findScan(ag.child)
       case a: SubqueryAlias => findScan(a.child)
       case _ => None
+    }
+
+  /** Operators whose output ROW SET is nondeterministic across
+    * executions even with deterministic expressions — a LIMIT without
+    * a total order keeps whichever rows arrive first, TABLESAMPLE
+    * draws per-execution. The probe re-executes the dim plan
+    * separately from the join, so its key set could differ from the
+    * keys the join actually sees and pruning could drop real matches
+    * (advisor r17, medium). Rejected outright.
+    */
+  private def rowSetNondeterministic(p: LogicalPlan): Boolean =
+    p.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Tail | _: Offset |
+          _: Sample => true
+      case _ => false
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -111,7 +137,19 @@ class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
         .asInstanceOf[WarehouseV1Scan]
       if (!w.runtimeFilterEager &&
           BigInt(minFactBytes) > scan.stats.sizeInBytes) return fact
-      if (dim.isStreaming || dim.stats.sizeInBytes > BigInt(maxProbeBytes) ||
+      // a dim behind a deterministic Aggregate (SELECT DISTINCT k …)
+      // emits at most its distinct keys however big its INPUT is, and
+      // the probe abandons above maxKeys anyway — so the byte gate for
+      // aggregate dims is the PROBE-COST gate: allow up to fact-bytes
+      // / aggProbeFactor (a probe an order cheaper than the scan it
+      // can prune is worth running even over a large dim input)
+      val probeBudget =
+        if (dim.exists(_.isInstanceOf[Aggregate]))
+          BigInt(maxProbeBytes).max(scan.stats.sizeInBytes /
+            longConf("spark.graft.warehouse.runtimeFiltering.aggProbeFactor", 8L).max(1L))
+        else BigInt(maxProbeBytes)
+      if (dim.isStreaming || dim.stats.sizeInBytes > probeBudget ||
+          rowSetNondeterministic(dim) ||
           dim.exists(_.expressions.exists(!_.deterministic))) return fact
       val dimOut = dim.outputSet
       val pairs = conjuncts.collect {

@@ -144,6 +144,75 @@ class WarehouseRuntimeFilterSpec extends AnyFunSuite {
       s"left side of a left-outer join must not be pruned, got $planned")
   }
 
+  test("the dim probe executes ONCE per query: repeated actions on one Dataset reuse the collected key set") {
+    val dim = (200L to 215L).map(i => (i, s"d$i")).toDF("k", "tag")
+    val df = fact().join(dim, "k").select("k", "name", "tag").orderBy("k")
+    val before = WarehouseDataSource.probeExecutions.get()
+    val first = df.collect().toSeq
+    val second = df.collect().toSeq
+    val ran = WarehouseDataSource.probeExecutions.get() - before
+    assert(first.size == 16 && first == second)
+    assert(ran == 1L,
+      s"one optimized query = one dim probe job, got $ran (re-planning " +
+        "must reuse the memoized key set, advisor r17)")
+  }
+
+  test("a dim behind a deterministic Aggregate (SELECT DISTINCT shape) still probes and prunes") {
+    val full = fullFiles
+    // duplicate-carrying dim collapsed by distinct(): the probe plan
+    // crosses an Aggregate node
+    val dim = (100L to 110L).flatMap(i => Seq(i, i))
+      .map(i => (i, s"d$i")).toDF("k", "tag").distinct()
+    val (rows, pruned) = plannedFiles {
+      fact().join(dim, "k").select("k", "name", "tag")
+        .orderBy("k").collect().toSeq
+    }
+    assert(rows.size == 11 && rows.head.getLong(0) == 100L)
+    assert(pruned < full,
+      s"an aggregate dim must still prune the fact: $pruned vs $full")
+  }
+
+  test("a fact behind a deterministic Aggregate (group-by on the scan's key) prunes through the corridor, result exact") {
+    val full = fullFiles
+    val dim = (300L to 320L).map(i => (i, s"d$i")).toDF("k", "w")
+    val grouped = fact().groupBy("k", "part").agg(count(lit(1)).as("n"))
+    val (rows, pruned) = plannedFiles {
+      grouped.join(dim, "k").select("k", "part", "n", "w")
+        .orderBy("k").collect().toSeq
+    }
+    assert(rows.size == 21 && rows.forall(_.getLong(2) == 1L))
+    assert(pruned < full,
+      s"a group-by on the scan's own key must not block pruning: $pruned vs $full")
+    // exact vs the unpruned plan
+    spark.conf.set("spark.graft.warehouse.runtimeFiltering", "false")
+    try {
+      val unpruned = fact().groupBy("k", "part").agg(count(lit(1)).as("n"))
+        .join(dim, "k").select("k", "part", "n", "w").orderBy("k").collect().toSeq
+      assert(rows == unpruned)
+    } finally spark.conf.unset("spark.graft.warehouse.runtimeFiltering")
+  }
+
+  test("a row-set-nondeterministic dim (LIMIT without a total order, TABLESAMPLE) is never probed") {
+    val full = fullFiles
+    // parquet-backed so the optimizer cannot fold the limit/sample
+    // into a LocalRelation (a folded local dim is fine to prune - the
+    // probe and the join read the same embedded rows)
+    val dimPath = Files.createTempDirectory("graft_rtf_dim").toString
+    (100L to 160L).map(i => (i, s"d$i")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val stored = spark.read.parquet(dimPath)
+    val (_, planned) = plannedFiles {
+      fact().join(stored.limit(10), "k").count()
+    }
+    assert(planned == full,
+      s"a LIMIT dim's probe could see different rows than the join - must not prune, got $planned")
+    val (_, planned2) = plannedFiles {
+      fact().join(stored.sample(0.5, seed = 7L), "k").count()
+    }
+    assert(planned2 == full,
+      s"a TABLESAMPLE dim must not prune, got $planned2")
+  }
+
   test("runtime-empty pruning on a DDL-overlaid (renamed-column) table returns the logical empty schema, never an error") {
     val path = Files.createTempDirectory("graft_rtf_ddl").toString + "/t"
     Warehouse.create(spark, path,
