@@ -1516,7 +1516,8 @@ object Warehouse {
   private[graft] def deleteWhereBounded(spark: SparkSession, path: String,
                   pred: org.apache.spark.sql.Column,
                   bounds: Map[String, Bound],
-                  maxAttempts: Int = 5): Long = {
+                  maxAttempts: Int = 5,
+                  hookFor: Int => () => Unit = _ => () => ()): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
     var attempt = 1
@@ -1537,6 +1538,7 @@ object Warehouse {
         .parquet(s"$path/data/batch=$batchId")
       val written = partDirs(fs, path, batchId, partCols).toSet
       val newMapping = (mapping -- touchedKeys) ++ written.map(_ -> batchId)
+      hookFor(attempt)()
       try {
         commit(fs, path, v + 1, newMapping)
         return deleted
@@ -1621,7 +1623,8 @@ object Warehouse {
   private[graft] def deleteWhereDvBounded(spark: SparkSession, path: String,
                   pred: org.apache.spark.sql.Column,
                   bounds: Map[String, Bound],
-                  maxAttempts: Int = 5): Long = {
+                  maxAttempts: Int = 5,
+                  hookFor: Int => () => Unit = _ => () => ()): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val fs = fsOf(spark, path)
     var attempt = 1
@@ -1687,6 +1690,7 @@ object Warehouse {
         }
       }
       if (dvDeleted == 0L && cowDeleted == 0L) return 0L
+      hookFor(attempt)()
       try {
         commit(fs, path, v + 1, newMapping,
           dvUpdate = Some(dvs ++ dvAdd.toSeq))
@@ -1748,7 +1752,8 @@ object Warehouse {
   private[graft] def updateWhereBounded(spark: SparkSession, path: String,
                   assignments: Seq[(String, Column)],
                   pred: Column, bounds: Map[String, Bound],
-                  maxAttempts: Int = 5): Long = {
+                  maxAttempts: Int = 5,
+                  hookFor: Int => () => Unit = _ => () => ()): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     val fs = fsOf(spark, path)
@@ -1791,6 +1796,7 @@ object Warehouse {
       // rewrites in place
       val written = partDirs(fs, path, batchId, partCols).toSet
       val newMapping = (mapping -- touchedKeys) ++ written.map(_ -> batchId)
+      hookFor(attempt)()
       try {
         commit(fs, path, v + 1, newMapping)
         return updated
@@ -2577,7 +2583,8 @@ object Warehouse {
       notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
       schemaEvolution: Boolean = false,
       pairValues: Set[Int] = Set.empty,
-      residual: Option[Column] = None): Unit = {
+      residual: Option[Column] = None,
+      hookFor: Int => () => Unit = _ => () => ()): Unit = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -2940,6 +2947,7 @@ object Warehouse {
           "deleted) - refusing to commit the empty state; use DELETE FROM " +
           "for an intended full wipe (restorable via restore()) or " +
           "overwrite() to replace the table")
+      hookFor(attempt)()
       try {
         commit(fs, path, v + 1, newMapping)
         return
