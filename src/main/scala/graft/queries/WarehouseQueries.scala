@@ -1619,6 +1619,53 @@ object WarehouseQueries {
              |  dt,
              |  CASE WHEN user_id % 3 = 0 THEN 0 END AS version
              |FROM ev WHERE event_id % 5 = 2 AND user_id % 3 <= 1
+             |ORDER BY event_id""".stripMargin)),
+
+    // SQL30 — CROSS-TABLE TRANSACTION as SQL: the reference's
+    // multi-table load (K4, `New_Api_Sercom/function_app.py:256`) as
+    // ONE SQL unit. A fact and a user dimension each start partially
+    // loaded; one `CALL graft.system.transact(tables, views)` stages
+    // both remainders and flips them with a single marker — either
+    // both tables expose the full state or neither does (the
+    // atomic/crash/abort arms are spec-pinned in
+    // WarehouseProcedureSpec and WarehouseTxnSpec; begin_txn /
+    // stage_write / commit_txn is the multi-statement spelling). The
+    // query joins the committed pair, so the oracle (the full
+    // derivation replayed) is green only if BOTH halves of the
+    // transaction landed.
+    Q("sql30_txn_pair",
+      (s, d) => {
+        val root = TempArtifacts.getOrBuild(s"$d#sql30wh", "graft_sql30wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          val us = Tables.events(s, d).select(col("user_id")).distinct()
+            .select(col("user_id"), (col("user_id") % 5).as("tier"),
+              pmod(col("user_id"), lit(4L)).cast("int").as("ub"))
+          Warehouse.create(s, s"$p/fact", ev.filter(col("event_id") % 5 <= 1), "dt")
+          Warehouse.create(s, s"$p/users", us.filter(col("user_id") % 7 =!= 0), "ub")
+          ev.filter(col("event_id") % 5 === 2 || col("event_id") % 5 === 3)
+            .createOrReplaceTempView("graft_sql30_fact_rest")
+          us.filter(col("user_id") % 7 === 0)
+            .createOrReplaceTempView("graft_sql30_users_rest")
+          s.sql(s"""CALL graft.system.transact(
+                   |  tables => '$p/fact,$p/users',
+                   |  views => 'graft_sql30_fact_rest,graft_sql30_users_rest')"""
+            .stripMargin): Unit
+        }
+        Warehouse.read(s, s"$root/fact")
+          .join(Warehouse.read(s, s"$root/users"), "user_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("dt"), col("tier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH a AS (SELECT event_id, user_id, event_type,
+             |             CAST(ts AS DATE) AS dt
+             |           FROM events WHERE event_id % 5 <= 3),
+             |b AS (SELECT user_id, user_id % 5 AS tier
+             |      FROM (SELECT DISTINCT user_id FROM events))
+             |SELECT event_id, a.user_id, event_type, dt, tier
+             |FROM a JOIN b USING (user_id)
              |ORDER BY event_id""".stripMargin))
   )
 }

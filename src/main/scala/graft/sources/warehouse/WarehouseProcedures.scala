@@ -40,7 +40,8 @@ import graft.io.Warehouse
 object WarehouseProcedures {
 
   val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain",
-    "history", "analyze", "abort_txn")
+    "history", "analyze", "abort_txn", "begin_txn", "stage_write",
+    "commit_txn", "rollback_txn", "transact")
 
   def byName(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -51,8 +52,29 @@ object WarehouseProcedures {
       case "history"  => Some(HistoryProcedure)
       case "analyze"  => Some(AnalyzeProcedure)
       case "abort_txn" => Some(AbortTxnProcedure)
+      case "begin_txn" => Some(BeginTxnProcedure)
+      case "stage_write" => Some(StageWriteProcedure)
+      case "commit_txn" => Some(CommitTxnProcedure)
+      case "rollback_txn" => Some(RollbackTxnProcedure)
+      case "transact" => Some(TransactProcedure)
       case _          => None
     }
+
+  /** OPEN SQL cross-table transactions (begin_txn → stage_write* →
+    * commit_txn): per txn id, the ordered (table path, source view,
+    * overwrite) triples. PURE driver metadata — the view's DATA is
+    * resolved and written only when commit_txn calls
+    * [[Warehouse.transact]], so a session that dies before commit_txn
+    * leaves ZERO state on any filesystem (the strongest
+    * crash-before-flip guarantee: there is nothing to clean). A crash
+    * DURING commit_txn is the API transact's crash, recovered by
+    * `abort_txn` exactly as for API callers.
+    */
+  private val openTxns = new java.util.concurrent.ConcurrentHashMap[
+    String, Vector[(String, String, Boolean)]]()
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
 
   /** One-row, driver-local procedure result. */
   private final case class ResultScan(schema: StructType, row: InternalRow)
@@ -272,6 +294,133 @@ object WarehouseProcedures {
     * the blocked version slots free up. `aborted = false` means the
     * transaction had already committed — nothing was touched.
     */
+  /** Open a SQL cross-table transaction; returns the handle every
+    * stage_write / commit_txn / rollback_txn call names.
+    */
+  private object BeginTxnProcedure extends WarehouseProcedure {
+    override def name: String = "begin_txn"
+    override def description: String =
+      "open a cross-table transaction: stage_write each table, then " +
+        "commit_txn flips all of them atomically"
+    override def parameters: Array[ProcedureParameter] = Array.empty
+    private val out = StructType(Seq(StructField("txn", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = java.util.UUID.randomUUID().toString
+      openTxns.put(id, Vector.empty): Unit
+      result(out, utf8(id))
+    }
+  }
+
+  /** Register one table's write inside an open transaction. `view`
+    * names the SQL-visible source relation (temp view or table);
+    * nothing is read or written until commit_txn.
+    */
+  private object StageWriteProcedure extends WarehouseProcedure {
+    override def name: String = "stage_write"
+    override def description: String =
+      "register one table's source view inside an open transaction " +
+        "(data moves only at commit_txn)"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("txn", StringType),
+      in("table", StringType),
+      in("view", StringType),
+      inDefault("overwrite", BooleanType, "false"))
+    private val out = StructType(Seq(
+      StructField("txn", StringType), StructField("staged", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
+      val table = resolvePath(Option(input.getUTF8String(1)).map(_.toString)
+        .filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException("stage_write needs table => …")))
+      val view = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException("stage_write needs view => …"))
+      val overwrite = !input.isNullAt(3) && input.getBoolean(3)
+      // fail AT STAGE TIME for an unknown view - a commit-time
+      // resolution error would abort the whole transaction later
+      SparkSession.active.table(view).schema: Unit
+      val updated = openTxns.computeIfPresent(id,
+        (_, ws) => ws :+ ((table, view, overwrite)))
+      require(updated != null,
+        s"no open transaction '$id' - CALL graft.system.begin_txn() first")
+      result(out, utf8(id), updated.length)
+    }
+  }
+
+  /** Flip every staged table atomically ([[Warehouse.transact]]):
+    * either all tables expose their new version or none does. Returns
+    * the marker path (the abort_txn recovery handle). On failure the
+    * registration survives, so the statement can be fixed and
+    * retried; success consumes it.
+    */
+  private object CommitTxnProcedure extends WarehouseProcedure {
+    override def name: String = "commit_txn"
+    override def description: String =
+      "atomically publish every staged table of an open transaction"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("txn", StringType))
+    private val out = StructType(Seq(
+      StructField("marker", StringType), StructField("tables", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val id = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
+      val writes = Option(openTxns.get(id)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no open transaction '$id' - begin_txn/stage_write first"))
+      require(writes.nonEmpty, s"transaction '$id' staged no writes")
+      val marker = Warehouse.transact(spark, writes.map {
+        case (path, view, ow) =>
+          Warehouse.TxnWrite(path, spark.table(view), overwrite = ow)
+      })
+      openTxns.remove(id): Unit
+      result(out, utf8(marker), writes.length)
+    }
+  }
+
+  /** Drop an open transaction's registration. Nothing was written
+    * before commit_txn, so rollback is pure metadata.
+    */
+  private object RollbackTxnProcedure extends WarehouseProcedure {
+    override def name: String = "rollback_txn"
+    override def description: String =
+      "discard an open (uncommitted) cross-table transaction"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("txn", StringType))
+    private val out = StructType(Seq(StructField("rolled_back", BooleanType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
+      result(out, openTxns.remove(id) != null)
+    }
+  }
+
+  /** Single-statement form: stage + flip N tables from N views in one
+    * CALL — the reference's four-table load as one SQL unit.
+    */
+  private object TransactProcedure extends WarehouseProcedure {
+    override def name: String = "transact"
+    override def description: String =
+      "atomically load N tables from N source views (single-statement " +
+        "cross-table transaction)"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("tables", StringType),
+      in("views", StringType),
+      inDefault("overwrite_tables", StringType, "''"))
+    private val out = StructType(Seq(
+      StructField("marker", StringType), StructField("tables", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val tables = csv(input, 0).map(resolvePath)
+      val views = csv(input, 1)
+      val ow = csv(input, 2).map(resolvePath).toSet
+      require(tables.nonEmpty && tables.length == views.length,
+        "transact needs one view per table: tables => 'a,b', views => 'va,vb'")
+      val marker = Warehouse.transact(spark, tables.zip(views).map {
+        case (t, v) => Warehouse.TxnWrite(t, spark.table(v), ow.contains(t))
+      })
+      result(out, utf8(marker), tables.length)
+    }
+  }
+
   private object AbortTxnProcedure extends WarehouseProcedure {
     override def name: String = "abort_txn"
     override def description: String =

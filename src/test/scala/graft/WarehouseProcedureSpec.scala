@@ -137,6 +137,91 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     assert(fullMessage(bad).contains("no catalog entry"))
   }
 
+  test("SQL cross-table transaction: begin/stage/commit flips BOTH tables atomically; pre-commit readers see both old") {
+    val root = Files.createTempDirectory("graft_proc_txn").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    Warehouse.create(spark, b,
+      Seq((1L, "b1", "d1")).toDF("k", "v", "part"), "part")
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part").createOrReplaceTempView("txn_src_a")
+    Seq((2L, "b2", "d1")).toDF("k", "v", "part").createOrReplaceTempView("txn_src_b")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'txn_src_a')").collect()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$b', view => 'txn_src_b')").collect()
+    // staged-but-uncommitted: NOTHING moved - both tables fully old
+    assert(Warehouse.read(spark, a).count() == 1L)
+    assert(Warehouse.read(spark, b).count() == 1L)
+    val (marker, n) = spark.sql(
+      s"CALL graft.system.commit_txn(txn => '$txn')")
+      .as[(String, Int)].head()
+    assert(n == 2 && marker.nonEmpty)
+    assert(Warehouse.read(spark, a).count() == 2L)
+    assert(Warehouse.read(spark, b).count() == 2L)
+    // the handle is consumed: a second commit refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+    assert(e.getMessage.contains("no open transaction"))
+  }
+
+  test("SQL transaction rollback discards the registration with zero on-disk effect; unknown views refuse at stage time") {
+    val root = Files.createTempDirectory("graft_proc_txn2").toString
+    val a = s"$root/a"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part").createOrReplaceTempView("txn_src_c")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    // an unknown view fails AT STAGE TIME, not at commit
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'no_such_view')").collect()
+    }
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'txn_src_c')").collect()
+    val rolled = spark.sql(s"CALL graft.system.rollback_txn(txn => '$txn')")
+      .as[Boolean].head()
+    assert(rolled)
+    assert(Warehouse.read(spark, a).count() == 1L,
+      "rollback before commit must leave the table untouched")
+    assert(Warehouse.currentVersion(spark, a) == 1L,
+      "rollback is pure metadata - no version consumed")
+    // commit after rollback refuses
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+  }
+
+  test("single-CALL transact loads N tables from N views as one atomic unit; a failing participant leaves every table old") {
+    val root = Files.createTempDirectory("graft_proc_txn3").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    Warehouse.create(spark, b,
+      Seq((1L, "b1", "d1")).toDF("k", "v", "part"), "part")
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part").createOrReplaceTempView("txn_one_a")
+    Seq((2L, "b2", "d1")).toDF("k", "v", "part").createOrReplaceTempView("txn_one_b")
+    val (marker, n) = spark.sql(
+      s"""CALL graft.system.transact(tables => '$a,$b',
+         |                          views => 'txn_one_a,txn_one_b')""".stripMargin)
+      .as[(String, Int)].head()
+    assert(n == 2 && marker.nonEmpty)
+    assert(Warehouse.read(spark, a).count() == 2L)
+    assert(Warehouse.read(spark, b).count() == 2L)
+    // one participant stages an EMPTY batch -> the whole unit aborts,
+    // both tables keep the committed 2-row state
+    Seq((9L, "a9", "d1")).toDF("k", "v", "part").createOrReplaceTempView("txn_bad_a")
+    spark.emptyDataFrame.createOrReplaceTempView("txn_bad_b")
+    intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.system.transact(tables => '$a,$b',
+           |                          views => 'txn_bad_a,txn_bad_b')""".stripMargin).collect()
+    }
+    assert(Warehouse.read(spark, a).count() == 2L,
+      "a failed multi-table transact must leave EVERY table old")
+    assert(Warehouse.read(spark, b).count() == 2L)
+  }
+
   test("unknown procedures and wrong namespaces fail loudly; SHOW PROCEDURES lists the plane") {
     def fullMessage(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
