@@ -2982,7 +2982,20 @@ object Warehouse {
     * pre-widening image reads the new column as null.
     */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long,
-              keyCol: String): DataFrame = {
+              keyCol: String): DataFrame =
+    changes(spark, path, fromV, toV, keyCol, None)
+
+  /** [[changes]] restricted to `onlyParts` partition keys — the
+    * sub-commit paging plane ([[graft.sources.warehouse
+    * .WarehouseStreamSource]]'s `maxBytesPerTrigger`): partition
+    * values are immutable per key (a merge never moves a key across
+    * partitions), so partition-disjoint diffs are KEY-disjoint and
+    * their union is exactly the full diff — paging a huge commit by
+    * partition groups preserves exactly-once.
+    */
+  private[graft] def changes(spark: SparkSession, path: String,
+              fromV: Long, toV: Long, keyCol: String,
+              onlyParts: Option[Set[String]]): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     val fs = fsOf(spark, path)
     def mappingOf(n: Long) = visibleMappingAt(fs, path, n).getOrElse(
@@ -3005,6 +3018,7 @@ object Warehouse {
       else dvTargets(spark, path, addedDv).map(_._2)
     val moved = (mapFrom.keySet ++ mapTo.keySet)
       .filter(key => mapFrom.get(key) != mapTo.get(key) || dvMoved(key))
+      .filter(key => onlyParts.forall(_.contains(key)))
     def side(m: Map[String, String], dvIds: Seq[String]): Option[DataFrame] = {
       val sub = m.filter { case (key, _) => moved(key) }
       if (sub.isEmpty) None
@@ -3100,6 +3114,42 @@ object Warehouse {
       changes(spark, path, v, v + 1, keyCol)
         .withColumn("commit_version", lit(v + 1))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Per-partition CHANGED bytes of commit `n` — for each partition
+    * whose content differs between `n-1` and `n` (chain change, or a
+    * deletion vector added by `n` targeting it), the total file bytes
+    * of every link EITHER version references (both diff sides read).
+    * Driver metadata: two manifest reads + one FS listing per moved
+    * (partition, link). The admission-control sizing behind
+    * `maxBytesPerTrigger` — deterministic across restarts because
+    * manifests and data files are immutable.
+    */
+  private[graft] def commitPageStats(spark: SparkSession, path: String,
+                                     n: Long): Seq[(String, Long)] = {
+    val fs = fsOf(spark, path)
+    def m(v: Long) = visibleMappingAt(fs, path, v).getOrElse(
+      throw new IllegalStateException(s"no committed version $v under $path"))
+    val mapFrom = m(n - 1)
+    val mapTo = m(n)
+    val dvFrom = visibleDvAt(fs, path, n - 1).map(_._1)
+    val dvTo = visibleDvAt(fs, path, n).map(_._1)
+    val addedDv = dvTo.filterNot(dvFrom.toSet)
+    val dvMoved: Set[String] =
+      if (addedDv.isEmpty) Set.empty
+      else dvTargets(spark, path, addedDv).map(_._2)
+    (mapFrom.keySet ++ mapTo.keySet).toSeq.sorted
+      .filter(key => mapFrom.get(key) != mapTo.get(key) || dvMoved(key))
+      .map { key =>
+        val links = (mapFrom.get(key).toSeq ++ mapTo.get(key).toSeq)
+          .flatMap(chainOf).distinct
+        val bytes = links.map { b =>
+          val dir = new HPath(s"$path/data/batch=$b/$key")
+          try fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        key -> bytes
+      }
   }
 
   /** The oldest RETAINED committed version — the first diffable

@@ -78,6 +78,52 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
   require(maxPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxPerTrigger")
 
+  /** BYTE-based admission control (Delta's maxBytesPerTrigger): a
+    * trigger admits commits greedily while their changed bytes fit
+    * the budget, and a SINGLE commit bigger than the budget drains
+    * across multiple micro-batches as partition-group sub-pages
+    * (partition values are immutable per key, so partition-disjoint
+    * diffs are key-disjoint — exactly-once holds; the offset encodes
+    * the sub-position as `version#group`, old plain-long checkpoints
+    * keep parsing). A one-partition commit is indivisible and
+    * delivers whole — the budget is a soft max, never a deadlock.
+    */
+  private val maxBytes = params.get("maxBytesPerTrigger").map(_.toLong)
+  require(maxBytes.forall(_ >= 1L),
+    s"maxBytesPerTrigger must be >= 1, got ${maxBytes.get}")
+
+  /** Per-commit moved-partition byte stats, memoized — manifests and
+    * data files are immutable, so an entry never goes stale.
+    */
+  private val pageStats =
+    scala.collection.mutable.Map[Long, Seq[(String, Long)]]()
+
+  private def statsOf(v: Long): Seq[(String, Long)] =
+    pageStats.getOrElseUpdate(v, Warehouse.commitPageStats(spark, path, v))
+
+  private def commitBytes(v: Long): Long = statsOf(v).map(_._2).sum
+
+  /** Deterministic partition groups of commit `v` under the byte
+    * budget: sorted partition keys greedily packed so each group
+    * stays <= maxBytes (a single partition over the budget forms its
+    * own group). Stable across restarts — pure function of immutable
+    * manifests.
+    */
+  private def subGroups(v: Long): Vector[Set[String]] = {
+    val budget = maxBytes.get
+    val groups = Vector.newBuilder[Set[String]]
+    var cur = Set.empty[String]
+    var acc = 0L
+    statsOf(v).foreach { case (key, bytes) =>
+      if (cur.nonEmpty && acc + bytes > budget) {
+        groups += cur; cur = Set(key); acc = bytes
+      } else { cur += key; acc += bytes }
+    }
+    if (cur.nonEmpty) groups += cur
+    val out = groups.result()
+    if (out.isEmpty) Vector(Set.empty[String]) else out
+  }
+
   private val tableSchema = Warehouse.read(spark, path).schema
   private val key = keyColOf(spark, path, params)
 
@@ -95,11 +141,12 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
   private val floor: Long = startingVersion.map(_ - 1L)
     .getOrElse(math.max(1L, Warehouse.oldestVersion(spark, path)))
 
-  /** Highest version surfaced to the engine so far — advanced by
-    * `getOffset` and restored by the engine's replay `getBatch` after
-    * a restart.
+  /** Highest position surfaced to the engine so far — (fully
+    * delivered version, sub-group index within version+1, -1 = none)
+    * — advanced by `latestOffset` and restored by the engine's replay
+    * `getBatch` after a restart.
     */
-  private var lastEnd: Option[Long] = None
+  private var lastPos: Option[(Long, Int)] = None
 
   /** Trigger.AvailableNow latch: the newest version at query start —
     * the run drains commits up to here (paged by
@@ -128,11 +175,20 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     * offset log being the authoritative start.
     */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val startV = Option(start).map(versionOfV2).filter(_ > FreshSentinel)
-    val base = lastEnd.orElse(startV)
+    val startP = Option(start).map(posOfV2).filter(_._1 > FreshSentinel)
+    val base = lastPos.orElse(startP)
     val current = Warehouse.currentVersion(spark, path)
     val newest = availableNowCap.fold(current)(math.min(current, _))
-    val target = base match {
+    def emit(pos: (Long, Int)): OffsetV2 = {
+      lastPos = Some(pos)
+      if (pos._2 < 0) LongOffset(pos._1) else PagedOffset(pos._1, pos._2)
+    }
+    // mid-commit: advance exactly one sub-group of version v+1
+    base.filter(_._2 >= 0).foreach { case (v, g) =>
+      val last = subGroups(v + 1).length - 1
+      return emit(if (g + 1 >= last) (v + 1, -1) else (v, g + 1))
+    }
+    val target = base.map(_._1) match {
       // fresh row-mode stream: the snapshot batch covers everything up
       // to newest in one fold — rate limiting applies from then on
       case None if !changeFeed && startingVersion.isEmpty => newest
@@ -141,10 +197,25 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     }
     if (base.isEmpty && target <= floor &&
         !(startingVersion.isEmpty && !changeFeed))
-      LongOffset(FreshSentinel) // nothing diffable yet
-    else {
-      lastEnd = Some(math.max(target, base.getOrElse(Long.MinValue)))
-      LongOffset(lastEnd.get)
+      return LongOffset(FreshSentinel) // nothing diffable yet
+    val from = base.map(_._1).getOrElse(
+      if (!changeFeed && startingVersion.isEmpty) return emit((target, -1))
+      else floor)
+    if (target <= from) return emit((from, -1))
+    maxBytes match {
+      case None => emit((target, -1))
+      case Some(budget) =>
+        // greedy byte admission: at least one commit; an over-budget
+        // commit with >1 moved partition sub-pages instead
+        val firstBytes = commitBytes(from + 1)
+        if (firstBytes > budget && subGroups(from + 1).length > 1)
+          return emit((from, 0))
+        var e = from + 1
+        var acc = firstBytes
+        while (e < target && acc + commitBytes(e + 1) <= budget) {
+          acc += commitBytes(e + 1); e += 1
+        }
+        emit((e, -1))
     }
   }
 
@@ -152,27 +223,33 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val e = versionOf(end)
+    val (ev, eg) = posOf(end)
     // batch 0 of a stream with nothing diffable yet: the engine runs
     // (and offset-logs) a first batch even when latestOffset returned
     // the sentinel — deliver an EMPTY frame instead of asking
     // changeLog for a negative range (which crashed the query and,
     // because the sentinel end was already persisted, re-crashed
-    // every restart — judge r17 review). lastEnd stays untouched, so
+    // every restart — judge r17 review). lastPos stays untouched, so
     // the next trigger still evaluates from fresh state. A restored
     // sentinel START likewise means "nothing delivered yet" and
     // falls back to the floor.
-    if (e <= FreshSentinel)
+    if (ev <= FreshSentinel)
       return org.apache.spark.sql.graft.StreamingFrames.asStreaming(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    lastEnd = Some(math.max(e, lastEnd.getOrElse(Long.MinValue)))
-    val s = start.map(versionOf).filter(_ > FreshSentinel)
-    val batch = (s, changeFeed) match {
-      case (None, false) if startingVersion.isEmpty =>
-        align(Warehouse.readVersion(spark, path, e), tableSchema)
-      case (optS, false) => postImages(page(optS.getOrElse(floor), e))
-      case (optS, true)  => align(page(optS.getOrElse(floor), e), schema)
+    val newer = lastPos.forall { case (pv, pg) =>
+      def rank(g: Int) = if (g < 0) Int.MaxValue else g
+      ev > pv || (ev == pv && rank(eg) > rank(pg))
+    }
+    if (newer) lastPos = Some((ev, eg))
+    val startP = start.map(posOf).filter(_._1 > FreshSentinel)
+    val batch = (startP, changeFeed) match {
+      case (None, false) if startingVersion.isEmpty && eg < 0 =>
+        align(Warehouse.readVersion(spark, path, ev), tableSchema)
+      case (optS, cf) =>
+        val (sv, sg) = optS.getOrElse((floor, -1))
+        val fr = pageRange(sv, sg, ev, eg)
+        if (cf) align(fr, schema) else postImages(fr)
     }
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
   }
@@ -180,6 +257,40 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
   private def page(from: Long, to: Long): DataFrame =
     Warehouse.changeLog(spark, path, key, fromV = from, toV = Some(to),
       maxCommits = math.max(maxPerTrigger, (to - from).toInt))
+
+  /** One sub-page: commit `v`'s diff restricted to groups
+    * (gFrom, gTo] of its partition groups, tagged with the
+    * changeLog's commit_version frame.
+    */
+  private def subPage(v: Long, gFrom: Int, gTo: Int): DataFrame = {
+    val groups = subGroups(v)
+    val parts = (gFrom + 1 to math.min(gTo, groups.length - 1))
+      .flatMap(groups(_)).toSet
+    Warehouse.changes(spark, path, v - 1, v, key, Some(parts))
+      .withColumn("commit_version", lit(v))
+  }
+
+  /** The delivered frame for positions (sv, sg) → (ev, eg): the
+    * remaining sub-groups of a partially-delivered commit, then full
+    * commits, then the leading sub-groups of a trailing partial
+    * commit. latestOffset only ever advances one of the three legs
+    * per trigger, but replay handles any combination.
+    */
+  private def pageRange(sv: Long, sg: Int, ev: Long, eg: Int): DataFrame = {
+    val frames = Seq.newBuilder[DataFrame]
+    var fullFrom = sv
+    if (sg >= 0) {
+      // remaining groups of commit sv+1
+      val upTo = if (eg >= 0 && ev == sv) eg else Int.MaxValue
+      frames += subPage(sv + 1, sg, upTo)
+      fullFrom = sv + 1
+    }
+    val fullTo = ev
+    if (fullTo > fullFrom) frames += page(fullFrom, fullTo)
+    if (eg >= 0 && !(sg >= 0 && ev == sv))
+      frames += subPage(ev + 1, -1, eg)
+    frames.result().reduce(_.unionByName(_))
+  }
 
   /** Row-mode delivery: keep inserts and update post-images. The
     * delete guard rides INSIDE the delivered plan — the filter
@@ -214,14 +325,21 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other         => other.json.trim.toLong // SerializedOffset replay
+  /** (fully delivered version, sub-group index or -1): plain long
+    * offsets are whole-commit positions (every pre-maxBytes
+    * checkpoint parses unchanged); `v#g` marks commit v+1 delivered
+    * through partition group g.
+    */
+  private def posOf(o: Offset): (Long, Int) = o match {
+    case LongOffset(v)     => (v, -1)
+    case PagedOffset(v, g) => (v, g)
+    case other             => parsePos(other.json) // SerializedOffset replay
   }
 
-  private def versionOfV2(o: OffsetV2): Long = o match {
-    case LongOffset(v) => v
-    case other         => other.json.trim.toLong
+  private def posOfV2(o: OffsetV2): (Long, Int) = o match {
+    case LongOffset(v)     => (v, -1)
+    case PagedOffset(v, g) => (v, g)
+    case other             => parsePos(other.json)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -235,6 +353,23 @@ object WarehouseStreamSource {
     * version is >= 1.
     */
   private val FreshSentinel = -1L
+
+  /** Sub-commit position under `maxBytesPerTrigger`: commit `v+1`
+    * delivered through partition group `group` (json `v#group`).
+    * Plain [[LongOffset]] longs stay the whole-commit encoding, so
+    * existing checkpoints replay unchanged.
+    */
+  private[warehouse] final case class PagedOffset(v: Long, group: Int)
+      extends Offset {
+    override val json: String = s"$v#$group"
+  }
+
+  private[warehouse] def parsePos(j: String): (Long, Int) = {
+    val t = j.trim
+    val i = t.indexOf('#')
+    if (i < 0) (t.toLong, -1)
+    else (t.take(i).toLong, t.drop(i + 1).toInt)
+  }
 
   private def flag(params: Map[String, String], name: String): Boolean =
     params.get(name).exists(_.toBoolean)

@@ -118,6 +118,50 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
       Set((20L, "b0"), (21L, "b1"), (22L, "b2"), (23L, "b3")))
   }
 
+  test("maxBytesPerTrigger: an oversized commit drains across >= 2 micro-batches as partition sub-pages, exactly once") {
+    val path = freshTable(Seq(
+      (1L, "b1", 1L, "d1"), (2L, "b2", 1L, "d2"),
+      (3L, "b3", 1L, "d3"), (4L, "b4", 1L, "d4")))
+    // ONE commit (v2) touching all four partitions - bigger than any
+    // 1-byte budget, so it must page by partition groups
+    Warehouse.append(spark, path,
+      (0 until 8).map(i => (100L + i, s"a$i", 1L, s"d${i % 4 + 1}"))
+        .toDF("k", "name", "ver", "part"))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val batches = drain(path, ckpt, Map(
+      "keyCol" -> "k", "startingVersion" -> "2", "maxBytesPerTrigger" -> "1"))
+    assert(batches.size >= 2,
+      s"an over-budget commit must drain across >= 2 micro-batches, got ${batches.size}")
+    val all = batches.flatten
+    assert(all.size == 8, s"exactly-once: every appended row exactly once, got ${all.size}")
+    assert(keyNames(all) == (0 until 8).map(i => (100L + i, s"a$i")).toSet)
+    // each sub-page carries whole partitions (key-disjoint groups)
+    assert(batches.forall(_.nonEmpty))
+  }
+
+  test("maxBytesPerTrigger is a soft max: a fitting backlog still lands in one batch, an indivisible one-partition commit delivers whole") {
+    val path = freshTable(Seq((1L, "base", 1L, "d1")))
+    Warehouse.append(spark, path,
+      Seq((50L, "big", 1L, "d1")).toDF("k", "name", "ver", "part"))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    // budget of 1 byte, but the commit moved ONE partition - indivisible,
+    // delivered whole rather than deadlocking
+    val batches = drain(path, ckpt, Map(
+      "keyCol" -> "k", "startingVersion" -> "2", "maxBytesPerTrigger" -> "1"))
+    assert(batches.size == 1 && keyNames(batches.head) == Set((50L, "big")))
+    // and a GENEROUS budget admits a multi-commit backlog in one batch
+    (0 until 3).foreach { i =>
+      Warehouse.append(spark, path,
+        Seq((60L + i, s"m$i", 1L, "d1")).toDF("k", "name", "ver", "part"))
+    }
+    val more = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxBytesPerTrigger" -> (64L << 20).toString))
+    assert(more.size == 1,
+      s"a fitting backlog must not be needlessly split, got ${more.size}")
+    assert(keyNames(more.flatten) ==
+      (0 until 3).map(i => (60L + i, s"m$i")).toSet)
+  }
+
   test("a DELETE commit fails the row-mode stream loudly; ignoreDeletes acknowledges and drops") {
     val path = freshTable(Seq((1L, "base", 1L, "d1"), (2L, "gone", 1L, "d1")))
     Warehouse.mergeIntoDelta(spark, path,
