@@ -479,7 +479,8 @@ object Warehouse {
                             mapping: Map[String, String],
                             txnUpdate: Map[String, Long] = Map.empty,
                             pendingMarker: Option[String] = None,
-                            dvUpdate: Option[Seq[(String, Long)]] = None): Unit = {
+                            dvUpdate: Option[Seq[(String, Long)]] = None,
+                            layoutUpdate: Option[Seq[String]] = None): Unit = {
     val vdir = new HPath(s"$path/_versions")
     fs.mkdirs(vdir)
     val prevContent =
@@ -492,10 +493,13 @@ object Warehouse {
     // doesn't touch them (append/merge/overwrite-partitions) must not
     // silently resurrect DV-deleted rows by dropping the header
     val dvs = dvUpdate.getOrElse(prevContent.map(parseDvs).getOrElse(Nil))
+    // the layout header likewise: only evolveLayout changes it
+    val layout = layoutUpdate.orElse(prevContent.flatMap(parseLayout))
     val tmp = new HPath(vdir, s".tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(
       (pendingMarker.map(m => s"$PendingPrefix\t$m").toSeq ++
+        layout.map(l => s"$LayoutPrefix\t${l.mkString(",")}").toSeq ++
         txns.toSeq.sorted.map { case (a, b) => s"$TxnPrefix\t$a\t$b" } ++
         dvs.map { case (id, c) => s"$DvPrefix\t$id\t$c" } ++
         mapping.toSeq.sorted.map { case (p, b) => s"$p\t$b" })
@@ -530,9 +534,87 @@ object Warehouse {
 
   /** The ordered partition columns, parsed straight off any manifest
     * key (`dt=…/region=…` → Seq(dt, region)) — no filesystem access.
+    * On a MIXED-layout table (mid partition-spec evolution) this is
+    * one generation's layout, arbitrary — write paths use
+    * [[writeLayout]] (the `#layout` manifest header) instead, and
+    * read paths parse each key's own layout ([[layoutColsOf]]).
     */
   private def partColsOf(mapping: Map[String, String]): Seq[String] =
     mapping.head._1.split("/").toSeq.map(_.takeWhile(_ != '='))
+
+  /** One manifest key's OWN ordered partition columns — every key
+    * self-describes its layout, which is what lets generations with
+    * different partition specs coexist in one snapshot.
+    */
+  private def layoutColsOf(key: String): Seq[String] =
+    key.split("/").toSeq.map(_.takeWhile(_ != '='))
+
+  /** One manifest key's (column → unescaped value) tuple. */
+  private def kvOf(key: String): Map[String, String] =
+    key.split("/").map { seg =>
+      val i = seg.indexOf('=')
+      seg.take(i) -> ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+    }.toMap
+
+  /** Manifest LAYOUT header (`#layout` + the comma-joined column
+    * list) — the partition column set NEW WRITES use, recorded by
+    * [[evolveLayout]] and carried forward by every commit (absent on
+    * never-evolved tables, where the uniform keys define it). Rides
+    * the same atomic manifest claim as the data, so the layout flip
+    * and the rewrite publish together.
+    */
+  private val LayoutPrefix = "#layout"
+
+  private def parseLayout(content: String): Option[Seq[String]] =
+    content.split("\n").find(_.startsWith(LayoutPrefix + "\t"))
+      .map(_.split("\t", 2)(1).split(",").toSeq.filter(_.nonEmpty))
+
+  /** The partition columns NEW WRITES must use: the `#layout` header
+    * when present (the table evolved at least once), else the uniform
+    * keys' layout. One extra small-file read per WRITE operation —
+    * noise next to the data work those operations do.
+    */
+  private def writeLayout(fs: FileSystem, path: String,
+                          mapping: Map[String, String]): Seq[String] =
+    newestVisible(fs, path).flatMap { case (_, _, c) => parseLayout(c) }
+      .getOrElse(partColsOf(mapping))
+
+  /** Mapping keys whose partition tuple OVERLAPS any of `tuples`:
+    * equal on every column the key and the tuple share. On a
+    * uniform-layout table this degrades to exact key-tuple equality;
+    * across layout generations an old `dt=X` key overlaps every
+    * `(dt=X, region=*)` tuple — exactly the rows a copy-on-write pass
+    * over those tuples must read and rewrite. Driver-side, O(keys ×
+    * tuples) map probes — partition metadata, never data.
+    */
+  private def overlappingKeys(mapping: Map[String, String],
+                              tuples: Seq[Map[String, String]]): Set[String] =
+    mapping.keySet.filter { key =>
+      val kv = kvOf(key)
+      tuples.exists(t => t.forall { case (c, v) =>
+        kv.get(c).forall(_ == v)
+      })
+    }
+
+  /** [[overlappingKeys]] closed transitively: rewriting an old-layout
+    * key re-emits its rows under the CURRENT layout, so any live key
+    * those fresh dirs could collide with must be read and rewritten
+    * in the same pass (or its rows would be silently replaced
+    * unread). On a uniform-layout table the closure is the exact key
+    * set after one iteration; mixed tables converge in at most a few
+    * (bounded by the key count, monotone).
+    */
+  private def overlapClosure(mapping: Map[String, String],
+                             tuples: Seq[Map[String, String]]): Set[String] = {
+    var acc = overlappingKeys(mapping, tuples)
+    var grown = true
+    while (grown) {
+      val more = overlappingKeys(mapping, acc.toSeq.map(kvOf))
+      grown = more.size > acc.size
+      acc = more
+    }
+    acc
+  }
 
   private def requireSimpleCols(partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "at least one partition column required")
@@ -548,6 +630,24 @@ object Warehouse {
     * values containing ':', '/', '%', … look up correctly. Nulls are
     * rejected loudly — a key must name a real partition.
     */
+  /** The distinct (partition column → string value) tuples a change
+    * batch carries under the given layout — [[partKeysOf]]'s values
+    * before hive escaping, the input [[overlappingKeys]] matches
+    * manifest keys against.
+    */
+  private def partTuplesOf(changes: DataFrame,
+                           partCols: Seq[String]): Seq[Map[String, String]] = {
+    val raw = changes.select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().toSeq
+    raw.map { r =>
+      partCols.zipWithIndex.map { case (c, i) =>
+        require(!r.isNullAt(i),
+          s"change batch carries a NULL $c - partition values must be non-null")
+        c -> r.getString(i)
+      }.toMap
+    }
+  }
+
   private def partKeysOf(changes: DataFrame, partCols: Seq[String]): Seq[String] = {
     val raw = changes.select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect().toSeq
@@ -696,7 +796,11 @@ object Warehouse {
     val existing = read(spark, path).columns.toSet
     val ops = readSchemaOverlay(fs, path)
     val mapping = snapshot(fs, path).map(_._2).getOrElse(Map.empty)
-    val partCols = if (mapping.isEmpty) Nil else partColsOf(mapping)
+    // the UNION across layout generations: an ALTER must not touch a
+    // column that is a partition column in ANY live generation
+    val partCols =
+      if (mapping.isEmpty) Nil
+      else mapping.keys.toSeq.flatMap(layoutColsOf).distinct
     val metaCols =
       if (fs.exists(metaPath(path))) { val (k, v) = readMeta(fs, path); Set(k, v) }
       else Set.empty[String]
@@ -891,7 +995,7 @@ object Warehouse {
     * are retained (see [[vacuum]]'s concurrency contract).
     */
   private def sweep(fs: FileSystem, path: String,
-                    live: Map[String, String], partCols: Seq[String],
+                    live: Map[String, String],
                     minAgeMs: Long): Unit = {
     val dataDir = new HPath(s"$path/data")
     if (fs.exists(dataDir)) {
@@ -903,21 +1007,26 @@ object Warehouse {
         val n = st.getPath.getName
         if (n.startsWith("batch=")) {
           val owned = ownedBy.getOrElse(n.stripPrefix("batch="), Set.empty)
-          def walkDelete(dir: HPath, depth: Int, prefix: String): Unit =
+          // layout-agnostic walk (batches of different partition-spec
+          // generations coexist): any `col=value` dir is a partition
+          // level; keep a dir that IS a live key or is an ANCESTOR of
+          // one, sweep the rest age-gated
+          def walkDelete(dir: HPath, prefix: String): Unit =
             fs.listStatus(dir).foreach { sub =>
               val sn = sub.getPath.getName
-              if (sub.isDirectory && sn.startsWith(s"${partCols(depth)}=")) {
+              if (sub.isDirectory && sn.contains('=')) {
                 val rel = if (prefix.isEmpty) sn else s"$prefix/$sn"
-                if (depth == partCols.length - 1) {
-                  if (!owned.contains(rel) && sub.getModificationTime <= cutoff)
-                    fs.delete(sub.getPath, true)
-                } else walkDelete(sub.getPath, depth + 1, rel)
+                if (owned.contains(rel)) () // live partition, keep whole
+                else if (owned.exists(_.startsWith(s"$rel/")))
+                  walkDelete(sub.getPath, rel)
+                else if (sub.getModificationTime <= cutoff)
+                  fs.delete(sub.getPath, true): Unit
               }
             }
           try {
             if (owned.isEmpty) {
               if (st.getModificationTime <= cutoff) fs.delete(st.getPath, true)
-            } else walkDelete(st.getPath, 0, "")
+            } else walkDelete(st.getPath, "")
           } catch { case _: java.io.IOException => () }
         }
       }
@@ -973,7 +1082,7 @@ object Warehouse {
         s"no committed version under $path - create() first"))._2
     require(mapping0.nonEmpty,
       s"table at $path has no live partitions - re-create() to repopulate")
-    val partCols = partColsOf(mapping0)
+    val partCols = writeLayout(fs, path, mapping0)
     if (fs.exists(metaPath(path))) {
       val (k, v) = readMeta(fs, path)
       mergeIntoDeltaHooked(spark, path, df, k, v, partCols, None, maxAttempts,
@@ -1081,7 +1190,7 @@ object Warehouse {
           s"no committed version under $path - create() first"))._2
       require(mapping0.nonEmpty,
         s"table at $path has no live partitions - re-create() to repopulate")
-      val partCols = partColsOf(mapping0)
+      val partCols = writeLayout(fs, path, mapping0)
       val isDelta = fs.exists(metaPath(path))
       require(!(isDelta && overwrite),
         s"transact cannot OVERWRITE the delta table at $path - a plain " +
@@ -1121,6 +1230,18 @@ object Warehouse {
       var done = false
       while (!done) {
         val (v, mapping, _) = snapshot(fs, path).get
+        if (isDelta) {
+          // same contract as mergeIntoDelta: a delta link must attach
+          // to its OWN key's chain - partitions still under a previous
+          // layout generation would sit outside the fold group
+          val stagedLayout = layoutColsOf(written.head)
+          val stale = overlappingKeys(mapping, written.toSeq.map(kvOf))
+            .filter(k => layoutColsOf(k) != stagedLayout)
+          require(stale.isEmpty,
+            s"transact stages a delta write onto partitions still stored " +
+              s"under a previous partition layout (${stale.toSeq.sorted
+                .take(3).mkString(", ")}) - evolveLayout them first")
+        }
         val link = if (isDelta) "~" else "+"
         val newMapping =
           if (overwrite) written.map(_ -> batchId).toMap
@@ -1365,7 +1486,7 @@ object Warehouse {
         s"no committed version under $path - create() first"))._2
     require(mapping0.nonEmpty,
       s"table at $path has no live partitions - re-create() to repopulate")
-    val partCols = partColsOf(mapping0)
+    val partCols = writeLayout(fs, path, mapping0)
     // BOTH overwrite modes refuse an empty batch (advisor r14: a
     // static overwrite with zero rows used to commit an EMPTY mapping,
     // after which read/append/overwrite all refuse and only restore()
@@ -1384,6 +1505,19 @@ object Warehouse {
     var attempt = 1
     while (true) {
       val (v, mapping, _) = snapshot(fs, path).get
+      if (dynamic) {
+        // a dynamic overwrite REPLACES exactly the partitions the
+        // batch names; a named partition still stored (wholly or
+        // partly) under a previous layout generation's key cannot be
+        // replaced without a partial rewrite of that key - refused
+        // loudly, evolveLayout the partitions first
+        val stale = overlappingKeys(mapping, written.toSeq.map(kvOf))
+          .filter(k => layoutColsOf(k) != partCols)
+        require(stale.isEmpty,
+          s"dynamic overwrite names partitions still stored under a " +
+            s"previous partition layout (${stale.toSeq.sorted.take(3)
+              .mkString(", ")}) - run evolveLayout over them first")
+      }
       val newMapping =
         if (dynamic) mapping ++ written.map(_ -> batchId)
         else written.map(_ -> batchId).toMap
@@ -1413,6 +1547,87 @@ object Warehouse {
     * `n` was never committed or its files were vacuumed away. Returns
     * the new version number.
     */
+  /** PARTITION-SPEC EVOLUTION — Iceberg's evolve-partitioning, as one
+    * atomic commit: rewrite the partitions `pred` selects (default:
+    * all) from their current layout into `newPartCols`, and flip the
+    * table's `#layout` header so every later write uses the new spec.
+    * Generations NOT yet rewritten stay readable in the same snapshot
+    * (each manifest key self-describes its layout; reads scan one
+    * generation per basePath and union by name — an evolved-away
+    * partition column is stored IN the other generation's data files,
+    * never lost), so a 100 TB table can evolve incrementally: flip
+    * the header with a cheap subset (or none), let [[compact]]'s
+    * cadence migrate the rest (layout debt is compaction debt), and
+    * copy-on-write DML migrates whatever it touches along the way.
+    * Keyed DELTA merges and dynamic overwrites onto not-yet-migrated
+    * partitions refuse loudly (a chain link / replacement must attach
+    * to exactly its own key); everything else — scans, pruning, time
+    * travel, change feed, CoW merge/update/delete, deletion vectors —
+    * works mid-evolution, spec-pinned in WarehouseLayoutSpec.
+    *
+    * Chained partitions fold first (the [[compact]] contract);
+    * deletion vectors are honored during the rewrite and pruned by
+    * the next compact. New partition values must be non-null. Returns
+    * the number of partitions rewritten; retries a lost commit race
+    * against the winner's snapshot.
+    */
+  def evolveLayout(spark: SparkSession, path: String,
+                   newPartCols: Seq[String],
+                   pred: Map[String, String] => Boolean = _ => true,
+                   maxAttempts: Int = 5): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    requireSimpleCols(newPartCols)
+    val fs = fsOf(spark, path)
+    var attempt = 1
+    while (true) {
+      val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
+        throw new IllegalStateException(s"no committed version under $path"))
+      require(mapping.nonEmpty,
+        s"table at $path has no live partitions - nothing to evolve")
+      val chosen = mapping.keySet.filter(key =>
+        layoutColsOf(key) != newPartCols && pred(kvOf(key)))
+      val headerCurrent = writeLayout(fs, path, mapping) == newPartCols
+      if (chosen.isEmpty && headerCurrent) return 0
+      try {
+        if (chosen.isEmpty) {
+          // nothing selected to rewrite: flip the header only (new
+          // writes take the new spec; compact migrates the rest)
+          commit(fs, path, v + 1, mapping, layoutUpdate = Some(newPartCols))
+          return 0
+        }
+        // rewrite-collision closure: fresh new-layout dirs may collide
+        // with live keys outside the selection - fold those in
+        val selectedKeys = overlapClosure(mapping, chosen.toSeq.map(kvOf))
+        val selected = mapping.filter { case (k, _) => selectedKeys(k) }
+        val rows = readMapped(spark, path, selected,
+          partColsOf(selected), dvs.map(_._1))
+        newPartCols.foreach(c => require(rows.columns.contains(c),
+          s"evolveLayout: '$c' is not a column of the table at $path"))
+        require(rows.filter(
+            newPartCols.map(col(_).isNull).reduceLeft(_ || _))
+          .limit(1).count() == 0L,
+          "evolveLayout: a selected row carries NULL in a new partition " +
+            "column - partition values must be non-null")
+        val batchId = java.util.UUID.randomUUID().toString
+        rows.write.mode("overwrite").partitionBy(newPartCols: _*)
+          .parquet(s"$path/data/batch=$batchId")
+        val written = partDirs(fs, path, batchId, newPartCols).toSet
+        val newMapping = (mapping -- selectedKeys) ++
+          written.map(_ -> batchId)
+        require(newMapping.nonEmpty,
+          "evolveLayout would leave the table empty - refusing")
+        commit(fs, path, v + 1, newMapping, layoutUpdate = Some(newPartCols))
+        return selected.size
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost a race") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   def restore(spark: SparkSession, path: String, n: Long): Long = {
     val fs = fsOf(spark, path)
     val mapping = visibleMappingAt(fs, path, n)
@@ -1525,9 +1740,9 @@ object Warehouse {
       val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))
       if (mapping.isEmpty) return 0L
-      val partCols = partColsOf(mapping)
-      val touchedKeys = partKeysOf(
-        readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
+      val partCols = writeLayout(fs, path, mapping)
+      val touchedKeys = overlapClosure(mapping, partTuplesOf(
+        readForScan(spark, path, None, bounds).filter(pred), partCols))
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
       val touchedRows = readMapped(spark, path, touched, partCols, dvs.map(_._1))
@@ -1632,12 +1847,21 @@ object Warehouse {
       val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))
       if (mapping.isEmpty) return 0L
-      val partCols = partColsOf(mapping)
-      val touchedKeys = partKeysOf(
-        readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
+      val partCols = writeLayout(fs, path, mapping)
+      val touchedKeys = overlappingKeys(mapping, partTuplesOf(
+        readForScan(spark, path, None, bounds).filter(pred), partCols))
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
-      val (chainedT, pureT) = touched.partition { case (_, c) => needsFold(c) }
+      val (chainedT0, pureT0) = touched.partition { case (_, c) => needsFold(c) }
+      // the CoW arm rewrites chained partitions under the CURRENT
+      // layout - any live key its fresh dirs could collide with joins
+      // the rewrite (and leaves the vector arm); pure partitions take
+      // file-level vectors, layout-irrelevant
+      val chainedClosure =
+        if (chainedT0.isEmpty) Set.empty[String]
+        else overlapClosure(mapping, chainedT0.keys.toSeq.map(kvOf))
+      val chainedT = mapping.filter { case (k, _) => chainedClosure(k) }
+      val pureT = pureT0 -- chainedClosure
       // ---- vector arm: pure partitions' matches become (file, pos) ----
       var dvAdd: Option[(String, Long)] = None
       var dvDeleted = 0L
@@ -1762,15 +1986,15 @@ object Warehouse {
       val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
         throw new IllegalStateException(s"no committed version under $path"))
       if (mapping.isEmpty) return 0L
-      val partCols = partColsOf(mapping)
+      val partCols = writeLayout(fs, path, mapping)
       assignments.foreach { case (c, _) =>
         require(!partCols.contains(c),
           s"UPDATE cannot assign partition column '$c' - partition values " +
             "are immutable; express a partition move as DELETE + INSERT " +
             "(or a merge with a tombstone + fresh row)")
       }
-      val touchedKeys = partKeysOf(
-        readForScan(spark, path, None, bounds).filter(pred), partCols).toSet
+      val touchedKeys = overlapClosure(mapping, partTuplesOf(
+        readForScan(spark, path, None, bounds).filter(pred), partCols))
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
       val touchedRows = readMapped(spark, path, touched, partCols, dvs.map(_._1))
@@ -1954,19 +2178,27 @@ object Warehouse {
     val widens = widensOf(readSchemaOverlay(fs, path))
     val dv = loadDv(spark, path, dvIds)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
-    val parts = Seq(
-      if (pure.isEmpty) None
-      else {
-        val dirs = pure.toSeq.sorted.flatMap {
-          case (key, chain) =>
-            // append-only chains scan every link plainly (no fold)
-            chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+    // one scan per LAYOUT GENERATION: Spark's partition-dir inference
+    // needs a uniform structure under one basePath, and a table mid
+    // partition-spec evolution legitimately holds several. Each
+    // generation reads with its own inferred partition columns; the
+    // by-name union is exact because an evolved-away partition column
+    // is stored IN the data files of the other generation (partitionBy
+    // excludes only its own columns), never lost.
+    val pureScans = pure.toSeq.sorted
+      .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
+      .sortBy(_._1.mkString(","))
+      .map { case (_, keys) =>
+        val dirs = keys.flatMap { case (key, chain) =>
+          // append-only chains scan every link plainly (no fold)
+          chainOf(chain).map(b => s"$path/data/batch=$b/$key")
         }
-        Some(rawRead(spark, path, dirs,
-          widenedScanSchema(spark, path, dirs, widens), dv).drop("batch"))
-      },
-      if (chained.isEmpty) None
-      else Some(foldRead(spark, path, chained, partCols, dv))).flatten
+        rawRead(spark, path, dirs,
+          widenedScanSchema(spark, path, dirs, widens), dv).drop("batch")
+      }
+    val parts = pureScans ++
+      (if (chained.isEmpty) None
+       else Some(foldRead(spark, path, chained, partCols, dv)))
     withOverlay(fs, path,
       parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -1999,19 +2231,19 @@ object Warehouse {
     // dirs grouped by their link's position in the owning partition's
     // chain; a (batch, partition) dir has exactly one rank (a batch
     // appears at most once per chain)
-    val byRank: Seq[(Int, Seq[String])] = chained.toSeq.sorted
+    val byRank: Seq[((Int, Seq[String]), Seq[String])] = chained.toSeq.sorted
       .flatMap { case (key, chain) =>
         chainOf(chain).zipWithIndex.map { case (b, i) =>
-          i -> s"$path/data/batch=$b/$key"
+          (i, layoutColsOf(key)) -> s"$path/data/batch=$b/$key"
         }
-      }.groupMap(_._1)(_._2).toSeq.sortBy(_._1)
+      }.groupMap(_._1)(_._2).toSeq.sortBy(_._1.toString)
     require(byRank.nonEmpty, "empty chain mapping")
     // DVs subtract PRE-fold (a DV entry names a physical row; the
     // fold then races only live rows) — [[deleteWhereDv]] never
     // targets chained partitions precisely because deleting a fold
     // WINNER would resurrect the superseded version beneath it, but
     // a partition may grow a chain AFTER its base files took DVs
-    val ranked = byRank.map { case (i, ds) =>
+    val ranked = byRank.map { case ((i, _), ds) =>
       rawRead(spark, path, ds.distinct, None, dv).withColumn("_grank", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("batch")
     val hasDel = ranked.columns.contains(DelCol)
@@ -2121,7 +2353,7 @@ object Warehouse {
     // merge tombstoned every row but retained young versions still
     // hold partitions (advisor r13)
     if (live.nonEmpty)
-      sweep(fs, path, live, partColsOf(live), minAgeMs)
+      sweep(fs, path, live, minAgeMs)
     old.foreach { case (_, p) =>
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () }
@@ -2258,9 +2490,19 @@ object Warehouse {
     val fs = fsOf(spark, path)
     val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path - create() first"))
-    val touched = partKeysOf(changes, partCols)
-    if (touched.isEmpty) throw new EmptyBatchException("empty change batch")
-    val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
+    require(partCols == writeLayout(fs, path, mapping),
+      s"merge partCols (${partCols.mkString(",")}) must equal the table's " +
+        s"current layout (${writeLayout(fs, path, mapping).mkString(",")}) - " +
+        "evolveLayout changed it")
+    val tuples = partTuplesOf(changes, partCols)
+    if (tuples.isEmpty) throw new EmptyBatchException("empty change batch")
+    // overlap CLOSURE, not key equality: mid layout evolution a change
+    // tuple's rows may live under a previous generation's key, and the
+    // rewrite (always in the current layout) must also fold in any
+    // live key its fresh dirs could collide with - the merge
+    // progressively migrates touched partitions to the new layout
+    val touched = overlapClosure(mapping, tuples)
+    val baseMap = mapping.filter { case (k, _) => touched(k) }
     val base0 =
       if (baseMap.isEmpty) None
       else Some(readMapped(spark, path, baseMap, partCols, dvs.map(_._1)))
@@ -2306,8 +2548,7 @@ object Warehouse {
     // rewritten dir — it must leave the mapping entirely, or the old
     // batch's rows would resurrect
     val written = partDirs(fs, path, batchId, partCols).toSet
-    val newMapping = (mapping -- touched.filterNot(written)) ++
-      written.map(_ -> batchId)
+    val newMapping = (mapping -- touched) ++ written.map(_ -> batchId)
     beforeCommit()
     commit(fs, path, v + 1, newMapping, txn)
   }
@@ -2402,6 +2643,19 @@ object Warehouse {
     var attempt = 1
     while (true) {
       val (v, mapping, _) = snapshot(fs, path).get
+      // a delta link attaches to EXACTLY its own key's chain; a
+      // touched logical partition still stored under a PREVIOUS
+      // layout generation's key would sit outside the fold group and
+      // its rows would duplicate the folded winners - refused loudly
+      // (re-checked every attempt: an evolveLayout may race in).
+      // evolveLayout or compact the named partitions first.
+      val stale = overlappingKeys(mapping, written.toSeq.map(kvOf))
+        .filter(k => layoutColsOf(k) != partCols)
+      require(stale.isEmpty,
+        s"delta merge touches partitions still stored under a previous " +
+          s"partition layout (${stale.toSeq.sorted.take(3).mkString(", ")}" +
+          s"${if (stale.size > 3) ", …" else ""}) - run evolveLayout over " +
+          "them (or compact) before keyed delta merges")
       val newMapping = mapping ++ written.map(key =>
         key -> (mapping.get(key) match {
           case Some(chain) => s"$chain,~$batchId"
@@ -2609,7 +2863,7 @@ object Warehouse {
           s"no committed version under $path - create() first"))
       require(mapping.nonEmpty,
         s"table at $path has no live partitions - re-create() to repopulate")
-      val partCols = partColsOf(mapping)
+      val partCols = writeLayout(fs, path, mapping)
       partCols.foreach(c => require(source.columns.contains(c),
         s"MERGE source must carry partition column '$c' - a change row " +
           "names the partition it belongs to (the mergeInto contract)"))
@@ -2646,12 +2900,16 @@ object Warehouse {
             "(matched UPDATE / INSERT clauses)")
       }
       val reconcile = notMatchedBySource.nonEmpty
-      val sourceTouched = partKeysOf(source, partCols)
-      if (sourceTouched.isEmpty && !reconcile) return // empty source: no-op
+      val sourceTuples = partTuplesOf(source, partCols)
+      if (sourceTuples.isEmpty && !reconcile) return // empty source: no-op
+      // overlap CLOSURE (see mergeIntoHooked): mid layout evolution
+      // the source's partitions may live under previous-generation
+      // keys, and the rewrite must fold in every key its fresh dirs
+      // could collide with
       val touched =
-        if (reconcile) (mapping.keySet ++ sourceTouched).toSeq.sorted
-        else sourceTouched
-      val baseMap = touched.flatMap(key => mapping.get(key).map(key -> _)).toMap
+        (if (reconcile) mapping.keySet
+         else overlapClosure(mapping, sourceTuples)).toSeq.sorted
+      val baseMap = mapping.filter { case (k, _) => touched.contains(k) }
       val base0 =
         if (baseMap.isEmpty) None
         else Some {
@@ -2725,19 +2983,43 @@ object Warehouse {
       // the insert arm are legal), one bounded aggregation over the
       // change-sized source, never the table
       if (matched.nonEmpty) base0.foreach { base =>
-        val bkeys = base.select(targetKeys.zipWithIndex.map {
-          case (tk, i) => base(tk).as(s"_gm_tk$i") }: _*)
-        val cond = keyCols.zipWithIndex
-          .map { case (kc, i) => src(kc) === bkeys(s"_gm_tk$i") }
-          .reduce(_ && _)
-        val dup = src.join(bkeys, cond, "left_semi")
-          .groupBy(keyCols.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).count()
-        require(dup == 0L,
-          "MERGE source carries duplicate join keys that match a target " +
-            "row - a target row may match at most one source row (SQL " +
-            "cardinality rule); de-duplicate the source (e.g. latest-wins " +
-            "argmax) first")
+        residual match {
+          case None =>
+            // key-only matching: exact at KEY granularity, one bounded
+            // semi-join + aggregation over the change-sized source
+            val bkeys = base.select(targetKeys.zipWithIndex.map {
+              case (tk, i) => base(tk).as(s"_gm_tk$i") }: _*)
+            val cond = keyCols.zipWithIndex
+              .map { case (kc, i) => src(kc) === bkeys(s"_gm_tk$i") }
+              .reduce(_ && _)
+            val dup = src.join(bkeys, cond, "left_semi")
+              .groupBy(keyCols.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).count()
+            require(dup == 0L,
+              "MERGE source carries duplicate join keys that match a target " +
+                "row - a target row may match at most one source row (SQL " +
+                "cardinality rule); de-duplicate the source (e.g. latest-wins " +
+                "argmax) first")
+          case Some(res) =>
+            // matching is key equality AND the residual, so the
+            // cardinality rule counts over the POST-JOIN qualified
+            // pairs (Delta parity, advisor r17): duplicate source
+            // keys the residual fully disambiguates are legal. The
+            // check join is bounded by the pairs the real merge join
+            // builds anyway.
+            val b = base.withColumn("_gm_rid", monotonically_increasing_id())
+            val dup = b.join(src,
+              targetKeys.zip(keyCols)
+                .map { case (tk, kc) => b(tk) === src(kc) }.reduce(_ && _) &&
+                coalesce(res, lit(false)), "inner")
+              .groupBy(col("_gm_rid")).count()
+              .filter(col("count") > 1).limit(1).count()
+            require(dup == 0L,
+              "MERGE source carries rows that MATCH one target row more " +
+                "than once (key equality AND the ON residual) - a target " +
+                "row may match at most one source row (SQL cardinality " +
+                "rule); de-duplicate the source first")
+        }
       }
       // first-applicable-clause index per matched base row; -1 = no
       // clause applies (row passes through unchanged). Matching is
@@ -2935,7 +3217,7 @@ object Warehouse {
         s"MERGE inserts landed in existing partitions the source did not " +
           s"name: ${hijacked.toSeq.sorted.mkString(", ")} - the insert " +
           "values' partition columns must equal the source rows' own")
-      val newMapping = (mapping -- touchedSet.filterNot(written)) ++
+      val newMapping = (mapping -- touchedSet) ++
         written.map(_ -> batchId)
       // the overwrite guard's rationale, extended to the statement
       // plane (advisor r15): a tombstone-heavy source must not brick
@@ -3173,7 +3455,7 @@ object Warehouse {
       throw new IllegalStateException(s"no committed version under $path"))._2
     require(mapping.nonEmpty,
       s"table at $path has no live partitions - no layout to report")
-    partColsOf(mapping)
+    writeLayout(fs, path, mapping)
   }
 
   /** Every data file of the (possibly time-traveled) snapshot WHEN no
@@ -3558,7 +3840,7 @@ object Warehouse {
                           bloomExpectedItems: Long = 100000L): Int = {
     val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
-    val partCols = partColsOf(mapping)
+    val partCols = writeLayout(fs, path, mapping)
     val stats = partitionStats(spark, path)
     // which live (batch, partition) links carry deletion-vector
     // entries: those partitions MATERIALIZE this pass (the DV's
@@ -3570,14 +3852,24 @@ object Warehouse {
         id -> dvTargets(spark, path, Seq(id)).filter(liveLinks)
       }
     val dvKeys: Set[String] = perDvLive.flatMap(_._2.map(_._2)).toSet
-    val frag = stats.filter { case (key, chain, nFiles, bytes) =>
+    val frag0 = stats.filter { case (key, chain, nFiles, bytes) =>
       // delta chains (fold debt), append chains (listing debt — one FS
       // listing per link per read), deletion-vector debt (per-read
-      // anti-join + footer fast paths disabled), and plain small-file
-      // fragmentation all collapse to a single fresh base
+      // anti-join + footer fast paths disabled), LAYOUT debt (a
+      // partition still stored under a previous partition-spec
+      // generation — compact is evolveLayout's finishing cadence), and
+      // plain small-file fragmentation all collapse to a single fresh
+      // base in the current layout
       needsFold(chain) || chainOf(chain).length > 1 || dvKeys(key) ||
+        layoutColsOf(key) != partCols ||
         nFiles > math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
+    // rewrite-collision closure: a migrated partition's fresh dirs may
+    // collide with live current-layout keys - fold those in too
+    val fragKeys =
+      if (frag0.isEmpty) Set.empty[String]
+      else overlapClosure(mapping, frag0.map(f => kvOf(f._1)))
+    val frag = stats.filter(f => fragKeys(f._1))
     if (frag.isEmpty) {
       // nothing to rewrite; still drop vectors whose every target is
       // already unreferenced (left behind by partition rewrites) — a
@@ -4180,6 +4472,10 @@ object Warehouse {
     }
     require(fullMapping.nonEmpty, s"table at $path has no live partitions")
     val partCols = partColsOf(fullMapping)
+    // mid partition-spec evolution a snapshot holds several layout
+    // generations; each key self-describes its own columns
+    val layoutSet = fullMapping.keys.map(layoutColsOf).toSet
+    val mixedLayout = layoutSet.size > 1
     // the combined pruning set: the connector's static pushed bounds
     // plus runtime join-key sets (several bounds may target one
     // column — each is a superset filter, so they conjoin)
@@ -4188,8 +4484,12 @@ object Warehouse {
     // from the manifest key alone — no file listing, no stats read.
     // Safe for chained partitions too (a fold never moves a row
     // across partitions — keys are partition-immutable), and always a
-    // superset: parse-ambiguous values keep the partition.
-    val partBounds = boundSeq.filter { case (c, _) => partCols.contains(c) }
+    // superset: parse-ambiguous values keep the partition (a key whose
+    // layout lacks the bound's column keeps it too — the column lives
+    // in that generation's data files, left to the residual filter).
+    val partBounds = boundSeq.filter { case (c, _) =>
+      layoutSet.exists(_.contains(c))
+    }
     val mapping =
       if (partBounds.isEmpty) fullMapping
       else fullMapping.filter { case (key, _) =>
@@ -4249,7 +4549,7 @@ object Warehouse {
     // includes its deleted rows, so the cap could under-deliver)
     val limited: Option[Seq[String]] =
       if (limit.isEmpty || chained.nonEmpty || boundSeq.nonEmpty ||
-        dvIds.nonEmpty) None
+        dvIds.nonEmpty || mixedLayout) None
       else Some(limitFiles(spark,
         wholeDirs.flatMap { dir =>
           fs.listStatus(new HPath(dir))
@@ -4261,16 +4561,30 @@ object Warehouse {
     def readWidened(targets: Seq[String]) =
       rawRead(spark, path, targets,
         widenedScanSchema(spark, path, targets, widens), dv).drop("batch")
-    val scans = Seq(
-      limited match {
+    // one scan per layout generation (readMapped's contract): the
+    // target's key part sits between "batch=<b>/" and (for kept
+    // FILES) the file name
+    def layoutOfTarget(t: String, isFile: Boolean): Seq[String] = {
+      val afterBatch = t.substring(t.indexOf("/data/batch=") + 12)
+      val key0 = afterBatch.substring(afterBatch.indexOf('/') + 1)
+      val key = if (isFile) key0.take(key0.lastIndexOf('/')) else key0
+      layoutColsOf(key)
+    }
+    def readGrouped(dirs: Seq[String], files: Seq[String]): Seq[DataFrame] =
+      (dirs.map(d => layoutOfTarget(d, isFile = false) -> d) ++
+        files.map(f => layoutOfTarget(f, isFile = true) -> f))
+        .groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, ts) => readWidened(ts.map(_._2)) }
+    val scans = (limited match {
         case Some(fls) =>
-          if (fls.isEmpty) None else Some(readWidened(fls))
+          // the LIMIT cap only engages on uniform layouts (gated above)
+          if (fls.isEmpty) Nil else Seq(readWidened(fls))
         case None =>
-          if (keptFiles.isEmpty && wholeDirs.isEmpty) None
-          else Some(readWidened(wholeDirs ++ keptFiles))
-      },
-      if (chained.isEmpty) None
-      else Some(foldRead(spark, path, chained, partCols, dv))).flatten
+          if (keptFiles.isEmpty && wholeDirs.isEmpty) Nil
+          else readGrouped(wholeDirs, keptFiles)
+      }) ++
+      (if (chained.isEmpty) None
+       else Some(foldRead(spark, path, chained, partCols, dv)))
     if (scans.isEmpty)
       // everything skipped (possibly every PARTITION): an empty frame
       // with the table's LOGICAL schema from the unpruned mapping

@@ -1621,6 +1621,39 @@ object WarehouseQueries {
              |FROM ev WHERE event_id % 5 = 2 AND user_id % 3 <= 1
              |ORDER BY event_id""".stripMargin)),
 
+    // M21 — PARTITION-SPEC EVOLUTION: the Iceberg capability Delta
+    // lacks, over a deliberately MIXED-layout snapshot. The fixture
+    // creates the events table partitioned by dt, then evolves only
+    // half the dt partitions (hash-selected) to (dt, event_type) via
+    // evolveLayout and appends one post-evolution batch in the new
+    // spec — so the scanned snapshot spans two partition-spec
+    // generations plus a fresh new-layout write. The oracle replays
+    // the logical content from raw events; a green row proves the
+    // per-generation scans + by-name union lose and duplicate nothing
+    // (the evolved-away grouping is path-provided in one generation,
+    // data-provided in the other). At 100 TB this is re-partitioning
+    // a fact table for a new query pattern without a stop-the-world
+    // rewrite: flip the spec, migrate incrementally via compact's
+    // cadence, serve reads throughout.
+    Q("m21_layout_evolution",
+      (s, d) => {
+        val path = TempArtifacts.getOrBuild(s"$d#m21wh", "graft_m21wh") { p =>
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              to_date(col("ts")).as("dt"))
+          Warehouse.create(s, p, ev.filter(col("event_id") % 11 =!= 3), "dt")
+          Warehouse.evolveLayout(s, p, Seq("dt", "event_type"),
+            pred = kv => kv("dt").hashCode % 2 == 0): Unit
+          Warehouse.append(s, p, ev.filter(col("event_id") % 11 === 3))
+        }
+        Warehouse.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
     // SQL30 — CROSS-TABLE TRANSACTION as SQL: the reference's
     // multi-table load (K4, `New_Api_Sercom/function_app.py:256`) as
     // ONE SQL unit. A fact and a user dimension each start partially

@@ -41,7 +41,7 @@ object WarehouseProcedures {
 
   val names: Seq[String] = Seq("compact", "vacuum", "restore", "maintain",
     "history", "analyze", "abort_txn", "begin_txn", "stage_write",
-    "commit_txn", "rollback_txn", "transact")
+    "commit_txn", "rollback_txn", "transact", "evolve_layout")
 
   def byName(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -57,6 +57,7 @@ object WarehouseProcedures {
       case "commit_txn" => Some(CommitTxnProcedure)
       case "rollback_txn" => Some(RollbackTxnProcedure)
       case "transact" => Some(TransactProcedure)
+      case "evolve_layout" => Some(EvolveLayoutProcedure)
       case _          => None
     }
 
@@ -418,6 +419,31 @@ object WarehouseProcedures {
         case (t, v) => Warehouse.TxnWrite(t, spark.table(v), ow.contains(t))
       })
       result(out, utf8(marker), tables.length)
+    }
+  }
+
+  /** Partition-spec evolution ([[Warehouse.evolveLayout]]): rewrite
+    * the table into a new partition column set under one atomic
+    * commit; `CALL graft.system.evolve_layout(table => '…',
+    * part_cols => 'dt,region')`. Incremental migration (a predicate
+    * subset) is the API form; compact() finishes any remainder.
+    */
+  private object EvolveLayoutProcedure extends WarehouseProcedure {
+    override def name: String = "evolve_layout"
+    override def description: String =
+      "re-partition the table into a new partition column set under " +
+        "one atomic commit (Iceberg-style partition-spec evolution)"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("part_cols", StringType))
+    private val out = StructType(Seq(
+      StructField("rewritten", IntegerType), StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = pathArg(input)
+      val cols = csv(input, 1)
+      val n = Warehouse.evolveLayout(spark, path, cols)
+      result(out, n, Warehouse.currentVersion(spark, path))
     }
   }
 

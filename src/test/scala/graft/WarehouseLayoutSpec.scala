@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Warehouse
+
+/** PARTITION-SPEC EVOLUTION (`Warehouse.evolveLayout`) — the Iceberg
+  * capability Delta lacks: re-partition a table (wholly or a subset)
+  * under one atomic commit, with generations of DIFFERENT layouts
+  * coexisting readably in one snapshot. Pinned lifecycle: create on
+  * `dt` → evolve a subset to `(dt, region)` → mixed-layout scans,
+  * partition pruning, CoW merge/update/delete, change feed and time
+  * travel all stay exact → delta merges and dynamic overwrites onto
+  * not-yet-migrated partitions refuse loudly → compact() migrates the
+  * remainder (layout debt IS compaction debt) → delta merges work
+  * again.
+  */
+class WarehouseLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_layout").toString + "/t"
+
+  /** Rows with columns NAME-sorted: evolution moves partition columns
+    * to the scan's tail (partition values read last, the plain
+    * parquet contract), so logical equality is by name - exactly the
+    * driver's oracle-compare convention.
+    */
+  private def rowsOf(path: String): Set[Seq[Any]] = {
+    val df = Warehouse.read(spark, path)
+    df.select(df.columns.sorted.toSeq.map(col): _*)
+      .collect().map(_.toSeq).toSet
+  }
+
+  private def rowsOfVersion(path: String, v: Long): Set[Seq[Any]] = {
+    val df = Warehouse.readVersion(spark, path, v)
+    df.select(df.columns.sorted.toSeq.map(col): _*)
+      .collect().map(_.toSeq).toSet
+  }
+
+  /** 2 dts × 2 regions × 25 rows, created partitioned by dt only. */
+  private def seed(path: String): Unit =
+    Warehouse.create(spark, path,
+      (1L to 100L).map { i =>
+        (i, s"n$i", s"d${i % 2}", if (i % 4 < 2) "eu" else "us")
+      }.toDF("k", "name", "dt", "region"), "dt")
+
+  private def layoutsOnDisk(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val vdir = java.nio.file.Paths.get(path, "_versions")
+    val newest = java.nio.file.Files.list(vdir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v")).toSeq
+      .maxBy(_.getFileName.toString)
+    new String(java.nio.file.Files.readAllBytes(newest), "UTF-8")
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t")(0).split("/").map(_.takeWhile(_ != '=')).mkString(","))
+      .toSet
+  }
+
+  test("full evolution dt -> (dt, region): one atomic commit, same rows, new write layout, time travel intact") {
+    val path = freshDir(); seed(path)
+    val before = rowsOf(path)
+    val v0 = Warehouse.currentVersion(spark, path)
+    val n = Warehouse.evolveLayout(spark, path, Seq("dt", "region"))
+    assert(n == 2, s"both dt partitions must rewrite, got $n")
+    assert(Warehouse.currentVersion(spark, path) == v0 + 1)
+    assert(Warehouse.partitionColumns(spark, path) == Seq("dt", "region"))
+    assert(layoutsOnDisk(path) == Set("dt,region"))
+    assert(rowsOf(path) == before,
+      "evolution must not change a single logical row")
+    // time travel serves the pre-evolution layout's snapshot
+    assert(rowsOfVersion(path, v0) == before)
+    // the change feed across the evolution commit is EMPTY: a layout
+    // rewrite changes no logical row
+    assert(Warehouse.changes(spark, path, v0, v0 + 1, "k").count() == 0L)
+    // new writes land in the new layout
+    Warehouse.append(spark, path,
+      Seq((200L, "new", "d0", "eu")).toDF("k", "name", "dt", "region"))
+    assert(Warehouse.read(spark, path).count() == 101L)
+  }
+
+  test("SUBSET evolution: mixed-layout snapshot reads exactly, partition pruning works on both generations") {
+    val path = freshDir(); seed(path)
+    val before = rowsOf(path)
+    // evolve only d1; d0 keeps the old layout
+    val n = Warehouse.evolveLayout(spark, path, Seq("dt", "region"),
+      pred = kv => kv("dt") == "d1")
+    assert(n == 1)
+    assert(layoutsOnDisk(path) == Set("dt", "dt,region"),
+      "both generations must coexist in the snapshot")
+    assert(rowsOf(path) == before)
+    // pruning on dt drops whole generations' dirs; a region predicate
+    // stays exact on BOTH generations (path-provided on the new, data-
+    // provided on the old)
+    val eu = Warehouse.read(spark, path).filter(col("region") === "eu")
+    assert(eu.count() == 50L)
+    assert(eu.select("k").as[Long].collect().toSet ==
+      (1L to 100L).filter(i => i % 4 < 2).toSet)
+    val sql = spark.sql(
+      s"SELECT count(*) c FROM graft.`$path` WHERE dt = 'd1' AND region = 'us'")
+      .as[Long].head()
+    assert(sql == 25L)
+  }
+
+  test("CoW DML mid-evolution migrates what it touches; delta merge and dynamic overwrite refuse on stale partitions") {
+    val path = freshDir(); seed(path)
+    Warehouse.evolveLayout(spark, path, Seq("dt", "region"),
+      pred = kv => kv("dt") == "d1")
+    // CoW update touching old-layout d0 rewrites it INTO the new layout
+    val updated = Warehouse.updateWhere(spark, path,
+      Seq("name" -> lit("upd")), col("k") === 4L) // k=4: d0, us
+    assert(updated == 1L)
+    assert(layoutsOnDisk(path) == Set("dt,region"),
+      "a CoW pass over an old-generation partition must migrate it")
+    val got = Warehouse.read(spark, path)
+    assert(got.count() == 100L)
+    assert(got.filter(col("k") === 4L).select("name").as[String].head() == "upd")
+    // rebuild a mixed state and pin the refusals
+    val path2 = freshDir(); seed(path2)
+    Warehouse.evolveLayout(spark, path2, Seq("dt", "region"),
+      pred = kv => kv("dt") == "d1")
+    val delta = Seq((3L, 2L, "patched", "d0", "eu"))
+      .toDF("k", "ver", "name", "dt", "region")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.mergeIntoDelta(spark, path2,
+        delta, "k", "ver", Seq("dt", "region"), None)
+    }
+    assert(e.getMessage.contains("previous partition layout"))
+    val e2 = intercept[IllegalArgumentException] {
+      Warehouse.overwritePartitions(spark, path2,
+        Seq((999L, "x", "d0", "eu")).toDF("k", "name", "dt", "region"))
+    }
+    assert(e2.getMessage.contains("previous partition layout"))
+  }
+
+  test("compact() migrates the remaining old-generation partitions (layout debt is compaction debt); delta merges work after") {
+    val path = freshDir(); seed(path)
+    Warehouse.evolveLayout(spark, path, Seq("dt", "region"),
+      pred = kv => kv("dt") == "d1")
+    val before = rowsOf(path)
+    val rewritten = Warehouse.compact(spark, path, "k", targetBytes = 1L << 30)
+    assert(rewritten > 0)
+    assert(layoutsOnDisk(path) == Set("dt,region"),
+      "compact must erase the layout debt")
+    assert(rowsOf(path) == before)
+    // the table is uniform again: keyed delta merges attach cleanly
+    // (k=3 lives in (d1, us): i%4==3)
+    Warehouse.mergeIntoDelta(spark, path,
+      Seq((3L, 2L, "patched", "d1", "us"))
+        .toDF("k", "ver", "name", "dt", "region"),
+      "k", "ver", Seq("dt", "region"), None)
+    val folded = Warehouse.read(spark, path)
+    assert(folded.count() == 100L)
+    assert(folded.filter(col("k") === 3L).select("name").as[String].head()
+      == "patched")
+  }
+
+  test("CoW merge mid-evolution folds BOTH generations of a logical partition (rewrite-collision closure)") {
+    val path = freshDir()
+    Warehouse.create(spark, path,
+      (1L to 100L).map { i =>
+        (i, 1L, s"n$i", s"d${i % 2}", if (i % 4 < 2) "eu" else "us")
+      }.toDF("k", "ver", "name", "dt", "region"), "dt")
+    // d0 stays old-layout; an APPEND in the new layout creates
+    // dt=d0/region=eu beside the old dt=d0 key
+    Warehouse.evolveLayout(spark, path, Seq("dt", "region"),
+      pred = kv => kv("dt") == "d1")
+    Warehouse.append(spark, path,
+      Seq((300L, 1L, "appended", "d0", "eu"))
+        .toDF("k", "ver", "name", "dt", "region"))
+    assert(layoutsOnDisk(path) == Set("dt", "dt,region"))
+    // a CoW merge naming (d0, eu) must read BOTH the old dt=d0 key and
+    // the appended dt=d0/region=eu key - and lose no row of either
+    Warehouse.mergeInto(spark, path,
+      Seq((4L, 99L, "merged", "d0", "eu"))
+        .toDF("k", "ver", "name", "dt", "region"),
+      "k", "ver", Seq("dt", "region"), None)
+    val got = Warehouse.read(spark, path)
+    assert(got.count() == 101L, "no row of either generation may be lost")
+    assert(got.filter(col("k") === 4L).select("name").as[String].head()
+      == "merged")
+    assert(got.filter(col("k") === 300L).count() == 1L,
+      "the appended new-generation row must survive the merge rewrite")
+    assert(layoutsOnDisk(path) == Set("dt,region"),
+      "the merge migrates every key it folded")
+  }
+
+  test("evolution composes with deletion vectors: DV'd rows stay deleted through the rewrite") {
+    val path = freshDir(); seed(path)
+    Warehouse.deleteWhereDv(spark, path, col("k") <= 10)
+    Warehouse.evolveLayout(spark, path, Seq("dt", "region"))
+    val got = Warehouse.read(spark, path)
+    assert(got.count() == 90L)
+    assert(got.filter(col("k") <= 10).count() == 0L,
+      "vector-deleted rows must not resurrect through the layout rewrite")
+  }
+
+  test("header-only flip: evolve with an empty selection changes the write layout without touching data") {
+    val path = freshDir(); seed(path)
+    val n = Warehouse.evolveLayout(spark, path, Seq("dt", "region"),
+      pred = _ => false)
+    assert(n == 0)
+    assert(Warehouse.partitionColumns(spark, path) == Seq("dt", "region"))
+    assert(layoutsOnDisk(path) == Set("dt"),
+      "no partition rewritten - only the header flipped")
+    // a NULL new-partition-column row refuses loudly
+    val path2 = freshDir()
+    Warehouse.create(spark, path2,
+      Seq((1L, "a", "d1", null), (2L, "b", "d1", "eu"))
+        .toDF("k", "name", "dt", "region"), "dt")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.evolveLayout(spark, path2, Seq("dt", "region"))
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+}

@@ -137,6 +137,20 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     assert(fullMessage(bad).contains("no catalog entry"))
   }
 
+  test("CALL evolve_layout re-partitions the table atomically; rows unchanged, new writes take the new spec") {
+    val path = Files.createTempDirectory("graft_proc_evo").toString + "/t"
+    Warehouse.create(spark, path,
+      (1L to 60L).map(i => (i, s"n$i", s"d${i % 2}", s"r${i % 3}"))
+        .toDF("k", "name", "dt", "region"), "dt")
+    val before = Warehouse.read(spark, path).count()
+    val (n, v) = spark.sql(
+      s"CALL graft.system.evolve_layout(table => '$path', part_cols => 'dt,region')")
+      .as[(Int, Long)].head()
+    assert(n == 2 && v == 2L)
+    assert(Warehouse.partitionColumns(spark, path) == Seq("dt", "region"))
+    assert(Warehouse.read(spark, path).count() == before)
+  }
+
   test("SQL cross-table transaction: begin/stage/commit flips BOTH tables atomically; pre-commit readers see both old") {
     val root = Files.createTempDirectory("graft_proc_txn").toString
     val a = s"$root/a"; val b = s"$root/b"
