@@ -588,13 +588,28 @@ object Warehouse {
     * tuples) map probes — partition metadata, never data.
     */
   private def overlappingKeys(mapping: Map[String, String],
-                              tuples: Seq[Map[String, String]]): Set[String] =
-    mapping.keySet.filter { key =>
+                              tuples: Seq[Map[String, String]]): Set[String] = {
+    if (tuples.isEmpty) return Set.empty
+    // UNIFORM fast path — the common (never- or fully-evolved) table:
+    // one layout, tuples over exactly its columns → overlap degrades
+    // to canonical-key set membership, O(keys) hash probes instead of
+    // O(keys × tuples) map comparisons (a 100k-partition table must
+    // not pay a quadratic driver pass per DML statement)
+    val layouts = mapping.keys.map(layoutColsOf).toSet
+    if (layouts.size == 1 && {
+      val cols = layouts.head.toSet
+      tuples.forall(_.keySet == cols)
+    }) {
+      val canon = tuples.map(t => layouts.head.map(c =>
+        s"$c=${ExternalCatalogUtils.escapePathName(t(c))}").mkString("/")).toSet
+      mapping.keySet.filter(canon)
+    } else mapping.keySet.filter { key =>
       val kv = kvOf(key)
       tuples.exists(t => t.forall { case (c, v) =>
         kv.get(c).forall(_ == v)
       })
     }
+  }
 
   /** [[overlappingKeys]] closed transitively: rewriting an old-layout
     * key re-emits its rows under the CURRENT layout, so any live key
