@@ -162,6 +162,33 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
       (0 until 3).map(i => (60L + i, s"m$i")).toSet)
   }
 
+  test("an over-budget LAYOUT-EVOLUTION commit pages without fabricating delete/insert churn") {
+    val path = freshTable(Seq(
+      (1L, "b1", 1L, "d1"), (2L, "b2", 1L, "d2"),
+      (3L, "b3", 1L, "d3"), (4L, "b4", 1L, "d4")))
+    // v2: an append across all partitions; v3: full layout evolution
+    // (old keys part=dX -> new keys part=dX/name=...) in ONE commit
+    Warehouse.append(spark, path,
+      (0 until 4).map(i => (10L + i, s"a$i", 1L, s"d${i + 1}"))
+        .toDF("k", "name", "ver", "part"))
+    Warehouse.evolveLayout(spark, path, Seq("part", "name"))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val batches = drain(path, ckpt, Map(
+      "keyCol" -> "k", "readChangeFeed" -> "true",
+      "startingVersion" -> "2", "maxBytesPerTrigger" -> "1"))
+    val all = batches.flatten
+    // v2's inserts arrive (paged); v3 - a pure layout rewrite - must
+    // contribute NOTHING: old and new generations of a logical
+    // partition page TOGETHER, so the diff folds them away instead of
+    // fabricating delete+insert pairs for unchanged rows
+    assert(all.forall(_.getAs[String]("change_type") == "insert"),
+      s"a layout evolution must emit no deletes, got ${all.map(_.getAs[String]("change_type")).distinct}")
+    assert(all.count(_.getAs[Long]("commit_version") == 3L) == 0,
+      "the evolution commit's paged diff must be empty")
+    assert(all.map(r => (r.getAs[Long]("k"), r.getAs[String]("name"))).toSet ==
+      (0 until 4).map(i => (10L + i, s"a$i")).toSet)
+  }
+
   test("a DELETE commit fails the row-mode stream loudly; ignoreDeletes acknowledges and drops") {
     val path = freshTable(Seq((1L, "base", 1L, "d1"), (2L, "gone", 1L, "d1")))
     Warehouse.mergeIntoDelta(spark, path,
