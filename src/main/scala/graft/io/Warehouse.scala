@@ -1633,7 +1633,7 @@ object Warehouse {
         val selectedKeys = overlapClosure(mapping, chosen.toSeq.map(kvOf))
         val selected = mapping.filter { case (k, _) => selectedKeys(k) }
         val rows = readMapped(spark, path, selected,
-          partColsOf(selected), dvs.map(_._1))
+          partColsOf(selected), dvs)
         newPartCols.foreach(c => require(rows.columns.contains(c),
           s"evolveLayout: '$c' is not a column of the table at $path"))
         require(rows.filter(
@@ -1785,7 +1785,7 @@ object Warehouse {
         readForScan(spark, path, None, bounds).filter(pred), partCols))
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
-      val touchedRows = readMapped(spark, path, touched, partCols, dvs.map(_._1))
+      val touchedRows = readMapped(spark, path, touched, partCols, dvs)
       val deleted = touchedRows.filter(pred).count()
       val survivors = touchedRows.filter(pred.isNull || !pred)
       requireMigratableNonNull(survivors, touchedKeys, partCols, "DELETE")
@@ -1827,7 +1827,8 @@ object Warehouse {
   private def dvTargetsById(spark: SparkSession, path: String,
       dvIds: Seq[String]): Map[String, Set[(String, String)]] =
     if (dvIds.isEmpty) Map.empty
-    else loadDv(spark, path, dvIds).get
+    else spark.read.schema("file STRING, pos BIGINT")
+      .parquet(dvIds.map(id => dvDir(path, id)): _*)
       .select(
         regexp_extract(input_file_name(), "/_dv/([^/]+)/", 1).as("id"),
         regexp_extract(col("file"), "^batch=([^/]+)/", 1).as("b"),
@@ -1922,25 +1923,39 @@ object Warehouse {
       var dvAdd: Option[(String, Long)] = None
       var dvDeleted = 0L
       if (pureT.nonEmpty) {
-        val dv = loadDv(spark, path, dvs.map(_._1))
+        val dv = loadDv(spark, path, dvs)
         val widens = widensOf(readSchemaOverlay(fs, path))
-        val dirs = pureT.toSeq.sorted.flatMap { case (key, chain) =>
-          chainOf(chain).map(b => s"$path/data/batch=$b/$key")
-        }
-        // the pure branch of readMapped with row LINEAGE kept: attach
-        // (file, pos) off the scan, subtract already-deleted rows,
-        // THEN apply the DDL overlay (overlay ops touch only logical
-        // columns) so `pred` sees exactly the logical table
-        val lined = withLineage(rawRead(spark, path, dirs,
-          widenedScanSchema(spark, path, dirs, widens))).drop("batch")
-        val alive = dv match {
-          case None => lined
-          case Some(d) => lined.join(broadcast(d),
-            lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
-            "left_anti")
-        }
-        val matches = withOverlay(fs, path, alive).filter(pred)
-          .select(col("_gdvf").as("file"), col("_gdvp").as("pos"))
+        // one lineage scan per LAYOUT GENERATION (readMapped's
+        // contract): mid partition-spec evolution the pure set spans
+        // keys of different dir depths/columns, and Spark's
+        // partition-dir inference needs a uniform structure under one
+        // basePath — a single scan across generations throws
+        // "conflicting partition column names". The matched
+        // (file, pos) frames union exactly: lineage is
+        // layout-independent.
+        val matches = pureT.toSeq.sorted
+          .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
+          .sortBy(_._1.mkString(","))
+          .map { case (_, keys) =>
+            val dirs = keys.flatMap { case (key, chain) =>
+              chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+            }
+            // the pure branch of readMapped with row LINEAGE kept:
+            // attach (file, pos) off the scan, subtract already-
+            // deleted rows, THEN apply the DDL overlay (overlay ops
+            // touch only logical columns) so `pred` sees exactly the
+            // logical table
+            val lined = withLineage(rawRead(spark, path, dirs,
+              widenedScanSchema(spark, path, dirs, widens))).drop("batch")
+            val alive = dv match {
+              case None => lined
+              case Some(d) => lined.join(d,
+                lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
+                "left_anti")
+            }
+            withOverlay(fs, path, alive).filter(pred)
+              .select(col("_gdvf").as("file"), col("_gdvp").as("pos"))
+          }.reduce(_.union(_))
         val dvId = java.util.UUID.randomUUID().toString
         // the sidecar lands as ONE compact file: the repartition
         // shuffles only the MATCHED rows (16 bytes each - the scan
@@ -1948,17 +1963,27 @@ object Warehouse {
         // broadcast the result, so a single file is the right read
         // shape. Deletes so large that one O(deletes) file hurts are
         // exactly the ones [[deleteWhere]]'s partition rewrite serves
-        // better.
+        // better — ENFORCED below by the [[dvCowFallbackRows]] valve.
         matches.repartition(1).write.parquet(dvDir(path, dvId))
         val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvId)))
         if (n == 0L) { fs.delete(new HPath(dvDir(path, dvId)), true): Unit }
+        else if (n > dvCowFallbackRows(spark)) {
+          // size valve: a delete this large is cheaper materialized
+          // once (partition rewrite) than carried as a permanent
+          // oversized anti-join build on every future read — drop the
+          // oversize sidecar (nothing committed yet) and run the
+          // whole statement copy-on-write
+          fs.delete(new HPath(dvDir(path, dvId)), true): Unit
+          return deleteWhereBounded(spark, path, pred, bounds,
+            maxAttempts, hookFor)
+        }
         else { dvAdd = Some((dvId, n)); dvDeleted = n }
       }
       // ---- copy-on-write arm: folded partitions rewrite ----
       var cowDeleted = 0L
       var newMapping = mapping
       if (chainedT.nonEmpty) {
-        val rows = readMapped(spark, path, chainedT, partCols, dvs.map(_._1))
+        val rows = readMapped(spark, path, chainedT, partCols, dvs)
         cowDeleted = rows.filter(pred).count()
         if (cowDeleted > 0L) {
           val survivors = rows.filter(pred.isNull || !pred)
@@ -2054,7 +2079,7 @@ object Warehouse {
         readForScan(spark, path, None, bounds).filter(pred), partCols))
       if (touchedKeys.isEmpty) return 0L
       val touched = mapping.filter { case (k, _) => touchedKeys(k) }
-      val touchedRows = readMapped(spark, path, touched, partCols, dvs.map(_._1))
+      val touchedRows = readMapped(spark, path, touched, partCols, dvs)
       assignments.foreach { case (c, _) =>
         require(touchedRows.columns.contains(c),
           s"UPDATE references unknown column '$c'")
@@ -2105,19 +2130,52 @@ object Warehouse {
     require(mapping.nonEmpty,
       s"table at $path has no live partitions (every row deleted) - " +
         "no schema to serve; re-create() to repopulate")
-    readMapped(spark, path, mapping, partColsOf(mapping), dvs.map(_._1))
+    readMapped(spark, path, mapping, partColsOf(mapping), dvs)
   }
+
+  /** Above this many ACCUMULATED vector entries the read-side
+    * anti-join stops forcing a broadcast build: ~16 bytes/entry puts
+    * the default (4M rows ≈ 64 MiB) at the practical broadcast
+    * comfort ceiling — past it [[loadDv]] drops the hint and the
+    * planner picks a shuffled anti-join from the sidecar's real size
+    * (the correct trade once the build side would strain every
+    * executor's memory). [[compact]]/[[maintain]] reset accumulation;
+    * a table that never compacts degrades to a shuffle, never an OOM.
+    */
+  private def dvBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.broadcastMaxRows")
+      .map(_.toLong).getOrElse(4194304L)
+
+  /** Above this many rows matched by ONE deleteWhereDv statement the
+    * documented "large deletes belong to copy-on-write" trade
+    * (see the sidecar-shape note in [[deleteWhereDvBounded]]) is
+    * ENFORCED, not advisory: the statement drops its sidecar and
+    * falls back to the partition rewrite — a one-time write cost
+    * instead of a permanent oversized anti-join on every read.
+    */
+  private def dvCowFallbackRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.cowFallbackRows")
+      .map(_.toLong).getOrElse(33554432L)
 
   /** The union of the named deletion-vector sidecars as one small
     * `(file, pos)` frame — None when the active list is empty, so the
-    * common no-DV scan plans with zero extra operators.
+    * common no-DV scan plans with zero extra operators. Carries the
+    * broadcast hint only while the manifest-recorded entry count is
+    * within [[dvBroadcastMaxRows]] — the size valve that keeps an
+    * uncompacted vector pile from broadcasting a driver/executor-
+    * killing build side (above it the planner picks the join from
+    * the sidecar's statistics: a shuffled anti-join).
     */
   private def loadDv(spark: SparkSession, path: String,
-                     dvIds: Seq[String]): Option[DataFrame] =
-    if (dvIds.isEmpty) None
-    else Some(spark.read
-      .schema("file STRING, pos BIGINT")
-      .parquet(dvIds.map(id => dvDir(path, id)): _*))
+                     dvs: Seq[(String, Long)]): Option[DataFrame] =
+    if (dvs.isEmpty) None
+    else {
+      val df = spark.read
+        .schema("file STRING, pos BIGINT")
+        .parquet(dvs.map(d => dvDir(path, d._1)): _*)
+      Some(if (dvs.map(_._2).sum <= dvBroadcastMaxRows(spark)) broadcast(df)
+           else df)
+    }
 
   /** Attach each row's physical lineage — its file's path relative to
     * `$path/data/` and its row ordinal within the file — straight off
@@ -2132,9 +2190,12 @@ object Warehouse {
       substring_index(col("_metadata.file_path"), "/data/", -1))
     .withColumn("_gdvp", col("_metadata.row_index"))
 
-  /** Subtract deletion-vector rows from a raw file scan: a broadcast
-    * ANTI join on (file, pos) — O(deleted rows) build side, streamed
-    * probe, stays in whole-stage codegen. Identity when no DV is
+  /** Subtract deletion-vector rows from a raw file scan: an ANTI
+    * join on (file, pos) — O(deleted rows) build side, streamed
+    * probe, stays in whole-stage codegen. The build side arrives
+    * broadcast-hinted from [[loadDv]] while the accumulated entry
+    * count is within [[dvBroadcastMaxRows]]; above the valve the
+    * planner picks a shuffled anti-join. Identity when no DV is
     * active.
     */
   private def applyDv(df: DataFrame, dv: Option[DataFrame]): DataFrame =
@@ -2142,7 +2203,7 @@ object Warehouse {
       case None => df
       case Some(d) =>
         val t = withLineage(df)
-        t.join(broadcast(d),
+        t.join(d,
           t("_gdvf") === d("file") && t("_gdvp") === d("pos"), "left_anti")
           .drop("_gdvf", "_gdvp")
     }
@@ -2231,10 +2292,10 @@ object Warehouse {
   private def readMapped(spark: SparkSession, path: String,
                          mapping: Map[String, String],
                          partCols: Seq[String],
-                         dvIds: Seq[String]): DataFrame = {
+                         dvs: Seq[(String, Long)]): DataFrame = {
     val fs = fsOf(spark, path)
     val widens = widensOf(readSchemaOverlay(fs, path))
-    val dv = loadDv(spark, path, dvIds)
+    val dv = loadDv(spark, path, dvs)
     val (chained, pure) = mapping.partition { case (_, v) => needsFold(v) }
     // one scan per LAYOUT GENERATION: Spark's partition-dir inference
     // needs a uniform structure under one basePath, and a table mid
@@ -2342,7 +2403,7 @@ object Warehouse {
       }
     }
     readMapped(spark, path, mapping, partColsOf(mapping),
-      visibleDvAt(fs, path, n).map(_._1))
+      visibleDvAt(fs, path, n))
   }
 
   /** Reclaim history: delete every version file but the newest and
@@ -2563,7 +2624,7 @@ object Warehouse {
     val baseMap = mapping.filter { case (k, _) => touched(k) }
     val base0 =
       if (baseMap.isEmpty) None
-      else Some(readMapped(spark, path, baseMap, partCols, dvs.map(_._1)))
+      else Some(readMapped(spark, path, baseMap, partCols, dvs))
     // SCHEMA EVOLUTION: the merged schema is the by-name UNION of the
     // change batch's and the stored table's data columns — a change
     // batch may WIDEN the table (new column: stored rows read null
@@ -2972,7 +3033,7 @@ object Warehouse {
       val base0 =
         if (baseMap.isEmpty) None
         else Some {
-          val b = readMapped(spark, path, baseMap, partCols, dvs.map(_._1))
+          val b = readMapped(spark, path, baseMap, partCols, dvs)
           // alias the target columns that pair-level / BY SOURCE
           // expressions reference: post-join, a plain name would be
           // ambiguous against a same-named source column, so those
@@ -3225,7 +3286,7 @@ object Warehouse {
           val probe =
             if (nIns <= broadcastCap) broadcast(insKeys) else insKeys
           val others = readMapped(spark, path, untouchedMap, partCols,
-            dvs.map(_._1))
+            dvs)
             .select(targetKeys.zipWithIndex.map { case (tk, i) =>
               col(tk).as(s"_gm_ok$i") }: _*)
           val cond = keyCols.zipWithIndex
@@ -3344,8 +3405,8 @@ object Warehouse {
       throw new IllegalStateException(s"no committed version $n under $path"))
     val mapFrom = mappingOf(fromV)
     val mapTo = mappingOf(toV)
-    val dvFrom = visibleDvAt(fs, path, fromV).map(_._1)
-    val dvTo = visibleDvAt(fs, path, toV).map(_._1)
+    val dvFrom = visibleDvAt(fs, path, fromV)
+    val dvTo = visibleDvAt(fs, path, toV)
     val anyMap = if (mapTo.nonEmpty) mapTo else mapFrom
     require(anyMap.nonEmpty, s"versions $fromV and $toV of $path are both empty")
     val partCols = partColsOf(anyMap)
@@ -3354,17 +3415,19 @@ object Warehouse {
     // image carries the rows the vector deleted. (A REMOVED vector is
     // never content-bearing: compact/prune only drop a vector once
     // its entries reference no live file.)
-    val addedDv = dvTo.filterNot(dvFrom.toSet)
+    val fromIds = dvFrom.map(_._1).toSet
+    val addedDv = dvTo.collect { case (id, _) if !fromIds(id) => id }
     val dvMoved: Set[String] =
       if (addedDv.isEmpty) Set.empty
       else dvTargets(spark, path, addedDv).map(_._2)
     val moved = (mapFrom.keySet ++ mapTo.keySet)
       .filter(key => mapFrom.get(key) != mapTo.get(key) || dvMoved(key))
       .filter(key => onlyParts.forall(_.contains(key)))
-    def side(m: Map[String, String], dvIds: Seq[String]): Option[DataFrame] = {
+    def side(m: Map[String, String],
+             dvs: Seq[(String, Long)]): Option[DataFrame] = {
       val sub = m.filter { case (key, _) => moved(key) }
       if (sub.isEmpty) None
-      else Some(readMapped(spark, path, sub, partCols, dvIds))
+      else Some(readMapped(spark, path, sub, partCols, dvs))
     }
     val oldS = side(mapFrom, dvFrom)
     val newS = side(mapTo, dvTo)
@@ -3529,7 +3592,7 @@ object Warehouse {
   private[graft] def foldFreeFiles(spark: SparkSession, path: String,
                                    versionAsOf: Option[Long]): Option[Seq[String]] = {
     val fs = fsOf(spark, path)
-    val (mapping, dvIds) = versionAsOf match {
+    val (mapping, dvs) = versionAsOf match {
       case Some(n) =>
         (visibleMappingAt(fs, path, n).getOrElse(
           throw new IllegalStateException(
@@ -3544,7 +3607,7 @@ object Warehouse {
     // reads over-deliver deleted rows - callers (footer aggregate
     // pushdown, LIMIT capping) must take the exact scan path instead
     if (mapping.isEmpty || mapping.values.exists(needsFold) ||
-      dvIds.nonEmpty) None
+      dvs.nonEmpty) None
     else Some(for {
       (key, chain) <- mapping.toSeq.sorted
       b <- chainOf(chain)
@@ -3949,7 +4012,7 @@ object Warehouse {
       }.sum).toInt
       val fragMap = frag.map { case (key, chain, _, _) => key -> chain }.toMap
       val batchId = java.util.UUID.randomUUID().toString
-      val selected = readMapped(spark, path, fragMap, partCols, dvs.map(_._1))
+      val selected = readMapped(spark, path, fragMap, partCols, dvs)
       requireMigratableNonNull(selected, fragMap.keys, partCols, "compact")
       val layoutKey =
         if (zorderCols.isEmpty) col(sortCol)
@@ -4513,7 +4576,7 @@ object Warehouse {
                    limit: Option[Int] = None,
                    extraBounds: Seq[(String, Bound)] = Nil): DataFrame = {
     val fs = fsOf(spark, path)
-    val (fullMapping, dvIds) = versionAsOf match {
+    val (fullMapping, dvs) = versionAsOf match {
       case Some(n) =>
         val m = visibleMappingAt(fs, path, n).getOrElse(
           throw new IllegalStateException(
@@ -4526,11 +4589,11 @@ object Warehouse {
                   s"(batch=$b/$key) - history before the last vacuum is gone")
           }
         }
-        (m, visibleDvAt(fs, path, n).map(_._1))
+        (m, visibleDvAt(fs, path, n))
       case None =>
         val (_, m, dvs) = snapshot(fs, path).getOrElse(
           throw new IllegalStateException(s"no committed version under $path"))
-        (m, dvs.map(_._1))
+        (m, dvs)
     }
     require(fullMapping.nonEmpty, s"table at $path has no live partitions")
     val partCols = partColsOf(fullMapping)
@@ -4611,7 +4674,7 @@ object Warehouse {
     // includes its deleted rows, so the cap could under-deliver)
     val limited: Option[Seq[String]] =
       if (limit.isEmpty || chained.nonEmpty || boundSeq.nonEmpty ||
-        dvIds.nonEmpty || mixedLayout) None
+        dvs.nonEmpty || mixedLayout) None
       else Some(limitFiles(spark,
         wholeDirs.flatMap { dir =>
           fs.listStatus(new HPath(dir))
@@ -4619,7 +4682,7 @@ object Warehouse {
             .map(_.getPath.toString).sorted.toSeq
         } ++ keptFiles, limit.get))
     val widens = widensOf(readSchemaOverlay(fs, path))
-    val dv = loadDv(spark, path, dvIds)
+    val dv = loadDv(spark, path, dvs)
     def readWidened(targets: Seq[String]) =
       rawRead(spark, path, targets,
         widenedScanSchema(spark, path, targets, widens), dv).drop("batch")

@@ -250,4 +250,34 @@ class WarehouseLayoutSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-null"))
   }
+
+  test("deleteWhereDv on a MIXED-layout snapshot scans each generation separately (advisor r19): no rewrite, exact survivors") {
+    val path = freshDir(); seed(path)
+    Warehouse.evolveLayout(spark, path, Seq("dt", "region"),
+      pred = kv => kv("dt") == "d1")
+    assert(layoutsOnDisk(path) == Set("dt", "dt,region"))
+    val before = rowsOf(path)
+    def dataFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path, "data"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val filesBefore = dataFiles()
+    // matches land in BOTH generations (k % 10 == 3 spans d0 and d1)
+    val n = Warehouse.deleteWhereDv(spark, path, col("k") % 10 === 3)
+    assert(n == 10L)
+    assert(dataFiles() == filesBefore,
+      "the mixed-layout DV delete must leave every data file byte-identical")
+    assert(layoutsOnDisk(path) == Set("dt", "dt,region"),
+      "a DV delete must not migrate any partition")
+    // rowsOf sorts columns by name: dt, k, name, region - k is index 1
+    val expect = before.filterNot(r => r(1).asInstanceOf[Long] % 10 == 3)
+    assert(rowsOf(path) == expect)
+    // a second DV delete stacks on the same mixed snapshot
+    assert(Warehouse.deleteWhereDv(spark, path, col("k") === 20L) == 1L)
+    assert(rowsOf(path) ==
+      expect.filterNot(r => r(1).asInstanceOf[Long] == 20L))
+  }
 }
