@@ -2586,9 +2586,10 @@ object Warehouse {
     */
   def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
                 keyCol: String, versionCol: String, partCol: String,
-                deleteCol: Option[String] = None): Unit =
+                deleteCol: Option[String] = None,
+                dvRoute: Boolean = false): Unit =
     mergeIntoHooked(spark, path, changes, keyCol, versionCol, Seq(partCol),
-      deleteCol, () => ())
+      deleteCol, () => (), dvRoute = dvRoute)
 
   def mergeInto(spark: SparkSession, path: String, changes: DataFrame,
                 keyCol: String, versionCol: String, partCols: Seq[String],
@@ -2604,7 +2605,8 @@ object Warehouse {
                 changes: DataFrame, keyCol: String, versionCol: String,
                 partCols: Seq[String], deleteCol: Option[String],
                 beforeCommit: () => Unit,
-                txn: Map[String, Long] = Map.empty): Unit = {
+                txn: Map[String, Long] = Map.empty,
+                dvRoute: Boolean = false): Unit = {
     requireSimpleCols(partCols)
     val fs = fsOf(spark, path)
     val (v, mapping, dvs) = snapshot(fs, path).getOrElse(
@@ -2621,7 +2623,75 @@ object Warehouse {
     // live key its fresh dirs could collide with - the merge
     // progressively migrates touched partitions to the new layout
     val touched = overlapClosure(mapping, tuples)
-    val baseMap = mapping.filter { case (k, _) => touched(k) }
+    // ---- deletion-vector routing (the mergeStatement block's API
+    // twin): a touched partition whose change rows are ALL tombstones
+    // takes O(deleted rows) (file, pos) sidecar entries instead of a
+    // copy-on-write rewrite — provided its chain is fold-free (a
+    // vector removes a PHYSICAL row; removing a fold winner would
+    // resurrect the version beneath) and it overlaps no rewritten key
+    // mid layout evolution. The vector deletes exactly the stored
+    // rows the fold's argmax would have dropped: a tombstone wins
+    // against a stored row iff its version is >= (struct-max ties
+    // favor the change row — the CDC arrival order); a stale
+    // tombstone deletes nothing. Assumes the merge contract's keyed
+    // table (unique keyCol) — the same assumption the read-path fold
+    // makes.
+    var dvKeys = Set.empty[String]
+    var dvAdd: Option[(String, Long)] = None
+    val changeDel0 = deleteCol.fold(lit(false))(c => coalesce(col(c), lit(false)))
+    if (dvRoute && deleteCol.isDefined) {
+      val cowSeed = partTuplesOf(changes.filter(!changeDel0), partCols) ++
+        touched.toSeq.filter(k => needsFold(mapping(k))).map(kvOf)
+      val cowClosure =
+        if (cowSeed.isEmpty) Set.empty[String]
+        else overlapClosure(mapping, cowSeed)
+      dvKeys = touched -- cowClosure
+      if (dvKeys.nonEmpty) {
+        val dvMap = mapping.filter { case (k, _) => dvKeys(k) }
+        val dv = loadDv(spark, path, dvs)
+        val widens = widensOf(readSchemaOverlay(fs, path))
+        // latest tombstone per key — change-sized, broadcast below
+        val ts = changes.filter(changeDel0)
+          .select(col(keyCol).as("_gdvk"), col(versionCol).as("_gdvv"))
+          .groupBy(col("_gdvk")).agg(max(col("_gdvv")).as("_gdvv"))
+        val matches = dvMap.toSeq.sorted
+          .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
+          .sortBy(_._1.mkString(","))
+          .map { case (_, keys) =>
+            val dirs = keys.flatMap { case (key, chain) =>
+              chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+            }
+            val lined = withLineage(rawRead(spark, path, dirs,
+              widenedScanSchema(spark, path, dirs, widens))).drop("batch")
+            val alive = dv match {
+              case None => lined
+              case Some(d) => lined.join(d,
+                lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
+                "left_anti")
+            }
+            val b = withOverlay(fs, path, alive)
+            b.join(broadcast(ts),
+              b(keyCol) === ts("_gdvk") && ts("_gdvv") >= b(versionCol),
+              "inner")
+              .select(col("_gdvf").as("file"), col("_gdvp").as("pos"))
+          }.reduce(_.union(_))
+        val dvIdNew = java.util.UUID.randomUUID().toString
+        matches.repartition(1).write.parquet(dvDir(path, dvIdNew))
+        val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvIdNew)))
+        if (n == 0L) {
+          // every tombstone was stale or keyless: nothing to delete,
+          // the partitions genuinely need no work
+          fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
+        } else if (n > dvCowFallbackRows(spark)) {
+          // the size valve (deleteWhereDvBounded's contract): rejoin
+          // the copy-on-write rewrite below
+          fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
+          dvKeys = Set.empty
+        } else dvAdd = Some((dvIdNew, n))
+      }
+    }
+    val cowTouched = touched -- dvKeys
+    val baseMap = mapping.filter { case (k, _) => cowTouched(k) }
     val base0 =
       if (baseMap.isEmpty) None
       else Some(readMapped(spark, path, baseMap, partCols, dvs))
@@ -2660,17 +2730,33 @@ object Warehouse {
       .filter(!col("_m._del"))
       .select(col(keyCol) +: col(s"_m.$versionCol") +:
         (partCols ++ dataCols).map(c => col(s"_m.$c").as(c)).toSeq: _*)
-    requireMigratableNonNull(merged, touched, partCols, "MERGE")
+    requireMigratableNonNull(merged, cowTouched, partCols, "MERGE")
     val batchId = java.util.UUID.randomUUID().toString
     merged.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/data/batch=$batchId")
     // a touched partition whose every row was tombstoned produces NO
     // rewritten dir — it must leave the mapping entirely, or the old
-    // batch's rows would resurrect
+    // batch's rows would resurrect. (Vector-routed partitions instead
+    // KEEP their entry: their files stay live under the new vector,
+    // and their tombstone rows pass through the union harmlessly — a
+    // winner or a stale loser alike is dropped by the !_del filter,
+    // never written.)
     val written = partDirs(fs, path, batchId, partCols).toSet
-    val newMapping = (mapping -- touched) ++ written.map(_ -> batchId)
+    val newMapping = (mapping -- cowTouched) ++ written.map(_ -> batchId)
     beforeCommit()
-    commit(fs, path, v + 1, newMapping, txn)
+    try commit(fs, path, v + 1, newMapping, txn,
+      dvUpdate = dvAdd.map(a => dvs :+ a))
+    catch {
+      case e: Throwable =>
+        // a lost race (the retrying wrapper re-runs against the
+        // winner's snapshot) or any other commit failure leaves the
+        // sidecar unreferenced - drop it eagerly
+        dvAdd.foreach { case (id, _) =>
+          try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+          catch { case _: java.io.IOException => () }
+        }
+        throw e
+    }
   }
 
   /** MERGE-ON-READ delta commit: land `changes` as-is under a new
@@ -2904,10 +2990,22 @@ object Warehouse {
     * residual is NOT matched — the target row falls to the BY SOURCE
     * arms and the source row to the insert arm. A NULL residual
     * counts as not-matched (SQL three-valued logic under a WHERE-like
-    * predicate). The SQL cardinality guard stays at key granularity —
-    * duplicate source keys that key-match a target row are refused
-    * even when the residual would disambiguate them (conservative and
-    * loud, never a silent wrong answer).
+    * predicate). The SQL cardinality guard follows the matching
+    * definition: key-only merges check at KEY granularity (one
+    * bounded semi-join over the change-sized source); a residual ON
+    * counts over the POST-JOIN qualified pairs (Delta parity), so
+    * duplicate source keys the residual fully disambiguates are
+    * legal — either way a double match refuses loudly, never a
+    * silent wrong answer.
+    *
+    * `dvRoute` (set by the SQL plane from TBLPROPERTIES
+    * `deletionVectors`) lets MATCHED-DELETE rows of partitions the
+    * merge otherwise leaves untouched commit as O(deleted rows)
+    * deletion-vector sidecars instead of copy-on-write rewrites —
+    * see the routing block for the exact eligibility rules (no
+    * update/insert lands in the partition, chain-free, source-level
+    * arm conditions, no BY SOURCE arms; the [[dvCowFallbackRows]]
+    * valve still applies).
     *
     * `schemaEvolution` admits assignments to columns the table does
     * not have yet (from matched-UPDATE and INSERT clauses only): the
@@ -2958,7 +3056,8 @@ object Warehouse {
       schemaEvolution: Boolean = false,
       pairValues: Set[Int] = Set.empty,
       residual: Option[Column] = None,
-      hookFor: Int => () => Unit = _ => () => ()): Unit = {
+      hookFor: Int => () => Unit = _ => () => (),
+      dvRoute: Boolean = false): Unit = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -3029,19 +3128,6 @@ object Warehouse {
       val touched =
         (if (reconcile) mapping.keySet
          else overlapClosure(mapping, sourceTuples)).toSeq.sorted
-      val baseMap = mapping.filter { case (k, _) => touched.contains(k) }
-      val base0 =
-        if (baseMap.isEmpty) None
-        else Some {
-          val b = readMapped(spark, path, baseMap, partCols, dvs)
-          // alias the target columns that pair-level / BY SOURCE
-          // expressions reference: post-join, a plain name would be
-          // ambiguous against a same-named source column, so those
-          // expressions arrive rebound to the reserved _gm_t_<name>
-          // form and resolve against these aliases only
-          targetCondCols.distinct.foldLeft(b)((d, c) =>
-            d.withColumn(s"_gm_t_$c", d(c)))
-        }
       def typeOf(c: String) = tblSchema.fields.find(_.name == c).get.dataType
       // evaluate every source-side expression over the source ONCE;
       // the computed columns carry unique names so the join below is
@@ -3077,6 +3163,129 @@ object Warehouse {
           notMatched.indices.foldLeft(when(lit(false), lit(-1))) {
             (w, j) => w.when(col(s"_gm_ic$j"), lit(j))
           }.otherwise(lit(-1)))
+      def keyCond(base: DataFrame) = targetKeys.zip(keyCols)
+        .map { case (tk, kc) => base(tk) === src(kc) }.reduce(_ && _)
+      // ---- deletion-vector routing (TBLPROPERTIES deletionVectors /
+      // dvRoute): MATCHED-DELETE rows of partitions the merge
+      // otherwise leaves alone become O(deleted rows) (file, pos)
+      // sidecar entries instead of copy-on-write partition rewrites —
+      // the CDC/GDPR shape where a tombstone-carrying source scatters
+      // deletes across a huge table. A partition stays copy-on-write
+      // when ANY source row landing in it could UPDATE or INSERT (the
+      // rewrite folds its deletes in for free — no double
+      // accounting), when its chain folds (a vector removes a
+      // PHYSICAL row, and removing a fold winner would resurrect the
+      // version beneath it), or when it overlaps a rewritten key mid
+      // layout evolution. Pair-level clause conditions and BY SOURCE
+      // arms disable routing entirely: arm choice then needs the
+      // stored row, so no source row is provably delete-only from the
+      // source frame alone.
+      val deleteIdxAll = matched.zipWithIndex.collect {
+        case ((_, None), i) => i
+      }
+      var dvAdd: Option[(String, Long)] = None
+      var dvKeys = Set.empty[String]
+      if (dvRoute && deleteIdxAll.nonEmpty && !reconcile &&
+          pairLevel.isEmpty) {
+        // a source row is provably delete-only when its first
+        // applicable matched arm (all conditions source-level here)
+        // is a DELETE arm or none, and no INSERT arm would fire were
+        // the row unmatched
+        val firstArm = matched.indices.foldLeft(
+          when(lit(false), lit(-1))) { (w, i) =>
+          w.when(col(s"_gm_c$i"), lit(i))
+        }.otherwise(lit(-1))
+        val delOnly =
+          (if (notMatched.isEmpty) lit(true)
+           else col("_gm_iact") === -1) &&
+            (firstArm === -1 ||
+              firstArm.isin(deleteIdxAll.map(Int.box): _*))
+        val cowSeed = partTuplesOf(src.filter(!delOnly), partCols) ++
+          touched.filter(k => needsFold(mapping(k))).map(kvOf)
+        val cowClosure =
+          if (cowSeed.isEmpty) Set.empty[String]
+          else overlapClosure(mapping, cowSeed)
+        dvKeys = touched.toSet -- cowClosure
+        if (dvKeys.nonEmpty) {
+          // lineage scan of the vector-routed partitions, one per
+          // layout generation (deleteWhereDvBounded's contract),
+          // inner-joined to the enriched source under the FULL ON
+          // (key equality AND the residual — a key-equal pair failing
+          // the residual is NOT matched, so it deletes nothing)
+          val dvMap = mapping.filter { case (k, _) => dvKeys(k) }
+          val dv = loadDv(spark, path, dvs)
+          val widens = widensOf(readSchemaOverlay(fs, path))
+          val pairsByRow = dvMap.toSeq.sorted
+            .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
+            .sortBy(_._1.mkString(","))
+            .map { case (_, keys) =>
+              val dirs = keys.flatMap { case (key, chain) =>
+                chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+              }
+              val lined = withLineage(rawRead(spark, path, dirs,
+                widenedScanSchema(spark, path, dirs, widens))).drop("batch")
+              val alive = dv match {
+                case None => lined
+                case Some(d) => lined.join(d,
+                  lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
+                  "left_anti")
+              }
+              val b0 = withOverlay(fs, path, alive)
+              val b = targetCondCols.distinct.foldLeft(b0)((d, c) =>
+                d.withColumn(s"_gm_t_$c", d(c)))
+              val cond = residual
+                .map(r => keyCond(b) && coalesce(r, lit(false)))
+                .getOrElse(keyCond(b))
+              b.join(src, cond, "inner")
+                .select(col("_gdvf").as("file"), col("_gdvp").as("pos"),
+                  firstArm.as("_gm_arm"))
+            }.reduce(_.unionByName(_))
+            // (file, pos) IS the target row, so the SQL cardinality
+            // rule and the fired-arm pick are one change-sized
+            // aggregation over the matched pairs
+            .groupBy(col("file"), col("pos"))
+            .agg(count(lit(1)).as("_gm_n"),
+              max(when(col("_gm_arm")
+                .isin(deleteIdxAll.map(Int.box): _*), 1).otherwise(0))
+                .as("_gm_del"))
+          val dup = pairsByRow.filter(col("_gm_n") > 1).limit(1).count()
+          require(dup == 0L,
+            "MERGE source carries rows that MATCH one target row more " +
+              "than once - a target row may match at most one source row " +
+              "(SQL cardinality rule); de-duplicate the source first")
+          val dvIdNew = java.util.UUID.randomUUID().toString
+          pairsByRow.filter(col("_gm_del") === 1)
+            .select(col("file"), col("pos"))
+            .repartition(1).write.parquet(dvDir(path, dvIdNew))
+          val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvIdNew)))
+          if (n == 0L) {
+            // matched but nothing fired a DELETE arm: the partitions
+            // genuinely need no work — they stay out of the rewrite
+            fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
+          } else if (n > dvCowFallbackRows(spark)) {
+            // the size valve (deleteWhereDvBounded's contract): a
+            // delete this large is cheaper materialized once than
+            // carried as an oversized anti-join on every read — the
+            // partitions rejoin the copy-on-write rewrite below
+            fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
+            dvKeys = Set.empty
+          } else dvAdd = Some((dvIdNew, n))
+        }
+      }
+      val cowTouched = touched.filterNot(dvKeys)
+      val baseMap = mapping.filter { case (k, _) => cowTouched.contains(k) }
+      val base0 =
+        if (baseMap.isEmpty) None
+        else Some {
+          val b = readMapped(spark, path, baseMap, partCols, dvs)
+          // alias the target columns that pair-level / BY SOURCE
+          // expressions reference: post-join, a plain name would be
+          // ambiguous against a same-named source column, so those
+          // expressions arrive rebound to the reserved _gm_t_<name>
+          // form and resolve against these aliases only
+          targetCondCols.distinct.foldLeft(b)((d, c) =>
+            d.withColumn(s"_gm_t_$c", d(c)))
+        }
       // schema evolution: a new column's stored type is its resolved
       // source type — required identical across every clause that
       // assigns it (cast explicitly otherwise); old rows read NULL
@@ -3095,8 +3304,6 @@ object Warehouse {
         org.apache.spark.sql.types.StructField(c, types.head, nullable = true)
       }
       val effFields = tblSchema.fields.toIndexedSeq ++ newFields
-      def keyCond(base: DataFrame) = targetKeys.zip(keyCols)
-        .map { case (tk, kc) => base(tk) === src(kc) }.reduce(_ && _)
       // the standard's cardinality rule: a TARGET row may be matched
       // by at most one source row — checked on the source keys that
       // actually join a target row (duplicate keys that all land in
@@ -3259,7 +3466,11 @@ object Warehouse {
           }
           anti.filter(col("_gm_iact") >= 0)
         }
-      val touchedSet = touched.toSet
+      // rewrite accounting is over the COW side only: vector-routed
+      // partitions keep their mapping entry and data files, so for
+      // the insert-collision guard and the hijack check below they
+      // count as untouched (their source rows provably never insert)
+      val touchedSet = cowTouched.toSet
       // CROSS-PARTITION duplicate guard: a source row that mis-names
       // its key's true partition is not-matched by the pruned join
       // and would INSERT a silent duplicate key. Check the insert
@@ -3319,27 +3530,32 @@ object Warehouse {
         }: _*)
       }
       // matched-only merge against partitions that don't exist yet:
-      // nothing to rewrite, nothing to insert — a no-op, like SQL
-      if (survivors.isEmpty && inserts.isEmpty) return
-      val merged = (survivors.toSeq ++ inserts.toSeq)
-        .reduce(_.unionByName(_))
-      requireMigratableNonNull(merged, touched, partCols, "MERGE")
-      val batchId = java.util.UUID.randomUUID().toString
-      merged.write.mode("overwrite").partitionBy(partCols: _*)
-        .parquet(s"$path/data/batch=$batchId")
-      val written = partDirs(fs, path, batchId, partCols).toSet
-      // an insert may NAME a brand-new partition (fine — it joins the
-      // mapping) but must never silently claim an EXISTING partition
-      // the source's partition columns did not name: that partition's
-      // base rows were not read, so mapping it to the fresh batch
-      // would drop them
-      val hijacked = written.filterNot(touchedSet).filter(mapping.contains)
-      require(hijacked.isEmpty,
-        s"MERGE inserts landed in existing partitions the source did not " +
-          s"name: ${hijacked.toSeq.sorted.mkString(", ")} - the insert " +
-          "values' partition columns must equal the source rows' own")
-      val newMapping = (mapping -- touchedSet) ++
-        written.map(_ -> batchId)
+      // nothing to rewrite, nothing to insert, nothing vectored — a
+      // no-op, like SQL
+      if (survivors.isEmpty && inserts.isEmpty && dvAdd.isEmpty) return
+      val newMapping =
+        if (survivors.isEmpty && inserts.isEmpty) mapping // DV-only merge
+        else {
+          val merged = (survivors.toSeq ++ inserts.toSeq)
+            .reduce(_.unionByName(_))
+          requireMigratableNonNull(merged, cowTouched, partCols, "MERGE")
+          val batchId = java.util.UUID.randomUUID().toString
+          merged.write.mode("overwrite").partitionBy(partCols: _*)
+            .parquet(s"$path/data/batch=$batchId")
+          val written = partDirs(fs, path, batchId, partCols).toSet
+          // an insert may NAME a brand-new partition (fine — it joins
+          // the mapping) but must never silently claim an EXISTING
+          // partition the source's partition columns did not name
+          // (vector-routed partitions included): that partition's base
+          // rows were not read, so mapping it to the fresh batch
+          // would drop them
+          val hijacked = written.filterNot(touchedSet).filter(mapping.contains)
+          require(hijacked.isEmpty,
+            s"MERGE inserts landed in existing partitions the source did not " +
+              s"name: ${hijacked.toSeq.sorted.mkString(", ")} - the insert " +
+              "values' partition columns must equal the source rows' own")
+          (mapping -- touchedSet) ++ written.map(_ -> batchId)
+        }
       // the overwrite guard's rationale, extended to the statement
       // plane (advisor r15): a tombstone-heavy source must not brick
       // the table into the read/append-refusing empty state by
@@ -3352,11 +3568,18 @@ object Warehouse {
           "overwrite() to replace the table")
       hookFor(attempt)()
       try {
-        commit(fs, path, v + 1, newMapping)
+        commit(fs, path, v + 1, newMapping,
+          dvUpdate = dvAdd.map(a => dvs :+ a))
         return
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("lost a race") =>
+          // the losing attempt's sidecar is unreferenced garbage -
+          // drop it eagerly (vacuum would sweep it anyway)
+          dvAdd.foreach { case (id, _) =>
+            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+            catch { case _: java.io.IOException => () }
+          }
           if (attempt >= maxAttempts) throw e
           attempt += 1
       }

@@ -167,6 +167,34 @@ object WarehouseQueries {
       Warehouse.deleteWhereDv(s, p, col("user_id") % 89 === 7): Unit
     }
 
+  private def m22Table(s: org.apache.spark.sql.SparkSession, d: String): String =
+    TempArtifacts.getOrBuild(s"$d#m22wh", "graft_m22wh") { p =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("dt"),
+          unix_micros(col("ts")).as("version"))
+      Warehouse.create(s, p, ev, "dt")
+      // m2's change set split into its two arms: the update merge
+      // rewrites its partitions copy-on-write (every partition
+      // carries an update row - nothing to vector), then the
+      // tombstone-only merge finds EVERY touched partition
+      // delete-only and commits one O(deleted rows) vector instead
+      // of rewriting a single file (WarehouseDvSpec pins the
+      // zero-rewrite invariant; this row pins the end state)
+      val ups = ev.filter(col("event_id") % 29 === 11 &&
+          col("event_id") % 31 =!= 7)
+        .withColumn("user_id", col("user_id") + 2000000L)
+        .withColumn("version", col("version") + 1L)
+        .withColumn("is_del", lit(false))
+      Warehouse.mergeInto(s, p, ups, "event_id", "version", "dt",
+        deleteCol = Some("is_del"), dvRoute = true)
+      val dels = ev.filter(col("event_id") % 31 === 7)
+        .withColumn("version", col("version") + 2L)
+        .withColumn("is_del", lit(true))
+      Warehouse.mergeInto(s, p, dels, "event_id", "version", "dt",
+        deleteCol = Some("is_del"), dvRoute = true)
+    }
+
   private val m9OracleSql =
     """SELECT event_id,
       |  CASE WHEN event_id % 59 = 6 THEN user_id + 5000000
@@ -1147,6 +1175,29 @@ object WarehouseQueries {
       Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS dt
              |FROM events
              |WHERE event_id % 47 <> 8 AND user_id % 89 <> 7
+             |ORDER BY event_id""".stripMargin)),
+
+    // M22 — DELETION VECTORS behind the MERGE DELETE arm: m2's CDC
+    // change set (tombstones event_id % 31 == 7, updates % 29 == 11)
+    // applied through the SAME merge plane but with dvRoute on - the
+    // tombstone-only merge commits an O(deleted rows) (file, pos)
+    // sidecar and touches NO data file, instead of rewriting every
+    // partition the scattered deletes land in. Shares m2's oracle
+    // verbatim: a green row proves DV-backed MERGE == the CoW MERGE
+    // end state (the v4/v8 shared-oracle pattern). At 100 TB this is
+    // the GDPR-through-CDC shape the reference itself embodies
+    // (New_Api_Sercom/function_app.py:309-365).
+    Q("m22_dv_merge",
+      (s, d) => {
+        Warehouse.read(s, m22Table(s, d))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 29 = 11 THEN user_id + 2000000
+             |       ELSE user_id END AS user_id,
+             |  event_type, CAST(ts AS DATE) AS dt
+             |FROM events WHERE event_id % 31 <> 7
              |ORDER BY event_id""".stripMargin)),
 
     // SQL20 — MERGE INTO as a STATEMENT: the reference's core CDC

@@ -672,6 +672,11 @@ class WarehouseTable(tableSchema: StructType,
     * feed or a time-travel view) — the only writable shape.
     */
   def isCurrentSnapshot: Boolean = !conf.changeFeed && conf.versionAsOf.isEmpty
+  /** The deletionVectors opt-in (TBLPROPERTIES or per-read option) —
+    * routes DELETE FROM and MERGE's MATCHED-DELETE arm through
+    * O(deleted rows) vector sidecars where eligible.
+    */
+  def dvDeletes: Boolean = conf.dvDeletes
   override def name(): String =
     s"graft-warehouse(${conf.path}${conf.versionAsOf.fold("")(v => s"@v$v")}" +
       s"${if (conf.changeFeed) " changeFeed" else ""})"

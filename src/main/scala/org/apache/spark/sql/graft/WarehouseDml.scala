@@ -390,10 +390,18 @@ class WarehouseDmlRule(spark: SparkSession) extends Rule[LogicalPlan]
         case other => throw new UnsupportedOperationException(
           s"unsupported WHEN NOT MATCHED action $other")
       }
+      // TBLPROPERTIES('deletionVectors'='true') (or the per-read
+      // option) routes MATCHED-DELETE rows of otherwise-untouched
+      // partitions into O(deleted rows) sidecars - the same opt-in
+      // that switches DELETE FROM to deleteWhereDv
+      val dvRoute = relation.table match {
+        case t: WarehouseTable => t.dvDeletes
+        case _ => false
+      }
       MergeWarehouseCommand(path, source, keyPairs.map(_._1),
         keyPairs.map(_._2), matched, notMatched,
         pairIdx.toSet, tCondCols.toSeq.distinct, bySource,
-        withSchemaEvolution, pairValueIdx.toSet, residual)
+        withSchemaEvolution, pairValueIdx.toSet, residual, dvRoute)
 
     case _ => plan
   }
@@ -520,7 +528,8 @@ case class MergeWarehouseCommand(path: String, source: LogicalPlan,
     notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
     schemaEvolution: Boolean = false,
     pairValues: Set[Int] = Set.empty,
-    residual: Option[Column] = None)
+    residual: Option[Column] = None,
+    dvRoute: Boolean = false)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -532,7 +541,8 @@ case class MergeWarehouseCommand(path: String, source: LogicalPlan,
       targetCondCols = targetCondCols,
       notMatchedBySource = notMatchedBySource,
       schemaEvolution = schemaEvolution,
-      pairValues = pairValues, residual = residual)
+      pairValues = pairValues, residual = residual,
+      dvRoute = dvRoute)
     Seq.empty
   }
 }

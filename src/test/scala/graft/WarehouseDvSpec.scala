@@ -302,4 +302,124 @@ class WarehouseDvSpec extends AnyFunSuite {
       assert(Warehouse.read(spark, path).count() == 499L)
     } finally spark.conf.unset("spark.graft.dv.cowFallbackRows")
   }
+
+  test("DV-routed MERGE statement == CoW MERGE: delete-only partitions take O(deletes) vectors (files untouched), update partitions rewrite") {
+    val dvT = freshDir(); val cowT = freshDir()
+    Warehouse.create(spark, dvT, seed(), "part")
+    Warehouse.create(spark, cowT, seed(), "part")
+    // updates land ONLY in p1; deletes scatter across p2 and p3
+    val src = (1L to 600L).flatMap { i =>
+      val part = s"p${(i % 3) + 1}"
+      if (part == "p1" && i % 20 == 0) Some((i, s"u$i", part, false))
+      else if (part != "p1" && i % 10 == 7) Some((i, "", part, true))
+      else None
+    }.toDF("k", "nm", "part", "is_del")
+    def runMerge(path: String, dvRoute: Boolean): Unit =
+      Warehouse.mergeStatement(spark, path, src,
+        Seq("k"), Seq(col("k")),
+        matched = Seq(
+          (Some(col("is_del")), None), // WHEN MATCHED AND is_del THEN DELETE
+          (None, Some(Seq("name" -> col("nm"))))), // WHEN MATCHED THEN UPDATE
+        notMatched = Nil, dvRoute = dvRoute)
+    def p23Files(path: String) = dataFiles(path).filter { case (f, _) =>
+      f.contains("/part=p2") || f.contains("/part=p3") }
+    val before = p23Files(dvT)
+    runMerge(dvT, dvRoute = true)
+    runMerge(cowT, dvRoute = false)
+    val a = Warehouse.read(spark, dvT).collect().map(_.toSeq).toSet
+    val b = Warehouse.read(spark, cowT).collect().map(_.toSeq).toSet
+    assert(a == b, "DV-routed and CoW merges must agree on the end state")
+    assert(activeDvIds(dvT).size == 1 && activeDvIds(cowT).isEmpty)
+    assert(p23Files(dvT) == before,
+      "delete-only partitions must keep every data file byte-identical")
+    // O(deleted rows): the sidecar is tiny next to the table
+    val sidecar = dvBytes(dvT)
+    val tableBytes = dataFiles(dvT).keys.map(f => Files.size(Paths.get(f))).sum
+    assert(sidecar > 0 && sidecar < tableBytes / 4)
+    // a second DV-routed merge STACKS on the first vector
+    val src2 = Seq((17L, "", "p3", true)).toDF("k", "nm", "part", "is_del")
+    runMerge(dvT, dvRoute = true)    // idempotent: same deletes re-match nothing
+    assert(Warehouse.read(spark, dvT).collect().map(_.toSeq).toSet == a,
+      "re-running the same merge must be a no-op on the end state")
+    Warehouse.mergeStatement(spark, dvT, src2, Seq("k"), Seq(col("k")),
+      matched = Seq((Some(col("is_del")), None)), notMatched = Nil,
+      dvRoute = true)
+    assert(Warehouse.read(spark, dvT).filter(col("k") === 17L).count() == 0L)
+  }
+
+  test("SQL MERGE DELETE arm under TBLPROPERTIES deletionVectors: delete-only partitions commit a vector, zero files touched") {
+    spark.sql("DROP TABLE IF EXISTS graft.dvspec.m")
+    spark.sql(
+      """CREATE TABLE graft.dvspec.m (k BIGINT, name STRING, part STRING)
+        |PARTITIONED BY (part)
+        |TBLPROPERTIES ('deletionVectors' = 'true')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.dvspec.m
+        |SELECT id AS k, concat('n', id) AS name,
+        |       concat('p', id % 3) AS part FROM range(300)""".stripMargin)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
+    val path = s"$root/dvspec/m"
+    // deletes only in p2; updates only in p0; p1 untouched
+    spark.sql(
+      """SELECT id AS k, concat('u', id) AS nm,
+        |       concat('p', id % 3) AS part,
+        |       id % 3 = 2 AS is_del
+        |FROM range(90)""".stripMargin).createOrReplaceTempView("dvspec_m_src")
+    def filesIn(p: String) = dataFiles(path).filter(_._1.contains(s"/part=$p"))
+    val p1Before = filesIn("p1"); val p2Before = filesIn("p2")
+    spark.sql(
+      """MERGE INTO graft.dvspec.m t USING dvspec_m_src s ON t.k = s.k
+        |WHEN MATCHED AND s.is_del THEN DELETE
+        |WHEN MATCHED AND NOT s.is_del AND s.k % 3 = 0
+        |  THEN UPDATE SET name = s.nm""".stripMargin)
+    assert(filesIn("p2") == p2Before,
+      "the delete-only partition must keep its files under a vector")
+    assert(filesIn("p1") == p1Before, "the untouched partition stays put")
+    assert(activeDvIds(path).size == 1)
+    assert(spark.table("graft.dvspec.m").count() == 270L)
+    assert(spark.sql(
+      "SELECT count(*) c FROM graft.dvspec.m WHERE k < 90 AND k % 3 = 2")
+      .as[Long].head() == 0L)
+    assert(spark.sql(
+      "SELECT count(*) c FROM graft.dvspec.m WHERE name = 'u30'")
+      .as[Long].head() == 1L, "the UPDATE arm must still fire CoW")
+    spark.sql("DROP TABLE graft.dvspec.m")
+  }
+
+  test("mergeInto DV routing: tombstone-only partitions take vectors, stale tombstones lose, end state equals the CoW merge") {
+    val dvT = freshDir(); val cowT = freshDir()
+    val df = (1L to 300L).map(i => (i, s"n$i", i, s"p${(i % 3) + 1}"))
+      .toDF("k", "name", "version", "part")
+    Warehouse.create(spark, dvT, df, "part")
+    Warehouse.create(spark, cowT, df, "part")
+    // p2 gets ONLY tombstones (some stale); p1 gets an update too
+    val changes = ((1L to 300L).flatMap { i =>
+      val part = s"p${(i % 3) + 1}"
+      if (part == "p2" && i % 10 == 4)
+        // i % 20 == 14 -> stale tombstone (version loses to stored)
+        Some((i, s"n$i", if (i % 20 == 14) 0L else i + 1L, part, true))
+      else if (part == "p1" && i % 30 == 12)
+        Some((i, s"u$i", i + 1L, part, false))
+      else None
+    }).toDF("k", "name", "version", "part", "is_del")
+    def p2Files(path: String) = dataFiles(path).filter(_._1.contains("/part=p2"))
+    val before = p2Files(dvT)
+    Warehouse.mergeInto(spark, dvT, changes, "k", "version", "part",
+      deleteCol = Some("is_del"), dvRoute = true)
+    Warehouse.mergeInto(spark, cowT, changes, "k", "version", "part",
+      deleteCol = Some("is_del"))
+    val a = Warehouse.read(spark, dvT).collect().map(_.toSeq).toSet
+    val b = Warehouse.read(spark, cowT).collect().map(_.toSeq).toSet
+    assert(a == b, "DV-routed and CoW mergeInto must agree on the end state")
+    assert(activeDvIds(dvT).size == 1 && activeDvIds(cowT).isEmpty)
+    assert(p2Files(dvT) == before,
+      "the tombstone-only partition must keep its files byte-identical")
+    val got = Warehouse.read(spark, dvT)
+    assert(got.filter(col("k") === 34L).count() == 1L,
+      "a STALE tombstone must lose the version race and delete nothing")
+    assert(got.filter(col("k") === 4L).count() == 0L,
+      "a winning tombstone deletes through the vector")
+    assert(got.filter(col("name") === "u42").count() == 1L,
+      "the update partition still merges copy-on-write")
+  }
 }
