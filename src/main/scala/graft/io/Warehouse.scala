@@ -2388,7 +2388,20 @@ object Warehouse {
     * batch by re-merging version N's rows. Fails loudly when `n` was
     * never committed or its files were vacuumed away.
     */
-  def readVersion(spark: SparkSession, path: String, n: Long): DataFrame = {
+  def readVersion(spark: SparkSession, path: String, n: Long): DataFrame =
+    readVersion(spark, path, n, None)
+
+  /** [[readVersion]] restricted to `onlyParts` partition keys — the
+    * initial-snapshot paging plane ([[graft.sources.warehouse
+    * .WarehouseStreamSource]]'s `maxBytesPerTrigger`): partition keys
+    * name disjoint physical row sets, so partition-disjoint sub-reads
+    * of ONE snapshot union to exactly the full snapshot —
+    * exactly-once holds across sub-pages. The vacuum check stays over
+    * the FULL mapping: a partially-vacuumed snapshot must fail the
+    * first sub-page loudly, not deliver some pages and crash later.
+    */
+  private[graft] def readVersion(spark: SparkSession, path: String, n: Long,
+                                 onlyParts: Option[Set[String]]): DataFrame = {
     val fs = fsOf(spark, path)
     val mapping = visibleMappingAt(fs, path, n)
       .getOrElse(throw new IllegalStateException(
@@ -2402,8 +2415,36 @@ object Warehouse {
               s"(batch=$b/$key) - history before the last vacuum is gone")
       }
     }
-    readMapped(spark, path, mapping, partColsOf(mapping),
+    val sub = onlyParts.fold(mapping)(ps =>
+      mapping.filter { case (k, _) => ps(k) })
+    if (sub.isEmpty)
+      // an empty page keeps the snapshot schema (partCols off the
+      // full mapping - the paging caller never asks for this, but a
+      // replayed empty group set must not throw)
+      return readMapped(spark, path, mapping, partColsOf(mapping), Nil)
+        .filter(lit(false))
+    readMapped(spark, path, sub, partColsOf(mapping),
       visibleDvAt(fs, path, n))
+  }
+
+  /** Per-partition byte sizes of the FULL snapshot at version `n` —
+    * the initial-snapshot paging stats ([[readVersion]]'s onlyParts
+    * twin). Fails loudly on an unreadable partition dir: the paging
+    * grouping must be a pure function of immutable state, and a
+    * vacuumed-away dir silently sized 0 would silently regroup a
+    * replay.
+    */
+  private[graft] def snapshotPageStats(spark: SparkSession, path: String,
+                                       n: Long): Seq[(String, Long)] = {
+    val fs = fsOf(spark, path)
+    val mapping = visibleMappingAt(fs, path, n).getOrElse(
+      throw new IllegalStateException(s"no committed version $n under $path"))
+    mapping.toSeq.sorted.map { case (key, chain) =>
+      key -> chainOf(chain).map { b =>
+        fs.listStatus(new HPath(s"$path/data/batch=$b/$key"))
+          .filter(_.isFile).map(_.getLen).sum
+      }.sum
+    }
   }
 
   /** Reclaim history: delete every version file but the newest and
@@ -3773,8 +3814,21 @@ object Warehouse {
           .flatMap(chainOf).distinct
         val bytes = links.map { b =>
           val dir = new HPath(s"$path/data/batch=$b/$key")
+          // fail LOUDLY on an unreadable dir (vacuumed between
+          // checkpoint and replay): the paging grouping is promised
+          // to be a pure function of immutable manifests + the
+          // offset's budget, and a dir silently sized 0 would
+          // silently REGROUP a replayed sub-page into double- or
+          // under-delivery — the same contract changes() enforces
+          // for vacuumed data (advisor r19)
           try fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
-          catch { case _: java.io.IOException => 0L }
+          catch {
+            case e: java.io.IOException => throw new IllegalStateException(
+              s"commit $n of $path references unreadable data " +
+                s"(batch=$b/$key) while computing paging stats - history " +
+                "before the last vacuum is gone; keep retention ahead of " +
+                s"the slowest stream consumer", e)
+          }
         }.sum
         key -> bytes
       }

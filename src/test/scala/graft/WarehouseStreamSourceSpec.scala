@@ -317,4 +317,73 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Update"),
       s"Update+append must refuse loudly, got: ${ex.getMessage}")
   }
+
+  test("initial snapshot pages under maxBytesPerTrigger: a fresh multi-partition stream drains across >= 2 micro-batches, exactly once") {
+    val path = freshTable((0 until 12).map(i =>
+      (i.toLong, s"n$i", 1L, s"d${i % 4 + 1}")))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val batches = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxBytesPerTrigger" -> "1"))
+    assert(batches.size >= 2,
+      s"a fresh snapshot over budget must drain across >= 2 micro-batches, got ${batches.size}")
+    val all = batches.flatten
+    assert(all.size == 12,
+      s"exactly-once: every snapshot row exactly once, got ${all.size}")
+    assert(keyNames(all) == (0 until 12).map(i => (i.toLong, s"n$i")).toSet)
+    // after the paged snapshot completes, change commits still stream
+    Warehouse.append(spark, path,
+      Seq((100L, "post", 1L, "d1")).toDF("k", "name", "ver", "part"))
+    val more = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxBytesPerTrigger" -> "1"))
+    assert(keyNames(more.flatten) == Set((100L, "post")),
+      "post-snapshot commits must deliver as ordinary change pages")
+  }
+
+  test("mid-snapshot crash + restart (even under a CHANGED budget) replays the checkpointed sub-page and finishes exactly once") {
+    val path = freshTable((0 until 12).map(i =>
+      (i.toLong, s"n$i", 1L, s"d${i % 4 + 1}")))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    // run 1: crash after micro-batch 0's offset is logged but before
+    // its commit - the classic mid-snapshot death
+    val buf1 = ListBuffer[Seq[Row]]()
+    val q1 = spark.readStream.format("graft-warehouse")
+      .options(Map("keyCol" -> "k", "maxBytesPerTrigger" -> "1")).load(path)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        buf1 += b.collect().toSeq
+        if (id == 0L) throw new RuntimeException("injected mid-snapshot crash")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    intercept[StreamingQueryException] { q1.awaitTermination() }
+    assert(buf1.nonEmpty && buf1.head.size < 12,
+      "the crash must land mid-snapshot, after a PARTIAL first page")
+    // run 2 restarts with a DIFFERENT budget: the offset-recorded
+    // budget must reproduce the original grouping (a re-derived
+    // grouping would double- or under-deliver)
+    val batches2 = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxBytesPerTrigger" -> (64L << 20).toString))
+    assert(keyNames(batches2.head) == keyNames(buf1.head),
+      "the replayed batch 0 must be byte-for-byte the checkpointed sub-page")
+    assert(keyNames(batches2.flatten) ==
+      (0 until 12).map(i => (i.toLong, s"n$i")).toSet,
+      "the restarted drain must complete the snapshot exactly once")
+    assert(batches2.flatten.size == 12)
+  }
+
+  test("a corrupt paged offset (missing budget segment) fails loudly instead of regrouping silently") {
+    val e = intercept[IllegalStateException] {
+      graft.sources.warehouse.WarehouseStreamSource.parsePos("7#2")
+    }
+    assert(e.getMessage.contains("corrupt"))
+    // the three legal encodings parse
+    assert(graft.sources.warehouse.WarehouseStreamSource.parsePos("7") ==
+      ((7L, -1, -1L, false)))
+    assert(graft.sources.warehouse.WarehouseStreamSource.parsePos("7#2#1024") ==
+      ((7L, 2, 1024L, false)))
+    assert(graft.sources.warehouse.WarehouseStreamSource
+      .parsePos("7#2#1024#snap") == ((7L, 2, 1024L, true)))
+  }
 }
