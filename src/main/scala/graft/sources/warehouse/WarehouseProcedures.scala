@@ -63,16 +63,88 @@ object WarehouseProcedures {
 
   /** OPEN SQL cross-table transactions (begin_txn → stage_write* →
     * commit_txn): per txn id, the ordered (table path, source view,
-    * overwrite) triples. PURE driver metadata — the view's DATA is
-    * resolved and written only when commit_txn calls
-    * [[Warehouse.transact]], so a session that dies before commit_txn
-    * leaves ZERO state on any filesystem (the strongest
-    * crash-before-flip guarantee: there is nothing to clean). A crash
-    * DURING commit_txn is the API transact's crash, recovered by
-    * `abort_txn` exactly as for API callers.
+    * overwrite) triples. The view's DATA is resolved and written only
+    * when commit_txn calls [[Warehouse.transact]]; a crash DURING
+    * commit_txn is the API transact's crash, recovered by `abort_txn`
+    * exactly as for API callers.
+    *
+    * When the session configures
+    * `spark.sql.catalog.graft.warehouseRoot`, registrations PERSIST
+    * as handle files under `<root>/_txn/<id>` (tmp-write + rename per
+    * update), so a transaction begun in one session can be staged and
+    * committed from ANOTHER session — provided the staged view names
+    * resolve there (temp views are session objects; use global temp
+    * views or tables for cross-session handoff) — and a driver crash
+    * leaves a visible, sweepable handle instead of a silently dropped
+    * registration: `CALL graft.system.vacuum` sweeps orphaned handles
+    * older than `min_age_ms` (the same exclusive-access caveat as the
+    * data vacuum: 0 sweeps handles another session may still be
+    * staging). Without a configured root the registry is in-JVM only:
+    * begin_txn sweeps entries older than `spark.graft.txn.ttlMs`
+    * (default 24h) so abandoned handles cannot accumulate for the
+    * driver's lifetime, and rollback_txn releases one eagerly
+    * (advisor r19).
     */
   private val openTxns = new java.util.concurrent.ConcurrentHashMap[
     String, Vector[(String, String, Boolean)]]()
+  private val txnCreated =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def txnRoot(spark: SparkSession): Option[org.apache.hadoop.fs.Path] =
+    spark.conf.getOption("spark.sql.catalog.graft.warehouseRoot")
+      .map(r => new org.apache.hadoop.fs.Path(s"$r/_txn"))
+
+  private def txnFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist a handle's full stage list (tmp-write + rename — readers
+    * never see a torn file). Last-writer-wins on concurrent
+    * stage_write to one id, like any shared mutable handle.
+    */
+  private def writeHandle(spark: SparkSession, id: String,
+                          writes: Vector[(String, String, Boolean)]): Unit = {
+    val root = txnRoot(spark).get
+    val fs = txnFs(spark, root)
+    fs.mkdirs(root): Unit
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(writes.map { case (t, v, ow) =>
+      require(!t.exists("\t\n".contains(_)) && !v.exists("\t\n".contains(_)),
+        "staged table/view names must not contain tab or newline")
+      s"stage\t$t\t$v\t$ow"
+    }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, id)
+    if (fs.exists(dst)) fs.delete(dst, false): Unit
+    require(fs.rename(tmp, dst), s"could not publish txn handle $dst")
+  }
+
+  private def readHandle(spark: SparkSession,
+      id: String): Option[Vector[(String, String, Boolean)]] =
+    txnRoot(spark).flatMap { root =>
+      val fs = txnFs(spark, root)
+      val p = new org.apache.hadoop.fs.Path(root, id)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(content.split("\n").toVector.filter(_.startsWith("stage\t"))
+          .map { l =>
+            val a = l.split("\t", 4)
+            (a(1), a(2), a(3).toBoolean)
+          })
+      }
+    }
+
+  private def dropHandle(spark: SparkSession, id: String): Boolean =
+    txnRoot(spark).exists { root =>
+      val fs = txnFs(spark, root)
+      val p = new org.apache.hadoop.fs.Path(root, id)
+      fs.exists(p) && fs.delete(p, false)
+    }
 
   private def utf8(s: String) =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -180,7 +252,24 @@ object WarehouseProcedures {
     private val out = StructType(Seq(StructField("reclaimed", IntegerType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
-      result(out, Warehouse.vacuum(spark, pathArg(input), input.getLong(1)))
+      val minAge = input.getLong(1)
+      val reclaimed = Warehouse.vacuum(spark, pathArg(input), minAge)
+      // also sweep ORPHANED cross-table txn handles past the same
+      // retention: a driver that died between begin_txn and
+      // commit_txn leaves a handle file under <root>/_txn - visible,
+      // abortable, and reclaimed here (same exclusive-access caveat
+      // as min_age_ms = 0 on data: another session may still be
+      // staging a young handle)
+      val sweptTxn = txnRoot(spark).map { root =>
+        val fs = txnFs(spark, root)
+        if (!fs.exists(root)) 0
+        else fs.listStatus(root).count { st =>
+          st.isFile && !st.getPath.getName.startsWith(".") &&
+            System.currentTimeMillis() - st.getModificationTime >= minAge &&
+            fs.delete(st.getPath, false)
+        }
+      }.getOrElse(0)
+      result(out, reclaimed + sweptTxn)
     }
   }
 
@@ -306,8 +395,22 @@ object WarehouseProcedures {
     override def parameters: Array[ProcedureParameter] = Array.empty
     private val out = StructType(Seq(StructField("txn", StringType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
       val id = java.util.UUID.randomUUID().toString
-      openTxns.put(id, Vector.empty): Unit
+      txnRoot(spark) match {
+        case Some(_) => writeHandle(spark, id, Vector.empty)
+        case None =>
+          // in-JVM fallback: sweep abandoned registrations past TTL
+          // so they cannot accumulate for the driver's lifetime
+          val ttl = spark.conf.getOption("spark.graft.txn.ttlMs")
+            .map(_.toLong).getOrElse(86400000L)
+          val cutoff = System.currentTimeMillis() - ttl
+          txnCreated.forEach { (k, t) =>
+            if (t < cutoff) { openTxns.remove(k): Unit; txnCreated.remove(k): Unit }
+          }
+          openTxns.put(id, Vector.empty): Unit
+          txnCreated.put(id, System.currentTimeMillis()): Unit
+      }
       result(out, utf8(id))
     }
   }
@@ -337,14 +440,22 @@ object WarehouseProcedures {
         .filter(_.nonEmpty).getOrElse(
           throw new IllegalArgumentException("stage_write needs view => …"))
       val overwrite = !input.isNullAt(3) && input.getBoolean(3)
+      val spark = SparkSession.active
       // fail AT STAGE TIME for an unknown view - a commit-time
       // resolution error would abort the whole transaction later
-      SparkSession.active.table(view).schema: Unit
-      val updated = openTxns.computeIfPresent(id,
-        (_, ws) => ws :+ ((table, view, overwrite)))
-      require(updated != null,
-        s"no open transaction '$id' - CALL graft.system.begin_txn() first")
-      result(out, utf8(id), updated.length)
+      spark.table(view).schema: Unit
+      readHandle(spark, id) match {
+        case Some(ws) =>
+          val updated = ws :+ ((table, view, overwrite))
+          writeHandle(spark, id, updated)
+          result(out, utf8(id), updated.length)
+        case None =>
+          val updated = openTxns.computeIfPresent(id,
+            (_, ws) => ws :+ ((table, view, overwrite)))
+          require(updated != null,
+            s"no open transaction '$id' - CALL graft.system.begin_txn() first")
+          result(out, utf8(id), updated.length)
+      }
     }
   }
 
@@ -365,15 +476,20 @@ object WarehouseProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val id = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
-      val writes = Option(openTxns.get(id)).getOrElse(
-        throw new IllegalArgumentException(
-          s"no open transaction '$id' - begin_txn/stage_write first"))
+      val writes = readHandle(spark, id)
+        .orElse(Option(openTxns.get(id))).getOrElse(
+          throw new IllegalArgumentException(
+            s"no open transaction '$id' - begin_txn/stage_write first"))
       require(writes.nonEmpty, s"transaction '$id' staged no writes")
       val marker = Warehouse.transact(spark, writes.map {
         case (path, view, ow) =>
           Warehouse.TxnWrite(path, spark.table(view), overwrite = ow)
       })
+      // success consumes the registration (file handle or in-JVM);
+      // on FAILURE both survive, so the statement can be retried
+      dropHandle(spark, id): Unit
       openTxns.remove(id): Unit
+      txnCreated.remove(id): Unit
       result(out, utf8(marker), writes.length)
     }
   }
@@ -390,7 +506,10 @@ object WarehouseProcedures {
     private val out = StructType(Seq(StructField("rolled_back", BooleanType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val id = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
-      result(out, openTxns.remove(id) != null)
+      val file = dropHandle(SparkSession.active, id)
+      val mem = openTxns.remove(id) != null
+      txnCreated.remove(id): Unit
+      result(out, file || mem)
     }
   }
 

@@ -250,4 +250,60 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     WarehouseProcedures.names.foreach(n =>
       assert(listed.contains(n), s"SHOW PROCEDURES must list $n, got:\n$listed"))
   }
+
+  test("txn handles PERSIST under <root>/_txn: a transaction begun in one session stages and commits from a DIFFERENT session") {
+    val root = Files.createTempDirectory("graft_proc_txn5").toString
+    val a = s"$root/a"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    // a GLOBAL temp view - visible from the second session (temp views
+    // are session objects; the handle file carries only the NAME)
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceGlobalTempView("txn_src_x")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'global_temp.txn_src_x')").collect()
+    // a SECOND session (fresh SessionState, same catalog conf) sees
+    // and consumes the persisted handle
+    val other = spark.newSession()
+    val row = other.sql(s"CALL graft.system.commit_txn(txn => '$txn')")
+      .collect().head
+    assert(row.getInt(1) == 1)
+    assert(Warehouse.read(spark, a).count() == 2L,
+      "the cross-session commit must have flipped the table")
+    // consumed everywhere: a re-commit refuses in BOTH sessions
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+    assert(e.getMessage.contains("no open transaction"))
+  }
+
+  test("a driver crash between begin_txn and commit_txn leaves a sweepable handle: vacuum reclaims it, commit then refuses") {
+    val root = Files.createTempDirectory("graft_proc_txn6").toString
+    val a = s"$root/a"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_crash")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'txn_src_crash')").collect()
+    // the handle is VISIBLE on disk (a crashed driver leaves exactly
+    // this state - no in-JVM registration to lose)
+    val whRoot = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
+    val handle = java.nio.file.Paths.get(whRoot, "_txn", txn)
+    assert(Files.exists(handle), "begin_txn must persist a handle file")
+    // --- simulated crash: the staging session does nothing further ---
+    val reclaimed = spark.sql(
+      s"CALL graft.system.vacuum(table => '$a', min_age_ms => 0)")
+      .as[Int].head()
+    assert(reclaimed >= 1, "vacuum must sweep the orphaned txn handle")
+    assert(!Files.exists(handle))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+    assert(e.getMessage.contains("no open transaction"))
+    assert(Warehouse.read(spark, a).count() == 1L,
+      "nothing was written before commit - the crash left zero data state")
+  }
 }
