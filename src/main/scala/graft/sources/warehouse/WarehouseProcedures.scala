@@ -554,14 +554,20 @@ object WarehouseProcedures {
         "one atomic commit (Iceberg-style partition-spec evolution)"
     override def parameters: Array[ProcedureParameter] = Array(
       in("table", StringType),
-      in("part_cols", StringType))
+      in("part_cols", StringType),
+      inDefault("sort_col", StringType, "''"),
+      inDefault("zorder_cols", StringType, "''"),
+      inDefault("target_bytes", LongType, "CAST(67108864 AS BIGINT)"))
     private val out = StructType(Seq(
       StructField("rewritten", IntegerType), StructField("version", LongType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val path = pathArg(input)
       val cols = csv(input, 1)
-      val n = Warehouse.evolveLayout(spark, path, cols)
+      val sortCol = csv(input, 2).headOption
+      val n = Warehouse.evolveLayout(spark, path, cols,
+        sortCol = sortCol, zorderCols = csv(input, 3),
+        targetBytes = input.getLong(4))
       result(out, n, Warehouse.currentVersion(spark, path))
     }
   }
