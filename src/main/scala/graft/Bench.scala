@@ -192,6 +192,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }
     val remeasured = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val originalMedians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val suspects = timings.keys.filter(n =>
       profile.get(n).exists(p => timings(n) > 2.0 * p)).toSeq
     if (suspects.nonEmpty) {
@@ -204,7 +205,10 @@ object Bench {
           remeasured(name) = extra
           // the quiet re-measured median IS the reported value: lower
           // when the spike was contention, still high when the
-          // regression is real
+          // regression is real. The ORIGINAL pass median rides along
+          // in "pass_medians" so graders see both numbers, not just
+          // the raw runs (advisor r19).
+          originalMedians(name) = timings(name)
           timings(name) = median(extra)
           minT(name) = math.min(minT(name), extra.min)
           allRuns(name) = allRuns(name) ++ extra
@@ -232,7 +236,9 @@ object Bench {
       else remeasured.map { case (k, v) =>
         s"${jstr(k)}:${v.map(num).mkString("[", ",", "]")}"
       }.mkString(""","remeasured":{""", ",", "}") +
-        remeasured.keys.map(jstr).mkString(""","adjudicated":[""", ",", "]")
+        remeasured.keys.map(jstr).mkString(""","adjudicated":[""", ",", "]") +
+        originalMedians.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+          .mkString(""","pass_medians":{""", ",", "}")
     val total = timings.values.sum
     val totalMin = minT.values.sum
     val ctl = s"""{"runs":${controlRuns.map(num).mkString("[", ",", "]")},""" +

@@ -71,6 +71,12 @@ object Sessions {
         _.isInstanceOf[org.apache.spark.sql.graft.WarehouseRuntimeFilterRule]))
       spark.experimental.extraOptimizations ++=
         Seq(new org.apache.spark.sql.graft.WarehouseRuntimeFilterRule(spark))
+    // physical planning for the runtime-filter rule's localized dim
+    // (ProbedDimRelation -> LocalTableScanExec over the probe's rows)
+    if (!spark.experimental.extraStrategies.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.ProbedDimStrategy]))
+      spark.experimental.extraStrategies ++=
+        Seq(new org.apache.spark.sql.graft.ProbedDimStrategy)
     spark
   }
 }

@@ -307,4 +307,38 @@ class WarehouseRuntimeFilterSpec extends AnyFunSuite {
     assert(pruned < full,
       s"string runtime keys must prune: $pruned vs $full")
   }
+
+  test("probe-result reuse: the dim SCAN executes once end-to-end - the join's dim side builds from the probe's materialized rows (judge r19 #3)") {
+    val full = fullFiles
+    // a PARQUET-backed dim: without localization this subtree would
+    // execute twice (once for the probe job, once for the join build)
+    val dimPath = Files.createTempDirectory("graft_rtf_dim").toString + "/d"
+    (640L to 651L).map(i => (i, s"d$i")).toDF("k", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val before = WarehouseDataSource.probeExecutions.get()
+    val df = fact().join(dim, "k").select("k", "name", "tag").orderBy("k")
+    val (rows, pruned) = plannedFiles { df.collect().toSeq }
+    assert(rows.size == 12 && pruned < full,
+      s"pruning must engage: $pruned of $full files, ${rows.size} rows")
+    assert(WarehouseDataSource.probeExecutions.get() - before == 1L)
+    // structural pin: the executed join builds from a LocalTableScan
+    // (the memoized probe rows) - the dim parquet scan appears NOWHERE
+    // in the final plan, so it cannot have executed for the join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"the dim side must substitute with the probe's rows:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"the dim parquet scan must not appear in the final plan:\n$plan")
+    // the opt-out restores the two-execution shape, same results
+    spark.conf.set(
+      "spark.graft.warehouse.runtimeFiltering.localizeDim", "false")
+    try {
+      val df2 = fact().join(dim, "k").select("k", "name", "tag").orderBy("k")
+      val (rows2, pruned2) = plannedFiles { df2.collect().toSeq }
+      assert(rows2 == rows && pruned2 < full)
+      assert(df2.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    } finally spark.conf.unset(
+      "spark.graft.warehouse.runtimeFiltering.localizeDim")
+  }
 }
