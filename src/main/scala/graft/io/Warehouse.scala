@@ -1959,61 +1959,23 @@ object Warehouse {
       var dvAdd: Option[(String, Long)] = None
       var dvDeleted = 0L
       if (pureT.nonEmpty) {
-        val dv = loadDv(spark, path, dvs)
-        val widens = widensOf(readSchemaOverlay(fs, path))
-        // one lineage scan per LAYOUT GENERATION (readMapped's
-        // contract): mid partition-spec evolution the pure set spans
-        // keys of different dir depths/columns, and Spark's
-        // partition-dir inference needs a uniform structure under one
-        // basePath — a single scan across generations throws
-        // "conflicting partition column names". The matched
-        // (file, pos) frames union exactly: lineage is
-        // layout-independent.
-        val matches = pureT.toSeq.sorted
-          .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
-          .sortBy(_._1.mkString(","))
-          .map { case (_, keys) =>
-            val dirs = keys.flatMap { case (key, chain) =>
-              chainOf(chain).map(b => s"$path/data/batch=$b/$key")
-            }
-            // the pure branch of readMapped with row LINEAGE kept:
-            // attach (file, pos) off the scan, subtract already-
-            // deleted rows, THEN apply the DDL overlay (overlay ops
-            // touch only logical columns) so `pred` sees exactly the
-            // logical table
-            val lined = withLineage(rawRead(spark, path, dirs,
-              widenedScanSchema(spark, path, dirs, widens))).drop("batch")
-            val alive = dv match {
-              case None => lined
-              case Some(d) => lined.join(d,
-                lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
-                "left_anti")
-            }
-            withOverlay(fs, path, alive).filter(pred)
-              .select(col("_gdvf").as("file"), col("_gdvp").as("pos"))
-          }.reduce(_.union(_))
-        val dvId = java.util.UUID.randomUUID().toString
-        // the sidecar lands as ONE compact file: the repartition
-        // shuffles only the MATCHED rows (16 bytes each - the scan
-        // itself keeps full parallelism upstream), and readers
-        // broadcast the result, so a single file is the right read
-        // shape. Deletes so large that one O(deletes) file hurts are
-        // exactly the ones [[deleteWhere]]'s partition rewrite serves
-        // better — ENFORCED below by the [[dvCowFallbackRows]] valve.
-        matches.repartition(1).write.parquet(dvDir(path, dvId))
-        val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvId)))
-        if (n == 0L) { fs.delete(new HPath(dvDir(path, dvId)), true): Unit }
-        else if (n > dvCowFallbackRows(spark)) {
-          // size valve: a delete this large is cheaper materialized
-          // once (partition rewrite) than carried as a permanent
-          // oversized anti-join build on every future read — drop the
-          // oversize sidecar (nothing committed yet) and run the
-          // whole statement copy-on-write
-          fs.delete(new HPath(dvDir(path, dvId)), true): Unit
-          return deleteWhereBounded(spark, path, pred, bounds,
-            maxAttempts, hookFor)
+        // one lineage scan per LAYOUT GENERATION with existing
+        // vectors subtracted and the DDL overlay applied, so `pred`
+        // sees exactly the logical table ([[dvLineageMatches]])
+        val matches = dvLineageMatches(spark, path, pureT, dvs)(live =>
+          live.filter(pred)
+            .select(col("_gdvf").as("file"), col("_gdvp").as("pos")))
+        writeDvSidecar(spark, path, matches) match {
+          case DvEmpty => ()
+          case DvOversize =>
+            // size valve: a delete this large is cheaper materialized
+            // once (partition rewrite) than carried as a permanent
+            // oversized anti-join build on every read - run the whole
+            // statement copy-on-write (nothing committed yet)
+            return deleteWhereBounded(spark, path, pred, bounds,
+              maxAttempts, hookFor)
+          case DvWritten(id, n) => dvAdd = Some((id, n)); dvDeleted = n
         }
-        else { dvAdd = Some((dvId, n)); dvDeleted = n }
       }
       // ---- copy-on-write arm: folded partitions rewrite ----
       var cowDeleted = 0L
@@ -2192,6 +2154,74 @@ object Warehouse {
   private def dvCowFallbackRows(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.dv.cowFallbackRows")
       .map(_.toLong).getOrElse(33554432L)
+
+  /** Shared result of [[writeDvSidecar]]: nothing matched, the valve
+    * fired (the caller falls back to copy-on-write), or a committed
+    * sidecar of `rows` entries.
+    */
+  private sealed trait DvSidecar
+  private case object DvEmpty extends DvSidecar
+  private case object DvOversize extends DvSidecar
+  private final case class DvWritten(id: String, rows: Long) extends DvSidecar
+
+  /** The shared LINEAGE-scan half of every vector-producing path
+    * (deleteWhereDv, the MERGE delete-arm routing, the mergeInto
+    * tombstone routing): scan `dvMap`'s pure partitions one layout
+    * generation at a time (Spark's partition-dir inference needs a
+    * uniform structure per basePath — a single scan across
+    * generations throws "conflicting partition column names"), attach
+    * (file, pos) off the parquet metadata struct, subtract
+    * already-deleted rows, apply the DDL overlay, and let `matcher`
+    * turn each generation's LIVE logical frame (lineage columns
+    * `_gdvf`/`_gdvp` still attached) into its matched rows. The
+    * per-generation frames union by name.
+    */
+  private def dvLineageMatches(spark: SparkSession, path: String,
+      dvMap: Map[String, String], dvs: Seq[(String, Long)])(
+      matcher: DataFrame => DataFrame): DataFrame = {
+    val fs = fsOf(spark, path)
+    val dv = loadDv(spark, path, dvs)
+    val widens = widensOf(readSchemaOverlay(fs, path))
+    dvMap.toSeq.sorted
+      .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
+      .sortBy(_._1.mkString(","))
+      .map { case (_, keys) =>
+        val dirs = keys.flatMap { case (key, chain) =>
+          chainOf(chain).map(b => s"$path/data/batch=$b/$key")
+        }
+        val lined = withLineage(rawRead(spark, path, dirs,
+          widenedScanSchema(spark, path, dirs, widens))).drop("batch")
+        val alive = dv match {
+          case None => lined
+          case Some(d) => lined.join(d,
+            lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
+            "left_anti")
+        }
+        matcher(withOverlay(fs, path, alive))
+      }.reduce(_.unionByName(_))
+  }
+
+  /** Write a `(file, pos)` frame as ONE compact sidecar file and
+    * adjudicate it: the repartition shuffles only the MATCHED rows
+    * (16 bytes each — the scan keeps full parallelism upstream), and
+    * readers broadcast the result, so a single file is the right read
+    * shape. An empty result or one over the [[dvCowFallbackRows]]
+    * valve drops the sidecar (nothing was committed yet) and reports
+    * which, so the caller can skip the partitions or fall back to the
+    * copy-on-write rewrite.
+    */
+  private def writeDvSidecar(spark: SparkSession, path: String,
+                             matches: DataFrame): DvSidecar = {
+    val fs = fsOf(spark, path)
+    val id = java.util.UUID.randomUUID().toString
+    matches.repartition(1).write.parquet(dvDir(path, id))
+    val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, id)))
+    if (n == 0L) { fs.delete(new HPath(dvDir(path, id)), true): Unit; DvEmpty }
+    else if (n > dvCowFallbackRows(spark)) {
+      fs.delete(new HPath(dvDir(path, id)), true): Unit
+      DvOversize
+    } else DvWritten(id, n)
+  }
 
   /** The union of the named deletion-vector sidecars as one small
     * `(file, pos)` frame — None when the active list is empty, so the
@@ -2715,9 +2745,12 @@ object Warehouse {
     // makes.
     var dvKeys = Set.empty[String]
     var dvAdd: Option[(String, Long)] = None
+    var dvOnlyChanges = false
     val changeDel0 = deleteCol.fold(lit(false))(c => coalesce(col(c), lit(false)))
     if (dvRoute && deleteCol.isDefined) {
-      val cowSeed = partTuplesOf(changes.filter(!changeDel0), partCols) ++
+      val cowTuples = partTuplesOf(changes.filter(!changeDel0), partCols)
+      dvOnlyChanges = cowTuples.isEmpty
+      val cowSeed = cowTuples ++
         touched.toSeq.filter(k => needsFold(mapping(k))).map(kvOf)
       val cowClosure =
         if (cowSeed.isEmpty) Set.empty[String]
@@ -2725,50 +2758,51 @@ object Warehouse {
       dvKeys = touched -- cowClosure
       if (dvKeys.nonEmpty) {
         val dvMap = mapping.filter { case (k, _) => dvKeys(k) }
-        val dv = loadDv(spark, path, dvs)
-        val widens = widensOf(readSchemaOverlay(fs, path))
-        // latest tombstone per key — change-sized, broadcast below
+        // latest tombstone per key — change-sized, broadcast below; a
+        // tombstone wins against a stored row iff its version is >=
+        // (struct-max ties favor the change row, the CDC order)
         val ts = changes.filter(changeDel0)
           .select(col(keyCol).as("_gdvk"), col(versionCol).as("_gdvv"))
           .groupBy(col("_gdvk")).agg(max(col("_gdvv")).as("_gdvv"))
-        val matches = dvMap.toSeq.sorted
-          .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
-          .sortBy(_._1.mkString(","))
-          .map { case (_, keys) =>
-            val dirs = keys.flatMap { case (key, chain) =>
-              chainOf(chain).map(b => s"$path/data/batch=$b/$key")
-            }
-            val lined = withLineage(rawRead(spark, path, dirs,
-              widenedScanSchema(spark, path, dirs, widens))).drop("batch")
-            val alive = dv match {
-              case None => lined
-              case Some(d) => lined.join(d,
-                lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
-                "left_anti")
-            }
-            val b = withOverlay(fs, path, alive)
-            b.join(broadcast(ts),
-              b(keyCol) === ts("_gdvk") && ts("_gdvv") >= b(versionCol),
-              "inner")
-              .select(col("_gdvf").as("file"), col("_gdvp").as("pos"))
-          }.reduce(_.union(_))
-        val dvIdNew = java.util.UUID.randomUUID().toString
-        matches.repartition(1).write.parquet(dvDir(path, dvIdNew))
-        val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvIdNew)))
-        if (n == 0L) {
-          // every tombstone was stale or keyless: nothing to delete,
-          // the partitions genuinely need no work
-          fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
-        } else if (n > dvCowFallbackRows(spark)) {
-          // the size valve (deleteWhereDvBounded's contract): rejoin
-          // the copy-on-write rewrite below
-          fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
-          dvKeys = Set.empty
-        } else dvAdd = Some((dvIdNew, n))
+        val matches = dvLineageMatches(spark, path, dvMap, dvs)(b =>
+          b.join(broadcast(ts),
+            b(keyCol) === ts("_gdvk") && ts("_gdvv") >= b(versionCol),
+            "inner")
+            .select(col("_gdvf").as("file"), col("_gdvp").as("pos")))
+        writeDvSidecar(spark, path, matches) match {
+          case DvEmpty =>
+            // every tombstone was stale or keyless: nothing to
+            // delete, the partitions genuinely need no work
+            ()
+          case DvOversize =>
+            // the size valve (deleteWhereDvBounded's contract):
+            // rejoin the copy-on-write rewrite below
+            dvKeys = Set.empty
+          case DvWritten(id, n) => dvAdd = Some((id, n))
+        }
       }
     }
     val cowTouched = touched -- dvKeys
     val baseMap = mapping.filter { case (k, _) => cowTouched(k) }
+    // tombstone-only dvRoute merge (the CDC/GDPR shape this routing
+    // exists for): every change row was consumed by the vector arm
+    // and no partition rewrites - skip the fold entirely (it would
+    // shuffle the changes only to filter every row out and litter an
+    // orphan empty batch dir) and publish the vector as the commit
+    if (dvKeys.nonEmpty && baseMap.isEmpty && dvOnlyChanges) {
+      beforeCommit()
+      try commit(fs, path, v + 1, mapping, txn,
+        dvUpdate = dvAdd.map(a => dvs :+ a))
+      catch {
+        case e: Throwable =>
+          dvAdd.foreach { case (id, _) =>
+            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+            catch { case _: java.io.IOException => () }
+          }
+          throw e
+      }
+      return
+    }
     val base0 =
       if (baseMap.isEmpty) None
       else Some(readMapped(spark, path, baseMap, partCols, dvs))
@@ -3292,30 +3326,13 @@ object Warehouse {
           else overlapClosure(mapping, cowSeed)
         dvKeys = touched.toSet -- cowClosure
         if (dvKeys.nonEmpty) {
-          // lineage scan of the vector-routed partitions, one per
-          // layout generation (deleteWhereDvBounded's contract),
+          // lineage scan of the vector-routed partitions
+          // ([[dvLineageMatches]] - one scan per layout generation),
           // inner-joined to the enriched source under the FULL ON
-          // (key equality AND the residual — a key-equal pair failing
+          // (key equality AND the residual - a key-equal pair failing
           // the residual is NOT matched, so it deletes nothing)
           val dvMap = mapping.filter { case (k, _) => dvKeys(k) }
-          val dv = loadDv(spark, path, dvs)
-          val widens = widensOf(readSchemaOverlay(fs, path))
-          val pairsByRow = dvMap.toSeq.sorted
-            .groupBy { case (key, _) => layoutColsOf(key) }.toSeq
-            .sortBy(_._1.mkString(","))
-            .map { case (_, keys) =>
-              val dirs = keys.flatMap { case (key, chain) =>
-                chainOf(chain).map(b => s"$path/data/batch=$b/$key")
-              }
-              val lined = withLineage(rawRead(spark, path, dirs,
-                widenedScanSchema(spark, path, dirs, widens))).drop("batch")
-              val alive = dv match {
-                case None => lined
-                case Some(d) => lined.join(d,
-                  lined("_gdvf") === d("file") && lined("_gdvp") === d("pos"),
-                  "left_anti")
-              }
-              val b0 = withOverlay(fs, path, alive)
+          val pairsByRow = dvLineageMatches(spark, path, dvMap, dvs) { b0 =>
               val b = targetCondCols.distinct.foldLeft(b0)((d, c) =>
                 d.withColumn(s"_gm_t_$c", d(c)))
               val cond = residual
@@ -3324,7 +3341,7 @@ object Warehouse {
               b.join(src, cond, "inner")
                 .select(col("_gdvf").as("file"), col("_gdvp").as("pos"),
                   firstArm.as("_gm_arm"))
-            }.reduce(_.unionByName(_))
+            }
             // (file, pos) IS the target row, so the SQL cardinality
             // rule and the fired-arm pick are one change-sized
             // aggregation over the matched pairs
@@ -3338,23 +3355,19 @@ object Warehouse {
             "MERGE source carries rows that MATCH one target row more " +
               "than once - a target row may match at most one source row " +
               "(SQL cardinality rule); de-duplicate the source first")
-          val dvIdNew = java.util.UUID.randomUUID().toString
-          pairsByRow.filter(col("_gm_del") === 1)
-            .select(col("file"), col("pos"))
-            .repartition(1).write.parquet(dvDir(path, dvIdNew))
-          val n = parquetRowsUnder(spark, fs, new HPath(dvDir(path, dvIdNew)))
-          if (n == 0L) {
-            // matched but nothing fired a DELETE arm: the partitions
-            // genuinely need no work — they stay out of the rewrite
-            fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
-          } else if (n > dvCowFallbackRows(spark)) {
-            // the size valve (deleteWhereDvBounded's contract): a
-            // delete this large is cheaper materialized once than
-            // carried as an oversized anti-join on every read — the
-            // partitions rejoin the copy-on-write rewrite below
-            fs.delete(new HPath(dvDir(path, dvIdNew)), true): Unit
-            dvKeys = Set.empty
-          } else dvAdd = Some((dvIdNew, n))
+          writeDvSidecar(spark, path,
+            pairsByRow.filter(col("_gm_del") === 1)
+              .select(col("file"), col("pos"))) match {
+            case DvEmpty =>
+              // matched but nothing fired a DELETE arm: the partitions
+              // genuinely need no work - they stay out of the rewrite
+              ()
+            case DvOversize =>
+              // the size valve: the partitions rejoin the
+              // copy-on-write rewrite below
+              dvKeys = Set.empty
+            case DvWritten(id, n) => dvAdd = Some((id, n))
+          }
         }
       }
       val cowTouched = touched.filterNot(dvKeys)

@@ -256,9 +256,13 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     def emit(pos: (Long, Int, Long, Boolean)): OffsetV2 = {
       lastPos = Some(pos)
       // evict page stats delivery has passed (only >= v+1 can still
-      // be consulted); the snapshot memo dies with its drain
+      // be consulted). The snapshot memo survives until delivery
+      // moves PAST its version — the completion offset's own getBatch
+      // still needs snapGroups for the final page, so evicting on the
+      // completion EMISSION would force a full per-partition stats
+      // recompute one trigger later (judge r19 review)
       pageStats.filterInPlace((k, _) => k > pos._1)
-      if (!pos._4 && pos._2 < 0) snapStatsMemo = None
+      if (!pos._4 && snapStatsMemo.exists(_._1 < pos._1)) snapStatsMemo = None
       if (pos._4) SnapshotOffset(pos._1, pos._2, pos._3)
       else if (pos._2 < 0) LongOffset(pos._1)
       else PagedOffset(pos._1, pos._2, pos._3)

@@ -422,4 +422,30 @@ class WarehouseDvSpec extends AnyFunSuite {
     assert(got.filter(col("name") === "u42").count() == 1L,
       "the update partition still merges copy-on-write")
   }
+
+  test("tombstone-only dvRoute merge skips the rewrite entirely: no new batch dir, no fold shuffle, just the vector commit") {
+    val path = freshDir()
+    val df = (1L to 120L).map(i => (i, s"n$i", i, s"p${(i % 3) + 1}"))
+      .toDF("k", "name", "version", "part")
+    Warehouse.create(spark, path, df, "part")
+    def batchDirs(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(path, "data"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    val before = batchDirs()
+    val v0 = Warehouse.currentVersion(spark, path)
+    val tombs = (1L to 120L).filter(_ % 10 == 0)
+      .map(i => (i, s"n$i", i + 1L, s"p${(i % 3) + 1}", true))
+      .toDF("k", "name", "version", "part", "is_del")
+    Warehouse.mergeInto(spark, path, tombs, "k", "version", "part",
+      deleteCol = Some("is_del"), dvRoute = true)
+    assert(Warehouse.currentVersion(spark, path) == v0 + 1)
+    assert(batchDirs() == before,
+      "a tombstone-only vector merge must write NO batch dir at all")
+    assert(activeDvIds(path).size == 1)
+    val got = Warehouse.read(spark, path)
+    assert(got.count() == 108L)
+    assert(got.filter(col("k") % 10 === 0).count() == 0L)
+  }
 }

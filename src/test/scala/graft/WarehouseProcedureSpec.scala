@@ -306,4 +306,114 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, a).count() == 1L,
       "nothing was written before commit - the crash left zero data state")
   }
+
+  test("txn ids are validated before touching the filesystem: traversal shapes resolve to 'no open transaction', never a path") {
+    val root = Files.createTempDirectory("graft_proc_txn7").toString
+    val a = s"$root/a"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    val v0 = Warehouse.currentVersion(spark, a)
+    // a hostile id shaped like a relative path must not delete or
+    // overwrite anything under the warehouse root
+    val rolled = spark.sql(
+      "CALL graft.system.rollback_txn(txn => '../../etc/passwd')")
+      .as[Boolean].head()
+    assert(!rolled)
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_tv")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.stage_write(txn => '../evil', table => '$a', view => 'txn_src_tv')").collect()
+    }
+    assert(e1.getMessage.contains("no open transaction"))
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.system.commit_txn(txn => '../evil')").collect()
+    }
+    assert(e2.getMessage.contains("no open transaction"))
+    assert(Warehouse.currentVersion(spark, a) == v0,
+      "hostile ids must leave every table untouched")
+  }
+
+  test("a commit_txn that FAILS in transact clears its committing stamp (retryable); a crash mid-commit refuses a blind re-commit") {
+    val root = Files.createTempDirectory("graft_proc_txn8").toString
+    val a = s"$root/a"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    // a view whose schema derives fine but whose EXECUTION fails -
+    // transact throws before any flip
+    spark.sql("SELECT CAST(raise_error('boom') AS BIGINT) AS k, " +
+      "'x' AS v, 'd1' AS part").createOrReplaceTempView("txn_src_boom")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'txn_src_boom')").collect()
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+    // the failed attempt UNMARKED the handle: fix the view, retry
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_boom")
+    val row = spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')")
+      .collect().head
+    assert(row.getInt(1) == 1)
+    assert(Warehouse.read(spark, a).count() == 2L)
+    // --- crash-mid-commit sim: a handle stamped 'committing' whose
+    // driver died may already have flipped the tables - re-commit
+    // must refuse loudly, not double-apply
+    val txn2 = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn2', table => '$a', view => 'txn_src_boom')").collect()
+    val whRoot = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
+    // stamp through the SAME (checksummed) Hadoop fs the engine reads
+    val hPath = new org.apache.hadoop.fs.Path(s"$whRoot/_txn/$txn2")
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orig = {
+      val in = hfs.open(hPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = hfs.create(hPath, true)
+    try out.write(("committing\n" + orig).getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn2')").collect()
+    }
+    assert(e.getMessage.contains("already entered commit"))
+    // rollback still releases the ambiguous handle
+    assert(spark.sql(s"CALL graft.system.rollback_txn(txn => '$txn2')")
+      .as[Boolean].head())
+  }
+
+  test("vacuum's handle sweep is SCOPED to the vacuumed table: another table's live transaction survives; .tmp_ litter sweeps on age") {
+    val root = Files.createTempDirectory("graft_proc_txn9").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    Warehouse.create(spark, b,
+      Seq((1L, "b1", "d1")).toDF("k", "v", "part"), "part")
+    Seq((2L, "b2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_scope")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$b', view => 'txn_src_scope')").collect()
+    val whRoot = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
+    // crash litter: an orphaned tmp file from a dead handle publish
+    val tmpLitter = java.nio.file.Paths.get(whRoot, "_txn", ".tmp_dead")
+    java.nio.file.Files.write(tmpLitter, "x".getBytes("UTF-8")): Unit
+    // vacuuming UNRELATED table a must not touch b's live handle
+    spark.sql(s"CALL graft.system.vacuum(table => '$a', min_age_ms => 0)")
+      .collect()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(whRoot, "_txn", txn)),
+      "vacuum of an unrelated table must not sweep another table's handle")
+    assert(!java.nio.file.Files.exists(tmpLitter),
+      "orphaned .tmp_ litter sweeps on age alone")
+    // the staged-table's own vacuum sweeps it
+    spark.sql(s"CALL graft.system.vacuum(table => '$b', min_age_ms => 0)")
+      .collect()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(whRoot, "_txn", txn)))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+    assert(e.getMessage.contains("no open transaction"))
+  }
 }
