@@ -408,8 +408,15 @@ class WarehouseDvSpec extends AnyFunSuite {
       deleteCol = Some("is_del"), dvRoute = true)
     Warehouse.mergeInto(spark, cowT, changes, "k", "version", "part",
       deleteCol = Some("is_del"))
-    val a = Warehouse.read(spark, dvT).collect().map(_.toSeq).toSet
-    val b = Warehouse.read(spark, cowT).collect().map(_.toSeq).toSet
+    // NAME-sorted columns: the CoW rewrite lands its canonical
+    // (key, version, part, data) column order while DV-routed files
+    // keep the table's original order - logical equality is by name
+    def rowsOf(path: String): Set[Seq[Any]] = {
+      val df = Warehouse.read(spark, path)
+      df.select(df.columns.sorted.toSeq.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    }
+    val a = rowsOf(dvT); val b = rowsOf(cowT)
     assert(a == b, "DV-routed and CoW mergeInto must agree on the end state")
     assert(activeDvIds(dvT).size == 1 && activeDvIds(cowT).isEmpty)
     assert(p2Files(dvT) == before,
