@@ -3924,7 +3924,7 @@ object Warehouse {
     * link) — the same metadata bound as [[partitionStats]].
     */
   private[graft] def foldFreeFiles(spark: SparkSession, path: String,
-                                   versionAsOf: Option[Long]): Option[Seq[String]] = {
+      versionAsOf: Option[Long]): Option[(Seq[String], Seq[String])] = {
     val fs = fsOf(spark, path)
     val (mapping, dvs) = versionAsOf match {
       case Some(n) =>
@@ -3938,16 +3938,21 @@ object Warehouse {
         (m, dvs)
     }
     // active deletion vectors make footer row counts and raw file
-    // reads over-deliver deleted rows - callers (footer aggregate
-    // pushdown, LIMIT capping) must take the exact scan path instead
-    if (mapping.isEmpty || mapping.values.exists(needsFold) ||
-      dvs.nonEmpty) None
-    else Some(for {
+    // reads over-deliver deleted rows. Their sidecar DIRS ride along
+    // (second element): a caller whose partials are pure row COUNTS
+    // can subtract each live file's deleted positions exactly (a dv
+    // entry names one dead physical row; entries referencing dead
+    // files drop out of a live-file join) — anything else (MIN/MAX, a
+    // per-column null-dependent count, the LIMIT footer cap) must
+    // keep treating a non-empty dv list as "take the exact scan".
+    if (mapping.isEmpty || mapping.values.exists(needsFold)) None
+    else Some((for {
       (key, chain) <- mapping.toSeq.sorted
       b <- chainOf(chain)
       st <- fs.listStatus(new HPath(s"$path/data/batch=$b/$key")).toSeq
       if st.isFile && st.getPath.getName.endsWith(".parquet")
-    } yield st.getPath.toString)
+    } yield st.getPath.toString,
+      dvs.map { case (id, _) => dvDir(path, id) }))
   }
 
   /** UPPER-BOUND row count of the (possibly time-traveled) snapshot

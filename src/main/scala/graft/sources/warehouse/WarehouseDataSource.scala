@@ -859,6 +859,7 @@ class WarehouseScanBuilder(fullSchema: StructType,
   private var pushedAggs: Option[Seq[WarehouseDataSource.PushedAgg]] = None
   private var pushedGroupBy: Seq[org.apache.spark.sql.types.StructField] = Nil
   private var aggFiles: Seq[String] = Nil
+  private var aggDvDirs: Seq[String] = Nil
   private var pushedLimit: Option[Int] = None
 
   /** LIMIT pushdown, PARTIAL by contract (Spark re-applies its own
@@ -940,10 +941,20 @@ class WarehouseScanBuilder(fullSchema: StructType,
       }
     if (translated.exists(_.isEmpty)) return false
     Warehouse.foldFreeFiles(spark, conf.path, conf.versionAsOf) match {
-      case Some(files) if files.nonEmpty =>
+      // active deletion vectors: only pure row COUNTS stay
+      // metadata-answerable - each live file's footer count minus its
+      // deleted positions is exact (the per-file sidecar aggregation
+      // joins into the same lazy partials job). MIN/MAX (the deleted
+      // row might BE the extremum) and per-column counts (a deleted
+      // position's null-ness is unknowable from the sidecar) fall
+      // back to the exact plan.
+      case Some((files, dvDirs)) if files.nonEmpty &&
+          (dvDirs.isEmpty ||
+            translated.flatten.forall(_ == CountStarAgg)) =>
         pushedAggs = Some(translated.flatten)
         pushedGroupBy = groupFields.flatten
         aggFiles = files
+        aggDvDirs = dvDirs
         true
       case _ => false
     }
@@ -971,7 +982,8 @@ class WarehouseScanBuilder(fullSchema: StructType,
       else StructType(fullSchema.fields.take(1))
 
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => new WarehouseAggScan(conf, aggs, aggFiles, pushedGroupBy)
+    case Some(aggs) =>
+      new WarehouseAggScan(conf, aggs, aggFiles, pushedGroupBy, aggDvDirs)
     case None       => new WarehouseV1Scan(pruned, conf, pushed, pushedLimit)
   }
 }
@@ -991,7 +1003,8 @@ class WarehouseScanBuilder(fullSchema: StructType,
 class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
                        aggs: Seq[WarehouseDataSource.PushedAgg],
                        files: Seq[String],
-                       groupBy: Seq[org.apache.spark.sql.types.StructField] = Nil)
+                       groupBy: Seq[org.apache.spark.sql.types.StructField] = Nil,
+                       dvDirs: Seq[String] = Nil)
     extends V1Scan {
   import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -1008,7 +1021,8 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
     s"graft-warehouse ${conf.path} metadata-agg " +
       s"[${aggs.mkString(", ")}]" +
       (if (groupBy.isEmpty) "" else s" group=[${groupBy.map(_.name).mkString(",")}]") +
-      s" files=${files.length}"
+      s" files=${files.length}" +
+      (if (dvDirs.isEmpty) "" else s" dvSubtract=${dvDirs.length}")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -1058,17 +1072,43 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
             seg.take(i) -> org.apache.spark.sql.catalyst.catalog
               .ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
           }.toMap
-          org.apache.spark.sql.Row(groupNames.map(kv(_)) ++ vs: _*)
+          // the file's table-relative identity (the deletion-vector
+          // sidecars' `file` convention) - the LAST '/data/' is always
+          // the table's own data root (withLineage's argument)
+          val rel = segs.drop(segs.lastIndexOf("data") + 1).mkString("/")
+          org.apache.spark.sql.Row(
+            groupNames.map(kv(_)) ++ vs :+ rel: _*)
         }
       }
     // group values arrive as raw path strings; build with string
     // group columns, then cast to the declared partition types
     val strSchema = StructType(
-      groupByL.map(f => StructField(f.name, org.apache.spark.sql.types.StringType)) ++
-        aggSchema.fields.drop(groupByL.length))
+      (groupByL.map(f => StructField(f.name, org.apache.spark.sql.types.StringType)) ++
+        aggSchema.fields.drop(groupByL.length)) :+
+        StructField("_gfile", org.apache.spark.sql.types.StringType))
+    val base = spark.createDataFrame(rowsRdd, strSchema)
+    // ACTIVE deletion vectors: join each live file's deleted-position
+    // count (one tiny lazy aggregation over the sidecars - entries
+    // referencing dead files drop out of the join) and subtract it
+    // from the pure COUNT partials; the pushdown gate admitted ONLY
+    // CountStar aggregates when dvDirs is non-empty
+    val withDv =
+      if (dvDirs.isEmpty) base
+      else base.join(
+        spark.read.schema("file STRING, pos BIGINT").parquet(dvDirs: _*)
+          .groupBy(col("file"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("_gdvn")),
+        base("_gfile") === col("file"), "left")
     val groupSel = groupByL.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
-      aggs.indices.map(i => col(s"agg_$i"))
-    val frame = spark.createDataFrame(rowsRdd, strSchema).select(groupSel: _*)
+      aggs.zipWithIndex.map { case (a, i) =>
+        if (dvDirs.nonEmpty && a == WarehouseDataSource.CountStarAgg)
+          (col(s"agg_$i") - org.apache.spark.sql.functions.coalesce(
+            col("_gdvn"), org.apache.spark.sql.functions.lit(0L)))
+            .as(s"agg_$i")
+        else col(s"agg_$i")
+      }
+    val frame = withDv.select(groupSel: _*)
     val schemaL = aggSchema
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context

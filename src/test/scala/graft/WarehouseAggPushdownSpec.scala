@@ -213,4 +213,51 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4000L && r.getLong(1) == 1L && r.getLong(2) == 4000L)
     assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
   }
+
+  test("ACTIVE deletion vectors: count(*) stays metadata-only (footer counts minus per-file deleted positions); min/max and count(col) fall back exact") {
+    val path = Files.createTempDirectory("graft_aggpd_dv").toString + "/t"
+    val base = (1L to 3000L).map(i =>
+      (i, s"n$i", if (i % 7 == 0) null else s"v$i",
+        if (i % 2 == 0) "d1" else "d2"))
+      .toDF("k", "name", "opt", "part")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 500L)
+    try Warehouse.create(spark, path, base.repartition(3), "part")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    // two stacked vectors scattering deletes across every file
+    assert(Warehouse.deleteWhereDv(spark, path, col("k") % 10 === 3) == 300L)
+    assert(Warehouse.deleteWhereDv(spark, path, col("k") === 2000L) == 1L)
+    def dvLoad() = spark.read.format("graft-warehouse").load(path)
+    // ungrouped and partition-grouped COUNT(*) both stay footer-only
+    WarehouseDataSource.resetAggProbe()
+    assert(dvLoad().agg(count(lit(1))).head().getLong(0) == 2699L)
+    val (statted, fallback) = WarehouseDataSource.lastAggPlanned.get
+    assert(fallback == 0 && statted > 2,
+      s"DV count(*) must answer from footers: statted=$statted fallback=$fallback")
+    WarehouseDataSource.resetAggProbe()
+    val byPart = dvLoad().groupBy("part").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart.values.sum == 2699L && byPart.size == 2)
+    assert(byPart == Map(
+      "d1" -> (1L to 3000L).count(i => i % 2 == 0 && i % 10 != 3 && i != 2000L).toLong,
+      "d2" -> (1L to 3000L).count(i => i % 2 != 0 && i % 10 != 3).toLong))
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
+    // a deleted row might BE the extremum / its null-ness is
+    // unknowable from the sidecar: MIN/MAX and count(col) refuse
+    WarehouseDataSource.resetAggProbe()
+    assert(dvLoad().agg(max("k")).head().getLong(0) == 3000L)
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty,
+      "min/max under an active vector must take the exact plan")
+    WarehouseDataSource.resetAggProbe()
+    assert(dvLoad().agg(count(col("opt"))).head().getLong(0) ==
+      (1L to 3000L).count(i => i % 7 != 0 && i % 10 != 3 && i != 2000L).toLong)
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty,
+      "count(col) under an active vector must take the exact plan")
+    // compact() materializes the subtraction - the full footer plane
+    // (min/max included) comes back
+    Warehouse.compact(spark, path, "k", targetBytes = 1L << 30)
+    WarehouseDataSource.resetAggProbe()
+    val r2 = dvLoad().agg(count(lit(1)), min("k"), max("k")).head()
+    assert(r2.getLong(0) == 2699L && r2.getLong(1) == 1L && r2.getLong(2) == 3000L)
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
+  }
 }

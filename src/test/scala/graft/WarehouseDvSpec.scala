@@ -84,8 +84,10 @@ class WarehouseDvSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) c FROM graft.`$path`").as[Long].head() == 600L)
     val n = Warehouse.deleteWhereDv(spark, path, col("k") <= 100)
     assert(n == 100L)
-    // count(*) previously answered from footers alone; with an active
-    // vector it must take the exact path and see 500
+    // count(*) stays METADATA-answered under an active vector since
+    // r19: footer counts minus each live file's deleted positions
+    // (WarehouseAggPushdownSpec pins the plan shape) - the value must
+    // be the live 500 either way
     assert(spark.sql(s"SELECT count(*) c FROM graft.`$path`").as[Long].head() == 500L)
     assert(spark.sql(
       s"SELECT count(*) c FROM graft.`$path` WHERE k <= 100").as[Long].head() == 0L)
