@@ -1312,7 +1312,13 @@ object Warehouse {
     finally out.close()
     val flipped =
       primitiveFor(markerFs).claim(markerFs, tmp, new HPath(marker))
-    markerFs.delete(tmp, false): Unit
+    // POST-FLIP cleanup is best-effort: the transaction's outcome is
+    // decided by the claim above, and a cleanup IOException here must
+    // not surface as "transact failed" to a caller (the SQL plane's
+    // committing-stamp logic treats a transact Throwable as
+    // pre-flip); the stray tmp is unreferenced litter vacuum sweeps
+    try { markerFs.delete(tmp, false): Unit }
+    catch { case _: java.io.IOException => () }
     if (!flipped) {
       // aborted concurrently: drop the dead stages so the version
       // slots free up, then report

@@ -1096,10 +1096,13 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
       if (dvDirs.isEmpty) base
       else base.join(
         spark.read.schema("file STRING, pos BIGINT").parquet(dvDirs: _*)
-          .groupBy(col("file"))
+          // reserved name: a bare "file" would be ambiguous against a
+          // user partition column literally named file
+          .select(col("file").as("_gdvfile"))
+          .groupBy(col("_gdvfile"))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("_gdvn")),
-        base("_gfile") === col("file"), "left")
+        base("_gfile") === col("_gdvfile"), "left")
     val groupSel = groupByL.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
       aggs.zipWithIndex.map { case (a, i) =>
         if (dvDirs.nonEmpty && a == WarehouseDataSource.CountStarAgg)
@@ -1108,7 +1111,16 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
             .as(s"agg_$i")
         else col(s"agg_$i")
       }
-    val frame = withDv.select(groupSel: _*)
+    // GROUPED counts must not emit a phantom (group, 0) row for a
+    // fully vector-deleted group - SQL's GROUP BY has no row for a
+    // group with zero live rows. Dropping zero-count partials is
+    // sum-preserving for surviving groups and erases dead ones; the
+    // UNGROUPED global aggregate keeps its zero partials (count(*)
+    // over an all-deleted table is 0, served by the sum over them).
+    val shaped =
+      if (dvDirs.isEmpty || groupByL.isEmpty) withDv.select(groupSel: _*)
+      else withDv.select(groupSel: _*).filter(col("agg_0") > 0L)
+    val frame = shaped
     val schemaL = aggSchema
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context

@@ -146,27 +146,13 @@ object WarehouseProcedures {
     }
   }
 
-  /** Whether the persisted handle already entered commit_txn (the
-    * `committing` stamp written just before [[Warehouse.transact]]):
-    * a driver that died mid-commit may have flipped the tables, so a
-    * blind re-commit could apply every staged write TWICE — the stamp
-    * turns that into a loud refusal (judge r19 review).
-    */
-  private def handleCommitting(spark: SparkSession, id: String): Boolean =
-    txnRoot(spark).exists { root =>
-      val fs = txnFs(spark, root)
-      val p = new org.apache.hadoop.fs.Path(root, id)
-      validTxnId(id) && fs.exists(p) && {
-        val in = fs.open(p)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        content.split("\n").headOption.contains("committing")
-      }
-    }
 
-  private def readHandle(spark: SparkSession,
-      id: String): Option[Vector[(String, String, Boolean)]] =
+
+  /** One read of the raw handle file — stage list and committing
+    * stamp both derive from it, so callers that need both pay one FS
+    * round-trip and see one consistent snapshot.
+    */
+  private def readHandleRaw(spark: SparkSession, id: String): Option[String] =
     txnRoot(spark).flatMap { root =>
       if (!validTxnId(id)) return None
       val fs = txnFs(spark, root)
@@ -174,16 +160,24 @@ object WarehouseProcedures {
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        Some(content.split("\n").toVector.filter(_.startsWith("stage\t"))
-          .map { l =>
-            val a = l.split("\t", 4)
-            (a(1), a(2), a(3).toBoolean)
-          })
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+             finally in.close())
       }
     }
+
+  private def parseStages(content: String): Vector[(String, String, Boolean)] =
+    content.split("\n").toVector.filter(_.startsWith("stage\t"))
+      .map { l =>
+        val a = l.split("\t", 4)
+        (a(1), a(2), a(3).toBoolean)
+      }
+
+  private def parseCommitting(content: String): Boolean =
+    content.split("\n").headOption.contains("committing")
+
+  private def readHandle(spark: SparkSession,
+      id: String): Option[Vector[(String, String, Boolean)]] =
+    readHandleRaw(spark, id).map(parseStages)
 
   private def dropHandle(spark: SparkSession, id: String): Boolean =
     txnRoot(spark).exists { root =>
@@ -320,7 +314,14 @@ object WarehouseProcedures {
           st.isFile &&
             System.currentTimeMillis() - st.getModificationTime >= minAge && {
               if (st.getPath.getName.startsWith("."))
-                fs.delete(st.getPath, false)
+                // a dot-file can be a CONCURRENT writeHandle's
+                // in-flight tmp publish (created moments ago), so the
+                // litter sweep keeps its own 15-minute floor whatever
+                // min_age_ms says - far beyond any create->rename
+                // window, and crash litter is not urgent
+                System.currentTimeMillis() - st.getModificationTime >=
+                  math.max(minAge, 900000L) &&
+                  fs.delete(st.getPath, false)
               else {
                 // an UNREADABLE handle (torn write, checksum damage)
                 // can never be committed - aged, it is sweepable
@@ -510,9 +511,16 @@ object WarehouseProcedures {
       // fail AT STAGE TIME for an unknown view - a commit-time
       // resolution error would abort the whole transaction later
       spark.table(view).schema: Unit
-      readHandle(spark, id) match {
-        case Some(ws) =>
-          val updated = ws :+ ((table, view, overwrite))
+      readHandleRaw(spark, id) match {
+        case Some(raw) =>
+          // a handle stamped `committing` is the crash-mid-commit
+          // ambiguity: silently re-staging would ERASE the stamp and
+          // re-enable the blind double-applying re-commit it refuses
+          require(!parseCommitting(raw),
+            s"transaction '$id' already entered commit_txn - inspect " +
+              "CALL graft.system.history, then rollback_txn to discard " +
+              "the handle or abort_txn the marker")
+          val updated = parseStages(raw) :+ ((table, view, overwrite))
           writeHandle(spark, id, updated)
           result(out, utf8(id), updated.length)
         case None =>
@@ -542,19 +550,20 @@ object WarehouseProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val id = Option(input.getUTF8String(0)).map(_.toString).getOrElse("")
-      val fileWrites = readHandle(spark, id)
+      val raw = readHandleRaw(spark, id)
+      val fileWrites = raw.map(parseStages)
       val writes = fileWrites
         .orElse(Option(openTxns.get(id))).getOrElse(
           throw new IllegalArgumentException(
             s"no open transaction '$id' - begin_txn/stage_write first"))
       require(writes.nonEmpty, s"transaction '$id' staged no writes")
-      if (fileWrites.isDefined) {
+      if (raw.isDefined) {
         // a handle that already entered commit may have FLIPPED its
         // tables before the driver died - a blind re-commit would
         // apply every staged write twice; refuse loudly and leave the
         // decision (abort_txn the marker / rollback_txn the handle)
         // to the operator's inspection of the tables' history
-        require(!handleCommitting(spark, id),
+        require(!raw.exists(parseCommitting),
           s"transaction '$id' already entered commit_txn (a previous " +
             "driver may have died mid-commit and the tables may already " +
             "carry its writes) - inspect CALL graft.system.history, then " +
@@ -569,7 +578,13 @@ object WarehouseProcedures {
           case e: Throwable =>
             // transact threw BEFORE any flip: clear the stamp so the
             // fixed statement can retry (a process CRASH leaves the
-            // stamp - exactly the ambiguous state the refusal covers)
+            // stamp - exactly the ambiguous state the refusal covers).
+            // transact's post-flip cleanup is best-effort and never
+            // throws, so the one RESIDUAL ambiguity is a
+            // create-exclusive claim that throws after creating its
+            // marker - a filesystem partial failure; when a commit_txn
+            // failure coincides with a committed marker in history,
+            // treat the transaction as committed, not retryable.
             if (fileWrites.isDefined)
               try writeHandle(spark, id, writes)
               catch { case _: Throwable => () }

@@ -252,12 +252,28 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       (1L to 3000L).count(i => i % 7 != 0 && i % 10 != 3 && i != 2000L).toLong)
     assert(WarehouseDataSource.lastAggPlanned.isEmpty,
       "count(col) under an active vector must take the exact plan")
+    // a FULLY vector-deleted group must not surface as a phantom
+    // (group, 0) row - SQL's GROUP BY has no row for an empty group
+    assert(Warehouse.deleteWhereDv(spark, path, col("part") === "d1") > 0L)
+    WarehouseDataSource.resetAggProbe()
+    val grouped = dvLoad().groupBy("part").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!grouped.contains("d1"),
+      s"an all-deleted group must emit NO row, got $grouped")
+    assert(grouped.keySet == Set("d2") && grouped("d2") > 0L)
+    assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0),
+      "the phantom-group filter must not cost the metadata path")
+    // ...and the UNGROUPED count over the same table stays exact
+    assert(dvLoad().agg(count(lit(1))).head().getLong(0) == grouped("d2"))
     // compact() materializes the subtraction - the full footer plane
     // (min/max included) comes back
     Warehouse.compact(spark, path, "k", targetBytes = 1L << 30)
     WarehouseDataSource.resetAggProbe()
+    val live = (1L to 3000L).filter(i =>
+      i % 2 != 0 && i % 10 != 3).map(i => i)
     val r2 = dvLoad().agg(count(lit(1)), min("k"), max("k")).head()
-    assert(r2.getLong(0) == 2699L && r2.getLong(1) == 1L && r2.getLong(2) == 3000L)
+    assert(r2.getLong(0) == live.size.toLong &&
+      r2.getLong(1) == live.min && r2.getLong(2) == live.max)
     assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0))
   }
 }

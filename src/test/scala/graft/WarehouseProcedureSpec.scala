@@ -377,6 +377,12 @@ class WarehouseProcedureSpec extends AnyFunSuite {
       spark.sql(s"CALL graft.system.commit_txn(txn => '$txn2')").collect()
     }
     assert(e.getMessage.contains("already entered commit"))
+    // stage_write on the stamped handle must refuse too - re-staging
+    // would silently ERASE the stamp and re-enable the double-commit
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.stage_write(txn => '$txn2', table => '$a', view => 'txn_src_boom')").collect()
+    }
+    assert(e2.getMessage.contains("already entered commit"))
     // rollback still releases the ambiguous handle
     assert(spark.sql(s"CALL graft.system.rollback_txn(txn => '$txn2')")
       .as[Boolean].head())
@@ -396,8 +402,15 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$b', view => 'txn_src_scope')").collect()
     val whRoot = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
     // crash litter: an orphaned tmp file from a dead handle publish
+    // (aged past the 15-minute litter floor) and a FRESH one (a
+    // concurrent publish in its create->rename window)
     val tmpLitter = java.nio.file.Paths.get(whRoot, "_txn", ".tmp_dead")
     java.nio.file.Files.write(tmpLitter, "x".getBytes("UTF-8")): Unit
+    java.nio.file.Files.setLastModifiedTime(tmpLitter,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L)): Unit
+    val tmpFresh = java.nio.file.Paths.get(whRoot, "_txn", ".tmp_inflight")
+    java.nio.file.Files.write(tmpFresh, "x".getBytes("UTF-8")): Unit
     // vacuuming UNRELATED table a must not touch b's live handle
     spark.sql(s"CALL graft.system.vacuum(table => '$a', min_age_ms => 0)")
       .collect()
@@ -405,7 +418,11 @@ class WarehouseProcedureSpec extends AnyFunSuite {
       java.nio.file.Paths.get(whRoot, "_txn", txn)),
       "vacuum of an unrelated table must not sweep another table's handle")
     assert(!java.nio.file.Files.exists(tmpLitter),
-      "orphaned .tmp_ litter sweeps on age alone")
+      "AGED .tmp_ litter sweeps whatever min_age_ms says")
+    assert(java.nio.file.Files.exists(tmpFresh),
+      "a FRESH tmp (possibly a concurrent in-flight publish) survives " +
+        "the litter floor")
+    java.nio.file.Files.deleteIfExists(tmpFresh): Unit
     // the staged-table's own vacuum sweeps it
     spark.sql(s"CALL graft.system.vacuum(table => '$b', min_age_ms => 0)")
       .collect()
