@@ -1318,7 +1318,7 @@ object Warehouse {
     // committing-stamp logic treats a transact Throwable as
     // pre-flip); the stray tmp is unreferenced litter vacuum sweeps
     try { markerFs.delete(tmp, false): Unit }
-    catch { case _: java.io.IOException => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     if (!flipped) {
       // aborted concurrently: drop the dead stages so the version
       // slots free up, then report

@@ -948,9 +948,14 @@ class WarehouseScanBuilder(fullSchema: StructType,
       // row might BE the extremum) and per-column counts (a deleted
       // position's null-ness is unknowable from the sidecar) fall
       // back to the exact plan.
+      // (a zero-aggregate pushdown - SELECT DISTINCT partcol - must
+      // also refuse under vectors: it has no count partial to subtract
+      // or filter on, and a fully-deleted partition's value must not
+      // surface; the exact plan serves it correctly)
       case Some((files, dvDirs)) if files.nonEmpty &&
           (dvDirs.isEmpty ||
-            translated.flatten.forall(_ == CountStarAgg)) =>
+            (translated.nonEmpty &&
+              translated.flatten.forall(_ == CountStarAgg))) =>
         pushedAggs = Some(translated.flatten)
         pushedGroupBy = groupFields.flatten
         aggFiles = files
@@ -1117,10 +1122,10 @@ class WarehouseAggScan(conf: WarehouseDataSource.ReadConf,
     // sum-preserving for surviving groups and erases dead ones; the
     // UNGROUPED global aggregate keeps its zero partials (count(*)
     // over an all-deleted table is 0, served by the sum over them).
-    val shaped =
-      if (dvDirs.isEmpty || groupByL.isEmpty) withDv.select(groupSel: _*)
+    val frame =
+      if (dvDirs.isEmpty || groupByL.isEmpty || aggsL.isEmpty)
+        withDv.select(groupSel: _*)
       else withDv.select(groupSel: _*).filter(col("agg_0") > 0L)
-    val frame = shaped
     val schemaL = aggSchema
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context

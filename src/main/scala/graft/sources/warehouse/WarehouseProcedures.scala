@@ -304,8 +304,9 @@ object WarehouseProcedures {
       // transaction staged against table B (judge r19 review); the
       // same exclusive-access caveat as min_age_ms = 0 on data
       // applies to this table's own young handles. Orphaned .tmp_
-      // dot-files (a crash mid handle publish) sweep on age alone -
-      // they are never a live registration.
+      // dot-files (a crash mid handle publish) sweep on age with a
+      // 15-minute floor - a fresh one may be a CONCURRENT publish in
+      // its create->rename window.
       val vacuumedPath = pathArg(input)
       val sweptTxn = txnRoot(spark).map { root =>
         val fs = txnFs(spark, root)
@@ -522,6 +523,16 @@ object WarehouseProcedures {
               "the handle or abort_txn the marker")
           val updated = parseStages(raw) :+ ((table, view, overwrite))
           writeHandle(spark, id, updated)
+          // check-then-write has a window: a commit_txn racing THIS
+          // stage_write may have stamped between our read and our
+          // rename (last-writer-wins). Re-check and loudly refuse the
+          // torn state rather than leave a silently unstamped handle
+          // - concurrent stage/commit on ONE id is misuse, but the
+          // stamp exists for ambiguity, so narrow it
+          require(!readHandleRaw(spark, id).exists(parseCommitting),
+            s"transaction '$id' entered commit_txn concurrently with " +
+              "this stage_write - the handle state is ambiguous; " +
+              "rollback_txn and restage")
           result(out, utf8(id), updated.length)
         case None =>
           val updated = openTxns.computeIfPresent(id,
@@ -569,6 +580,18 @@ object WarehouseProcedures {
             "carry its writes) - inspect CALL graft.system.history, then " +
             "rollback_txn to discard the handle or abort_txn the marker")
         writeHandle(spark, id, writes, committing = true)
+        // last-writer-wins handles have a read-stamp window: a
+        // CONCURRENT stage_write may have clobbered the stamp (and
+        // this commit's stage snapshot may miss its late stage).
+        // Verify the stamp survived before flipping anything; a
+        // retry re-reads the updated stage list. Concurrent
+        // stage/commit on ONE id remains unsupported misuse - the
+        // paired re-checks narrow the ambiguity window to the flip
+        // itself, which a conditional-write primitive would need to
+        // close entirely.
+        require(readHandleRaw(spark, id).exists(parseCommitting),
+          s"transaction '$id' was re-staged concurrently with this " +
+            "commit - retry commit_txn to pick up the new stage list")
       }
       val marker =
         try Warehouse.transact(spark, writes.map {

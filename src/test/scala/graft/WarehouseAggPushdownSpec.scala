@@ -252,6 +252,15 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       (1L to 3000L).count(i => i % 7 != 0 && i % 10 != 3 && i != 2000L).toLong)
     assert(WarehouseDataSource.lastAggPlanned.isEmpty,
       "count(col) under an active vector must take the exact plan")
+    // zero-aggregate pushdown (SELECT DISTINCT part) under a vector
+    // refuses to the exact plan - it has no count partial to subtract,
+    // and the filter must not reference a nonexistent agg_0 (third
+    // review pass: this crashed with UNRESOLVED_COLUMN)
+    WarehouseDataSource.resetAggProbe()
+    assert(dvLoad().select("part").distinct().collect()
+      .map(_.getString(0)).toSet == Set("d1", "d2"))
+    assert(WarehouseDataSource.lastAggPlanned.isEmpty,
+      "DISTINCT partcol under an active vector must take the exact plan")
     // a FULLY vector-deleted group must not surface as a phantom
     // (group, 0) row - SQL's GROUP BY has no row for an empty group
     assert(Warehouse.deleteWhereDv(spark, path, col("part") === "d1") > 0L)
@@ -260,6 +269,9 @@ class WarehouseAggPushdownSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!grouped.contains("d1"),
       s"an all-deleted group must emit NO row, got $grouped")
+    assert(dvLoad().select("part").distinct().collect()
+      .map(_.getString(0)).toSet == Set("d2"),
+      "DISTINCT over the all-deleted partition must not surface its value")
     assert(grouped.keySet == Set("d2") && grouped("d2") > 0L)
     assert(WarehouseDataSource.lastAggPlanned.exists(_._2 == 0),
       "the phantom-group filter must not cost the metadata path")
