@@ -331,7 +331,20 @@ object WarehouseProcedures {
                   try readHandle(spark, st.getPath.getName)
                     .getOrElse(Vector.empty)
                   catch { case _: java.io.IOException => Vector.empty }
-                (stages.isEmpty || stages.exists(_._1 == vacuumedPath)) &&
+                // a NOT-YET-STAGED handle (begin_txn with no
+                // stage_write yet) is indistinguishable from an
+                // abandoned one by content, so it gets the same
+                // 15-minute floor as dot-litter whatever min_age_ms
+                // says - a cross-session transaction begun before an
+                // unrelated table's aggressive vacuum must survive
+                // its staging gap (advisor r19 #3). Staged handles
+                // keep plain min_age_ms: they are scoped to THIS
+                // table, the exclusive-access caveat the caller
+                // already accepted.
+                (stages.exists(_._1 == vacuumedPath) ||
+                  (stages.isEmpty &&
+                    System.currentTimeMillis() - st.getModificationTime >=
+                      math.max(minAge, 900000L))) &&
                   fs.delete(st.getPath, false)
               }
             }
@@ -603,11 +616,10 @@ object WarehouseProcedures {
             // fixed statement can retry (a process CRASH leaves the
             // stamp - exactly the ambiguous state the refusal covers).
             // transact's post-flip cleanup is best-effort and never
-            // throws, so the one RESIDUAL ambiguity is a
-            // create-exclusive claim that throws after creating its
-            // marker - a filesystem partial failure; when a commit_txn
-            // failure coincides with a committed marker in history,
-            // treat the transaction as committed, not retryable.
+            // throws, AND a create-exclusive claim that throws after
+            // creating its marker self-resolves inside transact by
+            // consulting the marker (committed -> success, r20), so a
+            // Throwable here really is pre-flip: no table changed.
             if (fileWrites.isDefined)
               try writeHandle(spark, id, writes)
               catch { case _: Throwable => () }

@@ -16,6 +16,8 @@ import graft.io.Warehouse
   * {{{
   *   spark.readStream.format("graft-warehouse")
   *     .option("maxVersionsPerTrigger", 8)   // commits per micro-batch
+  *     .option("maxBytesPerTrigger", 64 << 20) // byte budget (soft max)
+  *     .option("maxFilesPerTrigger", 256)    // file-count budget (soft max)
   *     .option("keyCol", "k")                // optional on keyed tables
   *     .load(tablePath)
   * }}}
@@ -97,6 +99,24 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
   require(maxBytes.forall(_ >= 1L),
     s"maxBytesPerTrigger must be >= 1, got ${maxBytes.get}")
 
+  /** FILE-COUNT admission control (Delta's maxFilesPerTrigger) — the
+    * third conventional knob beside versions and bytes, the one that
+    * bites when commits carry many small files pre-compaction. Same
+    * machinery as the byte budget: greedy whole-commit admission
+    * while the counts fit, and an over-budget commit sub-pages as
+    * partition groups packed by FILE COUNT. A file-derived grouping
+    * rides the offset as a NEGATIVE budget (`v#group#-files`) —
+    * budgets are >= 1, so the sign disambiguates the packing
+    * dimension on replay and every existing checkpoint keeps its
+    * byte meaning. When both budgets are set, admission respects
+    * both and an over-budget first commit splits under the BYTE
+    * grouping first (deterministic; the offset records whichever was
+    * chosen).
+    */
+  private val maxFiles = params.get("maxFilesPerTrigger").map(_.toLong)
+  require(maxFiles.forall(_ >= 1L),
+    s"maxFilesPerTrigger must be >= 1, got ${maxFiles.get}")
+
   /** Per-commit moved-partition byte stats, memoized (manifests and
     * data files are immutable, so an entry never goes stale) and
     * EVICTED once delivery passes the commit — a long-running stream
@@ -104,12 +124,23 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     * (judge r18 review).
     */
   private val pageStats =
-    scala.collection.mutable.Map[Long, Seq[(String, Long)]]()
+    scala.collection.mutable.Map[Long, Seq[(String, Long, Long)]]()
 
-  private def statsOf(v: Long): Seq[(String, Long)] =
+  private def statsOf(v: Long): Seq[(String, Long, Long)] =
     pageStats.getOrElseUpdate(v, Warehouse.commitPageStats(spark, path, v))
 
   private def commitBytes(v: Long): Long = statsOf(v).map(_._2).sum
+
+  private def commitFiles(v: Long): Long = statsOf(v).map(_._3).sum
+
+  /** The packing weight a (possibly offset-restored) budget selects:
+    * non-negative budgets pack by BYTES, negative ones by FILE COUNT
+    * (see [[maxFiles]]) — classes themselves are weight-independent,
+    * only the greedy packing changes.
+    */
+  private def weighted(stats: Seq[(String, Long, Long)],
+                       budget: Long): Seq[(String, Long)] =
+    stats.map(s => (s._1, if (budget >= 0) s._2 else s._3))
 
   /** Indivisible paging CLASSES of commit `v`: partitions whose
     * tuples OVERLAP (agree on every shared column) must page
@@ -122,8 +153,8 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     * the minimal generation's projection; anything stranger collapses
     * to ONE class (delivered whole — unsplit, never wrong).
     */
-  private def pageClasses(v: Long): Vector[(Vector[String], Long)] =
-    classesOf(statsOf(v))
+  private def pageClasses(v: Long, budget: Long): Vector[(Vector[String], Long)] =
+    classesOf(weighted(statsOf(v), budget))
 
   private def classesOf(stats: Seq[(String, Long)]): Vector[(Vector[String], Long)] = {
     def layoutOf(key: String): Seq[String] =
@@ -157,7 +188,7 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     * manifests and the budget RECORDED IN THE OFFSET.
     */
   private def subGroups(v: Long, budget: Long): Vector[Set[String]] =
-    packGroups(pageClasses(v), budget)
+    packGroups(pageClasses(v, budget), math.abs(budget))
 
   /** The same deterministic greedy packing for the INITIAL-SNAPSHOT
     * page plane: partition classes of the full snapshot at version
@@ -166,11 +197,11 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
     * every trigger.
     */
   private def snapGroups(v: Long, budget: Long): Vector[Set[String]] =
-    packGroups(classesOf(snapStatsOf(v)), budget)
+    packGroups(classesOf(weighted(snapStatsOf(v), budget)), math.abs(budget))
 
-  private var snapStatsMemo: Option[(Long, Seq[(String, Long)])] = None
+  private var snapStatsMemo: Option[(Long, Seq[(String, Long, Long)])] = None
 
-  private def snapStatsOf(v: Long): Seq[(String, Long)] =
+  private def snapStatsOf(v: Long): Seq[(String, Long, Long)] =
     snapStatsMemo match {
       case Some((mv, st)) if mv == v => st
       case _ =>
@@ -305,24 +336,39 @@ class WarehouseStreamSource(spark: SparkSession, path: String,
           if (snapGroups(target, budget).length > 1)
             return emit((target, 0, budget, true))
         }
+        maxFiles.foreach { fb =>
+          if (snapGroups(target, -fb).length > 1)
+            return emit((target, 0, -fb, true))
+        }
         return emit((target, -1, -1L, false))
       }
       else floor)
     if (target <= from) return emit((from, -1, -1L, false))
-    maxBytes match {
-      case None => emit((target, -1, -1L, false))
-      case Some(budget) =>
-        // greedy byte admission: at least one commit; an over-budget
-        // commit with >1 paging class sub-pages instead
-        val firstBytes = commitBytes(from + 1)
-        if (firstBytes > budget && subGroups(from + 1, budget).length > 1)
+    if (maxBytes.isEmpty && maxFiles.isEmpty)
+      emit((target, -1, -1L, false))
+    else {
+      // greedy admission under BOTH budgets: at least one commit; an
+      // over-budget first commit with >1 paging class sub-pages
+      // instead — split under the byte grouping when bytes overflow,
+      // else under the file grouping (the offset records the chosen
+      // dimension via the budget's sign, so replays reproduce it)
+      maxBytes.filter(commitBytes(from + 1) > _).foreach { budget =>
+        if (subGroups(from + 1, budget).length > 1)
           return emit((from, 0, budget, false))
-        var e = from + 1
-        var acc = firstBytes
-        while (e < target && acc + commitBytes(e + 1) <= budget) {
-          acc += commitBytes(e + 1); e += 1
-        }
-        emit((e, -1, -1L, false))
+      }
+      maxFiles.filter(commitFiles(from + 1) > _).foreach { fb =>
+        if (subGroups(from + 1, -fb).length > 1)
+          return emit((from, 0, -fb, false))
+      }
+      var e = from + 1
+      var accB = commitBytes(from + 1)
+      var accF = commitFiles(from + 1)
+      while (e < target &&
+          maxBytes.forall(accB + commitBytes(e + 1) <= _) &&
+          maxFiles.forall(accF + commitFiles(e + 1) <= _)) {
+        accB += commitBytes(e + 1); accF += commitFiles(e + 1); e += 1
+      }
+      emit((e, -1, -1L, false))
     }
   }
 
@@ -501,7 +547,10 @@ object WarehouseStreamSource {
     * delivered through partition group `group` of the grouping
     * derived under `budget` (json `v#group#budget` — the budget rides
     * the offset so a restart reproduces EXACTLY the grouping the
-    * checkpoint meant, whatever the option now says). Plain
+    * checkpoint meant, whatever the option now says). A NEGATIVE
+    * budget means the grouping was packed by FILE COUNT of `-budget`
+    * (`maxFilesPerTrigger`); non-negative budgets pack by bytes —
+    * real budgets are >= 1, so the sign is unambiguous. Plain
     * [[LongOffset]] longs stay the whole-commit encoding, so existing
     * checkpoints replay unchanged.
     */

@@ -457,4 +457,51 @@ class WarehouseDvSpec extends AnyFunSuite {
     assert(got.count() == 108L)
     assert(got.filter(col("k") % 10 === 0).count() == 0L)
   }
+
+  test("a source row DECLARING the wrong partition for its key routes the merge back to CoW: dvRoute on/off agree (advisor r19 #1)") {
+    val dvT = freshDir(); val cowT = freshDir()
+    Warehouse.create(spark, dvT, seed(), "part")
+    Warehouse.create(spark, cowT, seed(), "part")
+    // k=2 lives in p3 (2 % 3 + 1), but the source DECLARES p1 for it
+    // and fires the UPDATE arm; k=5 (genuinely p3, correctly
+    // declared) is a delete - so p3 looks delete-only from the
+    // source's tuples and would be vector-routed, silently dropping
+    // the key-only matched UPDATE of k=2 that plain copy-on-write
+    // applies. The engine must detect the non-delete pair inside a
+    // routed partition and fall back to the copy-on-write rewrite,
+    // keeping dvRoute a pure optimization.
+    val src = Seq(
+      (2L, "fixed", "p1", false), // WRONG partition for k=2 (truly p3)
+      (5L, "", "p3", true)
+    ).toDF("k", "nm", "part", "is_del")
+    def runMerge(path: String, dvRoute: Boolean): Unit =
+      Warehouse.mergeStatement(spark, path, src,
+        Seq("k"), Seq(col("k")),
+        matched = Seq(
+          (Some(col("is_del")), None),
+          (None, Some(Seq("name" -> col("nm"))))),
+        notMatched = Nil, dvRoute = dvRoute)
+    runMerge(dvT, dvRoute = true)
+    runMerge(cowT, dvRoute = false)
+    val a = Warehouse.read(spark, dvT).collect().map(_.toSeq).toSet
+    val b = Warehouse.read(spark, cowT).collect().map(_.toSeq).toSet
+    assert(a == b,
+      "enabling deletionVectors must never change a merge's result")
+    assert(Warehouse.read(spark, dvT).filter(col("k") === 2L)
+      .select("name").as[String].head() == "fixed",
+      "the mis-declared UPDATE must still apply")
+    assert(Warehouse.read(spark, dvT).filter(col("k") === 5L).count() == 0L)
+    assert(activeDvIds(dvT).isEmpty,
+      "the fallback is copy-on-write: no vector commits")
+    // and a WELL-declared source on the same table still routes
+    val src2 = Seq((8L, "", "p3", true)).toDF("k", "nm", "part", "is_del")
+    Warehouse.mergeStatement(spark, dvT, src2, Seq("k"), Seq(col("k")),
+      matched = Seq(
+        (Some(col("is_del")), None),
+        (None, Some(Seq("name" -> col("nm"))))),
+      notMatched = Nil, dvRoute = true)
+    assert(activeDvIds(dvT).size == 1,
+      "a correctly-declared delete-only merge keeps the vector path")
+    assert(Warehouse.read(spark, dvT).filter(col("k") === 8L).count() == 0L)
+  }
 }

@@ -433,4 +433,80 @@ class WarehouseProcedureSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no open transaction"))
   }
+
+  test("commit_txn survives a marker claim that throws AFTER the marker landed: reports committed, consumes the handle, never double-applies") {
+    val root = Files.createTempDirectory("graft_proc_txn_pc").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    Warehouse.create(spark, b,
+      Seq((1L, "b1", "d1")).toDF("k", "v", "part"), "part")
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_pc_a")
+    Seq((2L, "b2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_pc_b")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'txn_src_pc_a')").collect()
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$b', view => 'txn_src_pc_b')").collect()
+    // the r19 residual, end-to-end: the flip's create-exclusive claim
+    // creates the committed marker, then throws (partial failure)
+    Warehouse.primitiveOverride = Some(new graft.io.CommitPrimitive {
+      override def claim(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean = {
+        val won = Warehouse.LocalLinkCommit.claim(fs, tmp, target)
+        if (won && target.toString.contains("/_txn/"))
+          throw new java.io.IOException(
+            "injected: claim result lost after the marker landed")
+        won
+      }
+    })
+    val (marker, n) =
+      try spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')")
+        .as[(String, Int)].head()
+      finally Warehouse.primitiveOverride = None
+    assert(n == 2 && marker.nonEmpty,
+      "commit_txn must report committed, not a retryable failure")
+    assert(Warehouse.read(spark, a).count() == 2L)
+    assert(Warehouse.read(spark, b).count() == 2L)
+    // the handle was CONSUMED on the committed outcome: a retry can
+    // never apply the staged writes a second time
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')").collect()
+    }
+    assert(e.getMessage.contains("no open transaction"))
+    assert(Warehouse.read(spark, a).count() == 2L,
+      "no double-apply on retry")
+  }
+
+  test("a begun-but-not-yet-staged handle survives min_age 0 vacuum (15-minute floor), then stages and commits normally") {
+    val root = Files.createTempDirectory("graft_proc_txn_empty").toString
+    val a = s"$root/a"
+    Warehouse.create(spark, a,
+      Seq((1L, "a1", "d1")).toDF("k", "v", "part"), "part")
+    val txn = spark.sql("CALL graft.system.begin_txn()")
+      .select("txn").as[String].head()
+    val whRoot =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_named_catalog"
+    val handle = java.nio.file.Paths.get(whRoot, "_txn", txn)
+    assert(Files.exists(handle), "begin_txn must persist a handle file")
+    // an aggressive vacuum of SOME table while this transaction is in
+    // its begin->first-stage gap: the empty handle is content-
+    // indistinguishable from an abandoned one, so it gets the same
+    // 15-minute floor as dot-litter instead of min_age_ms (advisor
+    // r19 #3 - previously this vacuum silently discarded the txn)
+    spark.sql(s"CALL graft.system.vacuum(table => '$a', min_age_ms => 0)")
+      .collect()
+    assert(Files.exists(handle),
+      "a young not-yet-staged handle must survive an unrelated vacuum")
+    // the transaction proceeds untouched
+    Seq((2L, "a2", "d1")).toDF("k", "v", "part")
+      .createOrReplaceTempView("txn_src_empty_h")
+    spark.sql(s"CALL graft.system.stage_write(txn => '$txn', table => '$a', view => 'txn_src_empty_h')").collect()
+    val (_, n) = spark.sql(s"CALL graft.system.commit_txn(txn => '$txn')")
+      .as[(String, Int)].head()
+    assert(n == 1)
+    assert(Warehouse.read(spark, a).count() == 2L)
+  }
 }

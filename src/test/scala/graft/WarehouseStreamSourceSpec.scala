@@ -386,4 +386,57 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
     assert(graft.sources.warehouse.WarehouseStreamSource
       .parsePos("7#2#1024#snap") == ((7L, 2, 1024L, true)))
   }
+
+  test("maxFilesPerTrigger: a many-small-files commit drains across >= 2 micro-batches exactly once; whole-commit admission caps too") {
+    val path = freshTable(Seq(
+      (1L, "b1", 1L, "d1"), (2L, "b2", 1L, "d2"),
+      (3L, "b3", 1L, "d3"), (4L, "b4", 1L, "d4")))
+    // ONE commit (v2) landing a file in each of the four partitions —
+    // over any 1-file budget, so it must sub-page by partition groups
+    // packed by FILE COUNT (the pre-compaction many-small-files shape)
+    Warehouse.append(spark, path,
+      (0 until 8).map(i => (100L + i, s"a$i", 1L, s"d${i % 4 + 1}"))
+        .toDF("k", "name", "ver", "part"))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val batches = drain(path, ckpt, Map(
+      "keyCol" -> "k", "startingVersion" -> "2", "maxFilesPerTrigger" -> "1"))
+    assert(batches.size >= 2,
+      s"an over-file-budget commit must drain across >= 2 micro-batches, got ${batches.size}")
+    val all = batches.flatten
+    assert(all.size == 8,
+      s"exactly-once: every appended row exactly once, got ${all.size}")
+    assert(keyNames(all) == (0 until 8).map(i => (100L + i, s"a$i")).toSet)
+    // whole-commit admission: three 1-file commits under a 2-file
+    // budget land as 2 + 1 (fresh partitions - a commit's file cost
+    // is its touched partitions' whole chains, the fold-read bound)
+    (0 until 3).foreach { i =>
+      Warehouse.append(spark, path,
+        Seq((200L + i, s"m$i", 1L, s"d${5 + i}")).toDF("k", "name", "ver", "part"))
+    }
+    val more = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxFilesPerTrigger" -> "2"))
+    assert(more.size == 2,
+      s"greedy file admission must page 3 one-file commits as 2+1, got ${more.size}")
+    assert(keyNames(more.flatten) ==
+      (0 until 3).map(i => (200L + i, s"m$i")).toSet)
+  }
+
+  test("initial snapshot pages under maxFilesPerTrigger; the file-derived grouping rides the offset as a negative budget") {
+    val path = freshTable((0 until 12).map(i =>
+      (i.toLong, s"n$i", 1L, s"d${i % 4 + 1}")))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    val batches = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxFilesPerTrigger" -> "1"))
+    assert(batches.size >= 2,
+      s"a fresh snapshot over the file budget must drain across >= 2 micro-batches, got ${batches.size}")
+    val all = batches.flatten
+    assert(all.size == 12,
+      s"exactly-once: every snapshot row exactly once, got ${all.size}")
+    assert(keyNames(all) == (0 until 12).map(i => (i.toLong, s"n$i")).toSet)
+    // the negative-budget encoding round-trips (file grouping of 3)
+    assert(graft.sources.warehouse.WarehouseStreamSource
+      .parsePos("7#2#-3") == ((7L, 2, -3L, false)))
+    assert(graft.sources.warehouse.WarehouseStreamSource
+      .parsePos("7#0#-3#snap") == ((7L, 0, -3L, true)))
+  }
 }

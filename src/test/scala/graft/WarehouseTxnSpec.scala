@@ -329,4 +329,57 @@ class WarehouseTxnSpec extends AnyFunSuite {
     assert(!res2.getBoolean(0))
     assert(ids(a) == Set(1L, 3L, 5L))
   }
+
+  test("a marker claim that throws AFTER publishing `committed` self-resolves: transact reports success and the tables flip exactly once") {
+    val (a, b) = mkTables()
+    // the r19-documented residual: a create-exclusive claim whose
+    // marker LANDED but whose syscall result was lost (filesystem
+    // partial failure). transact must consult the marker itself and
+    // report the truth — committed — instead of failing a transaction
+    // that actually published.
+    val thrown = new java.util.concurrent.atomic.AtomicInteger(0)
+    Warehouse.primitiveOverride = Some(new graft.io.CommitPrimitive {
+      override def claim(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean = {
+        val won = Warehouse.LocalLinkCommit.claim(fs, tmp, target)
+        if (won && target.toString.contains("/_txn/")) {
+          thrown.incrementAndGet(): Unit
+          throw new java.io.IOException(
+            "injected: claim result lost after the marker landed")
+        }
+        won
+      }
+    })
+    val marker =
+      try Warehouse.transactAppendHooked(spark,
+        Seq(a -> Seq((2L, "a2", "p1")).toDF("id", "v", "dt"),
+          b -> Seq((20L, "b2", "p1")).toDF("id", "v", "dt")),
+        beforeFlip = () => ())
+      finally Warehouse.primitiveOverride = None
+    assert(thrown.get() == 1, "the injected post-claim failure must fire")
+    assert(marker.contains("/_txn/"))
+    assert(ids(a) == Set(1L, 2L) && ids(b) == Set(10L, 20L),
+      "the flip happened exactly once - both tables new")
+    assert(Warehouse.currentVersion(spark, a) == 2L)
+    assert(Warehouse.currentVersion(spark, b) == 2L)
+    // a claim that throws with NO marker landed stays a real failure
+    Warehouse.primitiveOverride = Some(new graft.io.CommitPrimitive {
+      override def claim(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean =
+        if (target.toString.contains("/_txn/"))
+          throw new java.io.IOException("injected: claim failed outright")
+        else Warehouse.LocalLinkCommit.claim(fs, tmp, target)
+    })
+    try {
+      intercept[java.io.IOException] {
+        Warehouse.transactAppendHooked(spark,
+          Seq(a -> Seq((3L, "a3", "p1")).toDF("id", "v", "dt")),
+          beforeFlip = () => ())
+      }
+    } finally Warehouse.primitiveOverride = None
+    assert(ids(a) == Set(1L, 2L),
+      "a genuinely failed claim must leave the table unchanged")
+  }
 }
