@@ -71,8 +71,16 @@ object Sessions {
         _.isInstanceOf[org.apache.spark.sql.graft.WarehouseRuntimeFilterRule]))
       spark.experimental.extraOptimizations ++=
         Seq(new org.apache.spark.sql.graft.WarehouseRuntimeFilterRule(spark))
+    // native-path splice for fold-free/DV-free/uniform snapshots —
+    // LAST in the sequence, so the stats rewrap and probe attachment
+    // (same fixed-point batch, earlier rules) take priority and only
+    // probe-free scans splice
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.WarehouseNativeScanRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(new org.apache.spark.sql.graft.WarehouseNativeScanRule(spark))
     // physical planning for the runtime-filter rule's localized dim
-    // (ProbedDimRelation -> LocalTableScanExec over the probe's rows)
+    // (ProbedDimRelation -> ProbedDimExec serving the probe's rows)
     if (!spark.experimental.extraStrategies.exists(
         _.isInstanceOf[org.apache.spark.sql.graft.ProbedDimStrategy]))
       spark.experimental.extraStrategies ++=

@@ -4979,6 +4979,31 @@ object Warehouse {
     kept.toSeq
   }
 
+  /** True when the (possibly time-traveled) snapshot can serve through
+    * Spark's NATIVE parquet scan path: no fold chains (a fold needs
+    * the keyed read-time aggregation only the bridge runs), no active
+    * deletion vectors (the anti-join subtraction), and one layout
+    * generation (a mixed snapshot unions per-generation scans). One
+    * manifest read, no data access — the
+    * [[org.apache.spark.sql.graft.WarehouseNativeScanRule]] gate.
+    */
+  private[graft] def nativeScanEligible(spark: SparkSession, path: String,
+      versionAsOf: Option[Long]): Boolean = {
+    val fs = fsOf(spark, path)
+    val md =
+      try versionAsOf match {
+        case Some(n) =>
+          visibleMappingAt(fs, path, n).map(m => (m, visibleDvAt(fs, path, n)))
+        case None =>
+          snapshot(fs, path).map { case (_, m, dvs) => (m, dvs) }
+      } catch { case _: Exception => None }
+    md.exists { case (mapping, dvs) =>
+      dvs.isEmpty && mapping.nonEmpty &&
+        !mapping.values.exists(needsFold) &&
+        mapping.keys.map(layoutColsOf).toSet.size <= 1
+    }
+  }
+
   private[graft] def readForScan(spark: SparkSession, path: String,
                    versionAsOf: Option[Long],
                    bounds: Map[String, Bound],

@@ -135,6 +135,17 @@ class WarehouseCboSpec extends AnyFunSuite {
             case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
             case _ => None
           }
+        // since the r20 native-path splice, fold-free scans end
+        // optimization as plain parquet LogicalRelations - recover the
+        // table path from the file location's /data/batch= prefix
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.headOption.map(_.toString)
+                .filter(_.contains("/data/batch="))
+                .map(_.stripPrefix("file:").split("/data/batch=")(0))
+            case _ => None
+          }
         case _ => None
       }.toSet
     }
@@ -183,6 +194,15 @@ class WarehouseCboSpec extends AnyFunSuite {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
           r.relation.table match {
             case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
+            case _ => None
+          }
+        // native-path splice: fold-free scans end as parquet relations
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.headOption.map(_.toString)
+                .filter(_.contains("/data/batch="))
+                .map(_.stripPrefix("file:").split("/data/batch=")(0))
             case _ => None
           }
         case _ => None
