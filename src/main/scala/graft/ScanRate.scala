@@ -19,6 +19,8 @@ object ScanRate {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 7
+    require(reps >= 2,
+      s"need >= 2 reps (rep 0 is excluded from medians), got $reps")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val path =
       java.nio.file.Files.createTempDirectory("graft_scanrate").toString + "/t"

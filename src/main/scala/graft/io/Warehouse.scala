@@ -2026,15 +2026,12 @@ object Warehouse {
         return dvDeleted + cowDeleted
       } catch {
         case e: Throwable =>
-          // ANY commit failure (lost race, IOException, …) leaves the
-          // losing attempt's sidecar unreferenced - drop it eagerly
-          // (vacuum would sweep it anyway; same catch-all shape as
-          // mergeInto's DV commits, advisor r19 #4), then retry only
-          // the lost-a-race case
-          dvAdd.foreach { case (id, _) =>
-            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
-            catch { case _: java.io.IOException => () }
-          }
+          // ANY commit failure (lost race, IOException, …): drop the
+          // attempt's sidecar IF it is provably unreferenced — a
+          // published-then-threw partial failure leaves it live and
+          // [[dropOrphanDv]] keeps it (advisor r19 #4 + review r20) —
+          // then retry only the lost-a-race case
+          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
           e match {
             case ise: IllegalStateException if ise.getMessage != null &&
                 ise.getMessage.contains("lost a race") &&
@@ -2242,6 +2239,25 @@ object Warehouse {
     * which, so the caller can skip the partitions or fall back to the
     * copy-on-write rewrite.
     */
+  /** Drop a sidecar left behind by a FAILED commit attempt — but only
+    * after proving the failure really left it unreferenced: a commit
+    * whose claim PUBLISHED the version and then threw (the same
+    * filesystem partial-failure class [[transactHooked]] documents for
+    * markers) leaves the sidecar LIVE in the new snapshot, and deleting
+    * it would corrupt every later read (vacuum cannot repair a
+    * referenced-but-missing sidecar). When the snapshot cannot be read
+    * at all, keep the sidecar — a true orphan is harmless litter vacuum
+    * sweeps, the reverse mistake is data loss (review r20).
+    */
+  private def dropOrphanDv(fs: FileSystem, path: String, id: String): Unit = {
+    val referenced =
+      try snapshot(fs, path).exists(_._3.exists(_._1 == id))
+      catch { case scala.util.control.NonFatal(_) => true }
+    if (!referenced)
+      try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+      catch { case _: java.io.IOException => () }
+  }
+
   private def writeDvSidecar(spark: SparkSession, path: String,
                              matches: DataFrame): DvSidecar = {
     val fs = fsOf(spark, path)
@@ -2829,10 +2845,10 @@ object Warehouse {
         dvUpdate = dvAdd.map(a => dvs :+ a))
       catch {
         case e: Throwable =>
-          dvAdd.foreach { case (id, _) =>
-            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
-            catch { case _: java.io.IOException => () }
-          }
+          // only provably-unreferenced sidecars are dropped — a
+          // published-then-threw commit keeps its live sidecar
+          // (review r20)
+          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
           throw e
       }
       return
@@ -2894,12 +2910,11 @@ object Warehouse {
     catch {
       case e: Throwable =>
         // a lost race (the retrying wrapper re-runs against the
-        // winner's snapshot) or any other commit failure leaves the
-        // sidecar unreferenced - drop it eagerly
-        dvAdd.foreach { case (id, _) =>
-          try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
-          catch { case _: java.io.IOException => () }
-        }
+        // winner's snapshot) or any other commit failure: drop the
+        // sidecar only when provably unreferenced — a
+        // published-then-threw commit keeps its live sidecar
+        // (review r20)
+        dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
         throw e
     }
   }
@@ -3725,15 +3740,12 @@ object Warehouse {
         return
       } catch {
         case e: Throwable =>
-          // ANY commit failure (lost race, IOException, …) leaves the
-          // losing attempt's sidecar unreferenced - drop it eagerly
-          // (vacuum would sweep it anyway; same catch-all shape as
-          // mergeInto's DV commits, advisor r19 #4), then retry only
-          // the lost-a-race case
-          dvAdd.foreach { case (id, _) =>
-            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
-            catch { case _: java.io.IOException => () }
-          }
+          // ANY commit failure (lost race, IOException, …): drop the
+          // attempt's sidecar IF it is provably unreferenced — a
+          // published-then-threw partial failure leaves it live and
+          // [[dropOrphanDv]] keeps it (advisor r19 #4 + review r20) —
+          // then retry only the lost-a-race case
+          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
           e match {
             case ise: IllegalStateException if ise.getMessage != null &&
                 ise.getMessage.contains("lost a race") &&

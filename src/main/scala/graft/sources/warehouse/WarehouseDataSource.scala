@@ -1206,6 +1206,22 @@ class WarehouseV1Scan(pruned: StructType,
     */
   def nativeScanPlan(spark: SparkSession)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    // memoized per scan INSTANCE (= per optimized query, the
+    // memoBounds contract): the fixed-point batch re-runs the splice
+    // rule each pass, and without the memo every ineligible table
+    // would pay a fresh manifest read per pass (review r20)
+    val c = nativeMemo
+    if (c != null) return c
+    val r = computeNativeScanPlan(spark)
+    nativeMemo = r
+    r
+  }
+
+  @volatile private var nativeMemo
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = null
+
+  private def computeNativeScanPlan(spark: SparkSession)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
     if (conf.changeFeed || runtimeProbes.nonEmpty ||
         !spark.conf.getOption("spark.graft.warehouse.nativeScan")
           .forall(_.toBoolean) ||
@@ -1218,7 +1234,16 @@ class WarehouseV1Scan(pruned: StructType,
     val filtered = pushed.toIndexedSeq
       .flatMap(WarehouseDataSource.toColumn)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)
-    val projected = filtered.select(pruned.fieldNames.map(col).toIndexedSeq: _*)
+    val projected0 = filtered.select(pruned.fieldNames.map(col).toIndexedSeq: _*)
+    // same physical-type guard as the bridge's innerFrame: the splice
+    // binds outer attribute ids straight onto these columns, so a
+    // drifted type (never expected - both sides derive from the table
+    // schema) gets an explicit cast, not silent mis-typed binding
+    val projected =
+      if (projected0.schema.fields.map(_.dataType)
+          .sameElements(pruned.fields.map(_.dataType))) projected0
+      else projected0.select(pruned.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType)): _*)
     val plan = org.apache.spark.sql.graft.ScanBridge.analyzedPlan(projected)
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation, LogicalPlan, Project => LProject, SubqueryAlias}
     def collapses(p: LogicalPlan): Boolean = p match {

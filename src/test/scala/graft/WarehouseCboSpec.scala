@@ -27,6 +27,39 @@ class WarehouseCboSpec extends AnyFunSuite {
   private def freshDir(): String =
     Files.createTempDirectory("graft_cbospec").toString + "/t"
 
+  /** The DEEPEST join's leaf table paths = what got joined first.
+    * Leaves end optimization as warehouse scan relations, pre-pushdown
+    * relations, or — since the r20 native-path splice — plain parquet
+    * LogicalRelations, whose table path recovers from the file
+    * location's /data/batch= prefix.
+    */
+  private def firstJoinLeaves(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    joins.last.collectLeaves().flatMap {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
+          case _ => None
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
+          case _ => None
+        }
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.headOption.map(_.toString)
+              .filter(_.contains("/data/batch="))
+              .map(_.stripPrefix("file:").split("/data/batch=")(0))
+          case _ => None
+        }
+      case _ => None
+    }.toSet
+  }
+
   private def withCbo[A](body: => A): A = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
@@ -117,38 +150,6 @@ class WarehouseCboSpec extends AnyFunSuite {
       f.join(m, "mid_id").join(s, "small_id")
         .select("id", "mname", "sname")
     }
-    def firstJoinLeaves(df: org.apache.spark.sql.DataFrame): Set[String] = {
-      // the DEEPEST join's leaf relations = what got joined first;
-      // leaves are scan relations by the end of optimization
-      val joins = df.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      }
-      val innermost = joins.last
-      innermost.collectLeaves().flatMap {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.relation.table match {
-            case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
-            case _ => None
-          }
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          r.table match {
-            case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
-            case _ => None
-          }
-        // since the r20 native-path splice, fold-free scans end
-        // optimization as plain parquet LogicalRelations - recover the
-        // table path from the file location's /data/batch= prefix
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.headOption.map(_.toString)
-                .filter(_.contains("/data/batch="))
-                .map(_.stripPrefix("file:").split("/data/batch=")(0))
-            case _ => None
-          }
-        case _ => None
-      }.toSet
-    }
     // without CBO: syntactic order — fact joins MID first
     assert(firstJoinLeaves(joined) == Set(factPath, midPath),
       "sanity: syntactic order joins mid first")
@@ -185,28 +186,6 @@ class WarehouseCboSpec extends AnyFunSuite {
       val m = spark.read.format("graft-warehouse").load(midPath)
       val s = spark.read.format("graft-warehouse").load(smallPath)
       f.join(m, "mid_id").join(s, "sid").select("id", "mname", "sname")
-    }
-    def firstJoinLeaves(df: org.apache.spark.sql.DataFrame): Set[String] = {
-      val joins = df.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      }
-      joins.last.collectLeaves().flatMap {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.relation.table match {
-            case t: graft.sources.warehouse.WarehouseTable => Some(t.tablePath)
-            case _ => None
-          }
-        // native-path splice: fold-free scans end as parquet relations
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.headOption.map(_.toString)
-                .filter(_.contains("/data/batch="))
-                .map(_.stripPrefix("file:").split("/data/batch=")(0))
-            case _ => None
-          }
-        case _ => None
-      }.toSet
     }
     withCbo {
       val leaves = firstJoinLeaves(joined)

@@ -458,6 +458,36 @@ class WarehouseDvSpec extends AnyFunSuite {
     assert(got.filter(col("k") % 10 === 0).count() == 0L)
   }
 
+  test("a DV commit that PUBLISHES then throws keeps its referenced sidecar: the failure-path cleanup can never eat live data (review r20)") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(200), "part")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Warehouse.primitiveOverride = Some(new graft.io.CommitPrimitive {
+      override def claim(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean = {
+        val won = Warehouse.LocalLinkCommit.claim(fs, tmp, target)
+        if (won && target.toString.contains("_versions") &&
+            fired.compareAndSet(false, true))
+          throw new java.io.IOException(
+            "injected: claim result lost after the version published")
+        won
+      }
+    })
+    try {
+      intercept[java.io.IOException] {
+        Warehouse.deleteWhereDv(spark, path, col("k") <= 20L)
+      }
+    } finally Warehouse.primitiveOverride = None
+    // the version LANDED referencing the sidecar - the cleanup must
+    // have detected that and kept it: deletes visible, reads intact
+    assert(activeDvIds(path).size == 1,
+      "the published commit's vector must stay active")
+    assert(dvBytes(path) > 0L, "the sidecar files must survive")
+    assert(Warehouse.read(spark, path).count() == 180L)
+    assert(Warehouse.read(spark, path).filter(col("k") <= 20L).count() == 0L)
+  }
+
   test("a source row DECLARING the wrong partition for its key routes the merge back to CoW: dvRoute on/off agree (advisor r19 #1)") {
     val dvT = freshDir(); val cowT = freshDir()
     Warehouse.create(spark, dvT, seed(), "part")
