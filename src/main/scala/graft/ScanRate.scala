@@ -30,9 +30,11 @@ object ScanRate {
     val df0 = spark.read.format("graft-warehouse").load(path)
     val rows = df0.count()
     val cols = df0.columns.toSeq
-    def run(tag: String): Seq[Double] = (0 until reps).map { r =>
+    def run(tag: String,
+            shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[Double] = (0 until reps).map { r =>
       val t0 = System.nanoTime()
-      val df = spark.read.format("graft-warehouse").load(path)
+      val df = shape(spark.read.format("graft-warehouse").load(path))
       df.select(sum(hash(cols.map(col): _*)).as("h")).collect(): Unit
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[scanrate] $tag%-6s rep=$r $s%6.3f s ($rows rows, ${cols.length} cols)")
@@ -40,26 +42,22 @@ object ScanRate {
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     spark.conf.set("spark.graft.warehouse.nativeScan", "true")
-    val native = run("native")
+    val native = run("native", identity)
     spark.conf.set("spark.graft.warehouse.nativeScan", "false")
-    val bridge = run("bridge")
+    val bridge = run("bridge", identity)
     // the r19-and-earlier shape for reference: an external-Row round
     // trip (deserialize to Row, re-encode to InternalRow) on every
     // row — df.rdd + createDataFrame reproduces exactly that boundary
-    val encoder = (0 until reps).map { r =>
-      val t0 = System.nanoTime()
-      val df = spark.read.format("graft-warehouse").load(path)
-      spark.createDataFrame(df.rdd, df.schema)
-        .select(sum(hash(cols.map(col): _*)).as("h")).collect(): Unit
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scanrate] encode rep=$r $s%6.3f s")
-      s
-    }
+    val encoder = run("encode", df => spark.createDataFrame(df.rdd, df.schema))
     println(f"[scanrate] medians (rep 0 excluded): native ${median(native.drop(1))}%6.3f s, " +
       f"bridge ${median(bridge.drop(1))}%6.3f s, row-encoder round trip " +
       f"${median(encoder.drop(1))}%6.3f s (${rows}%,d rows: " +
       f"${rows / median(native.drop(1))}%,.0f vs ${rows / median(bridge.drop(1))}%,.0f " +
       f"vs ${rows / median(encoder.drop(1))}%,.0f rows/s)")
+    // the sf-scale temp warehouse is pure scratch - don't litter /tmp
+    // across the repeated invocations this harness exists for
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile): Unit
     spark.stop()
   }
 }

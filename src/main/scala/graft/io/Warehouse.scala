@@ -2230,6 +2230,32 @@ object Warehouse {
       }.reduce(_.unionByName(_))
   }
 
+  /** Drop a sidecar left behind by a FAILED commit attempt — but only
+    * after proving the failure really left it unreferenced: a commit
+    * whose claim PUBLISHED the version and then threw (the same
+    * filesystem partial-failure class [[transactHooked]] documents for
+    * markers) leaves the sidecar LIVE, and deleting it would corrupt
+    * every later read (vacuum cannot repair a referenced-but-missing
+    * sidecar). The proof scans EVERY retained version's manifest, not
+    * just the newest snapshot — a concurrent superseding commit (a
+    * compact materializing the vector) in the failure window would
+    * otherwise make a still-time-travelable sidecar look unreferenced
+    * (second review pass r20); that is exactly vacuum's liveness
+    * definition, so anything kept here that is truly dead falls to
+    * vacuum's own retained-manifest sweep. When the manifests cannot
+    * be read at all, keep the sidecar — a true orphan is harmless
+    * litter, the reverse mistake is data loss.
+    */
+  private def dropOrphanDv(fs: FileSystem, path: String, id: String): Unit = {
+    val referenced =
+      try listVersions(fs, path).exists { case (_, p) =>
+        parseDvs(readSmallFile(fs, p)).exists(_._1 == id)
+      } catch { case scala.util.control.NonFatal(_) => true }
+    if (!referenced)
+      try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+      catch { case _: java.io.IOException => () }
+  }
+
   /** Write a `(file, pos)` frame as ONE compact sidecar file and
     * adjudicate it: the repartition shuffles only the MATCHED rows
     * (16 bytes each — the scan keeps full parallelism upstream), and
@@ -2239,25 +2265,6 @@ object Warehouse {
     * which, so the caller can skip the partitions or fall back to the
     * copy-on-write rewrite.
     */
-  /** Drop a sidecar left behind by a FAILED commit attempt — but only
-    * after proving the failure really left it unreferenced: a commit
-    * whose claim PUBLISHED the version and then threw (the same
-    * filesystem partial-failure class [[transactHooked]] documents for
-    * markers) leaves the sidecar LIVE in the new snapshot, and deleting
-    * it would corrupt every later read (vacuum cannot repair a
-    * referenced-but-missing sidecar). When the snapshot cannot be read
-    * at all, keep the sidecar — a true orphan is harmless litter vacuum
-    * sweeps, the reverse mistake is data loss (review r20).
-    */
-  private def dropOrphanDv(fs: FileSystem, path: String, id: String): Unit = {
-    val referenced =
-      try snapshot(fs, path).exists(_._3.exists(_._1 == id))
-      catch { case scala.util.control.NonFatal(_) => true }
-    if (!referenced)
-      try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
-      catch { case _: java.io.IOException => () }
-  }
-
   private def writeDvSidecar(spark: SparkSession, path: String,
                              matches: DataFrame): DvSidecar = {
     val fs = fsOf(spark, path)

@@ -1234,16 +1234,8 @@ class WarehouseV1Scan(pruned: StructType,
     val filtered = pushed.toIndexedSeq
       .flatMap(WarehouseDataSource.toColumn)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)
-    val projected0 = filtered.select(pruned.fieldNames.map(col).toIndexedSeq: _*)
-    // same physical-type guard as the bridge's innerFrame: the splice
-    // binds outer attribute ids straight onto these columns, so a
-    // drifted type (never expected - both sides derive from the table
-    // schema) gets an explicit cast, not silent mis-typed binding
-    val projected =
-      if (projected0.schema.fields.map(_.dataType)
-          .sameElements(pruned.fields.map(_.dataType))) projected0
-      else projected0.select(pruned.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType)): _*)
+    val projected = conformTypes(
+      filtered.select(pruned.fieldNames.map(col).toIndexedSeq: _*))
     val plan = org.apache.spark.sql.graft.ScanBridge.analyzedPlan(projected)
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation, LogicalPlan, Project => LProject, SubqueryAlias}
     def collapses(p: LogicalPlan): Boolean = p match {
@@ -1393,15 +1385,20 @@ class WarehouseV1Scan(pruned: StructType,
     val projected = filtered.select(pruned.fieldNames.map(col).toIndexedSeq: _*)
     WarehouseDataSource.lastPlanned =
       Some((base.inputFiles.length, pushed.map(_.toString).toIndexedSeq))
-    // the InternalRow fast path below bypasses the row encoder, so the
-    // physical types must match the declared schema EXACTLY; a
-    // mismatch (never expected - both sides derive from the table
-    // schema) gets an explicit cast rather than silent corruption
-    if (projected.schema.fields.map(_.dataType)
-        .sameElements(pruned.fields.map(_.dataType))) projected
-    else projected.select(pruned.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType)): _*)
+    conformTypes(projected)
   }
+
+  /** Conform the frame's physical types to the declared pruned schema:
+    * both InternalRow paths (the deferred bridge and the native
+    * splice) bypass the row encoder, so a drifted type — never
+    * expected, both sides derive from the table schema — gets an
+    * explicit cast rather than silent mis-typed binding or corruption.
+    */
+  private def conformTypes(df: DataFrame): DataFrame =
+    if (df.schema.fields.map(_.dataType)
+        .sameElements(pruned.fields.map(_.dataType))) df
+    else df.select(pruned.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType)): _*)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

@@ -488,6 +488,50 @@ class WarehouseDvSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, path).filter(col("k") <= 20L).count() == 0L)
   }
 
+  test("the orphan check scans ALL retained versions: a racing compact between publish and cleanup cannot orphan a time-travelable sidecar") {
+    val path = freshDir()
+    Warehouse.create(spark, path, seed(200), "part")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Warehouse.primitiveOverride = Some(new graft.io.CommitPrimitive {
+      override def claim(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean = {
+        val won = Warehouse.LocalLinkCommit.claim(fs, tmp, target)
+        if (won && target.toString.contains("_versions") &&
+            fired.compareAndSet(false, true)) {
+          // a SUPERSEDING commit lands in the publish->cleanup window:
+          // compact sees the just-published DV version and
+          // materializes it away, so the NEWEST snapshot no longer
+          // references the sidecar - only retained history does
+          val self = this
+          Warehouse.primitiveOverride = None
+          try Warehouse.compact(spark, path, "k",
+            math.max(1L, Warehouse.partitionStats(spark, path).map(_._4).sum))
+          finally Warehouse.primitiveOverride = Some(self)
+          throw new java.io.IOException(
+            "injected: claim result lost after publish + racing compact")
+        }
+        won
+      }
+    })
+    try {
+      intercept[java.io.IOException] {
+        Warehouse.deleteWhereDv(spark, path, col("k") <= 20L)
+      }
+    } finally Warehouse.primitiveOverride = None
+    // newest snapshot (the compact) carries no vector - but version 2
+    // does, and it is retained: the sidecar must survive the cleanup
+    // so time travel to it still subtracts correctly (second review
+    // pass r20 - a newest-only check would have deleted it here)
+    assert(activeDvIds(path).isEmpty,
+      "compact materialized the subtraction - no active vector")
+    assert(dvBytes(path) > 0L,
+      "the retained version's sidecar must survive the failure cleanup")
+    assert(Warehouse.read(spark, path).count() == 180L)
+    assert(Warehouse.readVersion(spark, path, 2L).count() == 180L,
+      "time travel to the DV version must still subtract its sidecar")
+  }
+
   test("a source row DECLARING the wrong partition for its key routes the merge back to CoW: dvRoute on/off agree (advisor r19 #1)") {
     val dvT = freshDir(); val cowT = freshDir()
     Warehouse.create(spark, dvT, seed(), "part")
