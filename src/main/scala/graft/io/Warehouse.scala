@@ -1313,7 +1313,11 @@ object Warehouse {
     val flipped =
       try primitiveFor(markerFs).claim(markerFs, tmp, new HPath(marker))
       catch {
-        case e: Throwable =>
+        // NonFatal only: an interrupt or VM error propagates without
+        // further filesystem work (review r20 #3) — the committing-
+        // stamp refusal covers the resulting ambiguity exactly like a
+        // crash would
+        case e if scala.util.control.NonFatal(e) =>
           // a claim that throws AFTER creating its marker (filesystem
           // partial failure: link created but the syscall's return
           // lost, conditional put acknowledged but the response
@@ -2025,20 +2029,25 @@ object Warehouse {
           dvUpdate = Some(dvs ++ dvAdd.toSeq))
         return dvDeleted + cowDeleted
       } catch {
-        case e: Throwable =>
-          // ANY commit failure (lost race, IOException, …): drop the
-          // attempt's sidecar IF it is provably unreferenced — a
-          // published-then-threw partial failure leaves it live and
-          // [[dropOrphanDv]] keeps it (advisor r19 #4 + review r20) —
-          // then retry only the lost-a-race case
-          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
-          e match {
-            case ise: IllegalStateException if ise.getMessage != null &&
-                ise.getMessage.contains("lost a race") &&
-                attempt < maxAttempts =>
-              attempt += 1
-            case _ => throw e
+        case ise: IllegalStateException if ise.getMessage != null &&
+            ise.getMessage.contains("lost a race") =>
+          // a lost race PROVABLY published nothing — drop the
+          // attempt's sidecar unconditionally, no history scan
+          // (review r20: the orphan proof is for AMBIGUOUS failures
+          // only, not the hot optimistic-concurrency retry)
+          dvAdd.foreach { case (id, _) =>
+            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+            catch { case _: java.io.IOException => () }
           }
+          if (attempt >= maxAttempts) throw ise
+          attempt += 1
+        case e if scala.util.control.NonFatal(e) =>
+          // ambiguous failure (the claim may have PUBLISHED before
+          // throwing): delete only after proving the sidecar
+          // unreferenced in every retained version (advisor r19 #4 +
+          // review r20). Fatal errors skip the cleanup entirely.
+          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
+          throw e
       }
     }
     0L // unreachable
@@ -2851,10 +2860,18 @@ object Warehouse {
       try commit(fs, path, v + 1, mapping, txn,
         dvUpdate = dvAdd.map(a => dvs :+ a))
       catch {
-        case e: Throwable =>
-          // only provably-unreferenced sidecars are dropped — a
-          // published-then-threw commit keeps its live sidecar
-          // (review r20)
+        case ise: IllegalStateException if ise.getMessage != null &&
+            ise.getMessage.contains("lost a race") =>
+          // provably unpublished: unconditional drop, no history scan
+          dvAdd.foreach { case (id, _) =>
+            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+            catch { case _: java.io.IOException => () }
+          }
+          throw ise
+        case e if scala.util.control.NonFatal(e) =>
+          // ambiguous: only provably-unreferenced sidecars are
+          // dropped — a published-then-threw commit keeps its live
+          // sidecar (review r20)
           dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
           throw e
       }
@@ -2915,12 +2932,20 @@ object Warehouse {
     try commit(fs, path, v + 1, newMapping, txn,
       dvUpdate = dvAdd.map(a => dvs :+ a))
     catch {
-      case e: Throwable =>
+      case ise: IllegalStateException if ise.getMessage != null &&
+          ise.getMessage.contains("lost a race") =>
         // a lost race (the retrying wrapper re-runs against the
-        // winner's snapshot) or any other commit failure: drop the
-        // sidecar only when provably unreferenced — a
-        // published-then-threw commit keeps its live sidecar
-        // (review r20)
+        // winner's snapshot) provably published nothing:
+        // unconditional drop, no history scan
+        dvAdd.foreach { case (id, _) =>
+          try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+          catch { case _: java.io.IOException => () }
+        }
+        throw ise
+      case e if scala.util.control.NonFatal(e) =>
+        // ambiguous commit failure: drop the sidecar only when
+        // provably unreferenced — a published-then-threw commit keeps
+        // its live sidecar (review r20)
         dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
         throw e
     }
@@ -3746,20 +3771,25 @@ object Warehouse {
           dvUpdate = dvAdd.map(a => dvs :+ a))
         return
       } catch {
-        case e: Throwable =>
-          // ANY commit failure (lost race, IOException, …): drop the
-          // attempt's sidecar IF it is provably unreferenced — a
-          // published-then-threw partial failure leaves it live and
-          // [[dropOrphanDv]] keeps it (advisor r19 #4 + review r20) —
-          // then retry only the lost-a-race case
-          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
-          e match {
-            case ise: IllegalStateException if ise.getMessage != null &&
-                ise.getMessage.contains("lost a race") &&
-                attempt < maxAttempts =>
-              attempt += 1
-            case _ => throw e
+        case ise: IllegalStateException if ise.getMessage != null &&
+            ise.getMessage.contains("lost a race") =>
+          // a lost race PROVABLY published nothing — drop the
+          // attempt's sidecar unconditionally, no history scan
+          // (review r20: the orphan proof is for AMBIGUOUS failures
+          // only, not the hot optimistic-concurrency retry)
+          dvAdd.foreach { case (id, _) =>
+            try { fs.delete(new HPath(dvDir(path, id)), true): Unit }
+            catch { case _: java.io.IOException => () }
           }
+          if (attempt >= maxAttempts) throw ise
+          attempt += 1
+        case e if scala.util.control.NonFatal(e) =>
+          // ambiguous failure (the claim may have PUBLISHED before
+          // throwing): delete only after proving the sidecar
+          // unreferenced in every retained version (advisor r19 #4 +
+          // review r20). Fatal errors skip the cleanup entirely.
+          dvAdd.foreach { case (id, _) => dropOrphanDv(fs, path, id) }
+          throw e
       }
     }
   }

@@ -65,6 +65,15 @@ final class DimMemo(@transient private val spark: SparkSession,
       }
     }
   }
+
+  /** The overflow fallback, planned ONCE and shared by every consumer
+    * ([[ProbedDimExec]]'s doExecute and executeCollect, which the
+    * probe and the join may each reach): one extra physical planning
+    * of the dim subtree per query, not one per call (review r20 #2).
+    */
+  @transient lazy val fallbackPlan: org.apache.spark.sql.execution.SparkPlan =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+      .queryExecution.executedPlan
 }
 
 /** The join's dim side after probe localization: a leaf serving the
@@ -101,15 +110,11 @@ final case class ProbedDimExec(
   override protected def doExecute(): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     memo.rowsOpt match {
       case Some(rs) => sparkContext.parallelize(rs.toIndexedSeq, 1)
-      case None => ScanBridge.internalRowRdd(
-        PlanFrames.ofRows(session, memo.plan))
+      case None => memo.fallbackPlan.execute()
     }
 
   override def executeCollect(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    memo.rowsOpt.getOrElse(
-      PlanFrames.ofRows(session, memo.plan)
-        .asInstanceOf[CDataset[org.apache.spark.sql.Row]]
-        .queryExecution.executedPlan.executeCollect())
+    memo.rowsOpt.getOrElse(memo.fallbackPlan.executeCollect())
 }
 
 /** Plans [[ProbedDimRelation]] as a [[ProbedDimExec]] leaf — pure
@@ -179,6 +184,17 @@ class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def longConf(key: String, dflt: Long): Long =
     spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
+  /** Lenient boolean conf: only canonical true/false flip the knob; a
+    * malformed value keeps the default instead of failing every query
+    * from inside the optimizer (review r20 #5).
+    */
+  private def boolConf(key: String, dflt: Boolean): Boolean =
+    spark.conf.getOption(key) match {
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case _ => dflt
+    }
+
   /** The warehouse scan inside `p`, reached through deterministic
     * Project/Filter/Aggregate (and alias) nodes only — the
     * row-dropping-safe corridor. An Aggregate is safe because the
@@ -224,8 +240,8 @@ class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!spark.conf.getOption("spark.graft.warehouse.runtimeFiltering")
-        .forall(_.toBoolean)) return plan
+    if (!boolConf("spark.graft.warehouse.runtimeFiltering", true))
+      return plan
     val maxProbeBytes = longConf(
       "spark.graft.warehouse.runtimeFiltering.maxProbeBytes", 64L << 20)
     val minFactBytes = longConf(
@@ -253,13 +269,18 @@ class WarehouseRuntimeFilterRule(spark: SparkSession) extends Rule[LogicalPlan]
       // the plain two-execution shape on overflow — judge r19 #3).
       val aggDim = dim.exists(_.isInstanceOf[Aggregate])
       val smallDim = dim.stats.sizeInBytes <= BigInt(maxProbeBytes)
-      val localizable = spark.conf
-        .getOption("spark.graft.warehouse.runtimeFiltering.localizeDim")
-        .forall(_.toBoolean) &&
+      val localizable = boolConf(
+          "spark.graft.warehouse.runtimeFiltering.localizeDim", true) &&
         !dim.isInstanceOf[ProbedDimRelation] &&
         (smallDim || aggDim)
+      // only a PROVABLY small dim earns the near-free localized gate:
+      // an aggregate-budget dim's memo is execution-bounded and can
+      // overflow to the multi-execution fallback, so on facts below
+      // the flat gate it keeps r19's no-probe behavior (one dim
+      // execution, review r20 #1) — localization engages for it only
+      // where the pruned fact scan can repay the risk
       val minFact =
-        if (localizable) longConf(
+        if (localizable && smallDim) longConf(
           "spark.graft.warehouse.runtimeFiltering.minFactBytesLocalized",
           1L << 20)
         else minFactBytes

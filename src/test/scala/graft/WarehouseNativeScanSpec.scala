@@ -89,6 +89,26 @@ class WarehouseNativeScanSpec extends AnyFunSuite {
     assert(spark.read.format("graft-warehouse").load(path).count() == 2L)
   }
 
+  test("the DDL overlay (RENAME COLUMN + type widening) still serves NATIVE: the overlay projections collapse into the parquet scan") {
+    val path = Files.createTempDirectory("graft_native_ddl").toString + "/t"
+    Warehouse.create(spark, path,
+      (1 to 30).map(i => (i, s"n$i", "d1")).toDF("k", "name", "part")
+        .select(col("k").cast("int").as("k"), col("name"), col("part")),
+      "part")
+    Warehouse.renameColumn(spark, path, "name", "title")
+    Warehouse.widenColumnType(spark, path, "k",
+      org.apache.spark.sql.types.LongType)
+    val df = spark.read.format("graft-warehouse").load(path)
+    assert(!planOf(df).contains("WarehouseV1Scan"),
+      s"an overlay table is still fold-free - it must serve native:\n${planOf(df)}")
+    assert(df.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, "the widening must apply")
+    assert(df.columns.contains("title") && !df.columns.contains("name"),
+      "the rename must apply")
+    assert(df.filter(col("k") === 7L).select("title").as[String].head() == "n7")
+    assert(df.count() == 30L)
+  }
+
   test("fold chains, active deletion vectors, and mixed layouts keep the bridge; compact restores the native path") {
     // fold chain (merge-on-read)
     val delta = Files.createTempDirectory("graft_native_mor").toString + "/t"
