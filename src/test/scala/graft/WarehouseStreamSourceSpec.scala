@@ -421,6 +421,40 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
       (0 until 3).map(i => (200L + i, s"m$i")).toSet)
   }
 
+  test("mid-snapshot crash + restart under a FILE budget (even when the restart switches to a byte budget) replays the negative-budget sub-page exactly once") {
+    val path = freshTable((0 until 12).map(i =>
+      (i.toLong, s"n$i", 1L, s"d${i % 4 + 1}")))
+    val ckpt = Files.createTempDirectory("graft_src_ck").toString
+    // run 1 pages the snapshot by FILE COUNT and crashes after micro-
+    // batch 0's offset (a NEGATIVE budget) is logged but uncommitted
+    val buf1 = ListBuffer[Seq[Row]]()
+    val q1 = spark.readStream.format("graft-warehouse")
+      .options(Map("keyCol" -> "k", "maxFilesPerTrigger" -> "1")).load(path)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        buf1 += b.collect().toSeq
+        if (id == 0L) throw new RuntimeException("injected mid-snapshot crash")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    intercept[StreamingQueryException] { q1.awaitTermination() }
+    assert(buf1.nonEmpty && buf1.head.size < 12,
+      "the crash must land mid-snapshot, after a PARTIAL first page")
+    // run 2 restarts under a DIFFERENT (byte) budget: the offset's
+    // negative budget must reproduce the FILE-packed grouping the
+    // checkpoint meant, then the drain completes exactly once
+    val batches2 = drain(path, ckpt, Map(
+      "keyCol" -> "k", "maxBytesPerTrigger" -> (64L << 20).toString))
+    assert(keyNames(batches2.head) == keyNames(buf1.head),
+      "the replayed batch 0 must be exactly the checkpointed file-packed sub-page")
+    assert(keyNames(batches2.flatten) ==
+      (0 until 12).map(i => (i.toLong, s"n$i")).toSet,
+      "the restarted drain must complete the snapshot exactly once")
+    assert(batches2.flatten.size == 12)
+  }
+
   test("initial snapshot pages under maxFilesPerTrigger; the file-derived grouping rides the offset as a negative budget") {
     val path = freshTable((0 until 12).map(i =>
       (i.toLong, s"n$i", 1L, s"d${i % 4 + 1}")))
