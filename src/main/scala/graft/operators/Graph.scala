@@ -79,15 +79,23 @@ object Graph {
     for (_ <- 1 to iters) {
       val perSrc = score.filter(col("deg") > 0).select(col("node").as("src"),
         call_function("div", col("score"), col("deg")).as("contrib"))
-      val contribs = pinned.join(broadcast(perSrc), Seq("src"))
-        .select(col("dst").as("node"), col("contrib"))
+      // re-seed INSIDE the contribution aggregate (r20 optimization):
+      // degN's rows ride the same exchange with contrib = 0 carrying
+      // their degree, so every universe node survives the round — a
+      // pure source or dangling node lands at the teleport term —
+      // WITHOUT the r19 shape's per-round broadcast build + collect
+      // of the |V|-sized contribution frame (a driver funnel of the
+      // whole node set every round at web scale; a per-round build
+      // job here). Destinations outside the universe carry a null
+      // deg out of max() and are filtered — exactly the rows the old
+      // LEFT join from degN excluded.
+      val reseeded = pinned.join(broadcast(perSrc), Seq("src"))
+        .select(col("dst").as("node"), col("contrib"),
+          lit(null).cast("long").as("deg"))
+        .unionByName(degN.select(col("node"), lit(0L).as("contrib"), col("deg")))
         .groupBy("node")
-        .agg(sum("contrib").as("in_mass"))
-      // re-seed from degN (LEFT join, contribs broadcast): a node
-      // whose in-mass is empty this round — a pure source, or a
-      // dangling node — stays in the frame at the teleport term
-      // instead of dropping out of every later superstep
-      val reseeded = degN.join(broadcast(contribs), Seq("node"), "left")
+        .agg(sum("contrib").as("in_mass"), max("deg").as("deg"))
+        .filter(col("deg").isNotNull)
       val withDangling =
         if (!includeDangling) reseeded.withColumn("dshare", lit(0L))
         else {
