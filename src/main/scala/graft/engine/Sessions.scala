@@ -31,6 +31,16 @@ object Sessions {
       // own tuning guide recommends for production).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+      // Let AQE rewrite sort-merge → shuffled-hash at runtime when
+      // every post-shuffle partition of the build side fits the same
+      // 64 MB advisory budget (default 0 = never). Gated on MEASURED
+      // runtime sizes, so unlike a static preferSortMergeJoin flip it
+      // cannot OOM on a mis-estimated build side, and AQE skew-split
+      // still applies to SHJ. Wins the sort on the change-feed
+      // full-outer diffs and similar small-shuffle joins (A/B table
+      // in OPTIMIZATION_r20.md); identical results by construction.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64MB"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // events.ts is parquet timestamp[us] with isAdjustedToUTC=false,

@@ -156,11 +156,17 @@ object MultimodalQueries {
     // shuffle.
     Q("mm5_phash_groups",
       (s, d) => {
-        val ph = Multimodal.perceptualHash(Multimodal.bandImageTable(s, d)).toDF()
-        val g = ph.groupBy("ahash").agg(
-          min("media_id").as("canonical_id"),
-          count(lit(1)).as("group_n"))
-        ph.join(g, "ahash")
+        // group stats attached as WINDOW functions over the hash
+        // shuffle instead of aggregate + join-back (r20 optimization,
+        // same move as d13's df valve): ONE exchange, no join — and,
+        // decisively, the perceptual-hash subtree (a REAL per-image
+        // PNG decode) is referenced once, where the join shape decoded
+        // the corpus twice (agg side + probe side). Identical rows:
+        // min/count per ahash attached to every member.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+        Multimodal.perceptualHash(Multimodal.bandImageTable(s, d)).toDF()
+          .withColumn("canonical_id", min("media_id").over(w))
+          .withColumn("group_n", count(lit(1)).over(w))
           .select("media_id", "ahash", "canonical_id", "group_n")
           .orderBy("media_id")
       },

@@ -32,7 +32,11 @@ class AqeSkewSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      // this spec's scenario is a SORT-MERGE skew split: pin the AQE
+      // SMJ→SHJ rewrite (session default 64 MB since r20) off so the
+      // tiny test shuffle stays SMJ
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
     val saved = keys.map(k => k -> conf.getOption(k))
     try {
       // scale the 256 MB production threshold (and the 5× median
@@ -44,6 +48,7 @@ class AqeSkewSpec extends AnyFunSuite {
       conf.set(keys(1), "2")
       conf.set(keys(2), "32k")
       conf.set(keys(3), "-1")
+      conf.set(keys(4), "0")
 
       // 200k rows, 50% on hot key 0, the rest uniform over 500 keys
       val fact = spark.range(200000).select(
