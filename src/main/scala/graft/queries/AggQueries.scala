@@ -46,6 +46,10 @@ object AggQueries {
     * scores Jaccard off the counts. Registry order makes g31 pay the
     * build; g33 (and any future co-occurrence op) reads steady-state.
     */
+  /** Plan-audit access to the artifact path ([[graft.PlanDump]]). */
+  private[graft] def coPurchasePath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = coPurchase(s, d)
+
   private def coPurchase(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.engine.TempArtifacts.getOrBuild(s"$d#copurchase", "graft_copurchase") { p =>
       val sets = Tables.lineitem(s, d)
@@ -1255,20 +1259,19 @@ object AggQueries {
         // the edge list is the shared co-occurrence artifact's pair
         // frame (one order-keyed shuffle, paid once for g31 AND g33);
         // triangleCounts sizes its own broadcast-vs-shuffle choice
-        // from the measured edge count
-        // NOTE (r20 optimization round): the artifact's pair frame is
-        // already canonical (distinct, a<b), so the operator's
-        // canonicalization distinct looks redundant — but it was
-        // MEASURED to be load-bearing: the artifact reads as ~2 scan
-        // partitions (20 MB under a 128 MB split size) and the
-        // distinct's exchange is what gives the CPU-heavy
-        // array_intersect probe stage its 32-way parallelism
-        // (probe: tasks=2 → 9.3 s vs tasks=32 → 0.7 s for that
-        // stage; whole query 12.8 s vs 5.0 s). Skipping it would
-        // trade a cheap balanced shuffle for a serialized probe.
+        // from the measured edge count.
+        // assumeCanonical: the artifact rows are a groupBy(a, b) over
+        // strictly ordered a < b pairs — distinct and canonical by
+        // construction — so the operator skips its canonicalization
+        // distinct (r21). The r20 concern that this distinct's
+        // exchange was load-bearing for probe parallelism (the
+        // artifact reads as ~2 scan partitions) is superseded: the
+        // operator now establishes the probe layout with its own
+        // src-keyed repartition of the oriented edges, which the
+        // adjacency aggregate also rides.
         val pairs = s.read.parquet(s"${coPurchase(s, d)}/co")
           .select(col("a"), col("b"))
-        graft.operators.Graph.triangleCounts(pairs)
+        graft.operators.Graph.triangleCounts(pairs, assumeCanonical = true)
           .orderBy("node")
       },
       Some("""WITH e AS (

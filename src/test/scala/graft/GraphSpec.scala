@@ -82,6 +82,22 @@ class GraphSpec extends AnyFunSuite {
     assert(noDangling == Map(1L -> 150000L))
   }
 
+  test("pageRank shuffled mode and checkpoint cadence reproduce the broadcast scores") {
+    // the broadcast-vs-shuffle choice and the barrier cadence are
+    // EXECUTION strategy only (r21): broadcastMaxNodes = 0 forces the
+    // shuffled contribution join, checkpointEvery = 1 forces the old
+    // every-round barrier — both must reproduce the hand-computed
+    // star scores bit-for-bit
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val want = Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L)
+    val shuffled = Graph.pageRank(edges, 3, broadcastMaxNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == want, s"shuffled mode diverged: $shuffled")
+    val eager = Graph.pageRank(edges, 3, checkpointEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(eager == want, s"every-round barrier diverged: $eager")
+  }
+
   test("triangleCounts: hand-computed K4 + pendant, robust to duplicate/reversed/self-loop input") {
     // K4 on {1,2,3,4} has C(4,3) = 4 triangles, each node in exactly
     // 3; the pendant edge 4–5 and the disconnected path 6–7–8 add
@@ -108,5 +124,14 @@ class GraphSpec extends AnyFunSuite {
     val auto = Graph.triangleCounts(edges, broadcastMaxEdges = 2L)
       .as[(Long, Long)].collect().toMap
     assert(auto == got, s"auto-shuffled mode diverged: $auto")
+    // assumeCanonical on an ALREADY-canonical pair list (distinct,
+    // a < b, no self-loops) must reproduce the default path exactly —
+    // the flag only skips the canonicalization machinery
+    val canonical = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)).toDF("a", "b")
+    val pre = Graph.triangleCounts(canonical, assumeCanonical = true)
+      .as[(Long, Long)].collect().toMap
+    assert(pre == got, s"assumeCanonical diverged: $pre")
   }
 }
