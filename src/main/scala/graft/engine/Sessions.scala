@@ -15,6 +15,33 @@ import org.apache.spark.sql.SparkSession
   *    200 default (on a real cluster this would be AQE-advised).
   */
 object Sessions {
+
+  /** Advisory partition size — also the floor for the SHJ threshold
+    * override below (Spark's rewrite requires advisory <= threshold).
+    */
+  private val AdvisoryBytes = 64L * 1024 * 1024
+
+  /** SPARK_GRAFT_SHJ_THRESHOLD, validated: "0" (or "0b" etc.) turns
+    * the AQE SMJ→SHJ rewrite off explicitly; any other value is
+    * clamped UP to the 64MB advisory size, because a threshold below
+    * the advisory silently disables the rewrite (Spark requires
+    * advisory <= threshold); malformed input fails loudly here, at
+    * session build, with the variable named.
+    */
+  private def shjThreshold(): String =
+    sys.env.get("SPARK_GRAFT_SHJ_THRESHOLD") match {
+      case None => "64MB"
+      case Some(raw) =>
+        val bytes =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_SHJ_THRESHOLD='$raw' is not a byte size", e)
+          }
+        if (bytes <= 0L) "0"
+        else math.max(bytes, AdvisoryBytes).toString
+    }
+
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,8 +66,12 @@ object Sessions {
       // still applies to SHJ. Wins the sort on the change-feed
       // full-outer diffs and similar small-shuffle joins (A/B table
       // in OPTIMIZATION_r20.md); identical results by construction.
+      // COUPLING (advisor r20): Spark only applies the SMJ→SHJ rewrite
+      // when advisoryPartitionSizeInBytes <= this threshold, so an
+      // override below the 64MB advisory above would silently disable
+      // it — values are validated/clamped, not passed through raw.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64MB"))
+        shjThreshold())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // events.ts is parquet timestamp[us] with isAdjustedToUTC=false,

@@ -78,13 +78,6 @@ object AggQueries {
     */
   val Sql7RecursionCap: Int = 10
 
-  /** The sql7 recursion over `table`, capped at `cap`: per customer,
-    * orders walked as a linked chain from the first order (rank 1) to
-    * at most rank `cap`, depth accumulated per step and pinned equal
-    * to the rank it chains over. One string serves Spark and DuckDB —
-    * identical dialect-neutral SQL is the decisive argument for the
-    * cap living here and not inline.
-    */
   /** The `nxt` anchor of the sql7 recursion over `table`: per-customer
     * order ranks, capped at `cap`. Shared fragment — [[recursiveChainSql]]
     * embeds it as a CTE (both engines' one-string form, used by the
@@ -125,6 +118,13 @@ object AggQueries {
        |SELECT o_custkey, o_orderkey, depth FROM chain
        |ORDER BY o_custkey, depth""".stripMargin
 
+  /** The full one-string form — anchor CTE + recursion — per customer,
+    * orders walked as a linked chain from the first order (rank 1) to
+    * at most rank `cap`, depth pinned equal to the rank it chains
+    * over. One string serves Spark (Sql7RecursionCapSpec) and the
+    * DuckDB oracle; identical dialect-neutral SQL is the decisive
+    * argument for the cap living here and not inline.
+    */
   def recursiveChainSql(table: String, cap: Int): String =
     s"""WITH RECURSIVE nxt AS (
        |  ${sql7NxtSql(table, cap)}),
@@ -998,6 +998,15 @@ object AggQueries {
         // once, then run the UNCHANGED recursion over it; both
         // fragments render from the same builder family as the
         // oracle's one-string form, so plan and oracle cannot drift.
+        // The checkpointed anchor stays pinned until the returned
+        // plan is consumed and GC'd (ContextCleaner) — the recursion
+        // reads it lazily, so an eager release here would tear the
+        // blocks out from under the caller's action; the frame is
+        // ≤ 100 customers × cap rows, so the retention is noise
+        // (ADVICE r20). Probe r21: sql7's 58 jobs/709 tasks are
+        // UnionLoop per-level machinery (anchor partitioning — even
+        // coalesce(1) — does not change either count), so the level
+        // cap, a semantic parameter, is the only remaining lever.
         Tables.orders(s, d).createOrReplaceTempView("orders_sql")
         s.sql(sql7NxtSql("orders_sql", Sql7RecursionCap))
           .localCheckpoint()
